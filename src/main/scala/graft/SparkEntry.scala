@@ -1,13 +1,141 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ts._
+import graft.ts.RangeQuery.RangeArgs
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. */
 object SparkEntry {
+
+  // epoch-ms constants for the fixture window (events: Jan 2024, UTC)
+  private val T0 = 1704067200000L            // 2024-01-01T00:00:00Z
+  private val T31 = 1706745599999L           // 2024-01-31T23:59:59.999Z
+  private val HOUR = 3600000L
+  private val DAY = 86400000L
+
+  private val oneSeries = "click_7"
+  private def seriesPred(s: String) = Some(s"series = '$s'")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ts_range_agg_avg")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Query registry. Each entry is (SparkSession, sfDir) => DataFrame and
+  // has a DuckDB twin in `oracleSql` (same column names — the driver
+  // sorts columns by name before hashing).
+  // -------------------------------------------------------------------
+
+  private def rangeQ(args: RangeArgs, series: Option[String] = Some(oneSeries))
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val samples = series match {
+        case Some(k) => TSModel.samples(s, dir).filter(col("series") === k)
+        case None    => TSModel.samples(s, dir)
+      }
+      RangeQuery.range(samples, args)
+    }
+
+  private def rangeO(args: RangeArgs, series: Option[String] = Some(oneSeries)): String =
+    RangeQuery.rangeSql(args, series.map(k => s"series = '$k'"))
+
+  private val rangeQueries: Map[String, (RangeArgs, Option[String])] = Map(
+    // TS.RANGE raw scan (reference: module.c:690-722)
+    "ts_range_raw" ->
+      (RangeArgs(from = Some(T0 + 5 * DAY), to = Some(T0 + 10 * DAY)), Some(oneSeries)),
+    // TS.RANGE AGGREGATION avg 1d (reference: filter_iterator.c:234-286)
+    "ts_range_agg_avg" ->
+      (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY), Some(oneSeries)),
+    // multi-aggregator single pass (reference: reply.c:291-358)
+    "ts_range_agg_multi" ->
+      (RangeArgs(from = Some(T0), to = Some(T31),
+        aggs = Seq("min", "max", "sum", "count", "first", "last", "range"),
+        bucketMs = DAY), Some(oneSeries)),
+    // std/var family (reference: compaction.c:461-553)
+    "ts_range_agg_stats" ->
+      (RangeArgs(from = Some(T0), to = Some(T31),
+        aggs = Seq("std.p", "std.s", "var.p", "var.s", "countall", "countnan"),
+        bucketMs = 2 * DAY), Some(oneSeries)),
+    // ALIGN: buckets anchored at query start (reference: query_language.c:531-560)
+    "ts_range_align" ->
+      (RangeArgs(from = Some(T0 + 7 * HOUR), to = Some(T31), aggs = Seq("sum"),
+        bucketMs = DAY, alignMs = T0 + 7 * HOUR), Some(oneSeries)),
+    // BUCKETTIMESTAMP mid (reference: query_language.c:283-320)
+    "ts_range_bucketts_mid" ->
+      (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"),
+        bucketMs = DAY, bucketTs = "~"), Some(oneSeries)),
+    // FILTER_BY_VALUE (reference: filter_iterator.c:195-232)
+    "ts_range_filter_value" ->
+      (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("count", "avg"),
+        bucketMs = DAY, filterByValue = Some((50.0, 200.0))), Some(oneSeries)),
+    // REVRANGE (reference: series_iterator.c reverse paths)
+    "ts_revrange_agg" ->
+      (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),
+        bucketMs = DAY, reverse = true), Some(oneSeries)),
+    // MRANGE-style: same pipeline over every series at once
+    "ts_mrange_all_avg" ->
+      (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg", "count"),
+        bucketMs = 7 * DAY), None),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rangeQueries.map { case (n, (a, s)) => n -> rangeQ(a, s) } ++ Map[String, (SparkSession, String) => DataFrame](
+      // TWA (reference: compaction.c:302-459)
+      "ts_range_twa" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("twa"), bucketMs = DAY))
+      }),
+      // EMPTY gap fill, sum -> 0 (reference: filter_iterator.c:389-966)
+      "ts_range_empty_sum" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("sum"), bucketMs = 6 * HOUR, empty = true))
+      }),
+      // EMPTY + last -> LOCF (reference: compaction.c:115-140)
+      "ts_range_empty_locf" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("last"), bucketMs = 6 * HOUR, empty = true))
+      }),
+    )
+
+  def oracleSql: Map[String, String] =
+    rangeQueries.map { case (n, (a, s)) => n -> rangeO(a, s) } ++ Map(
+      "ts_range_twa" ->
+        s"""SELECT series, bucket AS ts, twa_value FROM (
+           |${Twa.sql(DAY, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
+      "ts_range_empty_sum" -> emptySumOracle,
+      "ts_range_empty_locf" -> emptyLocfOracle,
+    )
+
+  private def emptySumOracle: String = {
+    val b = TSModel.bucketStartSql("ts", 6 * HOUR)
+    s"""${TSModel.samplesCte}, agg AS (
+       |  SELECT series, $b AS bucket, sum(value) FILTER (WHERE NOT isnan(value)) AS sum_value
+       |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
+       |  FROM agg GROUP BY series
+       |) SELECT spine.series, spine.bucket AS ts, coalesce(sum_value, 0.0) AS sum_value
+       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+  }
+
+  private def emptyLocfOracle: String = {
+    val b = TSModel.bucketStartSql("ts", 6 * HOUR)
+    s"""${TSModel.samplesCte}, agg AS (
+       |  SELECT series, $b AS bucket,
+       |         (max(struct_pack(t := ts, v := value)) FILTER (WHERE NOT isnan(value))).v AS last_value
+       |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
+       |  FROM agg GROUP BY series
+       |) SELECT spine.series, spine.bucket AS ts,
+       |         last_value(last_value IGNORE NULLS)
+       |           OVER (PARTITION BY spine.series ORDER BY spine.bucket
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+  }
 }

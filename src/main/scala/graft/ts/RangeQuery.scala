@@ -1,0 +1,170 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * TS.RANGE / TS.REVRANGE: the reference's core single-series dataflow
+ * (reference: src/tsdb.c:1363-1426 — scan -> FilterByTS -> FilterByValue
+ * -> Aggregation -> COUNT), declared as one Spark logical plan so
+ * Catalyst pushes the series/ts/value predicates into the parquet scan
+ * (partition pruning + row-group skipping ≙ the reference's rax chunk
+ * seek, reference: src/series_iterator.c:21-138).
+ *
+ * The same pipeline runs unchanged over *all* series at once (MRANGE):
+ * every transform keys by `series`, so one shuffle computes every
+ * series' buckets — the distributed equivalent of the reference's
+ * per-shard LibMR map + coordinator merge (reference:
+ * src/libmr_commands.c:672-701).
+ */
+object RangeQuery {
+
+  /** Parsed query IR ≙ the reference's RangeArgs
+    * (reference: src/query_language.h:70-82). Timestamps epoch-ms. */
+  case class RangeArgs(
+      from: Option[Long] = None,            // "-" when None
+      to: Option[Long] = None,              // "+" when None
+      aggs: Seq[String] = Nil,              // empty = raw samples
+      bucketMs: Long = 0L,
+      alignMs: Long = 0L,                   // ALIGN (already resolved to a ts)
+      bucketTs: String = "-",               // BUCKETTIMESTAMP - | ~ | +
+      empty: Boolean = false,               // EMPTY gap fill
+      filterByTs: Seq[Long] = Nil,          // FILTER_BY_TS (<=128 values)
+      filterByValue: Option[(Double, Double)] = None, // FILTER_BY_VALUE min,max
+      count: Option[Int] = None,            // COUNT n
+      reverse: Boolean = false)
+
+  /** Pre-aggregation sample filter chain. */
+  private def filtered(samples: DataFrame, args: RangeArgs): DataFrame = {
+    var df = samples
+    args.from.foreach(f => df = df.filter(col("ts") >= f))
+    args.to.foreach(t => df = df.filter(col("ts") <= t))
+    if (args.filterByTs.nonEmpty)
+      // <=128 literals (reference: src/query_language.h:53) — stays an
+      // In-predicate, pushed to the scan; never a join.
+      df = df.filter(col("ts").isInCollection(args.filterByTs))
+    args.filterByValue.foreach { case (lo, hi) =>
+      df = df.filter(col("value") >= lo && col("value") <= hi)
+    }
+    df
+  }
+
+  /**
+   * Execute a range query over a long-format samples DF
+   * `(series, ts, value)`. Output: raw -> `(series, ts, value)`;
+   * aggregated -> `(series, ts, <agg>_value...)` with one column per
+   * aggregator (multi-agg in a single pass, like the reference's
+   * values_per_sample>1 EnrichedChunks, reference:
+   * src/enriched_chunk.h:17-42).
+   *
+   * REVRANGE note: the reference computes identical buckets in both
+   * directions (bucket membership is direction-independent), so reverse
+   * only affects row order; we sort descending post-agg
+   * (reference: src/filter_iterator.c reverse branches).
+   */
+  def range(samples: DataFrame, args: RangeArgs): DataFrame = {
+    val df = filtered(samples, args)
+    val base =
+      if (args.aggs.isEmpty) {
+        df.select(col("series"), col("ts"), col("value"))
+      } else if (args.aggs == Seq("twa")) {
+        Twa.bucketTwa(df, args.bucketMs, args.alignMs, args.from, args.to)
+      } else {
+        require(!args.aggs.contains("twa"), "twa cannot be combined in one multi-agg call here")
+        val aggCols = args.aggs.map(a => Aggs.expr(a, col("value"), col("ts")))
+        var out = df
+          .groupBy(col("series"), TSModel.bucketStart(col("ts"), args.bucketMs, args.alignMs))
+          .agg(aggCols.head, aggCols.tail: _*)
+        // NaN-only buckets are treated as empty and dropped unless a
+        // count-family aggregator asked for them (reference:
+        // src/filter_iterator.c:389-414).
+        if (!args.aggs.exists(a => a == "countnan" || a == "countall"))
+          out = out.filter(args.aggs.map(a => col(Aggs.colName(a)).isNotNull).reduce(_ || _))
+        out
+      }
+    val spined = if (args.empty && args.aggs.nonEmpty) gapFill(base, args) else base
+    val reported =
+      if (args.aggs.nonEmpty)
+        spined.withColumn("ts", TSModel.reportTs(col("bucket"), args.bucketMs, args.bucketTs))
+          .select((col("series") +: col("ts") +: args.aggs.map(a => col(Aggs.colName(a)))): _*)
+      else spined
+    val ordered = reported.orderBy(col("series"),
+      if (args.reverse) col("ts").desc else col("ts").asc)
+    args.count.map(ordered.limit).getOrElse(ordered)
+  }
+
+  /**
+   * EMPTY gap fill (reference: src/filter_iterator.c:389-966): emit the
+   * missing buckets strictly *between* each series' first and last
+   * non-empty bucket (edge gaps are never emitted, reference:
+   * src/filter_iterator.c:723-746), filled with the aggregator's empty
+   * value (sum/count-family -> 0, others -> NaN) except `last`, which
+   * carries the previous bucket's value forward (LOCF, reference:
+   * src/compaction.c:115-140).
+   *
+   * Scale: the spine is generated per-series with `sequence()` on the
+   * aggregated (already small) result — no join against the raw samples
+   * and no shuffle beyond the groupBy that produced `base`.
+   */
+  private def gapFill(base: DataFrame, args: RangeArgs): DataFrame = {
+    val step = args.bucketMs
+    val spine = base.groupBy(col("series"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("series"),
+        explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+    var out = spine.join(base, Seq("series", "bucket"), "left")
+    for (a <- args.aggs) {
+      val c = Aggs.colName(a)
+      Aggs.emptyFill(a) match {
+        case Some(fill) => out = out.withColumn(c, coalesce(col(c), lit(fill)))
+        case None if a == "last" =>
+          val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          out = out.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+        case None => // twa interpolation handled in Twa pipeline
+      }
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB-oracle SQL builder: generates ANSI SQL over the same parquet
+  // for the driver's differential check (pattern borrowed from the
+  // reference's own oracle tests, reference:
+  // tests/flow/test_ts_nrange_compare.py:8-22).
+  // ---------------------------------------------------------------------
+
+  def whereSql(args: RangeArgs, seriesPred: Option[String]): String = {
+    val cl = Seq.newBuilder[String]
+    seriesPred.foreach(cl += _)
+    args.from.foreach(f => cl += s"ts >= $f")
+    args.to.foreach(t => cl += s"ts <= $t")
+    if (args.filterByTs.nonEmpty) cl += s"ts IN (${args.filterByTs.mkString(",")})"
+    args.filterByValue.foreach { case (lo, hi) => cl += s"value >= $lo AND value <= $hi" }
+    val cs = cl.result()
+    if (cs.isEmpty) "" else cs.mkString("WHERE ", " AND ", "")
+  }
+
+  /** Oracle SQL equivalent of [[range]] (no EMPTY / twa — those queries
+    * carry their own handwritten oracle). */
+  def rangeSql(args: RangeArgs, seriesPred: Option[String]): String = {
+    val where = whereSql(args, seriesPred)
+    if (args.aggs.isEmpty)
+      s"${TSModel.samplesCte} SELECT series, ts, value FROM samples $where"
+    else {
+      val b = TSModel.bucketStartSql("ts", args.bucketMs, args.alignMs)
+      val rts = TSModel.reportTsSql("bucket", args.bucketMs, args.bucketTs)
+      val aggSel = args.aggs.map(a => Aggs.sql(a)).mkString(", ")
+      val keep =
+        if (args.aggs.exists(a => a == "countnan" || a == "countall")) ""
+        else "WHERE " + args.aggs.map(a => s"${Aggs.colName(a)} IS NOT NULL").mkString(" OR ")
+      s"""${TSModel.samplesCte}, agg AS (
+         |  SELECT series, $b AS bucket, $aggSel
+         |  FROM samples $where
+         |  GROUP BY 1, 2
+         |) SELECT series, $rts AS ts, ${args.aggs.map(Aggs.colName).mkString(", ")}
+         |  FROM agg $keep""".stripMargin
+    }
+  }
+}

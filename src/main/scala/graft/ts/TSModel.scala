@@ -1,0 +1,106 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Core data model: the Spark-native equivalent of the reference's
+ * one-time-series-per-Redis-key model (reference: src/tsdb.h:61-81).
+ *
+ * A sample stream is a long-format DataFrame `(series STRING, ts LONG
+ * epoch-ms, value DOUBLE)`; series metadata ("labels",
+ * reference: src/indexer.h:17-21) is a separate small DataFrame
+ * `(series STRING, labels MAP<STRING,STRING>)`.
+ *
+ * Scale design: at 100 TB the samples table is parquet partitioned by
+ * date(ts) (and optionally bucketed by series). All operators below are
+ * built so that the `series`/`ts` predicates reach the parquet scan
+ * (partition pruning + row-group min/max skipping play the role of the
+ * reference's rax chunk-seek, reference: src/series_iterator.c:21-138).
+ * The labels DataFrame is O(#series) — tiny relative to samples — and is
+ * always broadcast when joined.
+ */
+object TSModel {
+
+  /** Canonical samples mapping over the driver fixture `events` table
+    * (see FIXTURES.md §2.1): series = event_type + "_" + user_id.
+    * `unix_millis` keeps timestamps as exact epoch-ms longs (the
+    * reference's native unit, reference: src/consts.h:38-39), avoiding
+    * timezone semantics entirely.
+    */
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    * reads via the nanosAsLong legacy conf (as a raw LONG of epoch-ns).
+    * Integer DIV keeps exact ms — a double roundtrip would lose
+    * precision at 1.7e18 ns. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  private def tsMs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+    case _                                   => unix_millis(col("ts"))
+  }
+
+  def samples(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    ev.select(
+      concat_ws("_", col("event_type"), col("user_id")).as("series"),
+      tsMs(ev).as("ts"),
+      col("value"))
+  }
+
+  /** Labels DataFrame: one row per series with a MAP<STRING,STRING> of
+    * label name -> value (reference: src/tsdb.h:71-73). Derived from the
+    * series-key components of the fixture. O(#series) rows — always
+    * broadcastable.
+    */
+  def labels(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .select(
+        concat_ws("_", col("event_type"), col("user_id")).as("series"),
+        map(
+          lit("type"), col("event_type"),
+          lit("user"), col("user_id").cast("string")).as("labels"))
+
+  /** DuckDB-oracle equivalent of [[samples]] as a CTE, prepended to every
+    * oracle SQL so the driver's DuckDB run sees the same long format. */
+  val samplesCte: String =
+    """WITH samples AS (
+      |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+      |         epoch_ms(ts) AS ts, value
+      |  FROM events
+      |)""".stripMargin
+
+  /** Bucket start timestamp: floor-modulo, negative-safe — exact port of
+    * the reference's CalcBucketStart semantics (reference: src/tsdb.h:84-99):
+    * bucket(ts) = ts - ((ts - align) mod dur) with mathematical (floor)
+    * modulo. `pmod` gives the non-negative remainder, so this is correct
+    * for ts < align too.
+    */
+  def bucketStart(ts: Column, durMs: Long, alignMs: Long = 0L): Column =
+    (ts - pmod(ts - alignMs, lit(durMs))).as("bucket")
+
+  /** Same floor-modulo bucketing in portable SQL for the DuckDB oracle. */
+  def bucketStartSql(ts: String, durMs: Long, alignMs: Long = 0L): String =
+    s"($ts - ((($ts - $alignMs) % $durMs + $durMs) % $durMs))"
+
+  /** BUCKETTIMESTAMP adjustment (reference: src/query_language.c:283-320):
+    * reported timestamp = bucket start ("-"), mid ("~", +dur/2) or end
+    * ("+", +dur). Applied post-aggregation as plain column arithmetic. */
+  def reportTs(bucket: Column, durMs: Long, mode: String): Column = mode match {
+    case "-" | "start" => bucket
+    case "~" | "mid"   => bucket + durMs / 2
+    case "+" | "end"   => bucket + durMs
+    case other => throw new IllegalArgumentException(s"BUCKETTIMESTAMP $other")
+  }
+
+  def reportTsSql(bucket: String, durMs: Long, mode: String): String = mode match {
+    case "-" | "start" => bucket
+    case "~" | "mid"   => s"($bucket + ${durMs / 2})"
+    case "+" | "end"   => s"($bucket + $durMs)"
+    case other => throw new IllegalArgumentException(s"BUCKETTIMESTAMP $other")
+  }
+}

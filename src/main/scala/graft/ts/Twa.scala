@@ -1,0 +1,157 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * TWA — time-weighted average over aligned buckets, with boundary
+ * interpolation from the neighbouring samples (reference semantics:
+ * src/compaction.c:302-459; bucket wiring src/filter_iterator.c:968-1028).
+ *
+ * Reference behaviour reproduced:
+ *  - trapezoidal integration between consecutive samples inside a bucket;
+ *  - if the series has a sample before the bucket, the value is linearly
+ *    interpolated at the bucket start `ta` and the covered interval
+ *    starts at `ta` (first_ts = ta); otherwise it starts at the first
+ *    sample's timestamp;
+ *  - symmetrically at the bucket end `tb` using the next sample;
+ *  - result = integral / (last_ts - first_ts); a single-sample bucket
+ *    with no neighbours returns that sample's value
+ *    (reference: TwaFinalize, src/compaction.c:409-420);
+ *  - bucket edges are clipped to the query range.
+ *
+ * Spark-first design: no custom UDAF — `lag`/`lead` over a
+ * per-series window give each sample its neighbours, per-sample
+ * trapezoid contributions are plain column arithmetic (whole-stage
+ * codegen), and one `groupBy(series, bucket)` sums them. Exactly one
+ * shuffle (by series) for the window + a partial-aggregated groupBy;
+ * scales linearly in samples with no driver-side work.
+ */
+object Twa {
+
+  def bucketTwa(
+      samples: DataFrame,
+      bucketMs: Long,
+      alignMs: Long = 0L,
+      from: Option[Long] = None,
+      to: Option[Long] = None): DataFrame = {
+
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+    val df = samples
+      .filter(!isnan(col("value"))) // NaN samples are invalid for twa
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .withColumn("bucket", TSModel.bucketStart(col("ts"), bucketMs, alignMs))
+
+    // clipped bucket edges [ta, tb): the covered interval never extends
+    // past the query range (inclusive `to` treated as exclusive to+1).
+    val ta0 = col("bucket")
+    val tb0 = col("bucket") + bucketMs
+    val ta = from.map(f => greatest(ta0, lit(f))).getOrElse(ta0).cast("double")
+    val tb = to.map(t => least(tb0, lit(t + 1))).getOrElse(tb0).cast("double")
+
+    val ts = col("ts").cast("double")
+    val v = col("value")
+    val pTs = col("prev_ts").cast("double")
+    val pV = col("prev_v")
+    val nTs = col("next_ts").cast("double")
+    val nV = col("next_v")
+    val prevOutside = col("prev_ts").isNotNull &&
+      TSModel.bucketStart(col("prev_ts"), bucketMs, alignMs) < col("bucket")
+    val prevInside = col("prev_ts").isNotNull && !prevOutside
+    val nextOutside = col("next_ts").isNotNull &&
+      TSModel.bucketStart(col("next_ts"), bucketMs, alignMs) > col("bucket")
+
+    val interior = when(prevInside, (pV + v) * (ts - pTs) / 2.0).otherwise(0.0)
+    val vHead = pV + (ta - pTs) * (v - pV) / (ts - pTs)
+    val head = when(prevOutside, (vHead + v) * (ts - ta) / 2.0).otherwise(0.0)
+    val vTail = v + (tb - ts) * (nV - v) / (nTs - ts)
+    val tail = when(nextOutside, (v + vTail) * (tb - ts) / 2.0).otherwise(0.0)
+
+    val contrib = df
+      .withColumn("contrib", interior + head + tail)
+      .withColumn("ta", ta)
+      .withColumn("tb", tb)
+      .withColumn("prev_outside", prevOutside.cast("int"))
+      .withColumn("next_outside", nextOutside.cast("int"))
+
+    contrib.groupBy(col("series"), col("bucket"))
+      .agg(
+        sum(col("contrib")).as("res"),
+        max(col("prev_outside")).as("has_prev"),
+        max(col("next_outside")).as("has_next"),
+        min(col("ts")).cast("double").as("ts_first"),
+        max(col("ts")).cast("double").as("ts_last"),
+        max(struct(col("ts"), col("value"))).getField("value").as("last_v"),
+        first(col("ta")).as("ta"),
+        first(col("tb")).as("tb"))
+      .select(
+        col("series"), col("bucket"),
+        {
+          val firstTs = when(col("has_prev") === 1, col("ta")).otherwise(col("ts_first"))
+          val lastTs = when(col("has_next") === 1, col("tb")).otherwise(col("ts_last"))
+          when(lastTs === firstTs, col("last_v"))
+            .otherwise(col("res") / (lastTs - firstTs))
+            .as("twa_value")
+        })
+  }
+
+  /** DuckDB oracle for [[bucketTwa]] — the same formula spelled in SQL
+    * window functions, independently executed by DuckDB. */
+  def sql(
+      bucketMs: Long,
+      alignMs: Long,
+      from: Option[Long],
+      to: Option[Long],
+      seriesPred: Option[String]): String = {
+    def bkt(c: String) = TSModel.bucketStartSql(c, bucketMs, alignMs)
+    val cl = Seq.newBuilder[String]
+    seriesPred.foreach(cl += _)
+    from.foreach(f => cl += s"ts >= $f")
+    to.foreach(t => cl += s"ts <= $t")
+    cl += "NOT isnan(value)"
+    val where = cl.result().mkString("WHERE ", " AND ", "")
+    val taRaw = "CAST(bucket AS DOUBLE)"
+    val tbRaw = s"CAST(bucket + $bucketMs AS DOUBLE)"
+    val taC = from.map(f => s"greatest($taRaw, $f)").getOrElse(taRaw)
+    val tbC = to.map(t => s"least($tbRaw, ${t + 1})").getOrElse(tbRaw)
+    s"""${TSModel.samplesCte}, nb AS (
+       |  SELECT series, ts, value,
+       |         lag(ts)    OVER w AS prev_ts,  lag(value)  OVER w AS prev_v,
+       |         lead(ts)   OVER w AS next_ts,  lead(value) OVER w AS next_v,
+       |         ${bkt("ts")} AS bucket
+       |  FROM samples $where
+       |  WINDOW w AS (PARTITION BY series ORDER BY ts)
+       |), c AS (
+       |  SELECT series, bucket, ts, value,
+       |         $taC AS ta, $tbC AS tb,
+       |         (prev_ts IS NOT NULL AND ${bkt("prev_ts")} < bucket) AS p_out,
+       |         (prev_ts IS NOT NULL AND ${bkt("prev_ts")} = bucket) AS p_in,
+       |         (next_ts IS NOT NULL AND ${bkt("next_ts")} > bucket) AS n_out,
+       |         prev_ts, prev_v, next_ts, next_v
+       |  FROM nb
+       |), k AS (
+       |  SELECT series, bucket, ts, value, ta, tb, p_out, n_out,
+       |    (CASE WHEN p_in THEN (prev_v + value) * (ts - prev_ts) / 2.0 ELSE 0 END)
+       |    + (CASE WHEN p_out THEN
+       |        ((prev_v + (ta - prev_ts) * (value - prev_v) / (ts - prev_ts)) + value) * (ts - ta) / 2.0
+       |       ELSE 0 END)
+       |    + (CASE WHEN n_out THEN
+       |        (value + (value + (tb - ts) * (next_v - value) / (next_ts - ts))) * (tb - ts) / 2.0
+       |       ELSE 0 END) AS contrib
+       |  FROM c
+       |)
+       |SELECT series, bucket,
+       |  CASE WHEN (CASE WHEN bool_or(n_out) THEN any_value(tb) ELSE CAST(max(ts) AS DOUBLE) END)
+       |          = (CASE WHEN bool_or(p_out) THEN any_value(ta) ELSE CAST(min(ts) AS DOUBLE) END)
+       |       THEN (max(struct_pack(t := ts, v := value))).v
+       |       ELSE sum(contrib) /
+       |            ((CASE WHEN bool_or(n_out) THEN any_value(tb) ELSE CAST(max(ts) AS DOUBLE) END)
+       |           - (CASE WHEN bool_or(p_out) THEN any_value(ta) ELSE CAST(min(ts) AS DOUBLE) END))
+       |  END AS twa_value
+       |FROM k GROUP BY 1, 2""".stripMargin
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: compare graft.Verify
+parquet dumps against DuckDB running SparkEntry.oracleSql on the same
+tables. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
+import sys, json, math, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): vals.append("NAN")
+                else: vals.append(round(v, 6))
+            else: vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out, [cols[i] for i in order]
+
+fails = 0
+for name in sorted(set(list(oracle.keys()) + [os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)])):
+    d = f"{outdir}/{name}"
+    if not os.path.isdir(d):
+        print(f"MISS  {name}: oracle sql but no parquet dump"); fails += 1; continue
+    got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+    grows, gcols = canon(got.fetchall(), got.columns)
+    if name not in oracle:
+        print(f"rows-only  {name}: {len(grows)} rows"); continue
+    try:
+        exp = con.sql(oracle[name])
+        erows, ecols = canon(exp.fetchall(), exp.columns)
+    except Exception as e:
+        print(f"SQLERR {name}: {e}"); fails += 1; continue
+    if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
+        print(f"SCHEMA {name}: got {gcols} exp {ecols}"); fails += 1; continue
+    if len(grows) != len(erows):
+        print(f"ROWS  {name}: got {len(grows)} exp {len(erows)}"); fails += 1; continue
+    bad = None
+    for gr, er in zip(grows, erows):
+        for gv, ev in zip(gr, er):
+            if isinstance(gv, float) and isinstance(ev, float):
+                if abs(gv - ev) > 1e-6 * max(1.0, abs(ev)): bad = (gr, er); break
+            elif str(gv) != str(ev): bad = (gr, er); break
+        if bad: break
+    if bad:
+        print(f"HASH  {name}: first diff got={bad[0]} exp={bad[1]}"); fails += 1
+    else:
+        print(f"OK    {name}: {len(grows)} rows")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
