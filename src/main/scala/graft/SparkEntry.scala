@@ -80,8 +80,42 @@ object SparkEntry {
         bucketMs = 7 * DAY), None),
   )
 
+  /** FILTER_BY_TS needs literal timestamps that exist in the data, which
+    * differ per SF: derive the (<=128, reference: query_language.h:53)
+    * list deterministically from the series' first samples. The collect
+    * is bounded by the 128-literal contract, so it stays O(1) at any
+    * scale. The oracle derives the identical list in SQL. */
+  private def filterTsList(s: SparkSession, dir: String): Seq[Long] = {
+    TSModel.samples(s, dir).filter(col("series") === oneSeries)
+      .orderBy(col("ts")).limit(120)
+      .select(col("ts")).collect().map(_.getLong(0)).toSeq
+      .zipWithIndex.filter(_._2 % 3 == 0).map(_._1)
+  }
+  private val filterTsListSql: String =
+    s"""SELECT ts FROM (
+       |  SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS rn
+       |  FROM samples WHERE series = '$oneSeries' ORDER BY ts LIMIT 120
+       |) WHERE rn % 3 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rangeQueries.map { case (n, (a, s)) => n -> rangeQ(a, s) } ++ Map[String, (SparkSession, String) => DataFrame](
+      // FILTER_BY_TS: explicit ts list (reference: filter_iterator.c:26-188)
+      "ts_range_filter_ts" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(filterByTs = filterTsList(s, dir)))
+      }),
+      // COUNT n: limit after aggregation (reference: reply.c:180-212)
+      "ts_range_count" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("avg"), bucketMs = DAY, count = Some(7)))
+      }),
+      // EMPTY + TWA interpolation (reference: filter_iterator.c:307-386)
+      "ts_range_twa_empty" -> ((s, dir) => {
+        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
+        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("twa"), bucketMs = 6 * HOUR, empty = true))
+      }),
       // TWA (reference: compaction.c:302-459)
       "ts_range_twa" -> ((s, dir) => {
         val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
@@ -104,9 +138,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     rangeQueries.map { case (n, (a, s)) => n -> rangeO(a, s) } ++ Map(
+      "ts_range_filter_ts" ->
+        s"""${TSModel.samplesCte} SELECT series, ts, value FROM samples
+           |WHERE series = '$oneSeries' AND ts IN ($filterTsListSql)""".stripMargin,
+      "ts_range_count" ->
+        s"""SELECT * FROM (${rangeO(RangeArgs(from = Some(T0), to = Some(T31),
+             aggs = Seq("avg"), bucketMs = DAY), Some(oneSeries))})
+           |ORDER BY ts LIMIT 7""".stripMargin,
       "ts_range_twa" ->
         s"""SELECT series, bucket AS ts, twa_value FROM (
            |${Twa.sql(DAY, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
+      "ts_range_twa_empty" ->
+        s"""SELECT series, bucket AS ts, twa_value FROM (
+           |${Twa.emptySql(6 * HOUR, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
       "ts_range_empty_sum" -> emptySumOracle,
       "ts_range_empty_locf" -> emptyLocfOracle,
     )

@@ -69,7 +69,8 @@ object RangeQuery {
       if (args.aggs.isEmpty) {
         df.select(col("series"), col("ts"), col("value"))
       } else if (args.aggs == Seq("twa")) {
-        Twa.bucketTwa(df, args.bucketMs, args.alignMs, args.from, args.to)
+        if (args.empty) Twa.bucketTwaWithEmpty(df, args.bucketMs, args.alignMs, args.from, args.to)
+        else Twa.bucketTwa(df, args.bucketMs, args.alignMs, args.from, args.to)
       } else {
         require(!args.aggs.contains("twa"), "twa cannot be combined in one multi-agg call here")
         val aggCols = args.aggs.map(a => Aggs.expr(a, col("value"), col("ts")))
@@ -83,7 +84,9 @@ object RangeQuery {
           out = out.filter(args.aggs.map(a => col(Aggs.colName(a)).isNotNull).reduce(_ || _))
         out
       }
-    val spined = if (args.empty && args.aggs.nonEmpty) gapFill(base, args) else base
+    val spined =
+      if (args.empty && args.aggs.nonEmpty && args.aggs != Seq("twa")) gapFill(base, args)
+      else base
     val reported =
       if (args.aggs.nonEmpty)
         spined.withColumn("ts", TSModel.reportTs(col("bucket"), args.bucketMs, args.bucketTs))

@@ -99,6 +99,115 @@ object Twa {
         })
   }
 
+  /**
+   * EMPTY + TWA: emit the interior empty buckets too, valued by linear
+   * interpolation between the nearest valid sample before the bucket
+   * and after it, averaged over the bucket span:
+   * value = (line(ta) + line(tb)) / 2 (reference:
+   * twa_calc_empty_bucket_val, src/filter_iterator.c:307-359).
+   *
+   * The reference also has one-sided carry branches with a sample-cadence
+   * heuristic, but those are unreachable here: the batch EMPTY spine is
+   * interior-only (edge gaps dropped, reference:
+   * src/filter_iterator.c:723-746), so every empty bucket has a valid
+   * sample on both sides. NaN-only buckets are "empty" for twa as well
+   * (they hold no valid sample), which the NaN pre-filter gives us for
+   * free.
+   *
+   * Implemented as a union of real samples with one probe row per empty
+   * bucket, and an as-of lookup in both directions via
+   * last/first(ignoreNulls) windows — no join against raw samples per
+   * bucket, one shuffle by series.
+   */
+  def bucketTwaWithEmpty(
+      samples: DataFrame,
+      bucketMs: Long,
+      alignMs: Long = 0L,
+      from: Option[Long] = None,
+      to: Option[Long] = None): DataFrame = {
+
+    val nonEmpty = bucketTwa(samples, bucketMs, alignMs, from, to)
+    val spine = nonEmpty.groupBy(col("series"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("series"), explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket"))
+    val emptyB = spine.join(nonEmpty.select("series", "bucket"), Seq("series", "bucket"), "left_anti")
+
+    val valid = samples.filter(!isnan(col("value")))
+      .select(col("series"), col("ts"), col("value"), lit(null).cast("long").as("bucket"))
+    val probes = emptyB.select(col("series"),
+      // probe at the clipped bucket start; the bucket holds no samples,
+      // so ordering by ts puts the probe exactly between its neighbours
+      from.map(f => greatest(col("bucket"), lit(f))).getOrElse(col("bucket")).as("ts"),
+      lit(null).cast("double").as("value"),
+      col("bucket"))
+
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+    val sampleStruct = when(col("bucket").isNull, struct(col("ts").as("t"), col("value").as("v")))
+    val withNb = valid.unionByName(probes)
+      .withColumn("before", last(sampleStruct, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("after", first(sampleStruct, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+
+    val ta = from.map(f => greatest(col("bucket"), lit(f))).getOrElse(col("bucket")).cast("double")
+    val tb = {
+      val t0 = col("bucket") + bucketMs
+      to.map(t => least(t0, lit(t + 1))).getOrElse(t0).cast("double")
+    }
+    val bTs = col("before.t").cast("double"); val bV = col("before.v")
+    val aTs = col("after.t").cast("double"); val aV = col("after.v")
+    val slope = (aV - bV) / (aTs - bTs)
+    val interp = (bV + (ta - bTs) * slope + bV + (tb - bTs) * slope) / 2.0
+
+    val filled = withNb.filter(col("bucket").isNotNull)
+      .select(col("series"), col("bucket"), interp.as("twa_value"))
+    nonEmpty.unionByName(filled)
+  }
+
+  /** DuckDB oracle for [[bucketTwaWithEmpty]]'s gap-filled rows. */
+  def emptySql(
+      bucketMs: Long,
+      alignMs: Long,
+      from: Option[Long],
+      to: Option[Long],
+      seriesPred: Option[String]): String = {
+    val base = sql(bucketMs, alignMs, from, to, seriesPred)
+    val cl = Seq.newBuilder[String]
+    seriesPred.foreach(cl += _)
+    from.foreach(f => cl += s"ts >= $f")
+    to.foreach(t => cl += s"ts <= $t")
+    cl += "NOT isnan(value)"
+    val where = cl.result().mkString("WHERE ", " AND ", "")
+    val taP = from.map(f => s"greatest(bucket, $f)").getOrElse("bucket")
+    val tbE = s"bucket + $bucketMs"
+    val tb = to.map(t => s"least($tbE, ${t + 1})").getOrElse(tbE)
+    s"""WITH ne AS ($base), sp AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), $bucketMs)) AS bucket
+       |  FROM ne GROUP BY series
+       |), eb AS (
+       |  SELECT sp.series, sp.bucket FROM sp LEFT JOIN ne USING (series, bucket)
+       |  WHERE ne.twa_value IS NULL
+       |), u AS (
+       |  SELECT series, ts, value, NULL::BIGINT AS bucket
+       |  FROM (${TSModel.samplesCte} SELECT * FROM samples $where)
+       |  UNION ALL BY NAME
+       |  SELECT series, $taP AS ts, NULL::DOUBLE AS value, bucket FROM eb
+       |), nb AS (
+       |  SELECT series, bucket, ts,
+       |    last_value(CASE WHEN bucket IS NULL THEN struct_pack(t := ts, v := value) END IGNORE NULLS)
+       |      OVER (PARTITION BY series ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bef,
+       |    first_value(CASE WHEN bucket IS NULL THEN struct_pack(t := ts, v := value) END IGNORE NULLS)
+       |      OVER (PARTITION BY series ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS aft
+       |  FROM u
+       |)
+       |SELECT series, bucket,
+       |  (bef.v + (CAST($taP AS DOUBLE) - bef.t) * (aft.v - bef.v) / (aft.t - bef.t)
+       | + bef.v + (CAST($tb  AS DOUBLE) - bef.t) * (aft.v - bef.v) / (aft.t - bef.t)) / 2.0 AS twa_value
+       |FROM nb WHERE bucket IS NOT NULL
+       |UNION ALL BY NAME
+       |SELECT series, bucket, twa_value FROM ne""".stripMargin
+  }
+
   /** DuckDB oracle for [[bucketTwa]] — the same formula spelled in SQL
     * window functions, independently executed by DuckDB. */
   def sql(
