@@ -134,6 +134,53 @@ object SparkEntry {
         RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("last"), bucketMs = 6 * HOUR, empty = true))
       }),
+      // ---- multi-series surface (SURVEY §2.5/§2.7) ----
+      // TS.QUERYINDEX (reference: module.c:299-337)
+      "ts_queryindex" -> ((s, dir) =>
+        Multi.queryIndex(TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=click"), Multi.parsePred("user!=(1,2,3)")))),
+      // TS.MGET with label filter (reference: module.c:2132-2265)
+      "ts_mget" -> ((s, dir) =>
+        Multi.mget(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=purchase")))),
+      // TS.GET (reference: module.c:1566-1607)
+      "ts_get" -> ((s, dir) =>
+        Multi.get(TSModel.samples(s, dir), oneSeries)),
+      // TS.MRANGE with label filter + per-series agg (reference: module.c:624-688)
+      "ts_mrange_filtered" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view)"), Multi.parsePred("user=(1,2,3,4,5,6,7)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"), bucketMs = 2 * DAY))),
+      // TS.MRANGE GROUPBY label REDUCE (reference: module.c:467-526)
+      "ts_mrange_groupby" -> ((s, dir) =>
+        Multi.mrangeGroupBy(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"),
+            Multi.parsePred("type!=")), // list match + CONTAINS
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY),
+          groupByLabel = "type", reducer = "sum")),
+      // WITHLABELS/SELECTED_LABELS (reference: reply.c:219-272)
+      "ts_mrange_withlabels" -> ((s, dir) => {
+        val per = Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("user=(1,2,3)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = 7 * DAY))
+        per.join(broadcast(TSModel.labels(s, dir)), Seq("series"))
+          .select(col("series"), col("ts"), col("avg_value"),
+            element_at(col("labels"), "type").as("label_type"),
+            element_at(col("labels"), "user").as("label_user"))
+      }),
+      // TS.NRANGE pivot (snapshot-specific; reference: module.c:724-906)
+      "ts_nrange_pivot" -> ((s, dir) =>
+        Multi.nrange(TSModel.samples(s, dir), Seq("click_1", "click_2", "click_3"),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY))),
+      // TS.QUERYLABELS VALUES (snapshot-specific; reference: module.c:339-465)
+      "ts_querylabels_values" -> ((s, dir) =>
+        Multi.queryLabelValues(TSModel.labels(s, dir), "type")),
+      // TS.QUERYLABELS LABELS
+      "ts_querylabels_names" -> ((s, dir) =>
+        Multi.queryLabelNames(TSModel.labels(s, dir))),
+      // TS.INFO (reference: module.c:156-280)
+      "ts_info" -> ((s, dir) =>
+        Multi.info(TSModel.samples(s, dir))),
     )
 
   def oracleSql: Map[String, String] =
@@ -153,6 +200,72 @@ object SparkEntry {
            |${Twa.emptySql(6 * HOUR, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
       "ts_range_empty_sum" -> emptySumOracle,
       "ts_range_empty_locf" -> emptyLocfOracle,
+      "ts_queryindex" ->
+        s"""WITH ${Multi.labelsCte}
+           |SELECT series FROM series_labels
+           |WHERE "type" = 'click' AND "user" NOT IN ('1', '2', '3')""".stripMargin,
+      "ts_mget" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}
+           |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
+           |       (max(struct_pack(t := ts, v := value))).v AS value
+           |FROM samples JOIN series_labels USING (series)
+           |WHERE "type" = 'purchase' GROUP BY series""".stripMargin,
+      "ts_get" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
+           |       (max(struct_pack(t := ts, v := value))).v AS value
+           |FROM samples WHERE series = '$oneSeries' GROUP BY series""".stripMargin,
+      "ts_mrange_filtered" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, matched AS (
+           |  SELECT series FROM series_labels
+           |  WHERE "type" IN ('click','view') AND "user" IN ('1','2','3','4','5','6','7')
+           |), agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket, ${Aggs.sql("max")}
+           |  FROM samples JOIN matched USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
+      "ts_mrange_groupby" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31
+           |    AND "type" IN ('click','view','purchase','signup','error')
+           |  GROUP BY 1, 2
+           |) SELECT 'type=' || "type" AS series, bucket AS ts,
+           |         coalesce(sum(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      "ts_mrange_withlabels" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, matched AS (
+           |  SELECT series, "type", "user" FROM series_labels WHERE "user" IN ('1','2','3')
+           |), agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN matched USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, avg_value,
+           |         "type" AS label_type, "user" AS label_user
+           |  FROM agg JOIN matched USING (series) WHERE avg_value IS NOT NULL""".stripMargin,
+      "ts_nrange_pivot" ->
+        s"""${TSModel.samplesCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples WHERE series IN ('click_1','click_2','click_3')
+           |    AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT bucket AS ts,
+           |    coalesce(max(avg_value) FILTER (WHERE series = 'click_1'), 'NaN'::DOUBLE) AS click_1,
+           |    coalesce(max(avg_value) FILTER (WHERE series = 'click_2'), 'NaN'::DOUBLE) AS click_2,
+           |    coalesce(max(avg_value) FILTER (WHERE series = 'click_3'), 'NaN'::DOUBLE) AS click_3
+           |  FROM agg WHERE avg_value IS NOT NULL GROUP BY 1""".stripMargin,
+      "ts_querylabels_values" ->
+        s"""WITH ${Multi.labelsCte}
+           |SELECT DISTINCT "type" AS value FROM series_labels""".stripMargin,
+      "ts_querylabels_names" ->
+        "SELECT unnest(['type', 'user']) AS label",
+      "ts_info" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, count(value) AS total_samples,
+           |       min(ts) AS first_timestamp, max(ts) AS last_timestamp,
+           |       (max(struct_pack(t := ts, v := value))).v AS last_value
+           |FROM samples GROUP BY series""".stripMargin,
     )
 
   private def emptySumOracle: String = {

@@ -1,0 +1,206 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-series surface: label predicates, MRANGE/MREVRANGE with
+ * GROUPBY/REDUCE, MGET/GET, NRANGE pivot, QUERYINDEX/QUERYLABELS, INFO
+ * (reference: §2.5/§2.7 of SURVEY.md; module.c:624-688, 2132-2265,
+ * resultset.c:125-277, indexer.c:132-170).
+ *
+ * Scale design: label filtering is a plain filter on the O(#series)
+ * labels DataFrame followed by a **broadcast** semi-join into the
+ * samples scan — the Catalyst equivalent of the reference's posting-dict
+ * intersection (reference: indexer.c:396-434, smallest-predicate-first);
+ * no shuffle of the big side. GROUPBY/REDUCE is the canonical two-level
+ * aggregation: Catalyst's partial/final split plays the reference's
+ * shard-mapper/coordinator roles (reference: libmr_commands.c:672-701).
+ */
+object Multi {
+
+  // ----- label predicate language (reference: indexer.c:132-170) -------
+
+  sealed trait LabelPred { def label: String }
+  final case class Eq(label: String, v: String) extends LabelPred
+  final case class NotEq(label: String, v: String) extends LabelPred
+  final case class Absent(label: String) extends LabelPred        // l=
+  final case class Present(label: String) extends LabelPred       // l!=
+  final case class InSet(label: String, vs: Seq[String]) extends LabelPred
+  final case class NotInSet(label: String, vs: Seq[String]) extends LabelPred
+
+  /** Parse one `FILTER` matcher (reference: query_language.c:755-823). */
+  def parsePred(s: String): LabelPred = {
+    def splitList(v: String) =
+      v.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq
+    s match {
+      case p if p.contains("!=") =>
+        val Array(l, v) = p.split("!=", 2)
+        if (v.isEmpty) Present(l)
+        else if (v.startsWith("(")) NotInSet(l, splitList(v))
+        else NotEq(l, v)
+      case p if p.contains("=") =>
+        val Array(l, v) = p.split("=", 2)
+        if (v.isEmpty) Absent(l)
+        else if (v.startsWith("(")) InSet(l, splitList(v))
+        else Eq(l, v)
+      case other => throw new IllegalArgumentException(s"bad label filter $other")
+    }
+  }
+
+  /** ≥1 inclusive matcher required (reference: query_language.c:903-907). */
+  def requireInclusive(preds: Seq[LabelPred]): Unit =
+    require(preds.exists { case _: Eq | _: InSet => true; case _ => false },
+      "label filter needs at least one equality/list matcher")
+
+  /** Compile to a Column over the labels DF's MAP column. */
+  def predColumn(p: LabelPred): Column = {
+    def g(l: String) = element_at(col("labels"), l)
+    p match {
+      case Eq(l, v)        => g(l) === v
+      case NotEq(l, v)     => g(l).isNull || g(l) =!= v
+      case Absent(l)       => g(l).isNull
+      case Present(l)      => g(l).isNotNull
+      case InSet(l, vs)    => g(l).isInCollection(vs)
+      case NotInSet(l, vs) => g(l).isNull || !g(l).isInCollection(vs)
+    }
+  }
+
+  /** Matching series for a conjunction of label predicates
+    * (TS.QUERYINDEX, reference: module.c:299-337). */
+  def queryIndex(labels: DataFrame, preds: Seq[LabelPred]): DataFrame = {
+    requireInclusive(preds)
+    preds.map(predColumn).reduceOption(_ && _)
+      .map(labels.filter).getOrElse(labels)
+      .select(col("series"))
+  }
+
+  /** Restrict a samples DF to label-matching series via broadcast
+    * semi-join (labels is O(#series), always small). */
+  def filterSeries(samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred]): DataFrame =
+    samples.join(broadcast(queryIndex(labels, preds)), Seq("series"), "left_semi")
+
+  /** TS.MRANGE: label filter -> per-series range/agg (single pass over
+    * all matched series; reference: module.c:568-622). */
+  def mrange(
+      samples: DataFrame, labels: DataFrame,
+      preds: Seq[LabelPred], args: RangeQuery.RangeArgs): DataFrame =
+    RangeQuery.range(filterSeries(samples, labels, preds), args)
+
+  /** TS.MRANGE ... GROUPBY label REDUCE reducer: per-series AGGREGATION
+    * first, then a cross-series reduce per (label value, bucket)
+    * (reference order: replyGroupedMultiRange module.c:467-526).
+    * Output pseudo-series "label=value" (reference: resultset.c:125-277).
+    * All-NaN groups reduce to NaN, count-family to 0 (reference:
+    * multiseries_agg_dup_sample_iterator.c:46-59).
+    */
+  def mrangeGroupBy(
+      samples: DataFrame, labels: DataFrame,
+      preds: Seq[LabelPred], args: RangeQuery.RangeArgs,
+      groupByLabel: String, reducer: String): DataFrame = {
+    require(!Seq("first", "last", "twa").contains(reducer),
+      s"$reducer is not a valid GROUPBY reducer") // reference: query_language.c:825-841
+    val perSeries = mrange(samples, labels, preds, args)
+    val valueCol = if (args.aggs.isEmpty) "value" else Aggs.colName(args.aggs.head)
+    val lbl = broadcast(labels.select(col("series"),
+      element_at(col("labels"), groupByLabel).as("lv")))
+    val reduced = perSeries.join(lbl, Seq("series"))
+      .filter(col("lv").isNotNull)
+      .groupBy(col("lv"), col("ts"))
+      .agg(Aggs.expr(reducer, col(valueCol), col("ts")).as("reduced"))
+    val fill = if (Set("count", "countnan", "countall").contains(reducer)) lit(0.0)
+               else lit(Double.NaN)
+    reduced.select(
+      concat(lit(s"$groupByLabel="), col("lv")).as("series"),
+      col("ts"),
+      coalesce(col("reduced").cast("double"), fill).as(valueCol))
+  }
+
+  /** TS.MGET: last sample per label-matched series (reference:
+    * module.c:2132-2265) — one agg, no window. */
+  def mget(samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred]): DataFrame =
+    filterSeries(samples, labels, preds)
+      .groupBy(col("series"))
+      .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
+      .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
+
+  /** TS.GET: last sample of one series (reference: module.c:1566-1607). */
+  def get(samples: DataFrame, series: String): DataFrame =
+    mgetAll(samples.filter(col("series") === series))
+
+  private def mgetAll(samples: DataFrame): DataFrame =
+    samples.groupBy(col("series"))
+      .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
+      .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
+
+  /** TS.NRANGE: explicit key list, result pivoted by timestamp — one
+    * value column per key, NaN for gaps (deliberately conflated with
+    * real NaN, reference: reply.c:432-434). Implemented as conditional
+    * aggregation (single pass, no pivot-value discovery job); per-key
+    * aggregation applied first when requested (reference:
+    * module.c:724-906).
+    */
+  def nrange(
+      samples: DataFrame, keys: Seq[String],
+      args: RangeQuery.RangeArgs): DataFrame = {
+    val base = RangeQuery.range(samples.filter(col("series").isInCollection(keys)), args)
+    val valueCol = if (args.aggs.isEmpty) "value" else Aggs.colName(args.aggs.head)
+    val cells = keys.map { k =>
+      coalesce(max(when(col("series") === k, col(valueCol))), lit(Double.NaN)).as(k)
+    }
+    base.groupBy(col("ts")).agg(cells.head, cells.tail: _*)
+  }
+
+  /** TS.QUERYLABELS VALUES <label> (reference: module.c:339-465). */
+  def queryLabelValues(labels: DataFrame, label: String,
+      preds: Seq[LabelPred] = Nil): DataFrame = {
+    val base = if (preds.isEmpty) labels
+      else labels.filter(preds.map(predColumn).reduce(_ && _))
+    base.select(element_at(col("labels"), label).as("value"))
+      .filter(col("value").isNotNull).distinct()
+  }
+
+  /** TS.QUERYLABELS LABELS: all label names in the index. */
+  def queryLabelNames(labels: DataFrame): DataFrame =
+    labels.select(explode(map_keys(col("labels"))).as("label")).distinct()
+
+  /** TS.INFO: per-series stats (reference: module.c:156-280). */
+  def info(samples: DataFrame): DataFrame =
+    samples.groupBy(col("series")).agg(
+      count(col("value")).as("total_samples"),
+      min(col("ts")).as("first_timestamp"),
+      max(col("ts")).as("last_timestamp"),
+      max(struct(col("ts").as("t"), col("value").as("v"))).getField("v").as("last_value"))
+
+  // ----- DuckDB oracle helpers ----------------------------------------
+
+  /** Labels as a relational CTE for the oracle (fixture has labels
+    * type/user). */
+  val labelsCte: String =
+    """series_labels AS (
+      |  SELECT DISTINCT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+      |         event_type AS "type", CAST(user_id AS VARCHAR) AS "user"
+      |  FROM events
+      |)""".stripMargin
+
+  private val knownLabels = Set("type", "user")
+
+  /** Predicate over the relational labels CTE. Unknown labels are absent
+    * on every series. */
+  def predSql(p: LabelPred): String = {
+    def known = knownLabels.contains(p.label)
+    def c = "\"" + p.label + "\""
+    def lst(vs: Seq[String]) = vs.map(v => s"'$v'").mkString(", ")
+    p match {
+      case Eq(l, v)        => if (known) s"$c = '$v'" else "FALSE"
+      case NotEq(l, v)     => if (known) s"$c <> '$v'" else "TRUE"
+      case Absent(_)       => if (known) "FALSE" else "TRUE"
+      case Present(_)      => if (known) "TRUE" else "FALSE"
+      case InSet(_, vs)    => if (known) s"$c IN (${lst(vs)})" else "FALSE"
+      case NotInSet(_, vs) => if (known) s"$c NOT IN (${lst(vs)})" else "TRUE"
+    }
+  }
+
+  def predsSql(preds: Seq[LabelPred]): String =
+    if (preds.isEmpty) "TRUE" else preds.map(predSql).mkString(" AND ")
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts._
+import graft.ts.Multi._
+import graft.ts.RangeQuery.RangeArgs
+
+class MultiSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def labelsDf = Seq(
+    ("a", Map("type" -> "click", "user" -> "1")),
+    ("b", Map("type" -> "click", "user" -> "2")),
+    ("c", Map("type" -> "view", "user" -> "1", "extra" -> "x"))
+  ).toDF("series", "labels")
+
+  test("label predicate language matches reference semantics") {
+    def idx(preds: String*) =
+      queryIndex(labelsDf, preds.map(parsePred)).as[String].collect().toSet
+    assert(idx("type=click") == Set("a", "b"))
+    assert(idx("type=click", "user!=1") == Set("b"))
+    assert(idx("type=(click,view)", "extra=") == Set("a", "b"))   // absent
+    assert(idx("type=(click,view)", "extra!=") == Set("c"))       // present
+    assert(idx("user=(1,2)", "type!=(view)") == Set("a", "b"))
+    assert(parsePred("type=(a,b)") == InSet("type", Seq("a", "b")))
+    intercept[IllegalArgumentException](requireInclusive(Seq(parsePred("type!=x"))))
+  }
+
+  test("mget picks the newest sample per matched series") {
+    val s = Seq(("a", 1L, 1.0), ("a", 5L, 9.0), ("b", 3L, 2.0), ("c", 9L, 7.0))
+      .toDF("series", "ts", "value")
+    val got = mget(s, labelsDf, Seq(parsePred("type=click")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 5L, 9.0), ("b", 3L, 2.0)))
+  }
+
+  test("groupby reduce: per-series agg first, then cross-series reduce") {
+    val s = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 3.0),   // bucket 0 avg=2
+      ("b", 30L, 10.0),                   // bucket 0 avg=10
+      ("c", 40L, 100.0))                  // view, excluded by filter below
+      .toDF("series", "ts", "value")
+    val got = mrangeGroupBy(s, labelsDf, Seq(parsePred("type=click")),
+      RangeArgs(aggs = Seq("avg"), bucketMs = 100L), "type", "sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("type=click", 0L, 12.0)))
+  }
+
+  test("groupby forbids first/last/twa reducers") {
+    intercept[IllegalArgumentException] {
+      mrangeGroupBy(Seq(("a", 1L, 1.0)).toDF("series", "ts", "value"),
+        labelsDf, Seq(parsePred("type=click")),
+        RangeArgs(aggs = Seq("avg"), bucketMs = 100L), "type", "last")
+    }
+  }
+
+  test("nrange pivots by ts with NaN gaps") {
+    val s = Seq(("a", 0L, 1.0), ("b", 0L, 2.0), ("b", 100L, 3.0))
+      .toDF("series", "ts", "value")
+    val got = nrange(s, Seq("a", "b"), RangeArgs(aggs = Seq("avg"), bucketMs = 100L))
+      .orderBy("ts").collect()
+    assert(got(0).getLong(0) == 0L && got(0).getDouble(1) == 1.0 && got(0).getDouble(2) == 2.0)
+    assert(got(1).getLong(0) == 100L && got(1).getDouble(1).isNaN && got(1).getDouble(2) == 3.0)
+  }
+
+  test("info reports totals and last sample") {
+    val s = Seq(("a", 1L, 5.0), ("a", 9L, 7.0)).toDF("series", "ts", "value")
+    val r = Multi.info(s).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 2 && r.getLong(2) == 1L &&
+      r.getLong(3) == 9L && r.getDouble(4) == 7.0)
+  }
+}
