@@ -181,7 +181,56 @@ object SparkEntry {
       // TS.INFO (reference: module.c:156-280)
       "ts_info" -> ((s, dir) =>
         Multi.info(TSModel.samples(s, dir))),
+      // ---- write-path semantics (SURVEY §2.2) ----
+      // duplicate policies over hour-coarsened ts (creates real dups)
+      "ts_dup_policy_last" -> ((s, dir) =>
+        WritePath.applyDupPolicy(dupSamples(s, dir), "LAST")),
+      "ts_dup_policy_first" -> ((s, dir) =>
+        WritePath.applyDupPolicy(dupSamples(s, dir), "FIRST")),
+      "ts_dup_policy_min" -> ((s, dir) =>
+        WritePath.applyDupPolicy(dupSamples(s, dir), "MIN")),
+      "ts_dup_policy_sum" -> ((s, dir) =>
+        WritePath.applyDupPolicy(dupSamples(s, dir), "SUM")),
+      // IGNORE insert filter (sequential; rows-only check + unit tests)
+      "ts_ignore_filter" -> ((s, dir) =>
+        WritePath.ignoreFilter(TSModel.samples(s, dir), maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
+      // retention clamp (reference: tsdb.c:1367-1374)
+      "ts_retention" -> ((s, dir) =>
+        WritePath.retentionClamp(TSModel.samples(s, dir), retentionMs = 10 * DAY)),
+      // TS.DEL range (reference: tsdb.c:996-1084)
+      "ts_del_range" -> ((s, dir) =>
+        WritePath.deleteRange(TSModel.samples(s, dir).filter(col("series") === oneSeries),
+          oneSeries, T0 + 10 * DAY, T0 + 20 * DAY)),
+      // TS.INCRBY replay: running counter (reference: module.c:1469-1564)
+      "ts_incrby_replay" -> ((s, dir) =>
+        WritePath.counterReplay(TSModel.samples(s, dir).filter(col("series") === oneSeries))),
+      // ---- compaction (SURVEY §2.6) ----
+      // batch-materialized rule, in-flight bucket excluded
+      "ts_compaction_batch" -> ((s, dir) =>
+        Compaction.materialize(TSModel.samples(s, dir), Compaction.Rule("avg", DAY))),
+      // LATEST: in-flight bucket surfaced (reference: tsdb.c:1468-1501)
+      "ts_compaction_latest" -> ((s, dir) =>
+        Compaction.latest(TSModel.samples(s, dir), Compaction.Rule("max", DAY))),
+      // Structured Streaming downsample, run to completion on the same
+      // parquet — results must equal the batch oracle
+      "ts_compaction_stream" -> ((s, dir) =>
+        Compaction.streamingDownsampleOnce(s, dir,
+          Compaction.Rule("sum", DAY), queryName = "stream_sum_" + math.abs(dir.hashCode))),
     )
+
+  /** Hour-coarsened samples: collapses each series' samples into hourly
+    * duplicate groups so duplicate policies have real work to do. */
+  private def dupSamples(s: SparkSession, dir: String): DataFrame =
+    TSModel.samplesWithSeq(s, dir)
+      .withColumn("ts", TSModel.bucketStart(col("ts"), HOUR))
+
+  private val dupCte: String =
+    s"""WITH dsamples AS (
+       |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+       |         ${TSModel.bucketStartSql("epoch_ms(ts)", HOUR)} AS ts,
+       |         value, event_id AS seq
+       |  FROM events
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] =
     rangeQueries.map { case (n, (a, s)) => n -> rangeO(a, s) } ++ Map(
@@ -260,6 +309,60 @@ object SparkEntry {
            |SELECT DISTINCT "type" AS value FROM series_labels""".stripMargin,
       "ts_querylabels_names" ->
         "SELECT unnest(['type', 'user']) AS label",
+      "ts_dup_policy_last" ->
+        s"""$dupCte SELECT series, ts,
+           |  (max(struct_pack(s := seq, v := value))).v AS value
+           |FROM dsamples GROUP BY series, ts""".stripMargin,
+      "ts_dup_policy_first" ->
+        s"""$dupCte SELECT series, ts,
+           |  (min(struct_pack(s := seq, v := value))).v AS value
+           |FROM dsamples GROUP BY series, ts""".stripMargin,
+      "ts_dup_policy_min" ->
+        s"$dupCte SELECT series, ts, min(value) AS value FROM dsamples GROUP BY series, ts",
+      "ts_dup_policy_sum" ->
+        s"$dupCte SELECT series, ts, sum(value) AS value FROM dsamples GROUP BY series, ts",
+      "ts_retention" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, ts, value FROM (
+           |  SELECT series, ts, value, max(ts) OVER (PARTITION BY series) AS last_ts
+           |  FROM samples
+           |) WHERE ts >= last_ts - ${10 * DAY}""".stripMargin,
+      "ts_del_range" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, ts, value FROM samples
+           |WHERE series = '$oneSeries'
+           |  AND NOT (ts BETWEEN ${T0 + 10 * DAY} AND ${T0 + 20 * DAY})""".stripMargin,
+      "ts_incrby_replay" ->
+        s"""${TSModel.samplesCte}, d AS (
+           |  SELECT series, ts, sum(value) AS delta FROM samples
+           |  WHERE series = '$oneSeries' GROUP BY series, ts
+           |) SELECT series, ts,
+           |    sum(delta) OVER (PARTITION BY series ORDER BY ts
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+           |  FROM d""".stripMargin,
+      "ts_compaction_batch" ->
+        s"""${TSModel.samplesCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples GROUP BY 1, 2
+           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
+           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
+           |  WHERE bucket < maxb""".stripMargin,
+      "ts_compaction_latest" ->
+        s"""${TSModel.samplesCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         max(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples GROUP BY 1, 2
+           |) SELECT series || '_max_$DAY' AS series,
+           |         (max(struct_pack(t := bucket, v := value))).t AS ts,
+           |         (max(struct_pack(t := bucket, v := value))).v AS value
+           |  FROM agg GROUP BY 1""".stripMargin,
+      "ts_compaction_stream" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series || '_sum_$DAY' AS series,
+           |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
+           |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
+           |FROM samples GROUP BY 1, 2""".stripMargin,
       "ts_info" ->
         s"""${TSModel.samplesCte}
            |SELECT series, count(value) AS total_samples,

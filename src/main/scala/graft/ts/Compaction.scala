@@ -1,0 +1,125 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/**
+ * Compaction (continuous downsampling) — the reference's
+ * CompactionRule subsystem (reference: src/tsdb.h:47-59,
+ * handleCompaction src/module.c:915-984) rebuilt two ways:
+ *
+ *  1. [[materialize]] — deterministic batch recompute of the dest
+ *     series. The reference accepts arbitrarily-late samples and
+ *     recomputes their bucket (no watermark, reference upsert path:
+ *     src/tsdb.c:621-668); a batch/incremental recompute of affected
+ *     buckets is the faithful Spark translation, not a watermarked
+ *     stream that drops late rows.
+ *  2. [[streamingDownsample]] — the Structured Streaming shape for live
+ *     ingest: file/memory source -> groupBy(series, bucket) agg ->
+ *     sink. Used by tests via the memory sink.
+ *
+ * LATEST (the not-yet-flushed current bucket, reference:
+ * src/tsdb.c:1468-1501) falls out of the same bucketed aggregation by
+ * simply *not* excluding each series' in-flight bucket.
+ */
+object Compaction {
+
+  /** A compaction rule (reference: NewRule src/tsdb.c:1193-1216): dest
+    * key named like the reference's auto-created dests
+    * (`key_agg_dur[_align]`, reference: src/tsdb.c:1109-1191). */
+  final case class Rule(agg: String, bucketMs: Long, alignMs: Long = 0L) {
+    def destSuffix: String =
+      if (alignMs == 0) s"_${agg.replace('.', '_')}_$bucketMs"
+      else s"_${agg.replace('.', '_')}_${bucketMs}_$alignMs"
+  }
+
+  /** Batch-materialize a rule over every series: the dest samples DF
+    * `(series=src+suffix, ts=bucketStart, value=agg)`. Only buckets
+    * strictly before each series' in-flight bucket are "flushed", like
+    * the reference which writes a bucket when a newer one opens
+    * (reference: src/module.c:915-984). Pass `includeLatest=true` to
+    * also surface the in-flight bucket (LATEST read semantics). */
+  def materialize(
+      samples: DataFrame, rule: Rule, includeLatest: Boolean = false): DataFrame = {
+    val agged = samples
+      .groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
+      .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
+    val w = Window.partitionBy(col("series"))
+    val withFlag = agged.withColumn("__maxb", max(col("bucket")).over(w))
+    val flushed = if (includeLatest) withFlag else withFlag.filter(col("bucket") < col("__maxb"))
+    flushed
+      .select(
+        concat(col("series"), lit(rule.destSuffix)).as("series"),
+        col("bucket").as("ts"),
+        col("value").cast("double"))
+  }
+
+  /** TS.GET ... LATEST on a compaction dest: the value of each series'
+    * in-flight (newest) bucket (reference: calculate_latest_sample,
+    * src/tsdb.c:1468-1501). */
+  def latest(samples: DataFrame, rule: Rule): DataFrame =
+    materialize(samples, rule, includeLatest = true)
+      .groupBy(col("series"))
+      .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
+      .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
+
+  /** Long-format samples schema for streaming readers. */
+  val sampleSchema: StructType = StructType(Seq(
+    StructField("series", StringType), StructField("ts", LongType),
+    StructField("value", DoubleType)))
+
+  /**
+   * Structured Streaming downsample over a directory of long-format
+   * sample parquet (or any streaming DF with [[sampleSchema]]):
+   * `groupBy(series, bucket).agg(rule)` in update/complete mode. No
+   * watermark by design — the reference accepts arbitrarily-late
+   * samples and recomputes their bucket, which maps to keeping bucket
+   * state (complete/update mode) or periodic batch recompute; a
+   * watermark that drops late rows would diverge from the reference.
+   *
+   * Returns the aggregated streaming DataFrame; callers attach a sink
+   * (tests use the memory sink and `processAllAvailable`).
+   */
+  def streamingDownsample(stream: DataFrame, rule: Rule): DataFrame =
+    stream
+      .groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
+      .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
+      .select(
+        concat(col("series"), lit(rule.destSuffix)).as("series"),
+        col("bucket").as("ts"),
+        col("value").cast("double"))
+
+  /** Run a one-shot streaming downsample to completion against existing
+    * parquet files under `dir` (file source streams them as
+    * micro-batches) and return the final result as a batch DataFrame.
+    * This exercises the real streaming machinery (source -> stateful agg
+    * -> memory sink) with deterministic output for the oracle. */
+  def streamingDownsampleOnce(
+      spark: SparkSession, dir: String, rule: Rule, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        concat_ws("_", col("event_type"), col("user_id")).as("series"),
+        expr("ts DIV 1000000").as("ts"),
+        col("value"))
+    val q = streamingDownsample(src, rule)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

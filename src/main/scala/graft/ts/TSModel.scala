@@ -55,6 +55,17 @@ object TSModel {
     * series-key components of the fixture. O(#series) rows — always
     * broadcastable.
     */
+  /** Samples plus the ingest sequence number (arrival order) that
+    * FIRST/LAST duplicate policies refer to. */
+  def samplesWithSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    ev.select(
+      concat_ws("_", col("event_type"), col("user_id")).as("series"),
+      tsMs(ev).as("ts"),
+      col("value"),
+      col("event_id").as("seq"))
+  }
+
   def labels(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
       .select(col("event_type"), col("user_id"))

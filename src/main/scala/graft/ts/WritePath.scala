@@ -1,0 +1,107 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Write-path semantics as batch transforms (SURVEY §2.2): duplicate
+ * policies, the IGNORE near-duplicate insert filter, retention trim,
+ * range delete, INCRBY/DECRBY.
+ *
+ * In the reference these run sample-at-a-time on the Redis main thread
+ * (reference: src/module.c:1000-1055); here a whole ingest batch is
+ * resolved in one distributed pass. All operators key by `series`, so
+ * they scale horizontally; nothing touches the driver.
+ */
+object WritePath {
+
+  /** Duplicate policies (reference: src/consts.h:75-85; resolution in
+    * generic_chunk.c:62): what to do when two samples share (series,
+    * ts). `seqCol` is the arrival order (ingest sequence number) that
+    * FIRST/LAST refer to.
+    */
+  def applyDupPolicy(samples: DataFrame, policy: String, seqCol: String = "seq"): DataFrame = {
+    val g = samples.groupBy(col("series"), col("ts"))
+    policy.toUpperCase match {
+      case "BLOCK" =>
+        // BLOCK = reject the batch if any duplicate exists; surfacing the
+        // offenders is the distributed analogue of the per-sample error.
+        val dups = g.count().filter(col("count") > 1)
+        if (dups.limit(1).count() > 0)
+          throw new IllegalStateException("duplicate timestamps under BLOCK policy")
+        samples.select(col("series"), col("ts"), col("value"))
+      case "FIRST" =>
+        g.agg(min(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("value"))
+      case "LAST" =>
+        g.agg(max(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("value"))
+      case "MIN" => g.agg(min(col("value")).as("value"))
+      case "MAX" => g.agg(max(col("value")).as("value"))
+      case "SUM" => g.agg(sum(col("value")).as("value"))
+      case other => throw new IllegalArgumentException(s"unknown duplicate policy $other")
+    }
+  }
+
+  /** IGNORE insert filter (reference: src/module.c:986-998): with
+    * DUPLICATE_POLICY LAST, an append is dropped when it is close in
+    * time AND value to the last *accepted* sample (ts in order,
+    * non-NaN). Sequentially dependent, so not a window expression: each
+    * series is scanned once, in ts order, inside the executors
+    * (`flatMapGroups`) — per-series state is O(1), series are processed
+    * in parallel, and a 100 TB table distributes by series key.
+    */
+  def ignoreFilter(
+      samples: DataFrame, maxTimeDiff: Long, maxValDiff: Double): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var lastTs = Long.MinValue
+        var lastV = Double.NaN
+        var first = true
+        sorted.iterator.filter { case (_, ts, v) =>
+          val drop = !first && !v.isNaN && !lastV.isNaN &&
+            ts >= lastTs && ts - lastTs <= maxTimeDiff &&
+            math.abs(v - lastV) <= maxValDiff
+          if (!drop) { lastTs = ts; lastV = v; first = false }
+          !drop
+        }
+      }
+      .toDF("series", "ts", "value")
+  }
+
+  /** Retention: samples older than (per-series max ts − retention) are
+    * invisible (query-time clamp, reference: src/tsdb.c:1367-1374).
+    * Window-derived predicate; at scale the window shuffles by series
+    * once and the filter then prunes at the scan on re-materialization.
+    */
+  def retentionClamp(samples: DataFrame, retentionMs: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+    samples
+      .withColumn("__last", max(col("ts")).over(w))
+      .filter(col("ts") >= col("__last") - retentionMs)
+      .drop("__last")
+  }
+
+  /** TS.DEL [from, to]: anti-filter re-materialization (reference:
+    * SeriesDelRange, src/tsdb.c:996-1084). */
+  def deleteRange(samples: DataFrame, series: String, from: Long, to: Long): DataFrame =
+    samples.filter(!(col("series") === series && col("ts").between(from, to)))
+
+  /** TS.INCRBY/DECRBY replay: treating each sample's value as a delta,
+    * the series value at each ts is the running sum (reference counter
+    * semantics: src/module.c:1469-1564). Deltas at equal ts combine
+    * first (the reference applies each to the same last value at
+    * ts == lastTimestamp — net effect after a batch is the sum). */
+  def counterReplay(deltas: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    deltas.groupBy(col("series"), col("ts"))
+      .agg(sum(col("value")).as("delta"))
+      .withColumn("value", sum(col("delta")).over(w))
+      .select(col("series"), col("ts"), col("value"))
+  }
+}

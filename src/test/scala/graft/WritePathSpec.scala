@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts._
+
+class WritePathSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("ignore filter reproduces the reference flow-test sequence") {
+    // mirrors reference tests/flow/test_ignore.py::test_ignore_create
+    // (IGNORE 5 5, DUPLICATE_POLICY LAST)
+    val in = Seq(
+      ("k", 1000L, 1.0), ("k", 1001L, 2.0), ("k", 1006L, 3.0),
+      ("k", 1007L, 8.0), ("k", 1008L, 10.0), ("k", 1009L, 15.0001))
+      .toDF("series", "ts", "value")
+    val got = WritePath.ignoreFilter(in, 5L, 5.0)
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1000L, 1.0), (1006L, 3.0), (1008L, 10.0), (1009L, 15.0001)))
+  }
+
+  test("duplicate policies resolve per arrival order and value") {
+    val in = Seq(
+      ("k", 10L, 5.0, 1L), ("k", 10L, 3.0, 2L), ("k", 10L, 4.0, 3L),
+      ("k", 20L, 9.0, 4L))
+      .toDF("series", "ts", "value", "seq")
+    def vals(p: String) = WritePath.applyDupPolicy(in, p)
+      .orderBy("ts").collect().map(_.getDouble(2)).toSeq
+    assert(vals("FIRST") == Seq(5.0, 9.0))
+    assert(vals("LAST") == Seq(4.0, 9.0))
+    assert(vals("MIN") == Seq(3.0, 9.0))
+    assert(vals("MAX") == Seq(5.0, 9.0))
+    assert(vals("SUM") == Seq(12.0, 9.0))
+    intercept[IllegalStateException](WritePath.applyDupPolicy(in, "BLOCK").collect())
+  }
+
+  test("retention clamp keeps only the trailing window per series") {
+    val in = Seq(("a", 0L, 1.0), ("a", 50L, 2.0), ("a", 100L, 3.0),
+      ("b", 0L, 4.0)).toDF("series", "ts", "value")
+    val got = WritePath.retentionClamp(in, 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a keeps ts >= 100-40=60 -> only 100; b keeps ts >= 0-40 -> 0
+    assert(got == Set(("a", 100L), ("b", 0L)))
+  }
+
+  test("counter replay accumulates deltas, merging same-ts deltas first") {
+    val in = Seq(("k", 1L, 5.0), ("k", 1L, 2.0), ("k", 3L, -4.0))
+      .toDF("series", "ts", "value")
+    val got = WritePath.counterReplay(in)
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 7.0), (3L, 3.0)))
+  }
+
+  test("compaction materialize flushes all but the in-flight bucket; latest surfaces it") {
+    val in = Seq(("k", 0L, 1.0), ("k", 50L, 3.0), ("k", 100L, 10.0), ("k", 250L, 20.0))
+      .toDF("series", "ts", "value")
+    val rule = Compaction.Rule("avg", 100L)
+    val flushed = Compaction.materialize(in, rule)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(flushed.toSet == Set(("k_avg_100", 0L, 2.0), ("k_avg_100", 100L, 10.0)))
+    val lat = Compaction.latest(in, rule).head()
+    assert(lat.getString(0) == "k_avg_100" && lat.getLong(1) == 200L && lat.getDouble(2) == 20.0)
+  }
+
+  test("streaming downsample equals batch materialization incl. latest") {
+    val batch = Compaction.materialize(
+      TSModel.samples(spark, sf), Compaction.Rule("sum", 86400000L), includeLatest = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    val stream = Compaction.streamingDownsampleOnce(spark, sf,
+      Compaction.Rule("sum", 86400000L), "spec_stream_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+}
