@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts._
 import graft.ts.RangeQuery.RangeArgs
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. */
@@ -216,7 +217,52 @@ object SparkEntry {
       "ts_compaction_stream" -> ((s, dir) =>
         Compaction.streamingDownsampleOnce(s, dir,
           Compaction.Rule("sum", DAY), queryName = "stream_sum_" + math.abs(dir.hashCode))),
+      // ---- LLM-pipeline operators (SURVEY §7 phase 6) ----
+      "text_tokens" -> ((s, dir) => Text.tokenCounts(Text.loadDocuments(s, dir))),
+      "text_quality" -> ((s, dir) => Text.qualityMetrics(Text.loadDocuments(s, dir))),
+      "text_langid" -> ((s, dir) => Text.languageId(Text.loadDocuments(s, dir))),
+      "text_fingerprint" -> ((s, dir) => Text.fingerprint(Text.loadDocuments(s, dir))),
+      "dedup_exact" -> ((s, dir) => Dedup.exact(Text.loadDocuments(s, dir))),
+      // quadratic ground truth on a bounded id range
+      "dedup_ngram_jaccard" -> ((s, dir) =>
+        Dedup.ngramJaccardPairs(Text.loadDocuments(s, dir), 0.5, maxDocId = 300)),
+      // MinHash+LSH against the SAME quadratic oracle: banding recall at
+      // the planted-dup similarity is ~1, so results must coincide
+      "dedup_minhash_lsh" -> ((s, dir) =>
+        Dedup.minhashLshPairs(Text.loadDocuments(s, dir), 0.5, maxDocId = 300)),
+      // full-table LSH paths (rows-only; recall spec-tested)
+      "dedup_minhash_lsh_full" -> ((s, dir) =>
+        Dedup.minhashLshPairs(Text.loadDocuments(s, dir), 0.5)),
+      "dedup_simhash_pairs" -> ((s, dir) =>
+        Dedup.simhashPairs(Text.loadDocuments(s, dir), maxDist = 3)),
+      "dedup_embedding_cosine" -> ((s, dir) =>
+        Dedup.embeddingCosinePairs(Similarity.loadEmbeddings(s, dir), 0.4, maxVecId = 300)),
+      // near-dup regime (cos >= 0.95): 4 x 16-bit bands keep random
+      // collisions ~2e-4 of pairs, so candidate generation stays
+      // sub-quadratic at any corpus size. The fixture has no true
+      // cos>=0.95 pairs, so the query plants labeled near-copies
+      // (vec_id + 10^7, first coord nudged) of the first 10 vectors —
+      // the LSH must recover exactly those pairs.
+      "dedup_cosine_lsh" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        val planted = embs.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            concat(array(element_at(col("embedding"), 1) + lit(0.001f)),
+              slice(col("embedding"), 2, 1000000)).as("embedding"))
+        Similarity.cosineLshPairs(
+          embs.select("vec_id", "embedding").unionByName(planted),
+          0.95, nBits = 64, bandBits = 16)
+      }),
+      "ann_topk" -> ((s, dir) =>
+        Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
+      "ann_ivf_topk" -> ((s, dir) =>
+        Similarity.ivfTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
+      "mm_features" -> ((s, dir) =>
+        Multimodal.extractFeatures(Multimodal.pack(Text.loadDocuments(s, dir)))
+          .select(col("media_id"), col("n_bytes"), col("mean_byte"))),
     )
+
+  private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
 
   /** Hour-coarsened samples: collapses each series' samples into hourly
     * duplicate groups so duplicate policies have real work to do. */
@@ -363,6 +409,22 @@ object SparkEntry {
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
+      "text_tokens" -> Text.tokenCountsSql,
+      "text_quality" -> Text.qualityMetricsSql,
+      "text_langid" -> Text.languageIdSql,
+      "text_fingerprint" -> Text.fingerprintSql,
+      "dedup_exact" -> Dedup.exactSql,
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(0.5, 300),
+      // the LSH path must reproduce the quadratic ground truth exactly
+      // (banding recall ≈ 1 at the planted-duplicate similarity)
+      "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
+      "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
+      "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "mm_features" ->
+        """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  list_avg([ord(substring(text, CAST(i AS INT), 1))
+          |            for i in generate_series(1, strlen(text))]) AS mean_byte
+          |FROM documents""".stripMargin,
       "ts_info" ->
         s"""${TSModel.samplesCte}
            |SELECT series, count(value) AS total_samples,

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact
+ * (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard, and
+ * embedding-cosine near-dup.
+ *
+ * Scale design notes (the whole point of these over naive pairwise):
+ *  - exact dedup is one hash-aggregate — shuffle by fingerprint only;
+ *  - MinHash/LSH turns O(n²) pairwise comparison into
+ *    shuffle-by-band-bucket + within-bucket pairs + a verification join
+ *    restricted to candidates (candidate count ≈ true-dup count);
+ *  - SimHash bands 64 bits into 4×16-bit chunks — near-dups (hamming
+ *    ≤ 3) must collide on ≥1 chunk, so candidates come from 4 bucket
+ *    joins, never a cross join;
+ *  - brute-force n-gram Jaccard / cosine are kept for bounded oracle
+ *    subsets: they ARE quadratic and exist to differential-test the
+ *    sub-quadratic paths.
+ */
+object Dedup {
+
+  /** Word n-gram shingles, lowercased, distinct per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n))) ELSE array() END"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact dedup: one row per content fingerprint with the canonical
+    * (lowest) doc_id and the member count. */
+  def exact(docs: DataFrame): DataFrame =
+    Text.fingerprint(docs)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  val exactSql: String =
+    s"""WITH fp AS (${Text.fingerprintSql})
+       |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_docs
+       |FROM fp GROUP BY fp""".stripMargin
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold over a bounded id range —
+    * the quadratic ground truth used as the oracle for the LSH paths.
+    * The by-shingle join computes only pairs sharing ≥1 shingle. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDocId: Long): DataFrame = {
+    val sh = shingles(docs.filter(col("doc_id") < maxDocId))
+    jaccardOfPairs(
+      sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter")),
+      sh, threshold)
+  }
+
+  /** jac = inter / (|i| + |j| - inter), attached from per-doc shingle
+    * counts (broadcast — O(#docs) rows). */
+  private def jaccardOfPairs(pairsWithInter: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    pairsWithInter
+      .join(broadcast(sizes.as("si")), col("i") === col("si.doc_id"))
+      .join(broadcast(sizes.as("sj")), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("si.sz") + col("sj.sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  def ngramJaccardPairsSql(threshold: Double, maxDocId: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents WHERE doc_id < $maxDocId
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+       |      ELSE [] END) AS s
+       |  FROM toks
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  len(list_intersect(a.s, b.s)) / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $threshold""".stripMargin
+
+  /**
+   * MinHash + LSH banding: `numHashes` minhashes per doc from
+   * per-seed xxhash64 of shingles, banded `bandRows` rows per band;
+   * docs colliding in ≥1 band become candidates, candidates are
+   * verified with exact Jaccard. Candidate generation shuffles by
+   * (band, bucket) — never quadratic. Same output contract as
+   * [[ngramJaccardPairs]] so the quadratic oracle can check it (at the
+   * planted-duplicate similarity ≈0.99, band-collision probability is
+   * 1 - (1 - 0.99^4)^16 ≈ 1 - 4e-33).
+   */
+  def minhashLshPairs(
+      docs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bandRows: Int = 4,
+      maxDocId: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs.filter(col("doc_id") < maxDocId))
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / bandRows
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("a"), col("i") === col("a.doc_id"))
+      .join(sh.as("b"), col("j") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    jaccardOfPairs(inter, sh, threshold)
+  }
+
+  /** SimHash: 64-bit fingerprint — bit k is the sign of the sum over
+    * tokens of ±1 according to bit k of xxhash64(token). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k => when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_i, simhash_j) <= maxDist.
+    * Candidates from 4×16-bit chunk collisions (pigeonhole: hamming ≤ 3
+    * implies ≥1 identical chunk) — no cross join. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val fp = simhash(docs)
+    val chunks = fp.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.key"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding cosine near-dup pairs over a bounded id range (the
+    * quadratic ground-truth variant; the scale path is
+    * [[Similarity.cosineLshPairs]]). */
+  def embeddingCosinePairs(embs: DataFrame, threshold: Double, maxVecId: Long): DataFrame = {
+    val e = embs.filter(col("vec_id") < maxVecId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  def embeddingCosinePairsSql(threshold: Double, maxVecId: Long): String =
+    s"""SELECT a.vec_id AS i, b.vec_id AS j,
+       |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id AND a.vec_id < $maxVecId AND b.vec_id < $maxVecId
+       |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $threshold""".stripMargin
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality metrics, n-gram-heuristic language ID,
+ * document fingerprinting. All pure `functions._` column expressions —
+ * whole-stage codegen, no UDFs, trivially scale-out (embarrassingly
+ * parallel over documents).
+ */
+object Text {
+
+  def loadDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace tokens + a BPE-ish regex token estimate
+    * (`\w+` runs and isolated punctuation, the classic pre-tokenizer
+    * shape). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens_ws"),
+      regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).as("n_tokens_re"),
+      length(col("text")).as("n_chars"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_ws,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_re,
+      |  length(text) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** Quality metrics: length, punctuation density, stopword ratio, mean
+    * word length, alpha ratio. Formulas chosen to be expressible
+    * identically in the DuckDB oracle. */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nCh = length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      nCh.as("n_chars"),
+      nTok.as("n_tokens"),
+      (regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("double") / nCh).as("punct_ratio"),
+      (regexp_count(lower(col("text")), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double") / nTok)
+        .as("stop_ratio"),
+      ((nCh - nTok + 1) / nTok).as("mean_word_len"),
+      (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / nCh).as("alpha_ratio"))
+  }
+
+  val qualityMetricsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+      |  len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+      |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+      |  (CAST(length(text) AS DOUBLE) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+      |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len,
+      |  len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |FROM documents""".stripMargin
+
+  /** Stopword-count language-ID heuristic over 5 languages, with CJK
+    * character density for zh. Deterministic argmax with a fixed
+    * tie-break order. */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to|in|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit)\\b",
+    "es" -> "\\b(el|los|las|que|y|por|una)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une|dans)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val scores = langPatterns.map { case (l, p) =>
+      regexp_count(lower(col("text")), lit(p)).as(s"score_$l")
+    }
+    val scored = docs.select((col("doc_id") +: scores): _*)
+    val langs = langPatterns.map(_._1)
+    val maxAll = greatest(langs.map(l => col(s"score_$l")): _*)
+    // first language (priority order en>de>es>fr>zh) whose score equals
+    // the max and is positive wins — when-chains resolve ties by order
+    val best = langs.foldLeft(when(lit(false), lit("x"))) { (w, l) =>
+      w.when(col(s"score_$l") === maxAll && col(s"score_$l") > 0, lit(l))
+    }.otherwise(lit("unknown"))
+    scored.withColumn("lang_pred", best)
+  }
+
+  val languageIdSql: String = {
+    val scores = langPatterns.map { case (l, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS score_$l"
+    }
+    val langs = langPatterns.map(_._1)
+    val maxAll = "greatest(" + langs.map(l => s"score_$l").mkString(", ") + ")"
+    val whens = langs.map(l => s"WHEN score_$l = $maxAll AND score_$l > 0 THEN '$l'")
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${scores.mkString(", ")} FROM documents
+       |) SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       |         CASE ${whens.mkString(" ")} ELSE 'unknown' END AS lang_pred
+       |  FROM scored""".stripMargin
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — the canonical exact-dedup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normText(col("text"))).as("fp"))
+
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents""".stripMargin
+}

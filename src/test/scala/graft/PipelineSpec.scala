@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private lazy val docs = Text.loadDocuments(spark, sf)
+  private lazy val embs = Similarity.loadEmbeddings(spark, sf)
+
+  test("exact dedup groups synthetic duplicates under one canonical id") {
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val groups = Dedup.exact(withDups).filter(col("n_docs") > 1).collect()
+    assert(groups.length == 5 && groups.forall(_.getLong(2) == 2))
+    assert(groups.forall(_.getLong(1) < 5)) // canonical = lowest id
+  }
+
+  test("minhash LSH finds every brute-force jaccard pair (full table)") {
+    val brute = Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = Long.MaxValue)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(lsh == brute)
+  }
+
+  test("simhash pairs are true near-duplicates by jaccard") {
+    val sim = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = Long.MaxValue)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // simhash(hamming<=3) recovers most planted ~0.99-jaccard dups;
+    // 64-bit simhash of ~50-token docs is lossier than minhash
+    assert((brute intersect sim).size.toDouble / brute.size >= 0.5)
+  }
+
+  test("cosine LSH reports only true pairs and has usable recall even below its design regime") {
+    val brute = Dedup.embeddingCosinePairs(embs, 0.4, maxVecId = 300)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineLshPairs(embs, 0.4)
+      .filter(col("i") < 300 && col("j") < 300)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is exact-verified; recall at cos≈0.4 is far
+    // below the near-dup design point, so only a loose bound holds
+    assert(lsh.subsetOf(brute))
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.25)
+  }
+
+  test("cosine LSH near-dup regime: planted near-identical vectors are all found") {
+    // 60 deterministic base vectors + 10 near-copies (cos ≈ 0.9999)
+    val dim = 64
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(d => (((seed * 2654435761L + d * 40503L) % 1000).toFloat / 500f) - 1f)
+    val base = (0L until 60L).map(i => (i, vec(i)))
+    val copies = (0L until 10L).map(i => (1000L + i, vec(i).updated(0, vec(i).head + 0.001f)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val got = Similarity.cosineLshPairs(df, 0.95, nBits = 64, bandBits = 16)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, 1000L + i)).toSet
+    assert(expected.subsetOf(got), s"missing planted pairs: ${expected -- got}")
+  }
+
+  test("IVF top-k achieves high recall vs brute force") {
+    val qids = Seq(0L, 97L, 194L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, qids, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall too low") // nProbe=4/16 clusters
+  }
+
+  test("multimodal packing and feature extraction round-trip") {
+    val packed = Multimodal.pack(docs)
+    assert(packed.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(packed)
+    val r = feats.filter(col("media_id") === 0).head()
+    val hist = r.getSeq[Float](3)
+    assert(hist.length == Multimodal.featureDim)
+    assert(math.abs(hist.sum - 1.0f) < 1e-3) // normalized histogram
+    assert(r.getDouble(2) > 32 && r.getDouble(2) < 127) // ASCII mean byte
+    val nb = docs.filter(col("doc_id") === 0).head().getAs[Long]("n_chars")
+    assert(r.getLong(1) == nb) // ASCII: bytes == chars
+  }
+
+  test("language id is deterministic and scores are consistent") {
+    val r = Text.languageId(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val scores = (1 to 5).map(row.getInt)
+      val pred = row.getString(6)
+      if (scores.forall(_ == 0)) assert(pred == "unknown")
+      else assert(Seq("en", "de", "es", "fr", "zh").contains(pred))
+    }
+  }
+}
