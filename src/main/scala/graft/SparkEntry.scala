@@ -31,13 +31,13 @@ object SparkEntry {
 
   private def rangeQ(args: RangeArgs, series: Option[String] = Some(oneSeries))
       : (SparkSession, String) => DataFrame =
-    (s, dir) => {
-      val samples = series match {
-        case Some(k) => TSModel.samples(s, dir).filter(col("series") === k)
-        case None    => TSModel.samples(s, dir)
-      }
-      RangeQuery.range(samples, args)
-    }
+    (s, dir) => RangeQuery.range(
+      TSModel.samplesPruned(s, dir, series.toSeq, args.from, args.to), args)
+
+  /** Single-series loader with scan-level pruning. */
+  private def one(s: SparkSession, dir: String,
+      from: Option[Long] = None, to: Option[Long] = None): DataFrame =
+    TSModel.samplesPruned(s, dir, Seq(oneSeries), from, to)
 
   private def rangeO(args: RangeArgs, series: Option[String] = Some(oneSeries)): String =
     RangeQuery.rangeSql(args, series.map(k => s"series = '$k'"))
@@ -87,7 +87,7 @@ object SparkEntry {
     * is bounded by the 128-literal contract, so it stays O(1) at any
     * scale. The oracle derives the identical list in SQL. */
   private def filterTsList(s: SparkSession, dir: String): Seq[Long] = {
-    TSModel.samples(s, dir).filter(col("series") === oneSeries)
+    one(s, dir)
       .orderBy(col("ts")).limit(120)
       .select(col("ts")).collect().map(_.getLong(0)).toSeq
       .zipWithIndex.filter(_._2 % 3 == 0).map(_._1)
@@ -102,37 +102,31 @@ object SparkEntry {
     rangeQueries.map { case (n, (a, s)) => n -> rangeQ(a, s) } ++ Map[String, (SparkSession, String) => DataFrame](
       // FILTER_BY_TS: explicit ts list (reference: filter_iterator.c:26-188)
       "ts_range_filter_ts" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(filterByTs = filterTsList(s, dir)))
+        RangeQuery.range(one(s, dir), RangeArgs(filterByTs = filterTsList(s, dir)))
       }),
       // COUNT n: limit after aggregation (reference: reply.c:180-212)
       "ts_range_count" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("avg"), bucketMs = DAY, count = Some(7)))
       }),
       // EMPTY + TWA interpolation (reference: filter_iterator.c:307-386)
       "ts_range_twa_empty" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("twa"), bucketMs = 6 * HOUR, empty = true))
       }),
       // TWA (reference: compaction.c:302-459)
       "ts_range_twa" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("twa"), bucketMs = DAY))
       }),
       // EMPTY gap fill, sum -> 0 (reference: filter_iterator.c:389-966)
       "ts_range_empty_sum" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("sum"), bucketMs = 6 * HOUR, empty = true))
       }),
       // EMPTY + last -> LOCF (reference: compaction.c:115-140)
       "ts_range_empty_locf" -> ((s, dir) => {
-        val samples = TSModel.samples(s, dir).filter(col("series") === oneSeries)
-        RangeQuery.range(samples, RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("last"), bucketMs = 6 * HOUR, empty = true))
       }),
       // ---- multi-series surface (SURVEY §2.5/§2.7) ----
@@ -146,7 +140,7 @@ object SparkEntry {
           Seq(Multi.parsePred("type=purchase")))),
       // TS.GET (reference: module.c:1566-1607)
       "ts_get" -> ((s, dir) =>
-        Multi.get(TSModel.samples(s, dir), oneSeries)),
+        Multi.get(one(s, dir), oneSeries)),
       // TS.MRANGE with label filter + per-series agg (reference: module.c:624-688)
       "ts_mrange_filtered" -> ((s, dir) =>
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -200,11 +194,10 @@ object SparkEntry {
         WritePath.retentionClamp(TSModel.samples(s, dir), retentionMs = 10 * DAY)),
       // TS.DEL range (reference: tsdb.c:996-1084)
       "ts_del_range" -> ((s, dir) =>
-        WritePath.deleteRange(TSModel.samples(s, dir).filter(col("series") === oneSeries),
-          oneSeries, T0 + 10 * DAY, T0 + 20 * DAY)),
+        WritePath.deleteRange(one(s, dir), oneSeries, T0 + 10 * DAY, T0 + 20 * DAY)),
       // TS.INCRBY replay: running counter (reference: module.c:1469-1564)
       "ts_incrby_replay" -> ((s, dir) =>
-        WritePath.counterReplay(TSModel.samples(s, dir).filter(col("series") === oneSeries))),
+        WritePath.counterReplay(one(s, dir))),
       // ---- compaction (SURVEY §2.6) ----
       // batch-materialized rule, in-flight bucket excluded
       "ts_compaction_batch" -> ((s, dir) =>

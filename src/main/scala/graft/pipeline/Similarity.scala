@@ -118,12 +118,19 @@ object Similarity {
       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
-    // hyperplane h[b][d] = centered hash of (b, d) — deterministic,
-    // uniform in [-0.5, 0.5]
-    def plane(b: Int): Column = expr(
-      s"transform(sequence(0, size(v) - 1), d -> (pmod(xxhash64($b, d), 1000000L) / 1000000.0) - 0.5)")
+    // hyperplanes are data-independent: derive them deterministically
+    // (hash-mixed, centered) on the driver and embed as literal arrays,
+    // so per-row work is nBits plain dot products — no per-row plane
+    // construction. Dim comes from one bounded head() probe.
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    def mix(b: Int, d: Int): Double = {
+      var x = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
+    }
+    val planes = Array.tabulate(nBits, dim)(mix)
     val sig = (0 until nBits).map(b =>
-      when(dot(col("v"), plane(b)) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      when(dot(col("v"), typedLit(planes(b).toSeq)) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     val signed = corpus.withColumn("sig", sig)
     val nBands = nBits / bandBits

@@ -55,6 +55,44 @@ object TSModel {
     * series-key components of the fixture. O(#series) rows — always
     * broadcastable.
     */
+  /**
+   * Pushdown-friendly samples loader: series-key and time-range
+   * predicates are decomposed onto the *source* columns
+   * (event_type/user_id and the raw ns timestamp), so they appear in
+   * the parquet scan's PushedFilters and prune row groups — the exact
+   * analogue of the reference's rax chunk-seek (reference:
+   * src/series_iterator.c:21-138). Filtering the derived `series`/`ts`
+   * columns instead would evaluate above the Project and read
+   * everything.
+   *
+   * In a production deployment the long format is the storage format
+   * (series a physical column, table partitioned by date(ts), sorted by
+   * (series, ts)) and this decomposition is unnecessary; here the
+   * fixture stores wide events, so the loader does it.
+   */
+  def samplesPruned(
+      spark: SparkSession, sfDir: String,
+      seriesKeys: Seq[String] = Nil,
+      fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    var ev = events(spark, sfDir)
+    if (seriesKeys.nonEmpty)
+      ev = ev.filter(seriesKeys.map { key =>
+        val i = key.lastIndexOf('_')
+        col("event_type") === key.substring(0, i) &&
+          col("user_id") === key.substring(i + 1).toLong
+      }.reduce(_ || _))
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      // raw column is epoch-ns: ms bound f covers ns in [f*1e6, ...]
+      fromMs.foreach(f => ev = ev.filter(col("ts") >= f * 1000000L))
+      toMs.foreach(t => ev = ev.filter(col("ts") <= t * 1000000L + 999999L))
+    }
+    ev.select(
+      concat_ws("_", col("event_type"), col("user_id")).as("series"),
+      tsMs(ev).as("ts"),
+      col("value"))
+  }
+
   /** Samples plus the ingest sequence number (arrival order) that
     * FIRST/LAST duplicate policies refer to. */
   def samplesWithSeq(spark: SparkSession, sfDir: String): DataFrame = {
