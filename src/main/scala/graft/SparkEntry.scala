@@ -210,6 +210,10 @@ object SparkEntry {
       "ts_compaction_stream" -> ((s, dir) =>
         Compaction.streamingDownsampleOnce(s, dir,
           Compaction.Rule("sum", DAY), queryName = "stream_sum_" + math.abs(dir.hashCode))),
+      // TS.READ cursor read (snapshot-specific; reference: module.c:1609-2130)
+      "ts_read_cursor" -> ((s, dir) =>
+        Read.cursor(one(s, dir, Some(T0 + 15 * DAY)), oneSeries,
+          cursorTs = T0 + 15 * DAY, maxCount = 50)),
       // ---- LLM-pipeline operators (SURVEY §7 phase 6) ----
       "text_tokens" -> ((s, dir) => Text.tokenCounts(Text.loadDocuments(s, dir))),
       "text_quality" -> ((s, dir) => Text.qualityMetrics(Text.loadDocuments(s, dir))),
@@ -402,6 +406,11 @@ object SparkEntry {
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
+      "ts_read_cursor" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, ts, value FROM samples
+           |WHERE series = '$oneSeries' AND ts >= ${T0 + 15 * DAY}
+           |ORDER BY ts LIMIT 50""".stripMargin,
       "text_tokens" -> Text.tokenCountsSql,
       "text_quality" -> Text.qualityMetricsSql,
       "text_langid" -> Text.languageIdSql,

@@ -1,0 +1,114 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Series catalog: the control-plane state the reference keeps per Redis
+ * key (reference: Series struct src/tsdb.h:61-81) — retention,
+ * duplicate policy, IGNORE thresholds, labels, compaction rules.
+ *
+ * TS.CREATE/TS.ALTER/TS.CREATERULE/TS.DELETERULE become pure
+ * transformations of a small `Dataset[SeriesMeta]` / `Dataset[RuleMeta]`
+ * (O(#series) rows — driver-side validation, broadcastable state). The
+ * data plane (samples) never rewrites on catalog change; policies are
+ * applied at ingest/query time by WritePath/RangeQuery using these
+ * settings.
+ */
+object Catalog {
+
+  /** Per-series metadata (reference: src/tsdb.h:61-81; defaults
+    * src/consts.h + config). */
+  final case class SeriesMeta(
+      series: String,
+      retentionMs: Long = 0L,                  // 0 = keep forever
+      duplicatePolicy: String = "BLOCK",
+      ignoreMaxTimeDiff: Long = 0L,
+      ignoreMaxValDiff: Double = 0.0,
+      labels: Map[String, String] = Map.empty,
+      srcKey: Option[String] = None)           // non-empty iff compaction dest
+
+  /** A compaction rule edge (reference: CompactionRule src/tsdb.h:47-59). */
+  final case class RuleMeta(
+      srcKey: String, destKey: String,
+      agg: String, bucketMs: Long, alignMs: Long = 0L)
+
+  /** TS.CREATE (reference: module.c:1216-1250). */
+  def create(catalog: Seq[SeriesMeta], meta: SeriesMeta): Seq[SeriesMeta] = {
+    require(!catalog.exists(_.series == meta.series), s"series ${meta.series} exists")
+    require(meta.retentionMs >= 0 && meta.ignoreMaxTimeDiff >= 0 && meta.ignoreMaxValDiff >= 0,
+      "negative retention/ignore thresholds")
+    catalog :+ meta
+  }
+
+  /** TS.ALTER (reference: module.c:1252-1307): mutates settings; label
+    * replacement triggers reindex, which here is just "the labels DF is
+    * derived from the catalog". */
+  def alter(catalog: Seq[SeriesMeta], series: String, f: SeriesMeta => SeriesMeta): Seq[SeriesMeta] = {
+    require(catalog.exists(_.series == series), s"series $series missing")
+    catalog.map(m => if (m.series == series) f(m) else m)
+  }
+
+  /** TS.CREATERULE constraints (reference: module.c:1371-1464): src and
+    * dest exist, dest is not already a dest, no self-rule, no chains
+    * (a dest cannot be a src; a src with a rule cannot become a dest). */
+  def createRule(
+      catalog: Seq[SeriesMeta], rules: Seq[RuleMeta], rule: RuleMeta): (Seq[SeriesMeta], Seq[RuleMeta]) = {
+    require(rule.srcKey != rule.destKey, "rule src == dest")
+    require(catalog.exists(_.series == rule.srcKey), s"src ${rule.srcKey} missing")
+    require(catalog.exists(_.series == rule.destKey), s"dest ${rule.destKey} missing")
+    require(!rules.exists(_.destKey == rule.destKey), s"dest ${rule.destKey} already has a rule")
+    require(!rules.exists(_.srcKey == rule.destKey), "dest already a compaction src (chain)")
+    require(!rules.exists(_.destKey == rule.srcKey), "src already a compaction dest (chain)")
+    require(Aggs.names.contains(rule.agg) || rule.agg == "twa", s"unknown agg ${rule.agg}")
+    val cat = catalog.map(m =>
+      if (m.series == rule.destKey) m.copy(srcKey = Some(rule.srcKey)) else m)
+    (cat, rules :+ rule)
+  }
+
+  /** TS.DELETERULE (reference: module.c:1312-1366). */
+  def deleteRule(
+      catalog: Seq[SeriesMeta], rules: Seq[RuleMeta], srcKey: String, destKey: String): (Seq[SeriesMeta], Seq[RuleMeta]) = {
+    require(rules.exists(r => r.srcKey == srcKey && r.destKey == destKey), "rule missing")
+    (catalog.map(m => if (m.series == destKey) m.copy(srcKey = None) else m),
+      rules.filterNot(r => r.srcKey == srcKey && r.destKey == destKey))
+  }
+
+  /** Global COMPACTION_POLICY auto-rules (reference: parse_policies.c:22-90
+    * format `agg:dur:retention[:align]`; dest naming
+    * src/tsdb.c:1109-1191): expand for a newly-created series. */
+  def autoRules(policy: String, srcKey: String): Seq[(SeriesMeta, RuleMeta)] =
+    policy.split(";").filter(_.nonEmpty).toSeq.map { spec =>
+      val parts = spec.split(":")
+      val agg = parts(0).toLowerCase
+      val dur = parseDuration(parts(1))
+      val retention = parseDuration(parts(2))
+      val align = if (parts.length > 3) parseDuration(parts(3)) else 0L
+      val dest = if (parts.length > 3) s"${srcKey}_${agg}_${dur}_$align"
+                 else s"${srcKey}_${agg}_$dur"
+      val meta = SeriesMeta(dest, retentionMs = retention, srcKey = Some(srcKey),
+        labels = Map("aggregation" -> agg, "time_bucket" -> dur.toString))
+      (meta, RuleMeta(srcKey, dest, agg, dur, align))
+    }
+
+  /** Duration units (reference: parse_policies.c units m/s/M/h/d). */
+  def parseDuration(s: String): Long = {
+    val (num, unit) = s.span(c => c.isDigit)
+    val n = if (num.isEmpty) 1L else num.toLong
+    unit match {
+      case ""  => n          // bare ms
+      case "m" => n * 60000L
+      case "s" => n * 1000L
+      case "M" => n          // ms (reference: M = milliseconds)
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+      case u   => throw new IllegalArgumentException(s"bad duration unit $u")
+    }
+  }
+
+  /** The labels DataFrame is a projection of the catalog. */
+  def labelsDf(spark: SparkSession, catalog: Seq[SeriesMeta]): DataFrame = {
+    import spark.implicits._
+    catalog.toDF().select(col("series"), col("labels"))
+  }
+}
