@@ -109,14 +109,16 @@ object SparkEntry {
         RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("avg"), bucketMs = DAY, count = Some(7)))
       }),
-      // EMPTY + TWA interpolation (reference: filter_iterator.c:307-386)
+      // EMPTY + TWA interpolation (reference: filter_iterator.c:307-386).
+      // No time pruning at the scan: twa boundary interpolation reads
+      // the neighbouring samples beyond [from, to].
       "ts_range_twa_empty" -> ((s, dir) => {
-        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("twa"), bucketMs = 6 * HOUR, empty = true))
       }),
       // TWA (reference: compaction.c:302-459)
       "ts_range_twa" -> ((s, dir) => {
-        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
+        RangeQuery.range(one(s, dir), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("twa"), bucketMs = DAY))
       }),
       // EMPTY gap fill, sum -> 0 (reference: filter_iterator.c:389-966)

@@ -35,11 +35,9 @@ object RangeQuery {
       count: Option[Int] = None,            // COUNT n
       reverse: Boolean = false)
 
-  /** Pre-aggregation sample filter chain. */
-  private def filtered(samples: DataFrame, args: RangeArgs): DataFrame = {
+  /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
+  private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples
-    args.from.foreach(f => df = df.filter(col("ts") >= f))
-    args.to.foreach(t => df = df.filter(col("ts") <= t))
     if (args.filterByTs.nonEmpty)
       // <=128 literals (reference: src/query_language.h:53) — stays an
       // In-predicate, pushed to the scan; never a join.
@@ -47,6 +45,14 @@ object RangeQuery {
     args.filterByValue.foreach { case (lo, hi) =>
       df = df.filter(col("value") >= lo && col("value") <= hi)
     }
+    df
+  }
+
+  /** Full pre-aggregation filter chain incl. the time range. */
+  private def filtered(samples: DataFrame, args: RangeArgs): DataFrame = {
+    var df = sampleFiltered(samples, args)
+    args.from.foreach(f => df = df.filter(col("ts") >= f))
+    args.to.foreach(t => df = df.filter(col("ts") <= t))
     df
   }
 
@@ -69,8 +75,11 @@ object RangeQuery {
       if (args.aggs.isEmpty) {
         df.select(col("series"), col("ts"), col("value"))
       } else if (args.aggs == Seq("twa")) {
-        if (args.empty) Twa.bucketTwaWithEmpty(df, args.bucketMs, args.alignMs, args.from, args.to)
-        else Twa.bucketTwa(df, args.bucketMs, args.alignMs, args.from, args.to)
+        // twa gets the time-UNfiltered samples: boundary interpolation
+        // uses out-of-range neighbours (see Twa.bucketTwa scaladoc)
+        val noTime = sampleFiltered(samples, args)
+        if (args.empty) Twa.bucketTwaWithEmpty(noTime, args.bucketMs, args.alignMs, args.from, args.to)
+        else Twa.bucketTwa(noTime, args.bucketMs, args.alignMs, args.from, args.to)
       } else {
         require(!args.aggs.contains("twa"), "twa cannot be combined in one multi-agg call here")
         val aggCols = args.aggs.map(a => Aggs.expr(a, col("value"), col("ts")))

@@ -30,6 +30,18 @@ import org.apache.spark.sql.expressions.Window
  */
 object Twa {
 
+  /**
+   * IMPORTANT range semantics (reference golden tests,
+   * tests/flow/test_ts_range.py:278-470): boundary interpolation uses
+   * the neighbouring samples even when they lie OUTSIDE [from, to] —
+   * the reference seeds the boundary from a direct series lookup, not
+   * from the range-clipped iterator. So `samples` here must be the
+   * series WITHOUT the time-range filter; lag/lead run first, then
+   * out-of-range rows are dropped, keeping their values visible as
+   * neighbours. A neighbour outside the range is treated as
+   * bucket-external even if it falls in the same bucket (the covered
+   * interval is clipped at ta/tb).
+   */
   def bucketTwa(
       samples: DataFrame,
       bucketMs: Long,
@@ -38,13 +50,15 @@ object Twa {
       to: Option[Long] = None): DataFrame = {
 
     val w = Window.partitionBy(col("series")).orderBy(col("ts"))
-    val df = samples
+    var df = samples
       .filter(!isnan(col("value"))) // NaN samples are invalid for twa
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("prev_v", lag(col("value"), 1).over(w))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .withColumn("next_v", lead(col("value"), 1).over(w))
       .withColumn("bucket", TSModel.bucketStart(col("ts"), bucketMs, alignMs))
+    from.foreach(f => df = df.filter(col("ts") >= f))
+    to.foreach(t => df = df.filter(col("ts") <= t))
 
     // clipped bucket edges [ta, tb): the covered interval never extends
     // past the query range (inclusive `to` treated as exclusive to+1).
@@ -60,10 +74,12 @@ object Twa {
     val nTs = col("next_ts").cast("double")
     val nV = col("next_v")
     val prevOutside = col("prev_ts").isNotNull &&
-      TSModel.bucketStart(col("prev_ts"), bucketMs, alignMs) < col("bucket")
+      (TSModel.bucketStart(col("prev_ts"), bucketMs, alignMs) < col("bucket") ||
+        from.map(f => col("prev_ts") < f).getOrElse(lit(false)))
     val prevInside = col("prev_ts").isNotNull && !prevOutside
     val nextOutside = col("next_ts").isNotNull &&
-      TSModel.bucketStart(col("next_ts"), bucketMs, alignMs) > col("bucket")
+      (TSModel.bucketStart(col("next_ts"), bucketMs, alignMs) > col("bucket") ||
+        to.map(t => col("next_ts") > t).getOrElse(lit(false)))
 
     val interior = when(prevInside, (pV + v) * (ts - pTs) / 2.0).otherwise(0.0)
     val vHead = pV + (ta - pTs) * (v - pV) / (ts - pTs)
@@ -172,10 +188,10 @@ object Twa {
       to: Option[Long],
       seriesPred: Option[String]): String = {
     val base = sql(bucketMs, alignMs, from, to, seriesPred)
+    // neighbours for empty-bucket interpolation may lie outside the
+    // query range (same direct-lookup semantics as non-empty twa)
     val cl = Seq.newBuilder[String]
     seriesPred.foreach(cl += _)
-    from.foreach(f => cl += s"ts >= $f")
-    to.foreach(t => cl += s"ts <= $t")
     cl += "NOT isnan(value)"
     val where = cl.result().mkString("WHERE ", " AND ", "")
     val taP = from.map(f => s"greatest(bucket, $f)").getOrElse("bucket")
@@ -219,14 +235,17 @@ object Twa {
     def bkt(c: String) = TSModel.bucketStartSql(c, bucketMs, alignMs)
     val cl = Seq.newBuilder[String]
     seriesPred.foreach(cl += _)
-    from.foreach(f => cl += s"ts >= $f")
-    to.foreach(t => cl += s"ts <= $t")
     cl += "NOT isnan(value)"
     val where = cl.result().mkString("WHERE ", " AND ", "")
+    val rangeCl = (from.map(f => s"ts >= $f").toSeq ++ to.map(t => s"ts <= $t")) match {
+      case Nil => "TRUE"; case cs => cs.mkString(" AND ")
+    }
     val taRaw = "CAST(bucket AS DOUBLE)"
     val tbRaw = s"CAST(bucket + $bucketMs AS DOUBLE)"
     val taC = from.map(f => s"greatest($taRaw, $f)").getOrElse(taRaw)
     val tbC = to.map(t => s"least($tbRaw, ${t + 1})").getOrElse(tbRaw)
+    val pOutRange = from.map(f => s" OR prev_ts < $f").getOrElse("")
+    val nOutRange = to.map(t => s" OR next_ts > $t").getOrElse("")
     s"""${TSModel.samplesCte}, nb AS (
        |  SELECT series, ts, value,
        |         lag(ts)    OVER w AS prev_ts,  lag(value)  OVER w AS prev_v,
@@ -237,11 +256,11 @@ object Twa {
        |), c AS (
        |  SELECT series, bucket, ts, value,
        |         $taC AS ta, $tbC AS tb,
-       |         (prev_ts IS NOT NULL AND ${bkt("prev_ts")} < bucket) AS p_out,
-       |         (prev_ts IS NOT NULL AND ${bkt("prev_ts")} = bucket) AS p_in,
-       |         (next_ts IS NOT NULL AND ${bkt("next_ts")} > bucket) AS n_out,
+       |         (prev_ts IS NOT NULL AND (${bkt("prev_ts")} < bucket$pOutRange)) AS p_out,
+       |         (prev_ts IS NOT NULL AND NOT (${bkt("prev_ts")} < bucket$pOutRange)) AS p_in,
+       |         (next_ts IS NOT NULL AND (${bkt("next_ts")} > bucket$nOutRange)) AS n_out,
        |         prev_ts, prev_v, next_ts, next_v
-       |  FROM nb
+       |  FROM nb WHERE $rangeCl
        |), k AS (
        |  SELECT series, bucket, ts, value, ta, tb, p_out, n_out,
        |    (CASE WHEN p_in THEN (prev_v + value) * (ts - prev_ts) / 2.0 ELSE 0 END)
