@@ -94,7 +94,8 @@ object RangeQuery {
         out
       }
     val spined =
-      if (args.empty && args.aggs.nonEmpty && args.aggs != Seq("twa")) gapFill(base, args)
+      if (args.empty && args.aggs.nonEmpty && args.aggs != Seq("twa"))
+        gapFill(base, sampleFiltered(samples, args), args)
       else base
     val reported =
       if (args.aggs.nonEmpty)
@@ -107,24 +108,35 @@ object RangeQuery {
   }
 
   /**
-   * EMPTY gap fill (reference: src/filter_iterator.c:389-966): emit the
-   * missing buckets strictly *between* each series' first and last
-   * non-empty bucket (edge gaps are never emitted, reference:
-   * src/filter_iterator.c:723-746), filled with the aggregator's empty
-   * value (sum/count-family -> 0, others -> NaN) except `last`, which
-   * carries the previous bucket's value forward (LOCF, reference:
-   * src/compaction.c:115-140).
+   * EMPTY gap fill (reference: src/filter_iterator.c:389-966): emitted
+   * buckets span the intersection of the query range with the SERIES'
+   * lifetime [first sample, last sample] — so a query range that is
+   * entirely a gap still emits (prefix/suffix/whole-range cases,
+   * reference: tests/flow/test_ts_range.py
+   * test_empty_gap_fill_prefix_suffix_whole_range), while buckets
+   * before the first-ever / after the last-ever sample are dropped
+   * (reference: src/filter_iterator.c:723-746). Fill values:
+   * sum/count-family -> 0, others -> NaN; `last` carries forward (LOCF)
+   * and is seeded by the newest sample before the query range — a
+   * direct series lookup outside [from, to] (reference:
+   * src/compaction.c:115-140, src/filter_iterator.c:473-506).
    *
-   * Scale: the spine is generated per-series with `sequence()` on the
-   * aggregated (already small) result — no join against the raw samples
-   * and no shuffle beyond the groupBy that produced `base`.
+   * Scale: series bounds are one partial-aggregated pass over the
+   * (pruned) series scan; the spine is `sequence()` per series; the
+   * LOCF seed is an O(#series) aggregate joined by series key.
    */
-  private def gapFill(base: DataFrame, args: RangeArgs): DataFrame = {
+  private def gapFill(base: DataFrame, samplesNoTime: DataFrame, args: RangeArgs): DataFrame = {
     val step = args.bucketMs
-    val spine = base.groupBy(col("series"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("series"),
-        explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+    val b = (c: Column) => TSModel.bucketStart(c, args.bucketMs, args.alignMs)
+    val lo0 = b(min(col("ts")))
+    val hi0 = b(max(col("ts")))
+    val bounds = samplesNoTime.groupBy(col("series")).agg(
+      args.from.map(f => greatest(lo0, lit(TSModel.bucketStartLong(f, step, args.alignMs))))
+        .getOrElse(lo0).as("lo"),
+      args.to.map(t => least(hi0, lit(TSModel.bucketStartLong(t, step, args.alignMs))))
+        .getOrElse(hi0).as("hi"))
+    val spine = bounds.filter(col("lo") <= col("hi"))
+      .select(col("series"), explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
     var out = spine.join(base, Seq("series", "bucket"), "left")
     for (a <- args.aggs) {
       val c = Aggs.colName(a)
@@ -134,6 +146,16 @@ object RangeQuery {
           val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, 0)
           out = out.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+          args.from.foreach { f =>
+            val seed = samplesNoTime
+              .filter(col("ts") < f && !isnan(col("value")))
+              .groupBy(col("series"))
+              .agg(max(struct(col("ts").as("t"), col("value").as("v")))
+                .getField("v").as("__seed"))
+            out = out.join(broadcast(seed), Seq("series"), "left")
+              .withColumn(c, coalesce(col(c), col("__seed")))
+              .drop("__seed")
+          }
         case None => // twa interpolation handled in Twa pipeline
       }
     }

@@ -132,6 +132,10 @@ object TSModel {
   def bucketStart(ts: Column, durMs: Long, alignMs: Long = 0L): Column =
     (ts - pmod(ts - alignMs, lit(durMs))).as("bucket")
 
+  /** Scalar (driver-side) twin of [[bucketStart]]. */
+  def bucketStartLong(ts: Long, durMs: Long, alignMs: Long = 0L): Long =
+    ts - java.lang.Math.floorMod(ts - alignMs, durMs)
+
   /** Same floor-modulo bucketing in portable SQL for the DuckDB oracle. */
   def bucketStartSql(ts: String, durMs: Long, alignMs: Long = 0L): String =
     s"($ts - ((($ts - $alignMs) % $durMs + $durMs) % $durMs))"

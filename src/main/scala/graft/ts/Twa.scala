@@ -143,8 +143,17 @@ object Twa {
       to: Option[Long] = None): DataFrame = {
 
     val nonEmpty = bucketTwa(samples, bucketMs, alignMs, from, to)
-    val spine = nonEmpty.groupBy(col("series"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    // spine = query range ∩ series lifetime (same emission rule as the
+    // generic gap fill: prefix/suffix gaps emit when the series has
+    // samples beyond the range)
+    val lo0 = TSModel.bucketStart(min(col("ts")), bucketMs, alignMs)
+    val hi0 = TSModel.bucketStart(max(col("ts")), bucketMs, alignMs)
+    val bounds = samples.filter(!isnan(col("value"))).groupBy(col("series")).agg(
+      from.map(f => greatest(lo0, lit(TSModel.bucketStartLong(f, bucketMs, alignMs))))
+        .getOrElse(lo0).as("lo"),
+      to.map(t => least(hi0, lit(TSModel.bucketStartLong(t, bucketMs, alignMs))))
+        .getOrElse(hi0).as("hi"))
+    val spine = bounds.filter(col("lo") <= col("hi"))
       .select(col("series"), explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket"))
     val emptyB = spine.join(nonEmpty.select("series", "bucket"), Seq("series", "bucket"), "left_anti")
 
@@ -197,9 +206,13 @@ object Twa {
     val taP = from.map(f => s"greatest(bucket, $f)").getOrElse("bucket")
     val tbE = s"bucket + $bucketMs"
     val tb = to.map(t => s"least($tbE, ${t + 1})").getOrElse(tbE)
+    val loB = "(" + TSModel.bucketStartSql("min(ts)", bucketMs, alignMs) + ")"
+    val hiB = "(" + TSModel.bucketStartSql("max(ts)", bucketMs, alignMs) + ")"
+    val loClip = from.map(f => s"greatest($loB, ${TSModel.bucketStartLong(f, bucketMs, alignMs)})").getOrElse(loB)
+    val hiClip = to.map(t => s"least($hiB, ${TSModel.bucketStartLong(t, bucketMs, alignMs)})").getOrElse(hiB)
     s"""WITH ne AS ($base), sp AS (
-       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), $bucketMs)) AS bucket
-       |  FROM ne GROUP BY series
+       |  SELECT series, unnest(generate_series($loClip, $hiClip, $bucketMs)) AS bucket
+       |  FROM (${TSModel.samplesCte} SELECT * FROM samples $where) GROUP BY series
        |), eb AS (
        |  SELECT sp.series, sp.bucket FROM sp LEFT JOIN ne USING (series, bucket)
        |  WHERE ne.twa_value IS NULL
