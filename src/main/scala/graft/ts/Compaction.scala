@@ -58,6 +58,43 @@ object Compaction {
         col("value").cast("double"))
   }
 
+  /**
+   * Incremental recompute: the scale path for out-of-order upserts and
+   * range deletes (reference: upsertCompaction src/tsdb.c:621-668,
+   * CompactionDelRange src/tsdb.c:832-994). Instead of rebuilding the
+   * whole dest, recompute only the (series, bucket) pairs named in
+   * `touched` — derived from the late/deleted samples — and stitch them
+   * into the previous dest materialization. At 100 TB the source scan
+   * for the touched buckets is partition-pruned by date(ts), so cost
+   * scales with the late-data volume, not history size.
+   *
+   * `touched`: DataFrame (series, bucket) of affected SOURCE buckets
+   * (e.g. `lateRows.select(series, bucketStart(ts))`). Buckets whose
+   * samples were all deleted disappear from the dest, matching the
+   * reference's interior-bucket delete.
+   */
+  def recomputeBuckets(
+      samples: DataFrame, prevDest: DataFrame, rule: Rule,
+      touched: DataFrame): DataFrame = {
+    val t = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
+    val destTouched = t.select(
+      concat(col("__s"), lit(rule.destSuffix)).as("series"),
+      col("__b").as("ts"))
+    // recompute ONLY touched buckets from source samples; the touched
+    // set (late/deleted buckets) is small — broadcast it
+    val fresh = samples
+      .join(broadcast(t),
+        col("series") === col("__s") &&
+          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
+        "left_semi")
+      .groupBy(col("series"), TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
+      .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
+      .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
+        col("bucket").as("ts"), col("value").cast("double"))
+    prevDest.join(destTouched, Seq("series", "ts"), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** TS.GET ... LATEST on a compaction dest: the value of each series'
     * in-flight (newest) bucket (reference: calculate_latest_sample,
     * src/tsdb.c:1468-1501). */

@@ -149,6 +149,8 @@ object Multi {
       coalesce(max(when(col("series") === k, col(valueCol))), lit(Double.NaN)).as(k)
     }
     base.groupBy(col("ts")).agg(cells.head, cells.tail: _*)
+      // NREVRANGE = same pivot, descending ts (reference: module.c:724-906)
+      .orderBy(if (args.reverse) col("ts").desc else col("ts").asc)
   }
 
   /** TS.QUERYLABELS VALUES <label> (reference: module.c:339-465). */

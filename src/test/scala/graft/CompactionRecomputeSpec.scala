@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts._
+
+/** Incremental dest recompute under OOO upserts and range deletes must
+  * equal a full rematerialization (the reference's invariant: dest
+  * always reflects src, reference: tsdb.c:621-668, 832-994). */
+class CompactionRecomputeSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private val rule = Compaction.Rule("sum", 100L)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("late out-of-order sample: only its bucket recomputes, result equals full rebuild") {
+    val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
+      .toDF("series", "ts", "value")
+    val late = Seq(("k", 120L, 5.0)).toDF("series", "ts", "value")
+    val after = before.unionByName(late)
+    val prevDest = Compaction.materialize(before, rule, includeLatest = true)
+    val touched = late.select(col("series"), TSModel.bucketStart(col("ts"), rule.bucketMs).as("bucket"))
+    val incremental = Compaction.recomputeBuckets(after, prevDest, rule, touched)
+    val full = Compaction.materialize(after, rule, includeLatest = true)
+    assert(asSet(incremental) == asSet(full))
+    assert(asSet(incremental).contains(("k_sum_100", 100L, 7.0)))
+  }
+
+  test("range delete: interior bucket disappears, partial buckets recompute") {
+    val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, 4.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
+      .toDF("series", "ts", "value")
+    // delete [110, 130]: bucket 100 loses one of two samples (partial)
+    val partial = WritePath.deleteRange(before, "k", 110L, 130L)
+    val prevDest = Compaction.materialize(before, rule, includeLatest = true)
+    val touched1 = Seq(("k", 100L)).toDF("series", "bucket")
+    val inc1 = Compaction.recomputeBuckets(partial, prevDest, rule, touched1)
+    assert(asSet(inc1) == asSet(Compaction.materialize(partial, rule, includeLatest = true)))
+    assert(asSet(inc1).contains(("k_sum_100", 100L, 4.0)))             // partial recompute
+
+    // delete [110, 250]: buckets 100 and 200 empty out entirely
+    val emptied = WritePath.deleteRange(before, "k", 110L, 250L)
+    val touched2 = Seq(("k", 100L), ("k", 200L)).toDF("series", "bucket")
+    val inc2 = Compaction.recomputeBuckets(emptied, prevDest, rule, touched2)
+    assert(asSet(inc2) == asSet(Compaction.materialize(emptied, rule, includeLatest = true)))
+    assert(!asSet(inc2).exists(r => r._2 == 100L || r._2 == 200L))     // emptied buckets gone
+  }
+}
