@@ -212,6 +212,37 @@ object SparkEntry {
       "ts_compaction_stream" -> ((s, dir) =>
         Compaction.streamingDownsampleOnce(s, dir,
           Compaction.Rule("sum", DAY), queryName = "stream_sum_" + math.abs(dir.hashCode))),
+      // TS.MRANGE without AGGREGATION: label-filtered raw samples
+      "ts_mrange_raw" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=signup"), Multi.parsePred("user=(2,4,6)")),
+          RangeArgs(from = Some(T0 + 3 * DAY), to = Some(T0 + 9 * DAY)))),
+      // TS.MREVRANGE: descending multi-series aggregation
+      "ts_mrevrange" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=error")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("count"),
+            bucketMs = 7 * DAY, reverse = true))),
+      // EXCLUDEEMPTY (snapshot-specific; reference: query_language.c:998-1007):
+      // series whose filtered range is empty produce no rows — the
+      // value filter empties most series; inner aggregation drops them
+      "ts_mrange_excludeempty" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=view")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),
+            bucketMs = 31 * DAY, filterByValue = Some((250.0, 10000.0))))),
+      // Higher-cardinality series source: orders as (customer, order-date,
+      // total) time series — same engine, different table (FIXTURES §2.2)
+      "ts_orders_mrange_avg" -> ((s, dir) => {
+        val samples = ordersSamples(s, dir)
+        RangeQuery.range(samples, RangeArgs(aggs = Seq("avg", "count"), bucketMs = 28 * DAY))
+      }),
+      "ts_orders_mget" -> ((s, dir) => {
+        val samples = ordersSamples(s, dir)
+        samples.groupBy(col("series"))
+          .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
+          .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
+      }),
       // TS.READ cursor read (snapshot-specific; reference: module.c:1609-2130)
       "ts_read_cursor" -> ((s, dir) =>
         Read.cursor(one(s, dir, Some(T0 + 15 * DAY)), oneSeries,
@@ -262,6 +293,21 @@ object SparkEntry {
     )
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
+
+  /** Orders as a second samples source: one series per customer. */
+  private def ordersSamples(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(
+        concat(lit("cust_"), col("o_custkey")).as("series"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ts"), // NTZ -> UTC instant
+        col("o_totalprice").as("value"))
+
+  private val ordersCte: String =
+    """WITH samples AS (
+      |  SELECT 'cust_' || CAST(o_custkey AS VARCHAR) AS series,
+      |         epoch_ms(o_orderdate) AS ts, o_totalprice AS value
+      |  FROM orders
+      |)""".stripMargin
 
   /** Hour-coarsened samples: collapses each series' samples into hourly
     * duplicate groups so duplicate policies have real work to do. */
@@ -408,6 +454,37 @@ object SparkEntry {
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
+      "ts_mrange_raw" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}
+           |SELECT series, ts, value FROM samples JOIN series_labels USING (series)
+           |WHERE "type" = 'signup' AND "user" IN ('2','4','6')
+           |  AND ts >= ${T0 + 3 * DAY} AND ts <= ${T0 + 9 * DAY}""".stripMargin,
+      "ts_mrevrange" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("count")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'error' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, count_value FROM agg""".stripMargin,
+      "ts_mrange_excludeempty" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 31 * DAY)} AS bucket, ${Aggs.sql("max")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'view' AND ts >= $T0 AND ts <= $T31
+           |    AND value >= 250.0 AND value <= 10000.0
+           |  GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
+      "ts_orders_mrange_avg" ->
+        s"""$ordersCte, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 28 * DAY)} AS bucket,
+           |         ${Aggs.sql("avg")}, ${Aggs.sql("count")}
+           |  FROM samples GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, avg_value, count_value
+           |  FROM agg WHERE avg_value IS NOT NULL OR count_value IS NOT NULL""".stripMargin,
+      "ts_orders_mget" ->
+        s"""$ordersCte
+           |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
+           |       (max(struct_pack(t := ts, v := value))).v AS value
+           |FROM samples GROUP BY series""".stripMargin,
       "ts_read_cursor" ->
         s"""${TSModel.samplesCte}
            |SELECT series, ts, value FROM samples
