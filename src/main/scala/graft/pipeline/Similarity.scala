@@ -77,19 +77,29 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
-    val n = corpus.count()
-    val stride = math.max(n / nCentroids, 1)
+    // centroid seeds: evenly strided over the id range — pure arithmetic
+    // on the id column, no global sort (a Window.orderBy with no
+    // partition key would single-thread at scale)
+    val (minId, maxId) = {
+      val r = corpus.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val stride = math.max((maxId - minId + 1) / nCentroids, 1L)
     val centroids = corpus
-      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .filter(col("rn") % stride === 0 && col("rn") < nCentroids * stride)
-      .select(col("rn").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+      .filter(pmod(col("vec_id") - minId, lit(stride)) === 0 &&
+        (col("vec_id") - minId) / stride < nCentroids)
+      .select(((col("vec_id") - minId) / stride).cast("long").as("cid"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+    // nearest centroid per vector: aggregate max over (cos, -cid) — a
+    // partial-aggregated groupBy, cheaper than a row_number window
     val assign = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"),
         (dot(col("v"), col("cv")) / (col("norm") * col("cnorm"))).as("ccos"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"), first(col("norm")).as("norm"),
+        max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("norm"), (-col("best.negcid")).cast("long").as("cid"))
     val queryProbes = assign.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
       .crossJoin(broadcast(centroids))
