@@ -55,6 +55,30 @@ class CatalogReadSpec extends AnyFunSuite {
     assert(Read.cursor(s, "k", 31L).count() == 0)
   }
 
+  test("streaming tail picks up late-arriving files (blocking-read analogue)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("tail_late").toString
+    val first = Seq(("k", 100L, 1.0), ("k", 200L, 2.0)).toDF("series", "ts", "value")
+    first.write.mode("overwrite").parquet(tmp)
+    val q = Read.tail(spark, tmp, "k", 150L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_tail_late")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("spec_tail_late").count() == 1) // ts=200 only
+      // a new "write" lands -> the tail emits it, like the reference
+      // waking blocked TS.READ clients (module.c:2055-2071)
+      Seq(("k", 300L, 3.0), ("x", 400L, 9.0)).toDF("series", "ts", "value")
+        .write.mode("append").parquet(tmp)
+      q.processAllAvailable()
+      val got = spark.table("spec_tail_late").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((200L, 2.0), (300L, 3.0))) // series-filtered, cursor-filtered
+    } finally q.stop()
+  }
+
   test("streaming tail drains existing samples past the cursor") {
     // stream the events fixture through the tail (long-format filter)
     val cursor = 1704067200000L + 15L * 86400000L
