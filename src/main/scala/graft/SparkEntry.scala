@@ -169,6 +169,12 @@ object SparkEntry {
       "ts_nrange_pivot" -> ((s, dir) =>
         Multi.nrange(TSModel.samples(s, dir), Seq("click_1", "click_2", "click_3"),
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY))),
+      // TS.NRANGE with per-key aggregator specs (snapshot-specific;
+      // reference: module.c:770-850)
+      "ts_nrange_per_key_aggs" -> ((s, dir) =>
+        Multi.nrangeSpecs(TSModel.samples(s, dir),
+          Seq("click_1" -> Seq("avg"), "click_2" -> Seq("max"), "click_3" -> Seq("count")),
+          RangeArgs(from = Some(T0), to = Some(T31), bucketMs = 2 * DAY))),
       // TS.QUERYLABELS VALUES (snapshot-specific; reference: module.c:339-465)
       "ts_querylabels_values" -> ((s, dir) =>
         Multi.queryLabelValues(TSModel.labels(s, dir), "type")),
@@ -395,6 +401,17 @@ object SparkEntry {
            |    coalesce(max(avg_value) FILTER (WHERE series = 'click_2'), 'NaN'::DOUBLE) AS click_2,
            |    coalesce(max(avg_value) FILTER (WHERE series = 'click_3'), 'NaN'::DOUBLE) AS click_3
            |  FROM agg WHERE avg_value IS NOT NULL GROUP BY 1""".stripMargin,
+      "ts_nrange_per_key_aggs" ->
+        s"""${TSModel.samplesCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket,
+           |         ${Aggs.sql("avg")}, ${Aggs.sql("max")}, ${Aggs.sql("count")}
+           |  FROM samples WHERE series IN ('click_1','click_2','click_3')
+           |    AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT bucket AS ts,
+           |    coalesce(max(avg_value) FILTER (WHERE series = 'click_1'), 'NaN'::DOUBLE) AS click_1_avg,
+           |    coalesce(max(max_value) FILTER (WHERE series = 'click_2'), 'NaN'::DOUBLE) AS click_2_max,
+           |    coalesce(max(CAST(count_value AS DOUBLE)) FILTER (WHERE series = 'click_3'), 'NaN'::DOUBLE) AS click_3_count
+           |  FROM agg GROUP BY 1""".stripMargin,
       "ts_querylabels_values" ->
         s"""WITH ${Multi.labelsCte}
            |SELECT DISTINCT "type" AS value FROM series_labels""".stripMargin,

@@ -153,6 +153,23 @@ object Multi {
       .orderBy(if (args.reverse) col("ts").desc else col("ts").asc)
   }
 
+  /** TS.NRANGE with per-key aggregator specs: the keys share the bucket
+    * duration and range options, each key carries its own aggregator
+    * list (reference: module.c:770-850 — specs count must equal
+    * numkeys); one pivot column per (key, agg), still a single pass. */
+  def nrangeSpecs(
+      samples: DataFrame, specs: Seq[(String, Seq[String])],
+      args: RangeQuery.RangeArgs): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty))
+    val keys = specs.map(_._1)
+    val multi = args.copy(aggs = specs.flatMap(_._2).distinct)
+    val base = RangeQuery.range(samples.filter(col("series").isInCollection(keys)), multi)
+    val cells = for ((k, aggs) <- specs; a <- aggs) yield
+      coalesce(max(when(col("series") === k, col(Aggs.colName(a)).cast("double"))),
+        lit(Double.NaN)).as(s"${k}_${a.replace('.', '_')}")
+    base.groupBy(col("ts")).agg(cells.head, cells.tail: _*)
+  }
+
   /** TS.QUERYLABELS VALUES <label> (reference: module.c:339-465). */
   def queryLabelValues(labels: DataFrame, label: String,
       preds: Seq[LabelPred] = Nil): DataFrame = {
