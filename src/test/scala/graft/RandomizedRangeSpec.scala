@@ -147,10 +147,15 @@ class RandomizedRangeSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(500L + rnd.nextInt(600)) else None
       val nAggs = 1 + rnd.nextInt(3)
       val aggs = rnd.shuffle(aggsPool).take(nAggs)
+      val filterTs =
+        if (rnd.nextInt(4) == 0 && samples.nonEmpty)
+          rnd.shuffle(samples.map(_._1)).take(1 + rnd.nextInt(samples.size))
+        else Nil
       val args = RangeArgs(
         from = from, to = to, aggs = aggs, bucketMs = dur, alignMs = align,
         bucketTs = Seq("-", "~", "+")(rnd.nextInt(3)),
         empty = rnd.nextInt(3) == 0,
+        filterByTs = filterTs,
         filterByValue = if (rnd.nextInt(4) == 0) Some((-5.0, 5.0)) else None,
         count = if (rnd.nextInt(5) == 0) Some(1 + rnd.nextInt(5)) else None,
         reverse = rnd.nextBoolean())
