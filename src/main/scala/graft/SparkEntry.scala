@@ -59,10 +59,13 @@ object SparkEntry {
       (RangeArgs(from = Some(T0), to = Some(T31),
         aggs = Seq("std.p", "std.s", "var.p", "var.s", "countall", "countnan"),
         bucketMs = 2 * DAY), Some(oneSeries)),
-    // ALIGN: buckets anchored at query start (reference: query_language.c:531-560)
+    // ALIGN start sentinel: buckets anchored at the query start
+    // (reference: query_language.c:531-560)
     "ts_range_align" ->
       (RangeArgs(from = Some(T0 + 7 * HOUR), to = Some(T31), aggs = Seq("sum"),
-        bucketMs = DAY, alignMs = T0 + 7 * HOUR), Some(oneSeries)),
+        bucketMs = DAY,
+        alignMs = RangeQuery.resolveAlign("start", Some(T0 + 7 * HOUR), Some(T31))),
+        Some(oneSeries)),
     // BUCKETTIMESTAMP mid (reference: query_language.c:283-320)
     "ts_range_bucketts_mid" ->
       (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"),

@@ -35,6 +35,18 @@ object RangeQuery {
       count: Option[Int] = None,            // COUNT n
       reverse: Boolean = false)
 
+  /** ALIGN sentinel resolution (reference: src/query_language.c:531-560):
+    * default 0, `start`/`-` = query start, `end`/`+` = query end, or a
+    * literal timestamp. */
+  def resolveAlign(spec: String, from: Option[Long], to: Option[Long]): Long = spec match {
+    case "" | "0"      => 0L
+    case "start" | "-" => from.getOrElse(
+      throw new IllegalArgumentException("ALIGN start needs an explicit range start"))
+    case "end" | "+"   => to.getOrElse(
+      throw new IllegalArgumentException("ALIGN end needs an explicit range end"))
+    case ts            => ts.toLong
+  }
+
   /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
   private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples

@@ -52,6 +52,31 @@ class RangeGoldenSpec extends AnyFunSuite {
       ("metric_name=user", 2L, 95.0)))
   }
 
+  test("ALIGN sentinels anchor buckets at query start/end (reference pattern)") {
+    // mirrors reference test_aggreataion_alignment: 1200 samples at
+    // start+i, count agg 60 aligned at start -> full buckets of 60
+    val start = 1511885909L
+    val n = 1200
+    val s = (0 until n).map(i => ("k", start + i, i.toDouble)).toDF("series", "ts", "value")
+    def counts(align: String, from: Option[Long], to: Option[Long]) = {
+      val a = RangeQuery.resolveAlign(align, from, to)
+      RangeQuery.range(s, RangeArgs(from = from, to = to, aggs = Seq("count"),
+        bucketMs = 60L, alignMs = a))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    val atStart = counts("start", Some(start), None)
+    assert(atStart.head == (start, 60L) && atStart.size == 20 &&
+      atStart.forall(_._2 == 60L))
+    assert(counts("-", Some(start), None) == atStart)
+    val specific = counts((start + 50).toString, None, None)
+    assert(specific.map(_._2).sum == n && specific.head._1 == start + 50 - 60)
+    val endTs = start + n - 1
+    val atEnd = counts("end", None, Some(endTs))
+    assert(atEnd == counts("+", None, Some(endTs)))
+    assert(atEnd.map(_._2).sum == n)
+    intercept[IllegalArgumentException](RangeQuery.resolveAlign("start", None, None))
+  }
+
   test("LATEST flag on a compaction dest (reference golden)") {
     val src = Seq(("t1", 1L, 1.0), ("t1", 2L, 3.0), ("t1", 11L, 7.0), ("t1", 13L, 1.0))
       .toDF("series", "ts", "value")
