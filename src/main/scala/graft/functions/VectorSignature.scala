@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/**
+ * Random-hyperplane LSH signature as a single Catalyst expression:
+ * for a vector v and a literal plane matrix P (nBits x dim), returns a
+ * long whose bit b is sign(v . P[b]).
+ *
+ * Why a custom Expression (SURVEY §7 preference order (b)): composing
+ * this from `zip_with`/`aggregate` costs nBits interpreted
+ * higher-order-function evaluations per row; here the whole signature
+ * is one tight compiled loop over the vector. CodegenFallback is
+ * acceptable — the expression itself is the hot loop, and it sits in a
+ * projection, not inside a join/agg key path.
+ */
+case class VectorSignature(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vector_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toDoubleArray()
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(arr.length, p.length)
+      while (d < n) { dot += arr(d) * p(d); d += 1 }
+      if (dot > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorSignature =
+    copy(child = newChild)
+}
+
+object VectorSignature {
+  /** Column wrapper: `VectorSignature($"embedding_as_double_array", planes)`.
+    * Spark 4's Column no longer exposes `.expr`; the classic
+    * ExpressionUtils bridge converts both ways. */
+  def apply(c: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VectorSignature(GraftColumnBridge.expression(c), planes))
+  }
+}

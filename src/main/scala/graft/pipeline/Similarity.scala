@@ -139,9 +139,9 @@ object Similarity {
       ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
     }
     val planes = Array.tabulate(nBits, dim)(mix)
-    val sig = (0 until nBits).map(b =>
-      when(dot(col("v"), typedLit(planes(b).toSeq)) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
+    // one compiled pass per row instead of nBits interpreted
+    // higher-order-function dot products
+    val sig = graft.functions.VectorSignature(col("v"), planes)
     val signed = corpus.withColumn("sig", sig)
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
