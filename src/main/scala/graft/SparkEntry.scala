@@ -292,6 +292,17 @@ object SparkEntry {
           embs.select("vec_id", "embedding").unionByName(planted),
           0.95, nBits = 64, bandBits = 16)
       }),
+      // corpus-level word frequency (classic distributed wordcount)
+      "text_word_freq" -> ((s, dir) =>
+        Text.wordFrequency(Text.loadDocuments(s, dir), k = 20)),
+      // the dedup end-product: corpus with near-dups removed (bounded
+      // id range so the quadratic oracle can rebuild the same pair set)
+      "dedup_corpus_keep" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        Dedup.dedupedCorpus(
+          docs.filter(col("doc_id") < 300).select(col("doc_id"), col("n_chars")),
+          Dedup.minhashLshPairs(docs, 0.5, maxDocId = 300))
+      }),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       "ann_ivf_topk" -> ((s, dir) =>
@@ -520,6 +531,11 @@ object SparkEntry {
       // (banding recall ≈ 1 at the planted-duplicate similarity)
       "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
+      "text_word_freq" -> Text.wordFrequencySql(20),
+      "dedup_corpus_keep" ->
+        s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql(0.5, 300)})
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "mm_features" ->
         """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -121,6 +121,14 @@ object Dedup {
     jaccardOfPairs(inter, sh, threshold)
   }
 
+  /** The pipeline end-product: the deduplicated corpus. Near-dup pairs
+    * (i < j) mark their j side for removal, keeping each cluster's
+    * lowest id (greedy min-id survivor — for pair chains this removes
+    * every non-minimal member because each appears as some pair's j).
+    * One anti-join against the pair set. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
   /** SimHash: 64-bit fingerprint — bit k is the sign of the sum over
     * tokens of ±1 according to bit k of xxhash64(token). */
   def simhash(docs: DataFrame): DataFrame = {

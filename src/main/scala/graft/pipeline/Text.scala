@@ -100,6 +100,21 @@ object Text {
        |  FROM scored""".stripMargin
   }
 
+  /** Corpus-level word frequency: top-k words by total count (classic
+    * wordcount — explode + one aggregation; deterministic tie-break on
+    * the word itself). */
+  def wordFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
+  def wordFrequencySql(k: Int): String =
+    s"""SELECT word, count(*) AS n
+       |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |      FROM documents)
+       |GROUP BY word ORDER BY n DESC, word ASC LIMIT $k""".stripMargin
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
