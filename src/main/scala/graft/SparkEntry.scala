@@ -82,6 +82,13 @@ object SparkEntry {
     "ts_mrange_all_avg" ->
       (RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg", "count"),
         bucketMs = 7 * DAY), None),
+    // ALIGN end sentinel: buckets anchored at the query END
+    // (reference: query_language.c:531-560 "end"/"+")
+    "ts_range_align_end" ->
+      (RangeArgs(from = Some(T0 + 7 * HOUR), to = Some(T31 - 5 * HOUR), aggs = Seq("sum"),
+        bucketMs = DAY,
+        alignMs = RangeQuery.resolveAlign("end", Some(T0 + 7 * HOUR), Some(T31 - 5 * HOUR))),
+        Some(oneSeries)),
   )
 
   /** FILTER_BY_TS needs literal timestamps that exist in the data, which
@@ -151,6 +158,29 @@ object SparkEntry {
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
           Seq(Multi.parsePred("type=(click,view)"), Multi.parsePred("user=(1,2,3,4,5,6,7)")),
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"), bucketMs = 2 * DAY))),
+      // TS.MRANGE ... COUNT n: the limit applies PER SERIES
+      // (reference: reply.c:180-212)
+      "ts_mrange_count" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"),
+            bucketMs = DAY, count = Some(5)))),
+      // TS.MRANGE ... LATEST over compaction dests: in-flight bucket
+      // visible (reference: query_language.c:646-651, tsdb.c:1468-1501)
+      "ts_mrange_latest" -> ((s, dir) =>
+        Multi.mrangeDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=click")),
+          Compaction.Rule("avg", DAY), RangeArgs(latest = true))),
+      // same read WITHOUT the flag: the in-flight bucket must be absent
+      "ts_mrange_nolatest" -> ((s, dir) =>
+        Multi.mrangeDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=click")),
+          Compaction.Rule("avg", DAY), RangeArgs(latest = false))),
+      // TS.MGET ... LATEST (reference: module.c:2132-2265 latest path)
+      "ts_mget_latest" -> ((s, dir) =>
+        Multi.mgetDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=purchase")),
+          Compaction.Rule("max", DAY), latest = true)),
       // TS.MRANGE GROUPBY label REDUCE (reference: module.c:467-526)
       "ts_mrange_groupby" -> ((s, dir) =>
         Multi.mrangeGroupBy(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -184,6 +214,10 @@ object SparkEntry {
       // TS.QUERYLABELS LABELS
       "ts_querylabels_names" -> ((s, dir) =>
         Multi.queryLabelNames(TSModel.labels(s, dir))),
+      // TS.QUERYLABELS LABELS with FILTER (reference: module.c:339-465)
+      "ts_querylabels_names_filtered" -> ((s, dir) =>
+        Multi.queryLabelNames(TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=click"), Multi.parsePred("user=(1,2,3)")))),
       // TS.INFO (reference: module.c:156-280)
       "ts_info" -> ((s, dir) =>
         Multi.info(TSModel.samples(s, dir))),
@@ -197,6 +231,12 @@ object SparkEntry {
         WritePath.applyDupPolicy(dupSamples(s, dir), "MIN")),
       "ts_dup_policy_sum" -> ((s, dir) =>
         WritePath.applyDupPolicy(dupSamples(s, dir), "SUM")),
+      "ts_dup_policy_max" -> ((s, dir) =>
+        WritePath.applyDupPolicy(dupSamples(s, dir), "MAX")),
+      // BLOCK over raw samples (no (series,ts) dups at ms granularity in
+      // the fixture): the batch passes the duplicate check unchanged
+      "ts_dup_policy_block" -> ((s, dir) =>
+        WritePath.applyDupPolicy(TSModel.samplesWithSeq(s, dir), "BLOCK")),
       // IGNORE insert filter (sequential; rows-only check + unit tests)
       "ts_ignore_filter" -> ((s, dir) =>
         WritePath.ignoreFilter(TSModel.samples(s, dir), maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
@@ -443,6 +483,47 @@ object SparkEntry {
         s"$dupCte SELECT series, ts, min(value) AS value FROM dsamples GROUP BY series, ts",
       "ts_dup_policy_sum" ->
         s"$dupCte SELECT series, ts, sum(value) AS value FROM dsamples GROUP BY series, ts",
+      "ts_dup_policy_max" ->
+        s"$dupCte SELECT series, ts, max(value) AS value FROM dsamples GROUP BY series, ts",
+      "ts_dup_policy_block" ->
+        s"${TSModel.samplesCte} SELECT series, ts, value FROM samples",
+      "ts_mrange_count" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" IN ('click','view') AND ts >= $T0 AND ts <= $T31
+           |  GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, avg_value FROM agg
+           |  WHERE avg_value IS NOT NULL
+           |  QUALIFY row_number() OVER (PARTITION BY series ORDER BY bucket) <= 5""".stripMargin,
+      "ts_mrange_latest" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'click' GROUP BY 1, 2
+           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value FROM agg""".stripMargin,
+      "ts_mrange_nolatest" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'click' GROUP BY 1, 2
+           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
+           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
+           |  WHERE bucket < maxb""".stripMargin,
+      "ts_mget_latest" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         max(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'purchase' GROUP BY 1, 2
+           |) SELECT series || '_max_$DAY' AS series,
+           |         (max(struct_pack(t := bucket, v := value))).t AS ts,
+           |         (max(struct_pack(t := bucket, v := value))).v AS value
+           |  FROM agg GROUP BY 1""".stripMargin,
+      "ts_querylabels_names_filtered" ->
+        "SELECT unnest(['type', 'user']) AS label",
       "ts_retention" ->
         s"""${TSModel.samplesCte}
            |SELECT series, ts, value FROM (

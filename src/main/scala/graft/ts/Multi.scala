@@ -87,6 +87,16 @@ object Multi {
       preds: Seq[LabelPred], args: RangeQuery.RangeArgs): DataFrame =
     RangeQuery.range(filterSeries(samples, labels, preds), args)
 
+  /** TS.MRANGE ... LATEST over compaction dests: label-filter the SOURCE
+    * series, materialize the rule's dest samples (in-flight bucket
+    * included iff `args.latest`), then run the shared range pipeline
+    * (reference: LATEST parsed in the common option path
+    * query_language.c:646-651, applied per dest at module.c:919). */
+  def mrangeDest(
+      samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred],
+      rule: Compaction.Rule, args: RangeQuery.RangeArgs): DataFrame =
+    RangeQuery.rangeOverDest(filterSeries(samples, labels, preds), rule, args)
+
   /** TS.MRANGE ... GROUPBY label REDUCE reducer: per-series AGGREGATION
     * first, then a cross-series reduce per (label value, bucket)
     * (reference order: replyGroupedMultiRange module.c:467-526).
@@ -124,9 +134,27 @@ object Multi {
       .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
       .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
 
+  /** TS.MGET ... LATEST over compaction dests (reference: module.c:2132-
+    * 2265 with the latest flag of tsdb.c:1468-1501): last visible dest
+    * sample per label-matched source series — with `latest` the
+    * in-flight bucket IS the answer. */
+  def mgetDest(
+      samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred],
+      rule: Compaction.Rule, latest: Boolean): DataFrame =
+    mgetAll(Compaction.materialize(
+      filterSeries(samples, labels, preds), rule, includeLatest = latest))
+
   /** TS.GET: last sample of one series (reference: module.c:1566-1607). */
   def get(samples: DataFrame, series: String): DataFrame =
     mgetAll(samples.filter(col("series") === series))
+
+  /** TS.GET ... LATEST on a compaction dest (reference: module.c:1566-
+    * 1607 + tsdb.c:1468-1501). */
+  def getDest(
+      samples: DataFrame, series: String, rule: Compaction.Rule,
+      latest: Boolean): DataFrame =
+    mgetAll(Compaction.materialize(
+      samples.filter(col("series") === series), rule, includeLatest = latest))
 
   private def mgetAll(samples: DataFrame): DataFrame =
     samples.groupBy(col("series"))
@@ -179,9 +207,15 @@ object Multi {
       .filter(col("value").isNotNull).distinct()
   }
 
-  /** TS.QUERYLABELS LABELS: all label names in the index. */
-  def queryLabelNames(labels: DataFrame): DataFrame =
-    labels.select(explode(map_keys(col("labels"))).as("label")).distinct()
+  /** TS.QUERYLABELS LABELS: label names in the index, optionally
+    * restricted to a label-filtered series set (reference:
+    * module.c:339-465 — the LABELS variant honors FILTER like VALUES;
+    * indexer.c:582-655). */
+  def queryLabelNames(labels: DataFrame, preds: Seq[LabelPred] = Nil): DataFrame = {
+    val base = if (preds.isEmpty) labels
+      else labels.filter(preds.map(predColumn).reduce(_ && _))
+    base.select(explode(map_keys(col("labels"))).as("label")).distinct()
+  }
 
   /** TS.INFO: per-series stats (reference: module.c:156-280). */
   def info(samples: DataFrame): DataFrame =

@@ -32,7 +32,8 @@ object RangeQuery {
       empty: Boolean = false,               // EMPTY gap fill
       filterByTs: Seq[Long] = Nil,          // FILTER_BY_TS (<=128 values)
       filterByValue: Option[(Double, Double)] = None, // FILTER_BY_VALUE min,max
-      count: Option[Int] = None,            // COUNT n
+      count: Option[Int] = None,            // COUNT n (per series, reference: reply.c:180-212)
+      latest: Boolean = false,              // LATEST: surface the in-flight compaction bucket
       reverse: Boolean = false)
 
   /** ALIGN sentinel resolution (reference: src/query_language.c:531-560):
@@ -50,6 +51,8 @@ object RangeQuery {
   /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
   private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples
+    require(args.filterByTs.size <= 128,
+      "FILTER_BY_TS accepts at most 128 timestamps") // reference: query_language.h:53
     if (args.filterByTs.nonEmpty)
       // <=128 literals (reference: src/query_language.h:53) — stays an
       // In-predicate, pushed to the scan; never a join.
@@ -114,10 +117,34 @@ object RangeQuery {
         spined.withColumn("ts", TSModel.reportTs(col("bucket"), args.bucketMs, args.bucketTs))
           .select((col("series") +: col("ts") +: args.aggs.map(a => col(Aggs.colName(a)))): _*)
       else spined
-    val ordered = reported.orderBy(col("series"),
+    // COUNT n applies PER SERIES (reference: reply.c:180-212 — each
+    // ReplySeriesRange truncates its own sample list), not globally:
+    // a row_number window keyed by series, sharing the final sort's
+    // shuffle-by-series layout, never a driver-side limit.
+    val counted = args.count match {
+      case Some(n) =>
+        val w = Window.partitionBy(col("series"))
+          .orderBy(if (args.reverse) col("ts").desc else col("ts").asc)
+        reported.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+      case None => reported
+    }
+    counted.orderBy(col("series"),
       if (args.reverse) col("ts").desc else col("ts").asc)
-    args.count.map(ordered.limit).getOrElse(ordered)
   }
+
+  /**
+   * Range read over a COMPACTION DEST series (reference applies LATEST
+   * in the shared option path, query_language.c:646-651, at module.c:700
+   * and :919): the dest's visible samples are its flushed buckets;
+   * `args.latest` additionally surfaces each series' in-flight (newest,
+   * not-yet-flushed) bucket (reference: tsdb.c:1468-1501). Without the
+   * flag a dest read silently misses the freshest bucket — the exact
+   * reference behavior.
+   */
+  def rangeOverDest(
+      srcSamples: DataFrame, rule: Compaction.Rule, args: RangeArgs): DataFrame =
+    range(Compaction.materialize(srcSamples, rule, includeLatest = args.latest), args)
 
   /**
    * EMPTY gap fill (reference: src/filter_iterator.c:389-966): emitted

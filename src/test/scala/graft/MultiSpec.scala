@@ -71,4 +71,34 @@ class MultiSpec extends AnyFunSuite {
     assert(r.getString(0) == "a" && r.getLong(1) == 2 && r.getLong(2) == 1L &&
       r.getLong(3) == 9L && r.getDouble(4) == 7.0)
   }
+
+  test("LATEST flag surfaces the in-flight compaction bucket; off hides it") {
+    // series a: buckets 0 (flushed) and 10 (in-flight). dur = 10
+    val s = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 12L, 50.0))
+      .toDF("series", "ts", "value")
+    val rule = Compaction.Rule("avg", 10L)
+    def read(latest: Boolean) =
+      RangeQuery.rangeOverDest(s, rule, RangeArgs(latest = latest))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(read(latest = false) == Set((0L, 2.0)))
+    assert(read(latest = true) == Set((0L, 2.0), (10L, 50.0)))
+    // GET ... LATEST returns the in-flight bucket itself
+    val g = Multi.getDest(s, "a", rule, latest = true).head()
+    assert(g.getLong(1) == 10L && g.getDouble(2) == 50.0)
+    val gOff = Multi.getDest(s, "a", rule, latest = false).head()
+    assert(gOff.getLong(1) == 0L && gOff.getDouble(2) == 2.0)
+  }
+
+  test("COUNT truncates per series, not globally") {
+    val s = (1L to 9L).flatMap(t => Seq(("a", t, 1.0), ("b", t, 2.0)))
+      .toDF("series", "ts", "value")
+    val out = RangeQuery.range(s, RangeArgs(count = Some(3)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "a") == 3 && out.count(_._1 == "b") == 3)
+    assert(out.filter(_._1 == "a").map(_._2).toSeq == Seq(1L, 2L, 3L))
+    // reverse: the NEWEST n per series
+    val rev = RangeQuery.range(s, RangeArgs(count = Some(2), reverse = true))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rev.filter(_._1 == "b").map(_._2).toSeq == Seq(9L, 8L))
+  }
 }
