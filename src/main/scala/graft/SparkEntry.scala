@@ -296,6 +296,13 @@ object SparkEntry {
       "ts_read_cursor" -> ((s, dir) =>
         Read.cursor(one(s, dir, Some(T0 + 15 * DAY)), oneSeries,
           cursorTs = T0 + 15 * DAY, maxCount = 50)),
+      // TS.READ from the `-` sentinel bounded by MAX_COUNT
+      // (reference: module.c:1609-2130 max_count clamp)
+      "ts_read_max_count" -> ((s, dir) => {
+        val samples = one(s, dir)
+        Read.cursor(samples, oneSeries,
+          cursorTs = Read.resolveCursor(samples, oneSeries, "-"), maxCount = 25)
+      }),
       // ---- LLM-pipeline operators (SURVEY §7 phase 6) ----
       "text_tokens" -> ((s, dir) => Text.tokenCounts(Text.loadDocuments(s, dir))),
       "text_quality" -> ((s, dir) => Text.qualityMetrics(Text.loadDocuments(s, dir))),
@@ -602,6 +609,42 @@ object SparkEntry {
            |SELECT series, ts, value FROM samples
            |WHERE series = '$oneSeries' AND ts >= ${T0 + 15 * DAY}
            |ORDER BY ts LIMIT 50""".stripMargin,
+      "ts_read_max_count" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, ts, value FROM samples
+           |WHERE series = '$oneSeries' AND ts >= 0
+           |ORDER BY ts LIMIT 25""".stripMargin,
+      // sequential IGNORE semantics as a recursive CTE: state
+      // (last_ts, last_v) advances row by row exactly like the
+      // executor-side streaming filter
+      "ts_ignore_filter" ->
+        s"""WITH RECURSIVE samples AS (
+           |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+           |         epoch_ms(ts) AS ts, value
+           |  FROM events
+           |), ord AS (
+           |  SELECT series, ts, value,
+           |         row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+           |  FROM samples
+           |), step AS (
+           |  SELECT series, rn, ts, value, TRUE AS kept, ts AS last_ts, value AS last_v
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.series, o.rn, o.ts, o.value,
+           |         NOT (NOT isnan(o.value) AND NOT isnan(s.last_v)
+           |              AND o.ts - s.last_ts <= ${12 * HOUR}
+           |              AND abs(o.value - s.last_v) <= 50.0) AS kept,
+           |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
+           |              AND o.ts - s.last_ts <= ${12 * HOUR}
+           |              AND abs(o.value - s.last_v) <= 50.0)
+           |              THEN s.last_ts ELSE o.ts END AS last_ts,
+           |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
+           |              AND o.ts - s.last_ts <= ${12 * HOUR}
+           |              AND abs(o.value - s.last_v) <= 50.0)
+           |              THEN s.last_v ELSE o.value END AS last_v
+           |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
+           |)
+           |SELECT series, ts, value FROM step WHERE kept""".stripMargin,
       "text_tokens" -> Text.tokenCountsSql,
       "text_quality" -> Text.qualityMetricsSql,
       "text_langid" -> Text.languageIdSql,

@@ -1,8 +1,8 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /**
@@ -49,6 +49,53 @@ object Read {
       .schema(Compaction.sampleSchema)
       .parquet(dir)
       .filter(col("series") === series && col("ts") >= cursorTs)
+
+  /** Per-series blocking state: buffered not-yet-released samples (the
+    * buffer never exceeds minCount-1 rows) and whether the gate opened. */
+  final case class BlockState(buffer: Seq[(Long, Double)], emitted: Boolean)
+
+  /**
+   * TS.READ ... BLOCK ms min_count (reference: module.c:1612-1646,
+   * default unblock at 1 sample): the client parks until at least
+   * `minCount` qualifying samples exist, then receives them all.
+   *
+   * Streaming shape: `flatMapGroupsWithState` keyed by series buffers
+   * qualifying samples and emits NOTHING until the buffered count
+   * reaches `minCount`; the unblocking batch flushes the whole buffer
+   * (ts order) and every later batch passes straight through — the
+   * blocked-client wakeup (reference: module.c:2055-2071). State is
+   * O(minCount) per series and drops to a boolean once open; a
+   * watermark-free NoTimeout map, so arbitrarily-late samples still
+   * count toward the gate, matching the reference's no-deadline default.
+   */
+  def blockTail(
+      stream: DataFrame, series: String, cursorTs: Long,
+      minCount: Int): Dataset[(String, Long, Double)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .filter(col("series") === series && col("ts") >= cursorTs)
+      .select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)], state: GroupState[BlockState]) =>
+          val st = state.getOption.getOrElse(BlockState(Nil, emitted = false))
+          val incoming = rows.map(r => (r._2, r._3)).toSeq
+          if (st.emitted) {
+            incoming.sortBy(_._1).iterator.map { case (ts, v) => (key, ts, v) }
+          } else {
+            val buf = st.buffer ++ incoming
+            if (buf.size >= minCount) {
+              state.update(BlockState(Nil, emitted = true))
+              buf.sortBy(_._1).iterator.map { case (ts, v) => (key, ts, v) }
+            } else {
+              state.update(BlockState(buf, emitted = false))
+              Iterator.empty
+            }
+          }
+      }
+  }
 
   /** One-shot tail used by tests: drain everything currently in `dir`
     * through the streaming engine and return the collected batch. */

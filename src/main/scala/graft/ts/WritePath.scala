@@ -42,29 +42,41 @@ object WritePath {
     }
   }
 
-  /** IGNORE insert filter (reference: src/module.c:986-998): with
-    * DUPLICATE_POLICY LAST, an append is dropped when it is close in
-    * time AND value to the last *accepted* sample (ts in order,
-    * non-NaN). Sequentially dependent, so not a window expression: each
-    * series is scanned once, in ts order, inside the executors
-    * (`flatMapGroups`) — per-series state is O(1), series are processed
-    * in parallel, and a 100 TB table distributes by series key.
+  /** IGNORE insert filter (reference: src/module.c:986-998): an append
+    * is dropped when it is close in time AND value to the last
+    * *accepted* sample (ts in order, non-NaN). The reference applies it
+    * only under DUPLICATE_POLICY LAST (module.c:986-998), so any other
+    * `dupPolicy` passes the batch through unchanged.
+    *
+    * Sequentially dependent, so not a window expression. Scale shape:
+    * `repartition(series)` + `sortWithinPartitions(series, ts)` puts
+    * each series contiguous and ordered inside a partition (Spark's
+    * external sort spills — nothing is materialized per task), then one
+    * `mapPartitions` pass streams rows with O(1) per-series state.
+    * A single hot series with billions of samples costs disk sort
+    * spill, never executor memory. (Value is a deterministic ts
+    * tie-break.)
     */
   def ignoreFilter(
-      samples: DataFrame, maxTimeDiff: Long, maxValDiff: Double): DataFrame = {
+      samples: DataFrame, maxTimeDiff: Long, maxValDiff: Double,
+      dupPolicy: String = "LAST"): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
-    samples.select(col("series"), col("ts"), col("value"))
+    val slim = samples.select(col("series"), col("ts"), col("value"))
+    if (dupPolicy.toUpperCase != "LAST") return slim
+    slim
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("ts"), col("value"))
       .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val sorted = it.toArray.sortBy(_._2)
+      .mapPartitions { it =>
+        var cur: String = null
         var lastTs = Long.MinValue
         var lastV = Double.NaN
         var first = true
-        sorted.iterator.filter { case (_, ts, v) =>
+        it.filter { case (s, ts, v) =>
+          if (s != cur) { cur = s; first = true; lastTs = Long.MinValue; lastV = Double.NaN }
           val drop = !first && !v.isNaN && !lastV.isNaN &&
-            ts >= lastTs && ts - lastTs <= maxTimeDiff &&
+            ts - lastTs <= maxTimeDiff &&
             math.abs(v - lastV) <= maxValDiff
           if (!drop) { lastTs = ts; lastV = v; first = false }
           !drop

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts._
+
+/** TS.READ BLOCK ms min_count (reference: module.c:1612-1646): the gate
+  * must withhold ALL output until >= min_count qualifying samples have
+  * arrived, then flush everything. Deterministic: two pre-staged parquet
+  * files drained through AvailableNow micro-batches sharing a
+  * checkpoint, exactly the reference flow-test shape
+  * (tests/flow/test_ts_read.py:23-40 threaded harness). */
+class ReadBlockSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def drain(dir: String, ckpt: String): Long = {
+    emitted.set(0)
+    val q = Read.blockTail(
+        spark.readStream.schema(Compaction.sampleSchema).parquet(dir),
+        series = "s", cursorTs = 100L, minCount = 5)
+      .toDF("series", "ts", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.addAndGet(batch.count()); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    emitted.get()
+  }
+
+  test("BLOCK min_count withholds output until enough samples, then flushes all") {
+    val dir = Files.createTempDirectory("blocktail").toString
+    val ckpt = Files.createTempDirectory("blockckpt").toString
+    // batch 1: only 3 qualifying samples (one below the cursor) -> gate shut
+    Seq(("s", 50L, 0.0), ("s", 110L, 1.0), ("s", 120L, 2.0), ("s", 130L, 3.0))
+      .toDF("series", "ts", "value").write.parquet(s"$dir/b1")
+    assert(drain(s"$dir/*", ckpt) == 0L)
+    // batch 2: 3 more -> 6 >= 5, everything buffered flushes
+    Seq(("s", 140L, 4.0), ("s", 150L, 5.0), ("s", 160L, 6.0))
+      .toDF("series", "ts", "value").write.parquet(s"$dir/b2")
+    assert(drain(s"$dir/*", ckpt) == 6L)
+    // batch 3: once open, later samples pass straight through
+    Seq(("s", 170L, 7.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b3")
+    assert(drain(s"$dir/*", ckpt) == 1L)
+  }
+}
