@@ -221,6 +221,11 @@ object SparkEntry {
       // TS.INFO (reference: module.c:156-280)
       "ts_info" -> ((s, dir) =>
         Multi.info(TSModel.samples(s, dir))),
+      // TS.INFO full field set: retention-net counts, chunk/memory
+      // model, config echo (reference: module.c:156-280)
+      "ts_info_full" -> ((s, dir) =>
+        Multi.infoFull(TSModel.samples(s, dir), retentionMs = 10 * DAY,
+          chunkSizeBytes = 4096L, duplicatePolicy = "last")),
       // ---- write-path semantics (SURVEY §2.2) ----
       // duplicate policies over hour-coarsened ts (creates real dups)
       "ts_dup_policy_last" -> ((s, dir) =>
@@ -261,6 +266,13 @@ object SparkEntry {
       "ts_compaction_stream" -> ((s, dir) =>
         Compaction.streamingDownsampleOnce(s, dir,
           Compaction.Rule("sum", DAY), queryName = "stream_sum_" + math.abs(dir.hashCode))),
+      // update-mode + idempotent merge-on-read sink: the scale-safe
+      // streaming shape — must converge to the same final state
+      "ts_compaction_stream_update" -> ((s, dir) =>
+        Compaction.streamingDownsampleUpdateOnce(s, dir,
+          Compaction.Rule("sum", DAY),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
+            .resolve("log").toString)),
       // TS.MRANGE without AGGREGATION: label-filtered raw samples
       "ts_mrange_raw" -> ((s, dir) =>
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -573,6 +585,12 @@ object SparkEntry {
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
+      "ts_compaction_stream_update" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series || '_sum_$DAY' AS series,
+           |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
+           |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
+           |FROM samples GROUP BY 1, 2""".stripMargin,
       "ts_mrange_raw" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}
            |SELECT series, ts, value FROM samples JOIN series_labels USING (series)
@@ -672,6 +690,25 @@ object SparkEntry {
            |       min(ts) AS first_timestamp, max(ts) AS last_timestamp,
            |       (max(struct_pack(t := ts, v := value))).v AS last_value
            |FROM samples GROUP BY series""".stripMargin,
+      "ts_info_full" ->
+        s"""${TSModel.samplesCte}, clamped AS (
+           |  SELECT series, ts, value FROM (
+           |    SELECT series, ts, value, max(ts) OVER (PARTITION BY series) AS last_ts
+           |    FROM samples
+           |  ) WHERE ts >= last_ts - ${10 * DAY}
+           |), base AS (
+           |  SELECT series, count(value) AS total_samples,
+           |         min(ts) AS first_timestamp, max(ts) AS last_timestamp,
+           |         (max(struct_pack(t := ts, v := value))).v AS last_value
+           |  FROM clamped GROUP BY series
+           |)
+           |SELECT series, total_samples, first_timestamp, last_timestamp, last_value,
+           |       CAST(${10 * DAY} AS BIGINT) AS retention_ms,
+           |       (total_samples + 255) // 256 AS chunk_count,
+           |       CAST(4096 AS BIGINT) AS chunk_size_bytes,
+           |       ((total_samples + 255) // 256) * 4096 AS memory_usage_bytes,
+           |       'last' AS duplicate_policy
+           |FROM base""".stripMargin,
     )
 
   private def emptySumOracle: String = {

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Deduplication operators for training-data pipelines: exact
@@ -21,6 +22,37 @@ import org.apache.spark.sql.functions._
  *    sub-quadratic paths.
  */
 object Dedup {
+
+  /**
+   * Candidate pairs from banded LSH buckets with a hot-bucket guard
+   * (VERDICT r01: an uncapped bucket goes quadratic within the bucket —
+   * e.g. thousands of identical docs all landing in one bucket).
+   * Buckets of up to `maxBucket` members emit all within-bucket pairs
+   * (the exact LSH contract). Larger buckets — degenerate
+   * mass-duplicate clusters — emit an id-sorted CHAIN (rank r -> r+1):
+   * output linear in bucket size, and every non-minimal member still
+   * appears as some pair's j, which is exactly what
+   * [[dedupedCorpus]]'s greedy min-id survivor rule needs. The window
+   * and both self-joins share one shuffle by the bucket key.
+   */
+  private[pipeline] def bucketCandidates(
+      bands: DataFrame, idCol: String, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val sized = bands
+      .withColumn("rn", row_number().over(part.orderBy(col(idCol))))
+      .withColumn("cnt", count(lit(1)).over(part))
+    val joinKeys = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+    val small = sized.filter(col("cnt") <= maxBucket)
+    val candSmall = small.as("x").join(small.as("y"),
+        joinKeys && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("i"), col(s"y.$idCol").as("j"))
+    val big = sized.filter(col("cnt") > maxBucket)
+    val candBig = big.as("x").join(big.as("y"),
+        joinKeys && col("x.rn") + 1 === col("y.rn"))
+      .select(col(s"x.$idCol").as("i"), col(s"y.$idCol").as("j"))
+    candSmall.unionByName(candBig).distinct()
+  }
 
   /** Word n-gram shingles, lowercased, distinct per doc. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
@@ -98,7 +130,8 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, threshold: Double,
       numHashes: Int = 64, bandRows: Int = 4,
-      maxDocId: Long = Long.MaxValue): DataFrame = {
+      maxDocId: Long = Long.MaxValue,
+      maxBucket: Int = 64): DataFrame = {
     val sh = shingles(docs.filter(col("doc_id") < maxDocId))
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -109,11 +142,7 @@ object Dedup {
           xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
+    val cand = bucketCandidates(bands, "doc_id", Seq("band", "bucket"), maxBucket)
     val inter = cand
       .join(sh.as("a"), col("i") === col("a.doc_id"))
       .join(sh.as("b"), col("j") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
@@ -147,20 +176,23 @@ object Dedup {
   /** SimHash near-dup pairs: hamming(simhash_i, simhash_j) <= maxDist.
     * Candidates from 4×16-bit chunk collisions (pigeonhole: hamming ≤ 3
     * implies ≥1 identical chunk) — no cross join. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val fp = simhash(docs)
-    val chunks = fp.select(col("doc_id"), col("simhash"), explode(array(
+    // chunk frame carries ids only; fingerprints re-attach to the
+    // (small) candidate set via broadcast joins below
+    val chunks = fp.select(col("doc_id"), explode(array(
       (0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.key"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      .select(col("doc_id"), col("cc.chunk"), col("cc.key"))
+    val cand = bucketCandidates(chunks, "doc_id", Seq("chunk", "key"), maxBucket)
+    val withI = fp.select(col("doc_id").as("i"), col("simhash").as("si"))
+      .join(broadcast(cand), Seq("i"))
+    fp.select(col("doc_id").as("j"), col("simhash").as("sj"))
+      .join(broadcast(withI), Seq("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("si").bitwiseXOR(col("sj"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

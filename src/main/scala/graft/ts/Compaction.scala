@@ -131,15 +131,10 @@ object Compaction {
         col("bucket").as("ts"),
         col("value").cast("double"))
 
-  /** Run a one-shot streaming downsample to completion against existing
-    * parquet files under `dir` (file source streams them as
-    * micro-batches) and return the final result as a batch DataFrame.
-    * This exercises the real streaming machinery (source -> stateful agg
-    * -> memory sink) with deterministic output for the oracle. */
-  def streamingDownsampleOnce(
-      spark: SparkSession, dir: String, rule: Rule, queryName: String): DataFrame = {
+  /** The fixture's events.parquet as a streaming long-format source. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
+    spark.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
@@ -150,12 +145,59 @@ object Compaction {
         concat_ws("_", col("event_type"), col("user_id")).as("series"),
         expr("ts DIV 1000000").as("ts"),
         col("value"))
-    val q = streamingDownsample(src, rule)
+  }
+
+  /** Run a one-shot streaming downsample to completion against existing
+    * parquet files under `dir` (file source streams them as
+    * micro-batches) and return the final result as a batch DataFrame.
+    * This exercises the real streaming machinery (source -> stateful agg
+    * -> memory sink) with deterministic output for the oracle.
+    *
+    * NOTE: complete output mode re-emits ALL bucket state every
+    * micro-batch — fine for a bounded test fixture, a scale-killer on a
+    * long-lived stream. The production shape is
+    * [[streamingDownsampleUpdateOnce]]. */
+  def streamingDownsampleOnce(
+      spark: SparkSession, dir: String, rule: Rule, queryName: String): DataFrame = {
+    val q = streamingDownsample(eventsStream(spark, dir), rule)
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /**
+   * Scale-safe streaming downsample (VERDICT r01): `update` output mode
+   * into an idempotent log-structured sink. Each micro-batch emits only
+   * the (series, bucket) rows it CHANGED; `foreachBatch` appends them
+   * to parquet stamped with the epoch/batch id, and the read side is
+   * merge-on-read — last writer per key wins (the parquet analogue of a
+   * foreachBatch MERGE into Delta/Iceberg). Streaming state stays
+   * O(open buckets) and the sink volume is O(changed buckets) per
+   * batch, vs complete mode's O(all buckets ever) — the difference
+   * between a stream that runs for a year and one that dies in a week.
+   * Late data is still accepted without a watermark (the reference
+   * recomputes late buckets, tsdb.c:621-668): an update for an old
+   * bucket simply supersedes the earlier row at read time.
+   */
+  def streamingDownsampleUpdateOnce(
+      spark: SparkSession, dir: String, rule: Rule, sinkDir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val q = streamingDownsample(eventsStream(spark, dir), rule)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .groupBy(col("series"), col("ts"))
+      .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
+        .getField("v").as("value"))
   }
 }

@@ -225,6 +225,38 @@ object Multi {
       max(col("ts")).as("last_timestamp"),
       max(struct(col("ts").as("t"), col("value").as("v"))).getField("v").as("last_value"))
 
+  /** TS.INFO full field set (reference: module.c:156-280):
+    * retention-net sample stats plus the chunk/memory model.
+    * `total_samples` counts only retention-visible samples (the
+    * reference reports the live count after trimming, module.c:176).
+    * Chunk accounting mirrors the reference's uncompressed layout —
+    * chunks of `chunkSizeBytes` holding 16-byte (ts,value) samples
+    * (reference: consts.h Chunk_SIZE_BYTES_SECS = 4096, chunk.c:18-34)
+    * — so chunk_count = ceil(samples / (chunkSize/16)) and
+    * memory_usage = chunk_count * chunkSize. Config fields
+    * (retention, chunk size, duplicate policy) are catalog literals
+    * echoed into the reply, as in the reference. */
+  def infoFull(
+      samples: DataFrame, retentionMs: Long = 0L,
+      chunkSizeBytes: Long = 4096L, duplicatePolicy: String = "block"): DataFrame = {
+    val visible =
+      if (retentionMs > 0) WritePath.retentionClamp(samples, retentionMs) else samples
+    val perChunk = math.max(chunkSizeBytes / 16L, 1L)
+    val chunks = expr(s"(total_samples + ${perChunk - 1}) DIV $perChunk")
+    visible.groupBy(col("series")).agg(
+        count(col("value")).as("total_samples"),
+        min(col("ts")).as("first_timestamp"),
+        max(col("ts")).as("last_timestamp"),
+        max(struct(col("ts").as("t"), col("value").as("v"))).getField("v").as("last_value"))
+      .select(col("series"), col("total_samples"), col("first_timestamp"),
+        col("last_timestamp"), col("last_value"),
+        lit(retentionMs).as("retention_ms"),
+        chunks.as("chunk_count"),
+        lit(chunkSizeBytes).as("chunk_size_bytes"),
+        (chunks * chunkSizeBytes).as("memory_usage_bytes"),
+        lit(duplicatePolicy).as("duplicate_policy"))
+  }
+
   // ----- DuckDB oracle helpers ----------------------------------------
 
   /** Labels as a relational CTE for the oracle (fixture has labels

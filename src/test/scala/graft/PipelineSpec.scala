@@ -78,6 +78,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall too low") // nProbe=4/16 clusters
   }
 
+  test("hot-bucket guard: 1k identical docs produce linear candidates, not quadratic") {
+    // every doc lands in the same bucket in every band — uncapped LSH
+    // would emit 499,500 pairs x 16 bands of candidates; the guard
+    // chains them (999 pairs) and the dedup end-product still keeps
+    // exactly the minimal id
+    val clones = (0L until 1000L)
+      .map(i => (i, "the same exact sentence repeated verbatim in every clone document"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(clones, 0.5)
+    assert(pairs.count() == 999)
+    val kept = Dedup.dedupedCorpus(clones, pairs)
+    assert(kept.count() == 1 && kept.head().getLong(0) == 0L)
+    val sim = Dedup.simhashPairs(clones)
+    assert(sim.count() == 999)
+    assert(sim.filter(col("hamming") =!= 0).isEmpty)
+  }
+
   test("multimodal packing and feature extraction round-trip") {
     val packed = Multimodal.pack(docs)
     assert(packed.schema("media").dataType.typeName == "binary")
