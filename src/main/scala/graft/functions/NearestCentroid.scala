@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  * partition-pruned probes.
  */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
@@ -43,6 +43,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     }
     best
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |int $best = 0;
+         |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $row = $cs[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $row.length);
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += $a.getDouble($d) * $row[$d];
+         |  }
+         |  if ($dot > $bestDot) { $bestDot = $dot; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)

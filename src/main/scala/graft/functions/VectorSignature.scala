@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -14,12 +14,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * Why a custom Expression (SURVEY §7 preference order (b)): composing
  * this from `zip_with`/`aggregate` costs nBits interpreted
  * higher-order-function evaluations per row; here the whole signature
- * is one tight compiled loop over the vector. CodegenFallback is
- * acceptable — the expression itself is the hot loop, and it sits in a
- * projection, not inside a join/agg key path.
+ * is one tight compiled loop over the vector, and `doGenCode` keeps
+ * the surrounding projection inside whole-stage codegen (the plane
+ * matrix rides along as a codegen reference object).
  */
 case class VectorSignature(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "vector_signature"
@@ -39,6 +39,30 @@ case class VectorSignature(child: Expression, planes: Array[Array[Double]])
     }
     sig
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $p.length; $b++) {
+         |  double[] $row = $p[$b];
+         |  int $n = java.lang.Math.min($a.numElements(), $row.length);
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += $a.getDouble($d) * $row[$d];
+         |  }
+         |  if ($dot > 0) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): VectorSignature =
     copy(child = newChild)

@@ -10,21 +10,21 @@ import org.apache.spark.sql.expressions.Window
  * (inverted-file) variant as the 100 TB scale path, and a
  * random-hyperplane LSH pair generator for cosine near-dup at scale.
  *
- * Vector math is `zip_with`/`aggregate` higher-order functions where
- * it sits off the hot path, and custom Catalyst expressions
- * ([[graft.functions.VectorSignature]], [[graft.functions.NearestCentroid]])
- * where a per-row compiled loop matters. No UDFs.
+ * All vector math is custom codegen'd Catalyst expressions
+ * ([[graft.functions.VecDot]], [[graft.functions.VecNorm]],
+ * [[graft.functions.VectorSignature]], [[graft.functions.NearestCentroid]]):
+ * Spark's higher-order functions (`aggregate`/`zip_with`) stay
+ * interpreted per element, and cosine scoring is the innermost loop of
+ * every similarity join. No UDFs.
  */
 object Similarity {
 
   def loadEmbeddings(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def l2norm(a: Column): Column = graft.functions.VecNorm(a)
 
   private def dotArr(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
