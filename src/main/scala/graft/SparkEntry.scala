@@ -369,6 +369,13 @@ object SparkEntry {
       "mm_features" -> ((s, dir) =>
         Multimodal.extractFeatures(Multimodal.pack(Text.loadDocuments(s, dir)))
           .select(col("media_id"), col("n_bytes"), col("mean_byte"))),
+      // multimodal resize: NN-resample every media item to a fixed-size
+      // thumbnail (decode kernel stubbed; plumbing real)
+      "mm_resize" -> ((s, dir) =>
+        Multimodal.resize(Multimodal.pack(Text.loadDocuments(s, dir)))),
+      // multimodal frame sampling: fixed-size frames, every 4th kept
+      "mm_frame_sample" -> ((s, dir) =>
+        Multimodal.frameSample(Multimodal.pack(Text.loadDocuments(s, dir)))),
     )
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
@@ -679,6 +686,8 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "mm_resize" -> Multimodal.resizeSql(),
+      "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->
         """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           |  list_avg([ord(substring(text, CAST(i AS INT), 1))

@@ -78,4 +78,84 @@ object Multimodal {
       }
       .toDF("media_id", "n_bytes", "mean_byte", "features")
   }
+
+  /** STUB resize kernel: nearest-neighbour resample of the media byte
+    * stream to exactly `target` bytes (`out[k] = in[floor(k*n/target)]`)
+    * — the 1-D shape of an image NN-resize. A real implementation swaps
+    * this loop for a codec + 2-D resample; the surrounding plumbing
+    * (typed mapPartitions batch, binary in/out, metadata) is unchanged. */
+  def nnResample(bytes: Array[Byte], target: Int): Array[Byte] = {
+    val n = bytes.length
+    if (n == 0) Array.emptyByteArray
+    else Array.tabulate(target)(k => bytes((k.toLong * n / target).toInt))
+  }
+
+  /** Media resize: every item downsampled to a fixed-size thumbnail.
+    * One typed `mapPartitions` pass (single Catalyst pipeline, zero
+    * shuffles — identical scale shape to [[extractFeatures]]). Output
+    * keeps the thumbnail as `BINARY` plus its digest so correctness is
+    * byte-exact checkable without comparing raw binaries. */
+  def resize(packed: DataFrame, target: Int = 64): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media"))
+      .filter(length(col("media")) > 0).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, bytes.length.toLong, nnResample(bytes, target))
+        }
+      }
+      .toDF("media_id", "n_bytes_in", "thumb")
+      .select(col("media_id"), col("n_bytes_in"),
+        md5(col("thumb")).as("thumb_md5"))
+  }
+
+  /** DuckDB twin of [[resize]] (media is UTF-8-packed ASCII text in the
+    * fixture, so character ops == byte ops). */
+  def resizeSql(target: Int = 64): String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(strlen(text) AS BIGINT) AS n_bytes_in,
+       |  md5(list_aggregate(
+       |    [substring(text, CAST(floor(k * strlen(text) / $target) AS INT) + 1, 1)
+       |     for k in range(0, $target)], 'string_agg', '')) AS thumb_md5
+       |FROM documents WHERE strlen(text) > 0""".stripMargin
+
+  /** Frame sampling: cut the media stream into fixed-size frames and
+    * keep every `rate`-th one (the video-keyframe shape: decode is the
+    * per-frame digest stub, the iterator `flatMap` is the real
+    * one-pass-per-partition batch plumbing). Only complete frames are
+    * emitted (a trailing partial frame is dropped, as a codec would).
+    * Output grows by ~`1/(frameBytes*rate)` of the input — an explode
+    * that never shuffles. */
+  def frameSample(packed: DataFrame, frameBytes: Int = 256, rate: Int = 4): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames).iterator
+            .filter(_ % rate == 0)
+            .map { f =>
+              val off = f * frameBytes
+              (id, f, off.toLong,
+                java.util.Arrays.copyOfRange(bytes, off, off + frameBytes))
+            }
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset", "frame")
+      .select(col("media_id"), col("frame_idx"), col("offset"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
+  def frameSampleSql(frameBytes: Int = 256, rate: Int = 4): String =
+    s"""WITH f AS (
+       |  SELECT doc_id AS media_id, text,
+       |         unnest(range(0, strlen(text) // $frameBytes)) AS frame_idx
+       |  FROM documents
+       |)
+       |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       |       CAST(frame_idx * $frameBytes AS BIGINT) AS "offset",
+       |       md5(substring(text, CAST(frame_idx * $frameBytes AS INT) + 1, $frameBytes)) AS frame_md5
+       |FROM f WHERE frame_idx % $rate = 0""".stripMargin
 }

@@ -108,6 +108,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(1) == nb) // ASCII: bytes == chars
   }
 
+  test("multimodal resize: fixed-size NN resample, endpoints preserved") {
+    val in = "abcdefghij".getBytes("UTF-8")
+    val out = Multimodal.nnResample(in, 4)
+    // out[k] = in[floor(k * 10 / 4)] -> indices 0, 2, 5, 7
+    assert(out.toSeq == Seq('a', 'c', 'f', 'h').map(_.toByte))
+    assert(Multimodal.nnResample(Array.emptyByteArray, 4).isEmpty)
+    // upsample repeats bytes, never reads out of range
+    assert(Multimodal.nnResample("xy".getBytes, 5).toSeq ==
+      Seq('x', 'x', 'x', 'y', 'y').map(_.toByte))
+    val resized = Multimodal.resize(Multimodal.pack(docs), target = 64)
+    assert(resized.count() == docs.filter(col("n_chars") > 0).count())
+  }
+
+  test("multimodal frame sampling: complete frames only, every rate-th kept") {
+    val frames = Multimodal.frameSample(Multimodal.pack(docs),
+      frameBytes = 256, rate = 4).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val idx = r.getInt(1)
+      assert(idx % 4 == 0)
+      assert(r.getLong(2) == idx.toLong * 256)
+    }
+    // a doc shorter than one frame emits nothing
+    val tiny = Seq((1L, "short")).toDF("doc_id", "text")
+    assert(Multimodal.frameSample(Multimodal.pack(tiny)).isEmpty)
+  }
+
   test("language id is deterministic and scores are consistent") {
     val r = Text.languageId(docs).collect()
     assert(r.nonEmpty)
