@@ -273,6 +273,15 @@ object SparkEntry {
           Compaction.Rule("sum", DAY),
           sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
             .resolve("log").toString)),
+      // TS.ADD live ingest: the events fixture replayed through the
+      // stateful streaming ingest (per-series O(1) tail state, IGNORE
+      // gate, merge-on-read upsert sink) — must equal the batch ignore
+      // filter and its recursive-CTE oracle
+      "ts_ingest_stream" -> ((s, dir) =>
+        Ingest.eventsIngestOnce(s, dir,
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_ing_")
+            .resolve("log").toString,
+          maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
       // TS.MRANGE without AGGREGATION: label-filtered raw samples
       "ts_mrange_raw" -> ((s, dir) =>
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -642,34 +651,10 @@ object SparkEntry {
       // sequential IGNORE semantics as a recursive CTE: state
       // (last_ts, last_v) advances row by row exactly like the
       // executor-side streaming filter
-      "ts_ignore_filter" ->
-        s"""WITH RECURSIVE samples AS (
-           |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
-           |         epoch_ms(ts) AS ts, value
-           |  FROM events
-           |), ord AS (
-           |  SELECT series, ts, value,
-           |         row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
-           |  FROM samples
-           |), step AS (
-           |  SELECT series, rn, ts, value, TRUE AS kept, ts AS last_ts, value AS last_v
-           |  FROM ord WHERE rn = 1
-           |  UNION ALL
-           |  SELECT o.series, o.rn, o.ts, o.value,
-           |         NOT (NOT isnan(o.value) AND NOT isnan(s.last_v)
-           |              AND o.ts - s.last_ts <= ${12 * HOUR}
-           |              AND abs(o.value - s.last_v) <= 50.0) AS kept,
-           |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
-           |              AND o.ts - s.last_ts <= ${12 * HOUR}
-           |              AND abs(o.value - s.last_v) <= 50.0)
-           |              THEN s.last_ts ELSE o.ts END AS last_ts,
-           |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
-           |              AND o.ts - s.last_ts <= ${12 * HOUR}
-           |              AND abs(o.value - s.last_v) <= 50.0)
-           |              THEN s.last_v ELSE o.value END AS last_v
-           |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
-           |)
-           |SELECT series, ts, value FROM step WHERE kept""".stripMargin,
+      "ts_ignore_filter" -> ignoreFilterOracle,
+      // the streaming ingest replay has identical sequential semantics
+      // (same state machine, fed by micro-batches instead of one pass)
+      "ts_ingest_stream" -> ignoreFilterOracle,
       "text_tokens" -> Text.tokenCountsSql,
       "text_quality" -> Text.qualityMetricsSql,
       "text_langid" -> Text.languageIdSql,
@@ -719,6 +704,39 @@ object SparkEntry {
            |       'last' AS duplicate_policy
            |FROM base""".stripMargin,
     )
+
+  /** Sequential IGNORE semantics as a recursive CTE: state
+    * (last_ts, last_v) advances row by row exactly like the
+    * executor-side streaming filter. Shared by the batch ignore filter
+    * and the streaming ingest replay (same state machine). */
+  private val ignoreFilterOracle: String =
+    s"""WITH RECURSIVE samples AS (
+       |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+       |         epoch_ms(ts) AS ts, value
+       |  FROM events
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |         row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM samples
+       |), step AS (
+       |  SELECT series, rn, ts, value, TRUE AS kept, ts AS last_ts, value AS last_v
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.rn, o.ts, o.value,
+       |         NOT (NOT isnan(o.value) AND NOT isnan(s.last_v)
+       |              AND o.ts - s.last_ts <= ${12 * HOUR}
+       |              AND abs(o.value - s.last_v) <= 50.0) AS kept,
+       |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
+       |              AND o.ts - s.last_ts <= ${12 * HOUR}
+       |              AND abs(o.value - s.last_v) <= 50.0)
+       |              THEN s.last_ts ELSE o.ts END AS last_ts,
+       |         CASE WHEN (NOT isnan(o.value) AND NOT isnan(s.last_v)
+       |              AND o.ts - s.last_ts <= ${12 * HOUR}
+       |              AND abs(o.value - s.last_v) <= 50.0)
+       |              THEN s.last_v ELSE o.value END AS last_v
+       |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
+       |)
+       |SELECT series, ts, value FROM step WHERE kept""".stripMargin
 
   private def emptySumOracle: String = {
     val b = TSModel.bucketStartSql("ts", 6 * HOUR)

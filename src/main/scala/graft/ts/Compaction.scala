@@ -132,7 +132,7 @@ object Compaction {
         col("value").cast("double"))
 
   /** The fixture's events.parquet as a streaming long-format source. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[ts] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(StructType(Seq(
