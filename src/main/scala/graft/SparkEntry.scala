@@ -375,6 +375,16 @@ object SparkEntry {
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       "ann_ivf_topk" -> ((s, dir) =>
         Similarity.ivfTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
+      // materialized IVF index (parquet partitionBy(cid)) probed with
+      // nProbe == nCentroids: every inverted list read -> exactly brute
+      // force, so the whole index round-trip hash-checks against the
+      // brute-force oracle; partition pruning is spec-asserted at
+      // nProbe < nCentroids (PipelineSpec)
+      "ann_ivf_full_probe" -> ((s, dir) =>
+        Similarity.ivfIndexTopK(Similarity.loadEmbeddings(s, dir), annQueryIds,
+          k = 5, indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+            .resolve("index").toString,
+          nCentroids = 16, nProbe = 16)._1),
       "mm_features" -> ((s, dir) =>
         Multimodal.extractFeatures(Multimodal.pack(Text.loadDocuments(s, dir)))
           .select(col("media_id"), col("n_bytes"), col("mean_byte"))),
@@ -671,6 +681,7 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

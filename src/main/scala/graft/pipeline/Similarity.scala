@@ -148,17 +148,24 @@ object Similarity {
   def ivfTopK(
       embs: DataFrame, queryIds: Seq[Long], k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
     val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
     val centroids = trainCentroids(corpus, nCentroids)
     // zero-shuffle assignment: cid is a projected column
     val assign = corpus.withColumn("cid",
       graft.functions.NearestCentroid(col("v"), centroids))
-    // probe lists: query vectors are a bounded set — collect them and
-    // rank centroids on the driver (|q| x nCentroids dot products)
-    val probes = corpus.filter(col("vec_id").isInCollection(queryIds)).collect()
+    scoreProbes(assign,
+      probeDf(corpus, centroids, queryIds, nProbe), k)
+  }
+
+  /** Probe lists: query vectors are a bounded set — collect them and
+    * rank centroids on the driver (|q| x nCentroids dot products). */
+  private def probeDf(
+      corpus: DataFrame, centroids: Array[Array[Double]],
+      queryIds: Seq[Long], nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.filter(col("vec_id").isInCollection(queryIds)).collect()
       .flatMap { r =>
         val qid = r.getLong(0)
         val qv = r.getSeq[Double](1).toArray
@@ -168,18 +175,52 @@ object Similarity {
           .sortBy { case (d, ci) => (-d, ci) }
           .take(nProbe)
           .map { case (_, ci) => (qid, ci, qv.toSeq, qnorm) }
-      }.toSeq
-    val probeDf = probes.toDF("query_id", "cid", "qv", "qnorm")
-    // broadcast the probe side: the corpus streams through one
-    // broadcast-hash join, emitting only vectors in probed clusters
-    val scored = assign.join(broadcast(probeDf), Seq("cid"))
+      }.toSeq.toDF("query_id", "cid", "qv", "qnorm")
+  }
+
+  /** Broadcast the probe side: the (assigned) corpus streams through
+    * one broadcast-hash join, emitting only vectors in probed clusters;
+    * the final ranking shuffles only (query_id, neighbor_id, cos). */
+  private def scoreProbes(assign: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = assign.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))).as("cos"))
-    // final ranking shuffles only (query_id, neighbor_id, cos) — no vectors
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
+  }
+
+  /**
+   * The materialized-index variant of [[ivfTopK]] — the actual 100 TB
+   * deployment shape. The assigned corpus is written ONCE as parquet
+   * `partitionBy(cid)` (one directory per inverted list); each query
+   * batch then reads back only its probed lists, and the `cid IN (...)`
+   * predicate is a PARTITION filter — unprobed lists are never opened,
+   * so probe cost is O(N * nProbe / nCentroids) I/O, not a full scan.
+   * Returns (result, indexDf) so callers can assert on the pruned scan.
+   *
+   * With `nProbe == nCentroids` every list is probed and the result is
+   * EXACTLY brute force — which is how the whole index round-trip gets
+   * a hash-checkable oracle (the approximation, not the plumbing, is
+   * what nProbe < nCentroids trades away).
+   */
+  def ivfIndexTopK(
+      embs: DataFrame, queryIds: Seq[Long], k: Int, indexDir: String,
+      nCentroids: Int = 16, nProbe: Int = 4): (DataFrame, DataFrame) = {
+    val spark = embs.sparkSession
+    val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val centroids = trainCentroids(corpus, nCentroids)
+    corpus.withColumn("cid",
+        graft.functions.NearestCentroid(col("v"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(indexDir)
+    val probes = probeDf(corpus, centroids, queryIds, nProbe)
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cid").isInCollection(probedCids))
+    (scoreProbes(index, probes, k), index)
   }
 
   /** Random-hyperplane LSH for cosine near-dup at scale: `nBits`-bit

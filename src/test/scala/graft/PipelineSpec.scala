@@ -95,6 +95,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(sim.filter(col("hamming") =!= 0).isEmpty)
   }
 
+  test("IVF index probe reads only probed partitions and matches the in-memory path") {
+    val embs = Similarity.loadEmbeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").resolve("index").toString
+    val qids = Seq(0L, 97L, 194L)
+    val (res, index) = Similarity.ivfIndexTopK(embs, qids, k = 5, indexDir = dir,
+      nCentroids = 16, nProbe = 4)
+    // pruning: the pushed cid predicate must be a PartitionFilter and
+    // the scan must touch at most nProbe * |q| of the 16 list dirs
+    val scan = index.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in index plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s"cid should be a partition filter: ${scan.partitionFilters}")
+    // 3 queries x 4 probes -> at most 12 of the 16 list dirs are opened
+    val dirsRead = scan.selectedPartitions.partitionCount
+    assert(dirsRead <= 12, s"expected <= 12 probed list dirs, read $dirsRead")
+    // same probes, same scores: index path == in-memory path
+    val mem = Similarity.ivfTopK(embs, qids, k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = res.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(idx == mem)
+  }
+
   test("multimodal packing and feature extraction round-trip") {
     val packed = Multimodal.pack(docs)
     assert(packed.schema("media").dataType.typeName == "binary")
