@@ -43,15 +43,17 @@ object Dedup {
       .withColumn("rn", row_number().over(part.orderBy(col(idCol))))
       .withColumn("cnt", count(lit(1)).over(part))
     val joinKeys = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
-    val small = sized.filter(col("cnt") <= maxBucket)
-    val candSmall = small.as("x").join(small.as("y"),
-        joinKeys && col(s"x.$idCol") < col(s"y.$idCol"))
+    // one self-join covers both regimes (cnt is a bucket-level constant,
+    // so x.cnt and y.cnt agree): normal buckets emit all ordered pairs,
+    // oversized ones only the id-sorted chain. A single join keeps the
+    // (expensive) band subtree at two evaluations instead of four, and
+    // both sides reuse one shuffle by the bucket key.
+    val candCond =
+      (col("x.cnt") <= maxBucket && col(s"x.$idCol") < col(s"y.$idCol")) ||
+      (col("x.cnt") > maxBucket && col("x.rn") + 1 === col("y.rn"))
+    sized.as("x").join(sized.as("y"), joinKeys && candCond)
       .select(col(s"x.$idCol").as("i"), col(s"y.$idCol").as("j"))
-    val big = sized.filter(col("cnt") > maxBucket)
-    val candBig = big.as("x").join(big.as("y"),
-        joinKeys && col("x.rn") + 1 === col("y.rn"))
-      .select(col(s"x.$idCol").as("i"), col(s"y.$idCol").as("j"))
-    candSmall.unionByName(candBig).distinct()
+      .distinct()
   }
 
   /** Word n-gram shingles, lowercased, distinct per doc. */

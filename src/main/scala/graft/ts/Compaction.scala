@@ -131,6 +131,19 @@ object Compaction {
         col("bucket").as("ts"),
         col("value").cast("double"))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` (which also fixes
+    * the number of streaming state-store instances) lowered to `n`,
+    * restoring the session value after. The one-shot streaming runners
+    * below hold tiny state; 32 state stores each committing every
+    * micro-batch is pure overhead, so they run at a handful. A real
+    * deployment sizes this to state volume instead. */
+  private[ts] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** The fixture's events.parquet as a streaming long-format source. */
   private[ts] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -158,15 +171,16 @@ object Compaction {
     * long-lived stream. The production shape is
     * [[streamingDownsampleUpdateOnce]]. */
   def streamingDownsampleOnce(
-      spark: SparkSession, dir: String, rule: Rule, queryName: String): DataFrame = {
-    val q = streamingDownsample(eventsStream(spark, dir), rule)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      spark: SparkSession, dir: String, rule: Rule, queryName: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val q = streamingDownsample(eventsStream(spark, dir), rule)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /**
    * Scale-safe streaming downsample (VERDICT r01): `update` output mode
@@ -183,21 +197,22 @@ object Compaction {
    * bucket simply supersedes the earlier row at read time.
    */
   def streamingDownsampleUpdateOnce(
-      spark: SparkSession, dir: String, rule: Rule, sinkDir: String): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    val q = streamingDownsample(eventsStream(spark, dir), rule)
-      .writeStream.outputMode("update")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(sinkDir)
-      .groupBy(col("series"), col("ts"))
-      .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
-        .getField("v").as("value"))
-  }
+      spark: SparkSession, dir: String, rule: Rule, sinkDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import org.apache.spark.sql.{Dataset, Row}
+      val q = streamingDownsample(eventsStream(spark, dir), rule)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sinkDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir)
+        .groupBy(col("series"), col("ts"))
+        .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
+          .getField("v").as("value"))
+    }
 }

@@ -105,7 +105,8 @@ object Ingest {
     * micro-batch per file so cross-batch state is really exercised. */
   def streamingIngestOnce(
       spark: SparkSession, srcDir: String, sinkDir: String, dupPolicy: String,
-      ignoreMaxTimeDiff: Long = 0L, ignoreMaxValDiff: Double = 0.0): DataFrame = {
+      ignoreMaxTimeDiff: Long = 0L, ignoreMaxValDiff: Double = 0.0): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
     import org.apache.spark.sql.Row
     val src = spark.readStream
       .schema(Compaction.sampleSchema)
@@ -133,7 +134,8 @@ object Ingest {
     * (and its recursive-CTE oracle). */
   def eventsIngestOnce(
       spark: SparkSession, dir: String, sinkDir: String,
-      maxTimeDiff: Long, maxValDiff: Double): DataFrame = {
+      maxTimeDiff: Long, maxValDiff: Double): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
     import org.apache.spark.sql.Row
     val src = Compaction.eventsStream(spark, dir)
     val q = streamingIngest(src, "LAST", maxTimeDiff, maxValDiff)
