@@ -371,6 +371,18 @@ object SparkEntry {
           docs.filter(col("doc_id") < 300).select(col("doc_id"), col("n_chars")),
           Dedup.minhashLshPairs(docs, 0.5, maxDocId = 300))
       }),
+      // cluster-canonical dedup: connected components over the near-dup
+      // pair graph (min reachable id), vs a transitive-closure oracle
+      "dedup_cc_canonical" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        Dedup.ccCanonicalMapping(
+          docs.filter(col("doc_id") < 300),
+          Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300))
+      }),
+      // TF-IDF: per-(doc, term) counts x inverse document frequency;
+      // membership bounded by an integer predicate (cnt >= 3)
+      "text_tfidf" -> ((s, dir) =>
+        Text.tfIdf(Text.loadDocuments(s, dir))),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       "ann_ivf_topk" -> ((s, dir) =>
@@ -682,6 +694,9 @@ object SparkEntry {
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "dedup_cc_canonical" ->
+        Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
+      "text_tfidf" -> Text.tfIdfSql(),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -160,6 +160,74 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
 
+  /**
+   * Connected components over the near-dup pair graph: each node's
+   * label converges to the minimum doc id reachable from it, which is
+   * the CLUSTER-canonical survivor ([[dedupedCorpus]]'s greedy min-id
+   * rule keeps extra members when a chain link was missed by the
+   * threshold; CC collapses the whole cluster to one).
+   *
+   * Distributed shape: iterative min-label propagation — per round one
+   * shuffle (groupBy node of the neighbor labels), checkpointed labels,
+   * early exit when a round changes nothing. Rounds ≤ graph diameter;
+   * near-dup clusters are dense (diameter 2-3 in practice), so this
+   * converges in a handful of rounds at any corpus size. `maxIter`
+   * bounds the worst case; a pathological path graph would want the
+   * large-star/small-star variant instead (O(log n) rounds), which the
+   * round structure here accommodates without API change.
+   */
+  def ccCanonical(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr"))
+      val upd = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .persist()
+      changed = upd.filter(col("next") < col("label")).count()
+      val prev = labels
+      labels = upd.select(col("node"), col("next").as("label")).localCheckpoint()
+      prev.unpersist()
+      upd.unpersist()
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Canonical-id mapping for every doc in `docs`: its component's min
+    * id if it touches any near-dup pair, else itself. */
+  def ccCanonicalMapping(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(ccCanonical(pairs).withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+
+  /** DuckDB twin: transitive closure by recursive CTE over the bounded
+    * pair set — min reachable id per node. */
+  def ccCanonicalMappingSql(pairsSql: String, maxDocId: Long): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT d.doc_id, coalesce(comp.canonical_id, d.doc_id) AS canonical_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < $maxDocId) d
+       |LEFT JOIN comp USING (doc_id)""".stripMargin
+
   /** SimHash: 64-bit fingerprint — bit k is the sign of the sum over
     * tokens of ±1 according to bit k of xxhash64(token). */
   def simhash(docs: DataFrame): DataFrame = {

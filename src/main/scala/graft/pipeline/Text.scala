@@ -115,6 +115,52 @@ object Text {
        |      FROM documents)
        |GROUP BY word ORDER BY n DESC, word ASC LIMIT $k""".stripMargin
 
+  /**
+   * TF-IDF: the classic two-level text pipeline — per-(doc, term)
+   * counts (one shuffle by (doc, term) with map-side combine), document
+   * frequencies (one aggregate by term, an O(vocab) side that joins
+   * back broadcast-style), and `tf * ln(N / df)`.
+   *
+   * Output is bounded by an integer predicate (`cnt >= minCount`), not
+   * a float threshold or a score ranking, so the row SET is exactly
+   * reproducible in the DuckDB oracle — float comparisons only ever
+   * happen on emitted values (1e-6 tolerance), never decide membership.
+   */
+  def tfIdf(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val termCounts = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLens = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+    val df = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    termCounts
+      .filter(col("cnt") >= minCount)
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(docLens), Seq("doc_id"))
+      .select(col("doc_id"), col("term"), col("cnt"), col("df"),
+        ((col("cnt") / col("n_terms")) * log(lit(nDocs.toDouble) / col("df")))
+          .as("tfidf"))
+  }
+
+  def tfIdfSql(minCount: Long = 3L): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tc AS (
+       |  SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS n_terms FROM terms GROUP BY doc_id
+       |), idf AS (
+       |  SELECT term, count(*) AS df FROM tc GROUP BY term
+       |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+       |SELECT tc.doc_id, tc.term, tc.cnt, idf.df,
+       |       (CAST(tc.cnt AS DOUBLE) / dl.n_terms)
+       |         * ln(CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf
+       |FROM tc JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+       |WHERE tc.cnt >= $minCount""".stripMargin
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -120,6 +120,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(idx == mem)
   }
 
+  test("connected components collapse chains the greedy min-id rule splits") {
+    // pair set with a missed link: (1,3) and (2,3) but no (1,2).
+    // greedy j-removal keeps {1, 2}; CC keeps only 1.
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
+      .toDF("i", "j", "jac")
+    val labels = Dedup.ccCanonical(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 6-node path graph needs several propagation rounds
+    val path = (1L until 6L).map(k => (k, k + 1, 0.9)).toDF("i", "j", "jac")
+    val pl = Dedup.ccCanonical(path).collect().map(r => r.getLong(1)).distinct
+    assert(pl.toSeq == Seq(1L))
+    // mapping covers singletons with their own id
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "x")).toDF("doc_id", "text")
+    val m = Dedup.ccCanonicalMapping(docs, pairs.filter(col("i") < 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
+
   test("multimodal packing and feature extraction round-trip") {
     val packed = Multimodal.pack(docs)
     assert(packed.schema("media").dataType.typeName == "binary")
