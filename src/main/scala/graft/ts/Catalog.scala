@@ -26,18 +26,28 @@ object Catalog {
       ignoreMaxTimeDiff: Long = 0L,
       ignoreMaxValDiff: Double = 0.0,
       labels: Map[String, String] = Map.empty,
-      srcKey: Option[String] = None)           // non-empty iff compaction dest
+      srcKey: Option[String] = None,           // non-empty iff compaction dest
+      chunkSizeBytes: Long = 4096L,            // reference default consts.h:48
+      encoding: String = "COMPRESSED")         // reference default tsdb.c:188-194
 
   /** A compaction rule edge (reference: CompactionRule src/tsdb.h:47-59). */
   final case class RuleMeta(
       srcKey: String, destKey: String,
       agg: String, bucketMs: Long, alignMs: Long = 0L)
 
-  /** TS.CREATE (reference: module.c:1216-1250). */
+  /** TS.CREATE (reference: module.c:1216-1250). CHUNK_SIZE bounds and
+    * the multiple-of-8 rule follow query_language.c:85-92; ENCODING is
+    * the storage hint the Spark engine maps onto parquet encodings (the
+    * option is validated for parity, the data plane always columnar). */
   def create(catalog: Seq[SeriesMeta], meta: SeriesMeta): Seq[SeriesMeta] = {
     require(!catalog.exists(_.series == meta.series), s"series ${meta.series} exists")
     require(meta.retentionMs >= 0 && meta.ignoreMaxTimeDiff >= 0 && meta.ignoreMaxValDiff >= 0,
       "negative retention/ignore thresholds")
+    require(meta.chunkSizeBytes >= 48 && meta.chunkSizeBytes <= 1048576
+        && meta.chunkSizeBytes % 8 == 0,
+      s"CHUNK_SIZE ${meta.chunkSizeBytes} not in [48, 1048576] or not a multiple of 8")
+    require(Seq("COMPRESSED", "UNCOMPRESSED").contains(meta.encoding.toUpperCase),
+      s"unknown ENCODING ${meta.encoding}")
     catalog :+ meta
   }
 

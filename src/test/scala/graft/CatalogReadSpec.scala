@@ -17,6 +17,12 @@ class CatalogReadSpec extends AnyFunSuite {
     cat = alter(cat, "a", _.copy(duplicatePolicy = "LAST"))
     assert(cat.head.duplicatePolicy == "LAST")
     intercept[IllegalArgumentException](alter(cat, "zz", identity))
+    // CHUNK_SIZE bounds and multiple-of-8 (reference: query_language.c:85-92)
+    intercept[IllegalArgumentException](create(cat, SeriesMeta("c", chunkSizeBytes = 40)))
+    intercept[IllegalArgumentException](create(cat, SeriesMeta("c", chunkSizeBytes = 100)))
+    intercept[IllegalArgumentException](create(cat, SeriesMeta("c", chunkSizeBytes = 1048584)))
+    cat = create(cat, SeriesMeta("c", chunkSizeBytes = 128, encoding = "UNCOMPRESSED"))
+    intercept[IllegalArgumentException](create(cat, SeriesMeta("d", encoding = "GORILLA")))
   }
 
   test("compaction rule constraints: no chains, one rule per dest") {
