@@ -60,6 +60,67 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(got == Set(("D", 1000L, 1.0)))
   }
 
+  test("randomized: streaming ingest equals a sequential reference model") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val policy = Seq("LAST", "FIRST", "MIN", "MAX", "SUM")(rnd.nextInt(5))
+      val (igT, igV) = if (policy == "LAST") (5L, 0.5) else (0L, 0.0)
+      // random walks: increments of 0 (tail dup), small negative (OOO),
+      // or positive; occasional NaN values
+      val rows = (0 until 3).flatMap { s =>
+        var ts = 1000L
+        (0 until 40).map { _ =>
+          ts += (rnd.nextInt(10) match {
+            case 0 => 0L
+            case 1 => -(1 + rnd.nextInt(20)).toLong
+            case _ => (1 + rnd.nextInt(8)).toLong
+          })
+          val v = if (rnd.nextInt(12) == 0) Double.NaN else rnd.nextDouble() * 100
+          (s"s$s", ts, v)
+        }
+      }
+      // chop the arrival stream into contiguous files (micro-batches)
+      val nFiles = 2 + rnd.nextInt(3)
+      val files = rows.grouped(math.max(1, rows.size / nFiles + 1)).toSeq
+      // reference model: same state machine, folded file by file
+      val st = scala.collection.mutable.Map.empty[String, (Long, Double)]
+      val out = scala.collection.mutable.Map.empty[(String, Long), Double]
+      for (f <- files; (series, rs) <- f.groupBy(_._1)) {
+        rs.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+          st.get(series) match {
+            case None => out((series, ts)) = v; st(series) = (ts, v)
+            case Some((lts, lv)) =>
+              if (ts > lts) {
+                val drop = policy == "LAST" && (igT > 0 || igV > 0) &&
+                  !v.isNaN && !lv.isNaN && ts - lts <= igT && math.abs(v - lv) <= igV
+                if (!drop) { out((series, ts)) = v; st(series) = (ts, v) }
+              } else if (ts == lts) policy match {
+                case "FIRST" =>
+                case "LAST" => out((series, ts)) = v; st(series) = (ts, v)
+                case "MIN" =>
+                  val r = math.min(lv, v); out((series, ts)) = r; st(series) = (ts, r)
+                case "MAX" =>
+                  val r = math.max(lv, v); out((series, ts)) = r; st(series) = (ts, r)
+                case "SUM" =>
+                  val r = lv + v; out((series, ts)) = r; st(series) = (ts, r)
+              } else out((series, ts)) = v
+          }
+        }
+      }
+      val src = tmp(s"rnd${seed}_src_")
+      val sink = tmp(s"rnd${seed}_sink_")
+      files.foreach(f => stage(src, f))
+      val got = Ingest.streamingIngestOnce(spark, src, sink, policy, igT, igV)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+      assert(got.keySet == out.keySet,
+        s"seed=$seed policy=$policy key sets differ: ${(got.keySet diff out.keySet) ++ (out.keySet diff got.keySet)}")
+      got.foreach { case (k, v) =>
+        assert(eq(v, out(k)), s"seed=$seed policy=$policy $k: got $v expected ${out(k)}")
+      }
+    }
+  }
+
   test("events replay through streaming ingest equals the batch ignore filter") {
     val dir = "/root/testdata/sf0.001"
     val sink = tmp("rep_sink_")
