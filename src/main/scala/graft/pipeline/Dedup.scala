@@ -136,7 +136,15 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val sh = shingles(docs.filter(col("doc_id") < maxDocId))
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    // the per-doc signature frame (one narrow row per doc) feeds both
+    // sides of the banding self-join — materialize it once instead of
+    // re-running the 64-way minhash aggregation per side. At 100 TB
+    // this is "write the signature table once", the standard two-job
+    // pipeline shape; localCheckpoint is its single-job stand-in. The
+    // exploded shingle frame is NOT materialized: its distinct shuffle
+    // is already reused across consumers by exchange reuse.
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
     val nBands = numHashes / bandRows
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until nBands).map { b =>
@@ -248,7 +256,9 @@ object Dedup {
     * implies ≥1 identical chunk) — no cross join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
-    val fp = simhash(docs)
+    // fingerprints feed banding and both verification joins: compute the
+    // token-explode aggregation once (see minhashLshPairs note)
+    val fp = simhash(docs).localCheckpoint()
     // chunk frame carries ids only; fingerprints re-attach to the
     // (small) candidate set via broadcast joins below
     val chunks = fp.select(col("doc_id"), explode(array(
