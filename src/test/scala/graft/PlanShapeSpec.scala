@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.types.ArrayType
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression guards for the 100 TB design properties
+ * documented in PLANS.md: predicate pushdown reaching the parquet
+ * scan, shuffles that never carry vector payloads, and shuffle-free
+ * single-pass operators. A code change that silently breaks one of
+ * these still passes value-level tests — these specs fail instead.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    physical(df).collect { case s: ShuffleExchangeExec => s }
+
+  test("range scan pushdown: series equality and time range reach parquet") {
+    val df = SparkEntry.queries("ts_range_agg_avg")(spark, dir)
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(event_type,click)"), pushed)
+    assert(pushed.contains("EqualTo(user_id,7)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
+  }
+
+  test("cosine LSH: no shuffle carries an embedding column") {
+    val df = SparkEntry.queries("dedup_cosine_lsh")(spark, dir)
+    val offenders = shuffles(df).filter(
+      _.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(offenders.isEmpty,
+      s"shuffles carrying arrays:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
+  test("IVF top-k: single scalar shuffle, assignment is a projection") {
+    val df = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+    assert(!sh.head.output.exists(_.dataType.isInstanceOf[ArrayType]),
+      s"rank shuffle must not carry vectors: ${sh.head.output.mkString(", ")}")
+  }
+
+  test("multimodal extraction runs shuffle-free") {
+    for (q <- Seq("mm_features", "mm_resize", "mm_frame_sample")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(shuffles(df).isEmpty, s"$q should have no shuffle")
+    }
+  }
+
+  test("text analysis queries are single-pass map-side pipelines") {
+    for (q <- Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(shuffles(df).isEmpty, s"$q should have no shuffle")
+    }
+  }
+
+  test("ignore filter: one shuffle by series, then a streaming map pass") {
+    val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+    val partCols = sh.head.outputPartitioning.toString
+    assert(partCols.contains("series"), partCols)
+  }
+}
