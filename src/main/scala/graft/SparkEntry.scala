@@ -371,6 +371,13 @@ object SparkEntry {
           docs.filter(col("doc_id") < 300).select(col("doc_id"), col("n_chars")),
           Dedup.minhashLshPairs(docs, 0.5, maxDocId = 300))
       }),
+      // the end-to-end corpus build: language gate -> quality gates ->
+      // exact dedup -> near-dup component removal, one declarative chain
+      "pipeline_corpus_filter" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        graft.pipeline.CorpusPipeline.filteredCorpus(docs,
+          Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300))
+      }),
       // cluster-canonical dedup: connected components over the near-dup
       // pair graph (min reachable id), vs a transitive-closure oracle
       "dedup_cc_canonical" -> ((s, dir) => {
@@ -696,6 +703,8 @@ object SparkEntry {
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
+      "pipeline_corpus_filter" ->
+        graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
       "text_tfidf" -> Text.tfIdfSql(),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),

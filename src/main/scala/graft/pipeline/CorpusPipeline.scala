@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The end product a training-data pipeline actually ships: one
+ * declarative chain of language ID -> quality gates -> exact dedup ->
+ * near-dup cluster removal. Each stage is an operator tested on its
+ * own; this composes them the way a real corpus build does, and the
+ * whole chain still verifies against a single DuckDB oracle.
+ *
+ * Scale shape: language/quality/fingerprint are per-row projections
+ * (no shuffle); exact dedup is one window by fingerprint; near-dup
+ * removal joins the (tiny) canonical mapping from the pair graph.
+ */
+object CorpusPipeline {
+
+  /**
+   * Filtered, deduplicated corpus. Gates are deterministic: language
+   * must be `lang`, `alpha_ratio >= minAlpha`, `n_tokens >= minTokens`.
+   * Exact dedup keeps the minimum doc id per fingerprint AMONG the
+   * gated docs; near-dup removal drops docs whose pair-graph component
+   * canonical (min reachable id) is not themselves. `nearPairs` is the
+   * verified near-dup pair set (e.g. [[Dedup.ngramJaccardPairs]] or the
+   * LSH paths at scale).
+   */
+  def filteredCorpus(
+      docs: DataFrame, nearPairs: DataFrame,
+      lang: String = "en", minAlpha: Double = 0.5, minTokens: Double = 20.0): DataFrame = {
+    val langPred = Text.languageId(docs).select(col("doc_id"), col("lang_pred"))
+    val quality = Text.qualityMetrics(docs)
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"))
+    val fp = Text.fingerprint(docs)
+    val gated = langPred.join(quality, Seq("doc_id")).join(fp, Seq("doc_id"))
+      .filter(col("lang_pred") === lang &&
+        col("alpha_ratio") >= minAlpha && col("n_tokens") >= minTokens)
+    val exactKept = gated
+      .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("__canon"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("fp"))
+    val cc = Dedup.ccCanonical(nearPairs)
+      .select(col("node").as("doc_id"), col("label").as("__cc"))
+    exactKept.join(cc, Seq("doc_id"), "left")
+      .filter(col("__cc").isNull || col("__cc") === col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("fp"))
+  }
+
+  /** DuckDB twin over the bounded near-dup pair SQL. */
+  def filteredCorpusSql(
+      pairsSql: String,
+      lang: String = "en", minAlpha: Double = 0.5, minTokens: Double = 20.0): String =
+    s"""WITH RECURSIVE lang AS (
+       |  ${Text.languageIdSql.replace("\n", "\n  ")}
+       |), quality AS (
+       |  ${Text.qualityMetricsSql.replace("\n", "\n  ")}
+       |), fpt AS (
+       |  ${Text.fingerprintSql.replace("\n", "\n  ")}
+       |), gated AS (
+       |  SELECT l.doc_id, l.lang_pred, q.n_tokens, fpt.fp
+       |  FROM lang l JOIN quality q USING (doc_id) JOIN fpt USING (doc_id)
+       |  WHERE l.lang_pred = '$lang' AND q.alpha_ratio >= $minAlpha
+       |    AND q.n_tokens >= $minTokens
+       |), exact_kept AS (
+       |  SELECT doc_id, lang_pred, n_tokens, fp FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon FROM gated
+       |  ) WHERE doc_id = canon
+       |), pairs AS (
+       |  ${pairsSql.replace("\n", "\n  ")}
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cc FROM reach GROUP BY a
+       |)
+       |SELECT k.doc_id, k.lang_pred, k.n_tokens, k.fp
+       |FROM exact_kept k LEFT JOIN comp USING (doc_id)
+       |WHERE comp.cc IS NULL OR comp.cc = k.doc_id""".stripMargin
+}
