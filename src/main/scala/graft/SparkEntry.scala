@@ -261,6 +261,10 @@ object SparkEntry {
       // LATEST: in-flight bucket surfaced (reference: tsdb.c:1468-1501)
       "ts_compaction_latest" -> ((s, dir) =>
         Compaction.latest(TSModel.samples(s, dir), Compaction.Rule("max", DAY))),
+      // TWA compaction rule: boundary carry across buckets
+      // (reference: module.c:928-976)
+      "ts_compaction_twa" -> ((s, dir) =>
+        Compaction.materialize(TSModel.samples(s, dir), Compaction.Rule("twa", DAY))),
       // Structured Streaming downsample, run to completion on the same
       // parquet — results must equal the batch oracle
       "ts_compaction_stream" -> ((s, dir) =>
@@ -613,6 +617,14 @@ object SparkEntry {
            |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples GROUP BY 1, 2
            |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
+           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
+           |  WHERE bucket < maxb""".stripMargin,
+      "ts_compaction_twa" ->
+        s"""WITH twa AS (
+           |${Twa.sql(DAY, 0L, None, None, None)}
+           |), agg AS (
+           |  SELECT series, bucket, twa_value AS value FROM twa
+           |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb""".stripMargin,
       "ts_compaction_latest" ->

@@ -44,10 +44,18 @@ object Compaction {
     * also surface the in-flight bucket (LATEST read semantics). */
   def materialize(
       samples: DataFrame, rule: Rule, includeLatest: Boolean = false): DataFrame = {
-    val agged = samples
-      .groupBy(col("series"),
-        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
-      .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
+    // TWA rules interpolate across bucket boundaries from the
+    // neighbouring samples (reference TWA compaction boundary carry:
+    // src/module.c:928-976) — the window pipeline in [[Twa]] computes
+    // exactly that; every other aggregator is a plain grouped column.
+    val agged =
+      if (rule.agg == "twa")
+        Twa.bucketTwa(samples, rule.bucketMs, rule.alignMs)
+          .select(col("series"), col("bucket"), col("twa_value").as("value"))
+      else samples
+        .groupBy(col("series"),
+          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
+        .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
     val w = Window.partitionBy(col("series"))
     val withFlag = agged.withColumn("__maxb", max(col("bucket")).over(w))
     val flushed = if (includeLatest) withFlag else withFlag.filter(col("bucket") < col("__maxb"))
