@@ -196,15 +196,16 @@ object Dedup {
       val nbrMin = und
         .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr"))
+      // checkpoint FIRST (one evaluation), then both the convergence
+      // count and the next round read the materialized frame
       val upd = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .persist()
+        .localCheckpoint()
       changed = upd.filter(col("next") < col("label")).count()
       val prev = labels
-      labels = upd.select(col("node"), col("next").as("label")).localCheckpoint()
+      labels = upd.select(col("node"), col("next").as("label"))
       prev.unpersist()
-      upd.unpersist()
       iter += 1
     }
     und.unpersist()

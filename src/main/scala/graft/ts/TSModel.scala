@@ -50,6 +50,22 @@ object TSModel {
       col("value"))
   }
 
+  /**
+   * Materialize a samples frame as a series-bucketed, ts-sorted table —
+   * the production storage layout at 100 TB. Per-series operators
+   * (range aggregation, MGET, dup-policy resolution, compaction) over a
+   * table bucketed by `series` need NO shuffle at all: the bucketed
+   * scan reports hash-partitioning on series, which satisfies every
+   * groupBy whose keys include it (the Spark analogue of the
+   * reference's one-series-per-key locality). `sortBy(series, ts)`
+   * additionally gives in-file ordering for windowed passes. See
+   * BucketedLayoutSpec for the plan proof.
+   */
+  def writeBucketed(samples: DataFrame, table: String, buckets: Int): Unit =
+    samples.write.mode("overwrite")
+      .bucketBy(buckets, "series").sortBy("series", "ts")
+      .saveAsTable(table)
+
   /** Labels DataFrame: one row per series with a MAP<STRING,STRING> of
     * label name -> value (reference: src/tsdb.h:71-73). Derived from the
     * series-key components of the fixture. O(#series) rows — always
