@@ -188,6 +188,14 @@ object SparkEntry {
             Multi.parsePred("type!=")), // list match + CONTAINS
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY),
           groupByLabel = "type", reducer = "sum")),
+      // GROUPBY with a statistics-family reducer (std.p): reducer set =
+      // the aggregator classes minus first/last/twa (reference:
+      // query_language.c:825-841)
+      "ts_mrange_groupby_std" -> ((s, dir) =>
+        Multi.mrangeGroupBy(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view,purchase)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = 2 * DAY),
+          groupByLabel = "user", reducer = "std.p")),
       // WITHLABELS/SELECTED_LABELS (reference: reply.c:219-272)
       "ts_mrange_withlabels" -> ((s, dir) => {
         val per = Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -501,6 +509,17 @@ object SparkEntry {
            |  GROUP BY 1, 2
            |) SELECT 'type=' || "type" AS series, bucket AS ts,
            |         coalesce(sum(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      "ts_mrange_groupby_std" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31
+           |    AND "type" IN ('click','view','purchase')
+           |  GROUP BY 1, 2
+           |) SELECT 'user=' || "user" AS series, bucket AS ts,
+           |         coalesce(stddev_pop(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN series_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
       "ts_mrange_withlabels" ->
