@@ -84,21 +84,43 @@ object Compaction {
   def recomputeBuckets(
       samples: DataFrame, prevDest: DataFrame, rule: Rule,
       touched: DataFrame): DataFrame = {
-    val t = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
+    // TWA buckets interpolate from NEIGHBOUR samples, so a late sample
+    // in bucket b also changes b-1 and b+1 (reference boundary carry,
+    // module.c:928-976) — expand the touched set by one bucket each way
+    // and recompute from the window pipeline (which needs the touched
+    // SERIES' samples for lag/lead context, still pruned to the late
+    // writers' series, not the whole table).
+    val t0 = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
+    val t =
+      if (rule.agg == "twa")
+        t0.select(col("__s"), explode(array(
+            col("__b") - rule.bucketMs, col("__b"), col("__b") + rule.bucketMs)).as("__b"))
+          .distinct()
+      else t0
     val destTouched = t.select(
       concat(col("__s"), lit(rule.destSuffix)).as("series"),
       col("__b").as("ts"))
     // recompute ONLY touched buckets from source samples; the touched
     // set (late/deleted buckets) is small — broadcast it
-    val fresh = samples
-      .join(broadcast(t),
-        col("series") === col("__s") &&
-          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
-        "left_semi")
-      .groupBy(col("series"), TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
-      .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
-      .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
-        col("bucket").as("ts"), col("value").cast("double"))
+    val fresh =
+      if (rule.agg == "twa")
+        Twa.bucketTwa(
+            samples.join(broadcast(t.select(col("__s")).distinct()),
+              col("series") === col("__s"), "left_semi"),
+            rule.bucketMs, rule.alignMs)
+          .join(broadcast(t),
+            col("series") === col("__s") && col("bucket") === col("__b"), "left_semi")
+          .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
+            col("bucket").as("ts"), col("twa_value").cast("double").as("value"))
+      else samples
+        .join(broadcast(t),
+          col("series") === col("__s") &&
+            TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
+          "left_semi")
+        .groupBy(col("series"), TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs))
+        .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
+        .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
+          col("bucket").as("ts"), col("value").cast("double"))
     prevDest.join(destTouched, Seq("series", "ts"), "left_anti")
       .unionByName(fresh)
   }

@@ -29,6 +29,28 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     assert(asSet(incremental).contains(("k_sum_100", 100L, 7.0)))
   }
 
+  test("TWA rule: late sample recomputes its bucket AND both neighbours") {
+    val twaRule = Compaction.Rule("twa", 100L)
+    val before = Seq(("k", 10L, 1.0), ("k", 90L, 3.0), ("k", 110L, 2.0),
+        ("k", 210L, 3.0), ("k", 290L, 5.0), ("k", 310L, 9.0))
+      .toDF("series", "ts", "value")
+    // a late sample at 199 (bucket 100) becomes sample 210's new lag,
+    // shifting bucket 200's head interpolation — the naive
+    // same-bucket-only recompute would leave bucket 200 stale
+    val late = Seq(("k", 199L, 50.0)).toDF("series", "ts", "value")
+    val after = before.unionByName(late)
+    val prevDest = Compaction.materialize(before, twaRule, includeLatest = true)
+    val touched = late.select(col("series"),
+      TSModel.bucketStart(col("ts"), twaRule.bucketMs).as("bucket"))
+    val incremental = Compaction.recomputeBuckets(after, prevDest, twaRule, touched)
+    val full = Compaction.materialize(after, twaRule, includeLatest = true)
+    assert(asSet(incremental) == asSet(full))
+    // the neighbour bucket really did change vs prevDest
+    val prev = asSet(prevDest).map(r => (r._2, r._3)).toMap
+    val now = asSet(full).map(r => (r._2, r._3)).toMap
+    assert(now(100L) != prev(100L) && now(200L) != prev(200L))
+  }
+
   test("range delete: interior bucket disappears, partial buckets recompute") {
     val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, 4.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
       .toDF("series", "ts", "value")
