@@ -299,6 +299,13 @@ object SparkEntry {
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
           Seq(Multi.parsePred("type=signup"), Multi.parsePred("user=(2,4,6)")),
           RangeArgs(from = Some(T0 + 3 * DAY), to = Some(T0 + 9 * DAY)))),
+      // TS.MRANGE ... EMPTY: the gap-fill spine is computed PER SERIES
+      // (each series' lifetime ∩ query range)
+      "ts_mrange_empty" -> ((s, dir) =>
+        Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=signup"), Multi.parsePred("user=(1,3,5)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("sum"),
+            bucketMs = 12 * HOUR, empty = true))),
       // TS.MREVRANGE: descending multi-series aggregation
       "ts_mrevrange" -> ((s, dir) =>
         Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -672,6 +679,21 @@ object SparkEntry {
            |SELECT series, ts, value FROM samples JOIN series_labels USING (series)
            |WHERE "type" = 'signup' AND "user" IN ('2','4','6')
            |  AND ts >= ${T0 + 3 * DAY} AND ts <= ${T0 + 9 * DAY}""".stripMargin,
+      "ts_mrange_empty" -> {
+        val b = TSModel.bucketStartSql("ts", 12 * HOUR)
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, matched AS (
+           |  SELECT series FROM series_labels
+           |  WHERE "type" = 'signup' AND "user" IN ('1','3','5')
+           |), agg AS (
+           |  SELECT series, $b AS bucket, sum(value) FILTER (WHERE NOT isnan(value)) AS sum_value
+           |  FROM samples JOIN matched USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |), spine AS (
+           |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${12 * HOUR})) AS bucket
+           |  FROM agg GROUP BY series
+           |) SELECT spine.series, spine.bucket AS ts, coalesce(sum_value, 0.0) AS sum_value
+           |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+      },
       "ts_mrevrange" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("count")}
