@@ -222,6 +222,11 @@ object SparkEntry {
       // TS.QUERYLABELS LABELS
       "ts_querylabels_names" -> ((s, dir) =>
         Multi.queryLabelNames(TSModel.labels(s, dir))),
+      // TS.QUERYLABELS VALUES with FILTER: values present among the
+      // matched series only (reference: module.c:339-465)
+      "ts_querylabels_values_filtered" -> ((s, dir) =>
+        Multi.queryLabelValues(TSModel.labels(s, dir), "user",
+          Seq(Multi.parsePred("type=purchase"), Multi.parsePred("user=(1,2,3,4)")))),
       // TS.QUERYLABELS LABELS with FILTER (reference: module.c:339-465)
       "ts_querylabels_names_filtered" -> ((s, dir) =>
         Multi.queryLabelNames(TSModel.labels(s, dir),
@@ -565,6 +570,10 @@ object SparkEntry {
            |SELECT DISTINCT "type" AS value FROM series_labels""".stripMargin,
       "ts_querylabels_names" ->
         "SELECT unnest(['type', 'user']) AS label",
+      "ts_querylabels_values_filtered" ->
+        s"""WITH ${Multi.labelsCte}
+           |SELECT DISTINCT "user" AS value FROM series_labels
+           |WHERE "type" = 'purchase' AND "user" IN ('1','2','3','4')""".stripMargin,
       "ts_dup_policy_last" ->
         s"""$dupCte SELECT series, ts,
            |  (max(struct_pack(s := seq, v := value))).v AS value
