@@ -416,6 +416,10 @@ object SparkEntry {
         Text.tfIdf(Text.loadDocuments(s, dir))),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
+      // serving path: external literal query vectors (not corpus rows)
+      "ann_serving_topk" -> ((s, dir) =>
+        Similarity.bruteForceTopKExternal(Similarity.loadEmbeddings(s, dir),
+          Similarity.syntheticQueries(4, 64), k = 5)),
       "ann_ivf_topk" -> ((s, dir) =>
         Similarity.ivfTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       // materialized IVF index (parquet partitionBy(cid)) probed with
@@ -762,6 +766,8 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "ann_serving_topk" ->
+        Similarity.bruteForceTopKExternalSql(Similarity.syntheticQueries(4, 64), 5),
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),

@@ -57,6 +57,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Serving-path top-k: the query vectors are EXTERNAL literals (a
+   * user's embedded query), not corpus rows — the usual ANN-serving
+   * shape. The query set is broadcast as a literal frame; one corpus
+   * pass, same ranking contract as [[bruteForceTopK]].
+   */
+  def bruteForceTopKExternal(
+      embs: DataFrame, queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val corpus = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val qdf = queries.toDF("query_id", "qv")
+      .withColumn("qnorm", l2norm(col("qv")))
+    val scored = corpus.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def bruteForceTopKExternalSql(queries: Seq[(Long, Seq[Double])], k: Int): String = {
+    val rows = queries.map { case (qid, qv) =>
+      s"($qid, [${qv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH q(query_id, qv) AS (
+       |  SELECT * FROM (VALUES
+       |       $rows)
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+       |  FROM embeddings e, q
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+       |  FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Deterministic synthetic query vectors (hash-mixed, centered) for
+    * the external-serving oracle — same literals on both sides. */
+  def syntheticQueries(n: Int, dim: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map { q =>
+      (q.toLong + 9000L,
+        (0 until dim).map { d =>
+          var x = q.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+          math.rint((((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5) * 1000) / 1000
+        })
+    }
+
   def bruteForceTopKSql(queryIds: Seq[Long], k: Int): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
