@@ -414,6 +414,9 @@ object SparkEntry {
       // membership bounded by an integer predicate (cnt >= 3)
       "text_tfidf" -> ((s, dir) =>
         Text.tfIdf(Text.loadDocuments(s, dir))),
+      // corpus card: exact interpolated percentiles of token counts
+      "text_corpus_stats" -> ((s, dir) =>
+        Text.corpusStats(Text.loadDocuments(s, dir))),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       // serving path: external literal query vectors (not corpus rows)
@@ -774,6 +777,7 @@ object SparkEntry {
       "pipeline_corpus_filter" ->
         graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
       "text_tfidf" -> Text.tfIdfSql(),
+      "text_corpus_stats" -> Text.corpusStatsSql,
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

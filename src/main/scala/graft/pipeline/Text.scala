@@ -161,6 +161,37 @@ object Text {
        |FROM tc JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN n
        |WHERE tc.cnt >= $minCount""".stripMargin
 
+  /** Corpus-level statistics report: doc count, token totals, and
+    * exact interpolated percentiles of per-doc token counts (Spark
+    * `percentile` == DuckDB `quantile_cont`). One narrow aggregation —
+    * the shape of every "corpus card" summary at any scale. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+    docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        avg(col("n_tokens")).as("mean_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        expr("percentile(n_tokens, 0.99)").as("p99_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |       avg(n_tokens) AS mean_tokens,
+      |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+      |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+      |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
+      |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM t""".stripMargin
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
