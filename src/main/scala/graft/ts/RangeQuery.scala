@@ -48,6 +48,24 @@ object RangeQuery {
     case ts            => ts.toLong
   }
 
+  /** Malformed-argument rejection, matching the reference's parse-time
+    * errors (reference: src/query_language.c; flow test
+    * tests/flow/test_negative.py). */
+  private def validate(args: RangeArgs): Unit = {
+    for (f <- args.from; t <- args.to)
+      require(f <= t, s"wrong fromTimestamp/toTimestamp: $f > $t")
+    if (args.aggs.nonEmpty)
+      require(args.bucketMs > 0,
+        s"AGGREGATION needs a positive bucketDuration, got ${args.bucketMs}")
+    args.count.foreach(c => require(c > 0, s"COUNT must be positive, got $c"))
+    require(Seq("-", "~", "+").contains(args.bucketTs),
+      s"bad BUCKETTIMESTAMP '${args.bucketTs}'")
+    require(args.empty == false || args.aggs.nonEmpty,
+      "EMPTY requires AGGREGATION")
+    args.aggs.foreach(a => require(Aggs.names.contains(a) || a == "twa",
+      s"unknown aggregator $a"))
+  }
+
   /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
   private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples
@@ -85,6 +103,7 @@ object RangeQuery {
    * (reference: src/filter_iterator.c reverse branches).
    */
   def range(samples: DataFrame, args: RangeArgs): DataFrame = {
+    validate(args)
     val df = filtered(samples, args)
     val base =
       if (args.aggs.isEmpty) {

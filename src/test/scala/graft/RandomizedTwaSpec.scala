@@ -84,8 +84,14 @@ class RandomizedTwaSpec extends AnyFunSuite {
       }.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
       val dur = Seq(7L, 10L, 50L, 100L)(rnd.nextInt(4))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(600).toLong) else None
-      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      val from0 = if (rnd.nextBoolean()) Some(rnd.nextInt(600).toLong) else None
+      val to0 = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      // an inverted range is a parse error in the engine (reference
+      // parity) — keep the generator on the valid-input side
+      val (from, to) = (from0, to0) match {
+        case (Some(f), Some(t)) if f > t => (Some(t), Some(f))
+        case other                       => other
+      }
       val empty = rnd.nextBoolean()
       val args = RangeArgs(from = from, to = to, aggs = Seq("twa"),
         bucketMs = dur, alignMs = align, empty = empty)

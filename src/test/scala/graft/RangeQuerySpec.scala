@@ -22,6 +22,25 @@ class RangeQuerySpec extends AnyFunSuite {
   private val T31 = 1706745599999L
   private val DAY = 86400000L
 
+  test("malformed arguments are rejected at plan time (reference test_negative)") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 1.0)).toDF("series", "ts", "value")
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(from = Some(10L), to = Some(5L))))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(aggs = Seq("avg"), bucketMs = 0)))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(aggs = Seq("avg"), bucketMs = 10, count = Some(0))))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(aggs = Seq("avg"), bucketMs = 10, bucketTs = "x")))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(empty = true)))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(aggs = Seq("median"), bucketMs = 10)))
+    intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(filterByTs = (1L to 129L))))
+  }
+
   test("samples mapping produces long-format epoch-ms rows") {
     val df = TSModel.samples(spark, sf)
     assert(df.columns.toSeq == Seq("series", "ts", "value"))
