@@ -84,19 +84,31 @@ object Compaction {
   def recomputeBuckets(
       samples: DataFrame, prevDest: DataFrame, rule: Rule,
       touched: DataFrame): DataFrame = {
-    // TWA buckets interpolate from NEIGHBOUR samples, so a late sample
-    // in bucket b also changes b-1 and b+1 (reference boundary carry,
-    // module.c:928-976) — expand the touched set by one bucket each way
-    // and recompute from the window pipeline (which needs the touched
-    // SERIES' samples for lag/lead context, still pruned to the late
-    // writers' series, not the whole table).
+    // TWA buckets interpolate from NEIGHBOUR SAMPLES, so a late (or
+    // deleted) sample in bucket b also changes the nearest NON-EMPTY
+    // bucket on each side — which can be arbitrarily far across empty
+    // gaps, not just b±1 (reference boundary carry, module.c:928-976).
+    // Expand the touched set to those true neighbours: one aggregate
+    // over the touched series' occupied buckets, conditional max/min
+    // around b. Cost is O(touched × occupied-buckets-of-those-series).
     val t0 = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
     val t =
-      if (rule.agg == "twa")
-        t0.select(col("__s"), explode(array(
-            col("__b") - rule.bucketMs, col("__b"), col("__b") + rule.bucketMs)).as("__b"))
+      if (rule.agg == "twa") {
+        val occ = samples
+          .join(broadcast(t0.select(col("__s")).distinct()),
+            col("series") === col("__s"), "left_semi")
+          .select(col("series"),
+            TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
           .distinct()
-      else t0
+        val nbrs = broadcast(t0).join(occ, col("series") === col("__s"))
+          .groupBy(col("__s"), col("__b"))
+          .agg(
+            max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),
+            min(when(col("ob") > col("__b"), col("ob"))).as("nextB"))
+        nbrs.select(col("__s"), explode(array(col("__b"), col("prevB"), col("nextB"))).as("__b"))
+          .filter(col("__b").isNotNull)
+          .distinct()
+      } else t0
     val destTouched = t.select(
       concat(col("__s"), lit(rule.destSuffix)).as("series"),
       col("__b").as("ts"))

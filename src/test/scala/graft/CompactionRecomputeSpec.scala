@@ -51,6 +51,49 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     assert(now(100L) != prev(100L) && now(200L) != prev(200L))
   }
 
+  test("randomized: incremental recompute equals full rebuild for every rule kind") {
+    def close(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val agg = Seq("sum", "avg", "max", "last", "twa")(rnd.nextInt(5))
+      val r = Compaction.Rule(agg, 100L)
+      // sparse series with real empty-bucket gaps
+      val before = (0 until 2).flatMap { s =>
+        (0 until 20).map { _ =>
+          (s"k$s", rnd.nextInt(2000).toLong,
+            if (agg != "twa" && rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(100).toDouble)
+        }
+      }.distinctBy(r => (r._1, r._2))
+      val late = (0 until 4).map { _ =>
+        (s"k${rnd.nextInt(2)}", rnd.nextInt(2400).toLong, rnd.nextInt(100).toDouble)
+      }.filter(l => !before.exists(b => b._1 == l._1 && b._2 == l._2))
+      val delSeries = "k0"
+      val delFrom = rnd.nextInt(1000).toLong
+      val delTo = delFrom + rnd.nextInt(600)
+      val beforeDf = before.toDF("series", "ts", "value")
+      val after = beforeDf.unionByName(late.toDF("series", "ts", "value"))
+        .filter(!(col("series") === delSeries && col("ts").between(delFrom, delTo)))
+      // touched = late buckets + buckets overlapping the delete range
+      def bkt(ts: Long) = ts - Math.floorMod(ts, 100L)
+      val touched = late.map(l => (l._1, bkt(l._2)))
+        .++((bkt(delFrom) to bkt(delTo) by 100L).map((delSeries, _)))
+        .distinct.toDF("series", "bucket")
+      val prevDest = Compaction.materialize(beforeDf, r, includeLatest = true)
+      def dump(df: org.apache.spark.sql.DataFrame) = df.collect().map { x =>
+        (x.getString(0), x.getLong(1)) ->
+          (if (x.isNullAt(2)) Double.NaN else x.getDouble(2))
+      }.toMap
+      val inc = dump(Compaction.recomputeBuckets(after, prevDest, r, touched))
+      val full = dump(Compaction.materialize(after, r, includeLatest = true))
+      assert(inc.keySet == full.keySet,
+        s"seed=$seed agg=$agg keys differ: ${(inc.keySet diff full.keySet) ++ (full.keySet diff inc.keySet)}")
+      full.foreach { case (k, v) =>
+        assert(close(inc(k), v), s"seed=$seed agg=$agg $k: inc=${inc(k)} full=$v")
+      }
+    }
+  }
+
   test("range delete: interior bucket disappears, partial buckets recompute") {
     val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, 4.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
       .toDF("series", "ts", "value")
