@@ -28,6 +28,40 @@ class MultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](requireInclusive(Seq(parsePred("type!=x"))))
   }
 
+  test("randomized: mrange equals independent per-series range calls") {
+    // the reference's nrange-compare strategy applied to MRANGE: the
+    // multi-series single-pass plan must agree with N single-series
+    // pipelines over the matched set, across a random option mix
+    val dir = SparkTest.sf
+    val samples = TSModel.samples(spark, dir)
+    val labels = TSModel.labels(spark, dir)
+    val predPool = Seq(
+      Seq("type=click"), Seq("type=(view,purchase)"),
+      Seq("type=(click,view)", "user=(1,2,3,4)"),
+      Seq("type=error", "user!=2"), Seq("type=(signup)", "user!=(9)"))
+    val rnd = new scala.util.Random(7)
+    for (iter <- 0 until 5) {
+      val preds = predPool(rnd.nextInt(predPool.size)).map(parsePred)
+      val agg = Seq("avg", "sum", "max", "count", "last")(rnd.nextInt(5))
+      val args = RangeArgs(
+        from = Some(1704067200000L + rnd.nextInt(10) * 86400000L),
+        to = Some(1704067200000L + (15 + rnd.nextInt(16)) * 86400000L),
+        aggs = Seq(agg), bucketMs = Seq(1L, 2L, 5L)(rnd.nextInt(3)) * 86400000L,
+        count = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(4)) else None,
+        reverse = rnd.nextBoolean())
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) "null" else f"${r.get(2).toString.toDouble}%.9f")
+      val multi = Multi.mrange(samples, labels, preds, args).collect().map(key).toSet
+      val matched = Multi.queryIndex(labels, preds).as[String].collect()
+      val singles = matched.flatMap { k =>
+        RangeQuery.range(samples.filter(col("series") === k), args).collect().map(key)
+      }.toSet
+      assert(multi == singles,
+        s"iter=$iter agg=$agg args=$args diff=${(multi diff singles) ++ (singles diff multi)}")
+    }
+  }
+
   test("mget picks the newest sample per matched series") {
     val s = Seq(("a", 1L, 1.0), ("a", 5L, 9.0), ("b", 3L, 2.0), ("c", 9L, 7.0))
       .toDF("series", "ts", "value")
