@@ -402,6 +402,11 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.filteredCorpus(docs,
           Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300))
       }),
+      // deterministic data mixing: per-language keep rates + stable
+      // train/val split from md5-prefix hashing (no RNG state)
+      "pipeline_stratified_sample" -> ((s, dir) =>
+        graft.pipeline.CorpusPipeline.stratifiedSample(
+          Text.loadDocuments(s, dir), Map("en" -> 0.8), defaultRate = 0.25)),
       // cluster-canonical dedup: connected components over the near-dup
       // pair graph (min reachable id), vs a transitive-closure oracle
       "dedup_cc_canonical" -> ((s, dir) => {
@@ -776,6 +781,8 @@ object SparkEntry {
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
       "pipeline_corpus_filter" ->
         graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
+      "pipeline_stratified_sample" ->
+        graft.pipeline.CorpusPipeline.stratifiedSampleSql(Map("en" -> 0.8), defaultRate = 0.25),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
       "mm_resize" -> Multimodal.resizeSql(),

@@ -47,6 +47,54 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("fp"))
   }
 
+  /**
+   * Deterministic stratified sampling + split assignment — the data
+   * mixing step of a corpus build. Per-language keep rates are applied
+   * via an md5-prefix threshold (`md5(doc_id)` prefix is uniform in
+   * [0x00, 0xff]; keep iff prefix < rate·256), and kept docs get a
+   * stable train/val split from a DIFFERENT slice of the same hash.
+   * Fully deterministic and engine-independent: reruns, backfills, and
+   * the DuckDB oracle all select the identical document set — no RNG
+   * state, no sampling drift between pipeline stages. Pure projections:
+   * embarrassingly parallel at any scale.
+   */
+  def stratifiedSample(
+      docs: DataFrame, rates: Map[String, Double], defaultRate: Double,
+      valFraction: Double = 0.1): DataFrame = {
+    val langPred = Text.languageId(docs).select(col("doc_id"), col("lang_pred"))
+    def hexThreshold(rate: Double): String = f"${math.round(rate * 256).toInt}%02x"
+    val h = md5(col("doc_id").cast("string"))
+    val keepThreshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (lang, r)) => when(col("lang_pred") === lang, lit(hexThreshold(r))).otherwise(acc)
+    }
+    val valThreshold = lit(hexThreshold(valFraction))
+    docs.select(col("doc_id")).join(langPred, Seq("doc_id"))
+      .filter(substring(h, 1, 2) < keepThreshold)
+      .select(col("doc_id"), col("lang_pred"),
+        when(substring(h, 3, 2) < valThreshold, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
+  def stratifiedSampleSql(
+      rates: Map[String, Double], defaultRate: Double,
+      valFraction: Double = 0.1): String = {
+    def hexThreshold(rate: Double): String = f"${math.round(rate * 256).toInt}%02x"
+    val whens = rates.map { case (lang, r) =>
+      s"WHEN lang_pred = '$lang' THEN '${hexThreshold(r)}'"
+    }.mkString(" ")
+    s"""WITH lang AS (
+       |  ${Text.languageIdSql.replace("\n", "\n  ")}
+       |), hashed AS (
+       |  SELECT doc_id, lang_pred, md5(CAST(doc_id AS VARCHAR)) AS h FROM lang
+       |)
+       |SELECT doc_id, lang_pred,
+       |       CASE WHEN substring(h, 3, 2) < '${hexThreshold(valFraction)}'
+       |            THEN 'val' ELSE 'train' END AS split
+       |FROM hashed
+       |WHERE substring(h, 1, 2) <
+       |  (CASE $whens ELSE '${hexThreshold(defaultRate)}' END)""".stripMargin
+  }
+
   /** DuckDB twin over the bounded near-dup pair SQL. */
   def filteredCorpusSql(
       pairsSql: String,
