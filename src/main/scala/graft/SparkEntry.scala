@@ -171,6 +171,15 @@ object SparkEntry {
         Multi.mrangeDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
           Seq(Multi.parsePred("type=click")),
           Compaction.Rule("avg", DAY), RangeArgs(latest = true))),
+      // full option-stack interplay on a dest read: LATEST surfaces the
+      // in-flight bucket, COUNT truncates per series, REVRANGE orders
+      // descending — reference applies them in exactly that order
+      // (tsdb.c:1468-1501 then reply.c:180-212)
+      "ts_mrange_latest_count_rev" -> ((s, dir) =>
+        Multi.mrangeDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=click")),
+          Compaction.Rule("avg", DAY),
+          RangeArgs(latest = true, count = Some(3), reverse = true))),
       // same read WITHOUT the flag: the in-flight bucket must be absent
       "ts_mrange_nolatest" -> ((s, dir) =>
         Multi.mrangeDest(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -618,6 +627,14 @@ object SparkEntry {
            |  FROM samples JOIN series_labels USING (series)
            |  WHERE "type" = 'click' GROUP BY 1, 2
            |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value FROM agg""".stripMargin,
+      "ts_mrange_latest_count_rev" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE "type" = 'click' GROUP BY 1, 2
+           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value FROM agg
+           |  QUALIFY row_number() OVER (PARTITION BY series ORDER BY bucket DESC) <= 3""".stripMargin,
       "ts_mrange_nolatest" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
