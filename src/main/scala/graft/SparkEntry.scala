@@ -431,6 +431,10 @@ object SparkEntry {
       // corpus card: exact interpolated percentiles of token counts
       "text_corpus_stats" -> ((s, dir) =>
         Text.corpusStats(Text.loadDocuments(s, dir))),
+      // PII/URL redaction pass with byte-exact digests
+      "text_redact" -> ((s, dir) => Text.redact(Text.loadDocuments(s, dir))),
+      // Gopher-style repetition quality signals
+      "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       // serving path: external literal query vectors (not corpus rows)
@@ -802,6 +806,8 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.stratifiedSampleSql(Map("en" -> 0.8), defaultRate = 0.25),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
+      "text_redact" -> Text.redactSql,
+      "text_repetition" -> Text.repetitionSql,
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -161,6 +161,57 @@ object Text {
        |FROM tc JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN n
        |WHERE tc.cnt >= $minCount""".stripMargin
 
+  // Kept to the regex subset shared by Java (Spark) and RE2 (DuckDB):
+  // no lookaround, no backrefs.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^ \\t\\n]+"
+
+  /** PII/URL scrubbing — the standard pre-training redaction pass:
+    * emails and URLs replaced with sentinel tokens, with counts and the
+    * digest of the redacted text for byte-exact verification. Pure
+    * projections, embarrassingly parallel. */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(urlRe)).as("n_urls"),
+      md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        urlRe, "<URL>")).as("redacted_md5"))
+
+  val redactSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$urlRe')) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |      '$urlRe', '<URL>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+
+  /** Repetition signals (Gopher-style quality rules): fraction of the
+    * doc taken by its most frequent word, and the distinct-word ratio.
+    * One explode + per-(doc, word) count + per-doc max — two partial
+    * aggregations, no joins against raw text. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_word_frac"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_ratio"))
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+      |)
+      |SELECT doc_id,
+      |       CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac,
+      |       CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+      |FROM c GROUP BY doc_id""".stripMargin
+
   /** Corpus-level statistics report: doc count, token totals, and
     * exact interpolated percentiles of per-doc token counts (Spark
     * `percentile` == DuckDB `quantile_cont`). One narrow aggregation —
