@@ -283,6 +283,12 @@ object SparkEntry {
       // LATEST: in-flight bucket surfaced (reference: tsdb.c:1468-1501)
       "ts_compaction_latest" -> ((s, dir) =>
         Compaction.latest(TSModel.samples(s, dir), Compaction.Rule("max", DAY))),
+      // multi-rule fan-out in ONE source scan (reference walks every
+      // attached rule per write, module.c:915-984)
+      "ts_compaction_multirule" -> ((s, dir) =>
+        Compaction.materializeAll(TSModel.samples(s, dir), Seq(
+          Compaction.Rule("avg", DAY), Compaction.Rule("max", 2 * DAY),
+          Compaction.Rule("sum", DAY)))),
       // TWA compaction rule: boundary carry across buckets
       // (reference: module.c:928-976)
       "ts_compaction_twa" -> ((s, dir) =>
@@ -687,6 +693,21 @@ object SparkEntry {
            |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb""".stripMargin,
+      "ts_compaction_multirule" -> {
+        def one(agg: String, aggSql: String, dur: Long) =
+          s"""SELECT series || '_${agg}_$dur' AS series, bucket AS ts, value FROM (
+             |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
+             |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
+             |           $aggSql AS value
+             |    FROM samples GROUP BY 1, 2)
+             |) WHERE bucket < maxb""".stripMargin
+        s"""${TSModel.samplesCte}
+           |${one("avg", "avg(value) FILTER (WHERE NOT isnan(value))", DAY)}
+           |UNION ALL
+           |${one("max", "max(value) FILTER (WHERE NOT isnan(value))", 2 * DAY)}
+           |UNION ALL
+           |${one("sum", "sum(value) FILTER (WHERE NOT isnan(value))", DAY)}""".stripMargin
+      },
       "ts_compaction_twa" ->
         s"""WITH twa AS (
            |${Twa.sql(DAY, 0L, None, None, None)}

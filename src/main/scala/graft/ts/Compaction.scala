@@ -67,6 +67,48 @@ object Compaction {
   }
 
   /**
+   * Materialize MANY rules in ONE source scan — the reference fans a
+   * write out to every attached rule (rules list walk, reference:
+   * src/module.c:915-984); the batch equivalent of R rules as R
+   * separate materializations reads the source R times, which at
+   * 100 TB makes scans the whole job. Instead each sample explodes to
+   * its (rule, bucket) assignments and ONE grouped aggregation computes
+   * every aggregator — one scan, one shuffle (of R× pre-aggregated
+   * keys, combined map-side). TWA rules are excluded (they need the
+   * window pipeline; see [[materialize]]).
+   */
+  def materializeAll(samples: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty && rules.forall(_.agg != "twa"),
+      "materializeAll covers non-TWA rules; TWA goes through materialize")
+    val assignments = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(i).as("rid"),
+        TSModel.bucketStart(col("ts"), r.bucketMs, r.alignMs).as("bucket"))
+    }: _*)
+    val exploded = samples.select(col("series"), col("ts"), col("value"),
+        explode(assignments).as("a"))
+      .select(col("series"), col("ts"), col("value"),
+        col("a.rid").as("rid"), col("a.bucket").as("bucket"))
+    val distinctAggs = rules.map(_.agg).distinct
+    val agged = exploded.groupBy(col("series"), col("rid"), col("bucket"))
+      .agg(distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).head,
+        distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).tail: _*)
+    val w = Window.partitionBy(col("series"), col("rid"))
+    val flushed = agged
+      .withColumn("__maxb", max(col("bucket")).over(w))
+      .filter(col("bucket") < col("__maxb"))
+    val valueByRule = rules.zipWithIndex.map { case (r, i) =>
+      when(col("rid") === i, col(Aggs.colName(r.agg)))
+    }.reduceRight((a, b) => a.otherwise(b))
+    val suffixByRule = rules.zipWithIndex.map { case (r, i) =>
+      when(col("rid") === i, lit(r.destSuffix))
+    }.reduceRight((a, b) => a.otherwise(b))
+    flushed.select(
+      concat(col("series"), suffixByRule).as("series"),
+      col("bucket").as("ts"),
+      valueByRule.cast("double").as("value"))
+  }
+
+  /**
    * Incremental recompute: the scale path for out-of-order upserts and
    * range deletes (reference: upsertCompaction src/tsdb.c:621-668,
    * CompactionDelRange src/tsdb.c:832-994). Instead of rebuilding the

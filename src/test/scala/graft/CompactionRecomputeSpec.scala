@@ -94,6 +94,22 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-rule single-scan materialization equals per-rule materializations") {
+    val rules = Seq(Compaction.Rule("sum", 100L), Compaction.Rule("max", 200L),
+      Compaction.Rule("count", 100L))
+    val s = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, Double.NaN),
+        ("k", 210L, 3.0), ("k", 310L, 9.0), ("m", 40L, 4.0), ("m", 250L, 6.0))
+      .toDF("series", "ts", "value")
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    }.toSet
+    val one = rules.map(r => dump(Compaction.materialize(s, r))).reduce(_ ++ _)
+    assert(dump(Compaction.materializeAll(s, rules)) == one)
+    intercept[IllegalArgumentException](
+      Compaction.materializeAll(s, Seq(Compaction.Rule("twa", 100L))))
+  }
+
   test("range delete: interior bucket disappears, partial buckets recompute") {
     val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, 4.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
       .toDF("series", "ts", "value")
