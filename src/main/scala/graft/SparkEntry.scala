@@ -810,6 +810,25 @@ object SparkEntry {
       // (banding recall ≈ 1 at the planted-duplicate similarity)
       "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
+      // exact oracles for the full-table LSH paths — valid because the
+      // fixture's true pair sets are all planted near-duplicates
+      // (jac >= 0.889 / cos ~ 1), where banding recall is
+      // deterministically 1 with the fixed seeds (verified by
+      // cross-check at both SFs); the LSH output must therefore EQUAL
+      // the exact threshold pair set
+      "dedup_minhash_lsh_full" -> Dedup.ngramJaccardPairsSql(0.5, Long.MaxValue),
+      "dedup_cosine_lsh" ->
+        """WITH uni AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000000,
+          |         list_prepend(embedding[1] + CAST(0.001 AS FLOAT), embedding[2:])
+          |  FROM embeddings WHERE vec_id < 10
+          |), scored AS (
+          |  SELECT a.vec_id AS i, b.vec_id AS j,
+          |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+          |  FROM uni a, uni b WHERE a.vec_id < b.vec_id
+          |) SELECT * FROM scored WHERE cos >= 0.95""".stripMargin,
       "text_word_freq" -> Text.wordFrequencySql(20),
       "dedup_corpus_keep" ->
         s"""WITH pairs AS (${Dedup.ngramJaccardPairsSql(0.5, 300)})
