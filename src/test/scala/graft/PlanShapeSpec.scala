@@ -68,6 +68,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-rule compaction: one source scan for all rules") {
+    val df = SparkEntry.queries("ts_compaction_multirule")(spark, dir)
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected 1 scan for 3 rules, got ${scans.size}")
+    // two shuffles by design: the (series, rid, bucket) aggregation
+    // (map-side combined, so it moves pre-aggregated keys) and the
+    // in-flight-bucket window over already-aggregated dest-sized rows
+    assert(shuffles(df).size <= 2, s"unexpected shuffles: ${shuffles(df).size}")
+  }
+
   test("ignore filter: one shuffle by series, then a streaming map pass") {
     val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
     val sh = shuffles(df)
