@@ -18,6 +18,21 @@ import org.apache.spark.sql.expressions.Window
 object CorpusPipeline {
 
   /**
+   * Two-char threshold for the md5-prefix keep test (`prefix < t` keeps
+   * ≈ rate of a uniform prefix). Rates that round to ≥ 256 previously
+   * formatted as the 3-char "100", and lexicographically
+   * `substring(md5, 1, 2) < '100'` keeps only '0x'-prefixed hashes
+   * (~6.25%) — a silently wrong sample in BOTH engines, so the oracle
+   * could not catch it (ADVICE r02). "g" sorts after every hex pair
+   * ('g' > 'f'), so rate ≈ 1.0 keeps everything; shared by the Spark
+   * path and the SQL twin so they stay bit-identical.
+   */
+  private[pipeline] def hexThreshold(rate: Double): String = {
+    val v = math.round(rate * 256).toInt
+    if (v >= 256) "g" else f"$v%02x"
+  }
+
+  /**
    * Filtered, deduplicated corpus. Gates are deterministic: language
    * must be `lang`, `alpha_ratio >= minAlpha`, `n_tokens >= minTokens`.
    * Exact dedup keeps the minimum doc id per fingerprint AMONG the
@@ -62,7 +77,6 @@ object CorpusPipeline {
       docs: DataFrame, rates: Map[String, Double], defaultRate: Double,
       valFraction: Double = 0.1): DataFrame = {
     val langPred = Text.languageId(docs).select(col("doc_id"), col("lang_pred"))
-    def hexThreshold(rate: Double): String = f"${math.round(rate * 256).toInt}%02x"
     val h = md5(col("doc_id").cast("string"))
     val keepThreshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (lang, r)) => when(col("lang_pred") === lang, lit(hexThreshold(r))).otherwise(acc)
@@ -78,7 +92,6 @@ object CorpusPipeline {
   def stratifiedSampleSql(
       rates: Map[String, Double], defaultRate: Double,
       valFraction: Double = 0.1): String = {
-    def hexThreshold(rate: Double): String = f"${math.round(rate * 256).toInt}%02x"
     val whens = rates.map { case (lang, r) =>
       s"WHEN lang_pred = '$lang' THEN '${hexThreshold(r)}'"
     }.mkString(" ")

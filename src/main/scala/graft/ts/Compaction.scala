@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
@@ -74,38 +74,111 @@ object Compaction {
    * 100 TB makes scans the whole job. Instead each sample explodes to
    * its (rule, bucket) assignments and ONE grouped aggregation computes
    * every aggregator — one scan, one shuffle (of R× pre-aggregated
-   * keys, combined map-side). TWA rules are excluded (they need the
-   * window pipeline; see [[materialize]]).
+   * keys, combined map-side).
+   *
+   * TWA rules join the same single-scan plan (VERDICT r02 #10): the
+   * per-sample valid-neighbour lookup is rule-INdependent (one as-of
+   * window by series, added only when a TWA rule is present), each TWA
+   * rule's trapezoid contribution is plain per-row arithmetic computed
+   * in the explode projection, and the shared grouped aggregation sums
+   * it alongside the other aggregators — same one scan, one window
+   * shuffle + one grouped shuffle for ANY rule mix.
    */
   def materializeAll(samples: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty && rules.forall(_.agg != "twa"),
-      "materializeAll covers non-TWA rules; TWA goes through materialize")
+    require(rules.nonEmpty)
+    val hasTwa = rules.exists(_.agg == "twa")
+    val valid = !isnan(col("value"))
+    // as-of neighbours over VALID samples only (bucketTwa drops NaN rows
+    // before lag/lead; skipping them inside the window is equivalent and
+    // keeps NaN rows visible to countnan/countall aggregators)
+    val base =
+      if (!hasTwa) samples
+      else {
+        val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+        val vstruct = when(valid, struct(col("ts").as("t"), col("value").as("v")))
+        samples
+          .withColumn("__prev", last(vstruct, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("__next", first(vstruct, ignoreNulls = true)
+            .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      }
+    // per-rule trapezoid contribution + boundary flags (geometry depends
+    // on the rule's bucket; neighbours don't) — reference TWA semantics
+    // src/compaction.c:302-459, no range clipping in the compaction path
+    def twaRowCols(r: Rule): (Column, Column, Column) = {
+      val b = TSModel.bucketStart(col("ts"), r.bucketMs, r.alignMs)
+      val ta = b.cast("double")
+      val tb = (b + r.bucketMs).cast("double")
+      val ts = col("ts").cast("double"); val v = col("value")
+      val pTs = col("__prev.t").cast("double"); val pV = col("__prev.v")
+      val nTs = col("__next.t").cast("double"); val nV = col("__next.v")
+      val prevOutside = col("__prev").isNotNull &&
+        TSModel.bucketStart(col("__prev.t"), r.bucketMs, r.alignMs) < b
+      val prevInside = col("__prev").isNotNull && !prevOutside
+      val nextOutside = col("__next").isNotNull &&
+        TSModel.bucketStart(col("__next.t"), r.bucketMs, r.alignMs) > b
+      val interior = when(prevInside, (pV + v) * (ts - pTs) / 2.0).otherwise(0.0)
+      val vHead = pV + (ta - pTs) * (v - pV) / (ts - pTs)
+      val head = when(prevOutside, (vHead + v) * (ts - ta) / 2.0).otherwise(0.0)
+      val vTail = v + (tb - ts) * (nV - v) / (nTs - ts)
+      val tail = when(nextOutside, (v + vTail) * (tb - ts) / 2.0).otherwise(0.0)
+      (when(valid, interior + head + tail).otherwise(0.0),
+        when(valid, prevOutside.cast("int")).otherwise(0),
+        when(valid, nextOutside.cast("int")).otherwise(0))
+    }
     val assignments = array(rules.zipWithIndex.map { case (r, i) =>
+      val (contrib, pOut, nOut) =
+        if (r.agg == "twa") twaRowCols(r) else (lit(0.0), lit(0), lit(0))
       struct(lit(i).as("rid"),
-        TSModel.bucketStart(col("ts"), r.bucketMs, r.alignMs).as("bucket"))
+        TSModel.bucketStart(col("ts"), r.bucketMs, r.alignMs).as("bucket"),
+        contrib.as("contrib"), pOut.as("p_out"), nOut.as("n_out"))
     }: _*)
-    val exploded = samples.select(col("series"), col("ts"), col("value"),
+    val exploded = base.select(col("series"), col("ts"), col("value"),
         explode(assignments).as("a"))
-      .select(col("series"), col("ts"), col("value"),
-        col("a.rid").as("rid"), col("a.bucket").as("bucket"))
-    val distinctAggs = rules.map(_.agg).distinct
+      .select(col("series"), col("ts"), col("value"), col("a.rid").as("rid"),
+        col("a.bucket").as("bucket"), col("a.contrib").as("contrib"),
+        col("a.p_out").as("p_out"), col("a.n_out").as("n_out"))
+    val distinctAggs = rules.map(_.agg).filter(_ != "twa").distinct
+    val aggExprs =
+      distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))) ++
+      (if (!hasTwa) Nil else Seq(
+        sum(col("contrib")).as("__twa_res"),
+        max(col("p_out")).as("__has_prev"),
+        max(col("n_out")).as("__has_next"),
+        min(when(valid, col("ts"))).cast("double").as("__ts_first"),
+        max(when(valid, col("ts"))).cast("double").as("__ts_last"),
+        max(when(valid, struct(col("ts"), col("value"))))
+          .getField("value").as("__last_v")))
     val agged = exploded.groupBy(col("series"), col("rid"), col("bucket"))
-      .agg(distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).head,
-        distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).tail: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    def twaValue(r: Rule): Column = {
+      val ta = col("bucket").cast("double")
+      val tb = (col("bucket") + r.bucketMs).cast("double")
+      val firstTs = when(col("__has_prev") === 1, ta).otherwise(col("__ts_first"))
+      val lastTs = when(col("__has_next") === 1, tb).otherwise(col("__ts_last"))
+      when(lastTs === firstTs, col("__last_v"))
+        .otherwise(col("__twa_res") / (lastTs - firstTs))
+    }
+    val valueByRule = rules.zipWithIndex.map { case (r, i) =>
+      when(col("rid") === i,
+        if (r.agg == "twa") twaValue(r) else col(Aggs.colName(r.agg)))
+    }.reduceRight((a, b) => a.otherwise(b))
+    val twaRid = rules.zipWithIndex.collect { case (r, i) if r.agg == "twa" =>
+      col("rid") === i }.reduceOption(_ || _).getOrElse(lit(false))
     val w = Window.partitionBy(col("series"), col("rid"))
     val flushed = agged
+      .withColumn("__value", valueByRule.cast("double"))
+      // NaN-only buckets hold no valid TWA sample: bucketTwa omits them
+      .filter(!twaRid || col("__value").isNotNull)
       .withColumn("__maxb", max(col("bucket")).over(w))
       .filter(col("bucket") < col("__maxb"))
-    val valueByRule = rules.zipWithIndex.map { case (r, i) =>
-      when(col("rid") === i, col(Aggs.colName(r.agg)))
-    }.reduceRight((a, b) => a.otherwise(b))
     val suffixByRule = rules.zipWithIndex.map { case (r, i) =>
       when(col("rid") === i, lit(r.destSuffix))
     }.reduceRight((a, b) => a.otherwise(b))
     flushed.select(
       concat(col("series"), suffixByRule).as("series"),
       col("bucket").as("ts"),
-      valueByRule.cast("double").as("value"))
+      col("__value").as("value"))
   }
 
   /**

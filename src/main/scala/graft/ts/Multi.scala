@@ -103,6 +103,10 @@ object Multi {
     * Output pseudo-series "label=value" (reference: resultset.c:125-277).
     * All-NaN groups reduce to NaN, count-family to 0 (reference:
     * multiseries_agg_dup_sample_iterator.c:46-59).
+    *
+    * Every per-series aggregator column is reduced in lockstep — the
+    * reference replays N aggregators through the grouped path
+    * (reply.c:291-358); we reduce all of them in ONE grouped pass.
     */
   def mrangeGroupBy(
       samples: DataFrame, labels: DataFrame,
@@ -111,19 +115,21 @@ object Multi {
     require(!Seq("first", "last", "twa").contains(reducer),
       s"$reducer is not a valid GROUPBY reducer") // reference: query_language.c:825-841
     val perSeries = mrange(samples, labels, preds, args)
-    val valueCol = if (args.aggs.isEmpty) "value" else Aggs.colName(args.aggs.head)
+    val valueCols = if (args.aggs.isEmpty) Seq("value") else args.aggs.map(Aggs.colName)
     val lbl = broadcast(labels.select(col("series"),
       element_at(col("labels"), groupByLabel).as("lv")))
+    val reduceExprs = valueCols.map(c =>
+      Aggs.expr(reducer, col(c), col("ts")).as(s"__red_$c"))
     val reduced = perSeries.join(lbl, Seq("series"))
       .filter(col("lv").isNotNull)
       .groupBy(col("lv"), col("ts"))
-      .agg(Aggs.expr(reducer, col(valueCol), col("ts")).as("reduced"))
+      .agg(reduceExprs.head, reduceExprs.tail: _*)
     val fill = if (Set("count", "countnan", "countall").contains(reducer)) lit(0.0)
                else lit(Double.NaN)
     reduced.select(
-      concat(lit(s"$groupByLabel="), col("lv")).as("series"),
-      col("ts"),
-      coalesce(col("reduced").cast("double"), fill).as(valueCol))
+      (concat(lit(s"$groupByLabel="), col("lv")).as("series") +:
+        col("ts") +:
+        valueCols.map(c => coalesce(col(s"__red_$c").cast("double"), fill).as(c))): _*)
   }
 
   /** TS.MGET: last sample per label-matched series (reference:

@@ -97,6 +97,71 @@ object Read {
       }
   }
 
+  /** Blocking state with a deadline (epoch-ms); `deadline == 0` means
+    * not yet armed. */
+  final case class BlockTimeoutState(
+      buffer: Seq[(Long, Double)], emitted: Boolean, deadline: Long)
+
+  /**
+   * TS.READ ... BLOCK ms min_count WITH the timeout path (reference:
+   * module.c:1889-2017 — the timeout callback unblocks the client with
+   * whatever is buffered, possibly nothing, instead of waiting for
+   * min_count forever). The deadline arms when the series' first batch
+   * arrives; once `now >= deadline` the buffer flushes even below
+   * `minCount`, and the gate stays open (later samples pass straight
+   * through, like the post-unblock contract of [[blockTail]]).
+   *
+   * With `processingTimeTimeout=true` (production) a
+   * ProcessingTimeTimeout wakes the group when the deadline passes with
+   * no new data; the trigger loop spins micro-batches until it fires, so
+   * deterministic tests pass `false` and drive the deadline purely from
+   * arriving batches. `clock` injects a simulated time source for tests;
+   * production leaves it None and uses the state store's processing
+   * time.
+   */
+  def blockTailTimeout(
+      stream: DataFrame, series: String, cursorTs: Long,
+      minCount: Int, timeoutMs: Long,
+      clock: Option[() => Long] = None,
+      processingTimeTimeout: Boolean = true): Dataset[(String, Long, Double)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (processingTimeTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    stream
+      .filter(col("series") === series && col("ts") >= cursorTs)
+      .select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[BlockTimeoutState]) =>
+          val now = clock.map(_())
+            .getOrElse(state.getCurrentProcessingTimeMs())
+          val st0 = state.getOption.getOrElse(BlockTimeoutState(Nil, emitted = false, 0L))
+          val st = if (st0.deadline == 0L) st0.copy(deadline = now + timeoutMs) else st0
+          val incoming = rows.map(r => (r._2, r._3)).toSeq
+          def flush(buf: Seq[(Long, Double)]) = {
+            state.update(BlockTimeoutState(Nil, emitted = true, st.deadline))
+            buf.sortBy(_._1).iterator.map { case (ts, v) => (key, ts, v) }
+          }
+          if (st.emitted) {
+            incoming.sortBy(_._1).iterator.map { case (ts, v) => (key, ts, v) }
+          } else {
+            val buf = st.buffer ++ incoming
+            if (buf.size >= minCount || now >= st.deadline || state.hasTimedOut) {
+              flush(buf) // timeout unblocks with whatever is buffered
+            } else {
+              state.update(st.copy(buffer = buf))
+              if (processingTimeTimeout)
+                state.setTimeoutDuration(math.max(st.deadline - now, 1L))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** One-shot tail used by tests: drain everything currently in `dir`
     * through the streaming engine and return the collected batch. */
   def tailOnce(spark: SparkSession, dir: String, series: String, cursorTs: Long,

@@ -106,8 +106,14 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     }.toSet
     val one = rules.map(r => dump(Compaction.materialize(s, r))).reduce(_ ++ _)
     assert(dump(Compaction.materializeAll(s, rules)) == one)
-    intercept[IllegalArgumentException](
-      Compaction.materializeAll(s, Seq(Compaction.Rule("twa", 100L))))
+    // TWA rules join the same single-scan plan (VERDICT r02 #10) and
+    // must match the dedicated window-pipeline materialization exactly,
+    // alone and mixed with plain aggregators
+    val mixed = rules :+ Compaction.Rule("twa", 100L) :+ Compaction.Rule("twa", 200L)
+    val oneMixed = mixed.map(r => dump(Compaction.materialize(s, r))).reduce(_ ++ _)
+    assert(dump(Compaction.materializeAll(s, mixed)) == oneMixed)
+    assert(dump(Compaction.materializeAll(s, Seq(Compaction.Rule("twa", 100L))))
+      == dump(Compaction.materialize(s, Compaction.Rule("twa", 100L))))
   }
 
   test("range delete: interior bucket disappears, partial buckets recompute") {

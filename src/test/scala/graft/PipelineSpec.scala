@@ -29,6 +29,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("stratified sample keeps everything at rates 1.0 and 0.999") {
+    // ADVICE r02: rates rounding to >= 256 formatted as the 3-char
+    // "100" and the lexicographic prefix test then kept only ~6.25% —
+    // in BOTH engines, so the oracle couldn't catch it
+    val total = docs.count()
+    val all = CorpusPipeline.stratifiedSample(docs, Map.empty, defaultRate = 1.0)
+    assert(all.count() == total)
+    val nearAll = CorpusPipeline.stratifiedSample(docs, Map.empty, defaultRate = 0.999)
+    assert(nearAll.count() == total) // rounds to 256 -> keep-all
+    assert(all.select("split").distinct().count() <= 2)
+    // a genuine fractional rate still filters roughly proportionally
+    val half = CorpusPipeline.stratifiedSample(docs, Map.empty, defaultRate = 0.5).count()
+    assert(half > total * 0.35 && half < total * 0.65, s"$half of $total")
+  }
+
   test("simhash pairs are true near-duplicates by jaccard") {
     val sim = Dedup.simhashPairs(docs, maxDist = 3)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

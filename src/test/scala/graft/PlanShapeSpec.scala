@@ -78,6 +78,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(df).size <= 2, s"unexpected shuffles: ${shuffles(df).size}")
   }
 
+  test("retention clamp: the samples side never shuffles full rows") {
+    // VERDICT r02 Wrong #3: the per-series max is an aggregate (its
+    // shuffle moves (series, max_ts) partials only) broadcast-joined
+    // back — a window implementation would shuffle every raw sample
+    // (series, ts, value) by series.
+    val df = SparkEntry.queries("ts_retention")(spark, dir)
+    val offenders = shuffles(df).filter(_.output.exists(_.name == "value"))
+    assert(offenders.isEmpty,
+      s"retention clamp shuffles full sample rows:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
   test("ignore filter: one shuffle by series, then a streaming map pass") {
     val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
     val sh = shuffles(df)

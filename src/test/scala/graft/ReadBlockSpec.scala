@@ -49,4 +49,40 @@ class ReadBlockSpec extends AnyFunSuite {
     Seq(("s", 170L, 7.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b3")
     assert(drain(s"$dir/*", ckpt) == 1L)
   }
+
+  private def drainTimeout(dir: String, ckpt: String, clockMs: Long): Long = {
+    emitted.set(0)
+    val q = Read.blockTailTimeout(
+        spark.readStream.schema(Compaction.sampleSchema).parquet(dir),
+        series = "s", cursorTs = 100L, minCount = 5, timeoutMs = 1000L,
+        clock = Some(() => clockMs), processingTimeTimeout = false)
+      .toDF("series", "ts", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.addAndGet(batch.count()); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    emitted.get()
+  }
+
+  test("BLOCK timeout unblocks with whatever is buffered (reference timeout callback)") {
+    // reference: module.c:1889-2017 — the deadline fires and the client
+    // receives the partial buffer instead of waiting for min_count.
+    // Deterministic via an injected clock: batch 1 arms the deadline at
+    // t=0+1000; batch 2 arrives at simulated t=5000, past it.
+    val dir = Files.createTempDirectory("blocktmo").toString
+    val ckpt = Files.createTempDirectory("blocktmockpt").toString
+    Seq(("s", 110L, 1.0), ("s", 120L, 2.0))
+      .toDF("series", "ts", "value").write.parquet(s"$dir/b1")
+    assert(drainTimeout(s"$dir/*", ckpt, clockMs = 0L) == 0L) // 2 < 5: gate shut
+    Seq(("s", 130L, 3.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b2")
+    // 3 < 5 but the deadline passed: flush the partial buffer
+    assert(drainTimeout(s"$dir/*", ckpt, clockMs = 5000L) == 3L)
+    // gate stays open afterwards
+    Seq(("s", 140L, 4.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b3")
+    assert(drainTimeout(s"$dir/*", ckpt, clockMs = 5001L) == 1L)
+  }
 }
