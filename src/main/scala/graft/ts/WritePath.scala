@@ -75,11 +75,16 @@ object WritePath {
           .join(broadcast(pol), Seq("series"), "left")
           .withColumn("__pol", coalesce(col("__pol"), lit(globalPolicy.toUpperCase)))
           .localCheckpoint() // read 3x: policy validation, BLOCK check, result
-        val bad = resolved.filter(!col("__pol").isInCollection(known))
+        // one validation pass: unknown policies and BLOCK violations
+        val bad = resolved
+          .filter(!col("__pol").isInCollection(known) ||
+            (col("__pol") === "BLOCK" && col("__n") > 1))
           .select(col("__pol")).limit(1).collect()
-        require(bad.isEmpty, s"unknown duplicate policy ${bad.headOption.map(_.getString(0))}")
-        if (resolved.filter(col("__pol") === "BLOCK" && col("__n") > 1).limit(1).count() > 0)
-          throw new IllegalStateException("duplicate timestamps under BLOCK policy")
+        bad.headOption.foreach { r =>
+          if (r.getString(0) == "BLOCK")
+            throw new IllegalStateException("duplicate timestamps under BLOCK policy")
+          else throw new IllegalArgumentException(s"unknown duplicate policy ${r.getString(0)}")
+        }
         resolved.select(col("series"), col("ts"),
           when(col("__pol") === "FIRST", col("__first"))
             .when(col("__pol") === "MIN", col("__min"))
