@@ -55,8 +55,10 @@ object CorpusPipeline {
       .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("__canon"))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("fp"))
-    val cc = Dedup.ccCanonical(nearPairs)
-      .select(col("node").as("doc_id"), col("label").as("__cc"))
+    // the CC label frame is O(pair-graph nodes) — gated broadcast keeps
+    // the gated-corpus side shuffle-free (see Dedup.maybeBroadcast)
+    val cc = Dedup.maybeBroadcast(Dedup.ccCanonical(nearPairs)
+      .select(col("node").as("doc_id"), col("label").as("__cc")))
     exactKept.join(cc, Seq("doc_id"), "left")
       .filter(col("__cc").isNull || col("__cc") === col("doc_id"))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("fp"))

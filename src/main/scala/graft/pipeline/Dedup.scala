@@ -158,7 +158,8 @@ object Dedup {
       docs: DataFrame, threshold: Double,
       numHashes: Int = 64, bandRows: Int = 4,
       maxDocId: Long = Long.MaxValue,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val sh = shingles(docs.filter(col("doc_id") < maxDocId))
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     // the per-doc signature frame (one narrow row per doc) feeds both
@@ -178,9 +179,17 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val cand = bucketCandidates(bands, "doc_id", Seq("band", "bucket"), maxBucket)
-    val inter = cand
-      .join(sh.as("a"), col("i") === col("a.doc_id"))
-      .join(sh.as("b"), col("j") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+    // shared-shingle counts via two gated-broadcast joins: the exploded
+    // shingle frame is O(corpus tokens) and must NOT shuffle — the
+    // candidate side (pairs, then pair×shingles-of-i) is counted and
+    // broadcast when small, so the corpus streams through both joins;
+    // a degenerate crawl degrades to shuffle joins instead of failing
+    val withA = sh.as("a")
+      .join(maybeBroadcast(cand, maxBroadcastRows), col("a.doc_id") === col("i"))
+      .select(col("i"), col("j"), col("a.shingle").as("__ish"))
+    val inter = sh.as("b")
+      .join(maybeBroadcast(withA, maxBroadcastRows),
+        col("b.doc_id") === col("j") && col("b.shingle") === col("__ish"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     jaccardOfPairs(inter, sh, threshold)
   }
@@ -189,9 +198,11 @@ object Dedup {
     * (i < j) mark their j side for removal, keeping each cluster's
     * lowest id (greedy min-id survivor — for pair chains this removes
     * every non-minimal member because each appears as some pair's j).
-    * One anti-join against the pair set. */
+    * One anti-join against the (gated-broadcast) removal set — the
+    * corpus side never shuffles when removals are candidate-sized. */
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
-    docs.join(pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    docs.join(maybeBroadcast(pairs.select(col("j").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
 
   /**
    * Connected components over the near-dup pair graph: each node's
@@ -265,10 +276,13 @@ object Dedup {
   }
 
   /** Canonical-id mapping for every doc in `docs`: its component's min
-    * id if it touches any near-dup pair, else itself. */
+    * id if it touches any near-dup pair, else itself. The label frame
+    * is O(pair-graph nodes) — gated-broadcast so the corpus side stays
+    * shuffle-free. */
   def ccCanonicalMapping(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(ccCanonical(pairs).withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(maybeBroadcast(ccCanonical(pairs).withColumnRenamed("node", "doc_id")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
 
   /** DuckDB twin: transitive closure by recursive CTE over the bounded
