@@ -547,10 +547,23 @@ object SparkEntry {
       |)""".stripMargin
 
   /** Hour-coarsened samples: collapses each series' samples into hourly
-    * duplicate groups so duplicate policies have real work to do. */
-  private def dupSamples(s: SparkSession, dir: String): DataFrame =
+    * duplicate groups so duplicate policies have real work to do. The
+    * fixture carries no NaN duplicate collisions, so three synthetic
+    * series plant the reference NaN-fold cases (valid-wins under
+    * FIRST/LAST, NaN-first poisoning under MIN/MAX/SUM — reference
+    * generic_chunk.c:62-96); the oracle plants the identical rows. */
+  private def dupSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nan = Double.NaN
+    val plant = Seq(
+      ("nan_a", 0L, nan, 1L), ("nan_a", 0L, 5.0, 2L), ("nan_a", 0L, 3.0, 3L),
+      ("nan_b", 0L, 5.0, 1L), ("nan_b", 0L, nan, 2L), ("nan_b", 0L, 2.0, 3L),
+      ("nan_c", 0L, nan, 1L), ("nan_c", 0L, nan, 2L))
+      .toDF("series", "ts", "value", "seq")
     TSModel.samplesWithSeq(s, dir)
       .withColumn("ts", TSModel.bucketStart(col("ts"), HOUR))
+      .unionByName(plant)
+  }
 
   private val dupCte: String =
     s"""WITH dsamples AS (
@@ -558,6 +571,17 @@ object SparkEntry {
        |         ${TSModel.bucketStartSql("epoch_ms(ts)", HOUR)} AS ts,
        |         value, event_id AS seq
        |  FROM events
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ('nan_a', 0::BIGINT, 'NaN'::DOUBLE, 1::BIGINT),
+       |    ('nan_a', 0::BIGINT, 5.0::DOUBLE, 2::BIGINT),
+       |    ('nan_a', 0::BIGINT, 3.0::DOUBLE, 3::BIGINT),
+       |    ('nan_b', 0::BIGINT, 5.0::DOUBLE, 1::BIGINT),
+       |    ('nan_b', 0::BIGINT, 'NaN'::DOUBLE, 2::BIGINT),
+       |    ('nan_b', 0::BIGINT, 2.0::DOUBLE, 3::BIGINT),
+       |    ('nan_c', 0::BIGINT, 'NaN'::DOUBLE, 1::BIGINT),
+       |    ('nan_c', 0::BIGINT, 'NaN'::DOUBLE, 2::BIGINT)
+       |  ) v(series, ts, value, seq)
        |)""".stripMargin
 
   def oracleSql: Map[String, String] =
@@ -689,33 +713,58 @@ object SparkEntry {
         s"""WITH ${Multi.labelsCte}
            |SELECT DISTINCT "user" AS value FROM series_labels
            |WHERE "type" = 'purchase' AND "user" IN ('1','2','3','4')""".stripMargin,
+      // reference NaN fold (handleDuplicateSample generic_chunk.c:62-96):
+      // FIRST/LAST -> the first/last VALID value (NaN only when all are
+      // NaN); MIN/MAX/SUM -> NaN when the first-arriving sample is NaN
+      // (later valid writes are rejected), else the agg of valid values
       "ts_dup_policy_last" ->
         s"""$dupCte SELECT series, ts,
-           |  (max(struct_pack(s := seq, v := value))).v AS value
+           |  coalesce((max(struct_pack(s := seq, v := value)) FILTER (WHERE NOT isnan(value))).v,
+           |           'NaN'::DOUBLE) AS value
            |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_first" ->
         s"""$dupCte SELECT series, ts,
-           |  (min(struct_pack(s := seq, v := value))).v AS value
+           |  coalesce((min(struct_pack(s := seq, v := value)) FILTER (WHERE NOT isnan(value))).v,
+           |           'NaN'::DOUBLE) AS value
            |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_min" ->
-        s"$dupCte SELECT series, ts, min(value) AS value FROM dsamples GROUP BY series, ts",
+        s"""$dupCte SELECT series, ts,
+           |  CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |       ELSE min(value) FILTER (WHERE NOT isnan(value)) END AS value
+           |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_sum" ->
-        s"$dupCte SELECT series, ts, sum(value) AS value FROM dsamples GROUP BY series, ts",
+        s"""$dupCte SELECT series, ts,
+           |  CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |       ELSE sum(value) FILTER (WHERE NOT isnan(value)) END AS value
+           |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_max" ->
-        s"$dupCte SELECT series, ts, max(value) AS value FROM dsamples GROUP BY series, ts",
+        s"""$dupCte SELECT series, ts,
+           |  CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |       ELSE max(value) FILTER (WHERE NOT isnan(value)) END AS value
+           |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_block" ->
         s"${TSModel.samplesCte} SELECT series, ts, value FROM samples",
       "ts_dup_policy_per_series" ->
         s"""$dupCte, ${Multi.labelsCte}
            |SELECT series, ts,
            |  CASE "type"
-           |    WHEN 'click' THEN min(value)
-           |    WHEN 'view' THEN max(value)
-           |    WHEN 'purchase' THEN sum(value)
-           |    WHEN 'signup' THEN (min(struct_pack(s := seq, v := value))).v
-           |    ELSE (max(struct_pack(s := seq, v := value))).v
+           |    WHEN 'click' THEN
+           |      CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |           ELSE min(value) FILTER (WHERE NOT isnan(value)) END
+           |    WHEN 'view' THEN
+           |      CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |           ELSE max(value) FILTER (WHERE NOT isnan(value)) END
+           |    WHEN 'purchase' THEN
+           |      CASE WHEN isnan((min(struct_pack(s := seq, v := value))).v) THEN 'NaN'::DOUBLE
+           |           ELSE sum(value) FILTER (WHERE NOT isnan(value)) END
+           |    WHEN 'signup' THEN
+           |      coalesce((min(struct_pack(s := seq, v := value)) FILTER (WHERE NOT isnan(value))).v,
+           |               'NaN'::DOUBLE)
+           |    ELSE
+           |      coalesce((max(struct_pack(s := seq, v := value)) FILTER (WHERE NOT isnan(value))).v,
+           |               'NaN'::DOUBLE)
            |  END AS value
-           |FROM dsamples JOIN series_labels USING (series)
+           |FROM dsamples LEFT JOIN series_labels USING (series)
            |GROUP BY series, ts, "type"""".stripMargin,
       "ts_mrange_count" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (

@@ -242,8 +242,11 @@ object Dedup {
         .select(col("a"), least(col("mb"), col("a")).as("m"))
       val ls = sym.join(lsMin, Seq("a"))
         .filter(col("b") > col("a"))
-        .select(col("b").as("u"), col("m").as("v"))   // b > a >= m, invariant kept
-        .filter(col("u") =!= col("v")).distinct()
+        // b > a >= m keeps the u > v invariant, so no self-loop filter;
+        // duplicate (b, m) rows from different a are tolerated — the
+        // small-star distinct dedups at round end, saving one
+        // shuffle per round here
+        .select(col("b").as("u"), col("m").as("v"))
         .localCheckpoint()                            // read twice below
       // small-star: for each node u with m = min(N<(u)) (directed edges
       // point large -> small), emit (v, m) for every v in N<(u) + (u, m)

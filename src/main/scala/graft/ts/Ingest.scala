@@ -93,13 +93,17 @@ object Ingest {
                 case _ =>
                   emit(ts, v)
                   // track the RESOLVED tail value so later IGNORE gates
-                  // compare against what the store now holds
+                  // compare against what the store now holds — reference
+                  // NaN fold (generic_chunk.c:62-96): the valid sample
+                  // wins under FIRST/LAST, a NaN/valid mix is rejected
+                  // under the combining policies
+                  val lv = st.lastValue
                   val resolved = policy match {
-                    case "LAST"  => v
-                    case "FIRST" => st.lastValue
-                    case "MIN"   => math.min(st.lastValue, v)
-                    case "MAX"   => math.max(st.lastValue, v)
-                    case "SUM"   => st.lastValue + v
+                    case "LAST"  => if (v.isNaN) lv else v
+                    case "FIRST" => if (lv.isNaN) v else lv
+                    case "MIN"   => if (lv.isNaN || v.isNaN) lv else math.min(lv, v)
+                    case "MAX"   => if (lv.isNaN || v.isNaN) lv else math.max(lv, v)
+                    case "SUM"   => if (lv.isNaN || v.isNaN) lv else lv + v
                   }
                   st = st.copy(lastValue = resolved)
               }

@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,12 +17,31 @@ import org.apache.spark.sql.expressions.Window
 object WritePath {
 
   /** Duplicate policies (reference: src/consts.h:75-85; resolution in
-    * generic_chunk.c:62): what to do when two samples share (series,
-    * ts). `seqCol` is the arrival order (ingest sequence number) that
-    * FIRST/LAST refer to.
-    */
+    * handleDuplicateSample generic_chunk.c:62-96): what to do when two
+    * samples share (series, ts). `seqCol` is the arrival order (ingest
+    * sequence number) that FIRST/LAST refer to.
+    *
+    * NaN semantics follow the reference's sequential fold exactly:
+    * under FIRST/LAST the VALID sample wins regardless of policy (a
+    * NaN write never displaces a stored value, and a valid write
+    * replaces a stored NaN), so the result is the first/last valid
+    * value, NaN only when every duplicate is NaN. Under MIN/MAX/SUM a
+    * NaN/valid mix returns CR_ERR — the new write is REJECTED — so a
+    * NaN-first timestamp stays NaN forever (every later valid write
+    * errors) while a valid-first one aggregates all valid values (every
+    * NaN write errors and is skipped). */
   def applyDupPolicy(samples: DataFrame, policy: String, seqCol: String = "seq"): DataFrame = {
     val g = samples.groupBy(col("series"), col("ts"))
+    val valid = !isnan(col("value"))
+    def firstValid =
+      min(when(valid, struct(col(seqCol).as("s"), col("value").as("v")))).getField("v")
+    def lastValid =
+      max(when(valid, struct(col(seqCol).as("s"), col("value").as("v")))).getField("v")
+    // value of the overall first-arriving sample — decides the poisoned
+    // NaN-first case for the combining policies
+    def firstArrivedIsNaN =
+      isnan(min(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v"))
+    def combined(agg: Column) = when(firstArrivedIsNaN, lit(Double.NaN)).otherwise(agg)
     policy.toUpperCase match {
       case "BLOCK" =>
         // BLOCK = reject the batch if any duplicate exists; surfacing the
@@ -32,12 +51,12 @@ object WritePath {
           throw new IllegalStateException("duplicate timestamps under BLOCK policy")
         samples.select(col("series"), col("ts"), col("value"))
       case "FIRST" =>
-        g.agg(min(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("value"))
+        g.agg(coalesce(firstValid, lit(Double.NaN)).as("value"))
       case "LAST" =>
-        g.agg(max(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("value"))
-      case "MIN" => g.agg(min(col("value")).as("value"))
-      case "MAX" => g.agg(max(col("value")).as("value"))
-      case "SUM" => g.agg(sum(col("value")).as("value"))
+        g.agg(coalesce(lastValid, lit(Double.NaN)).as("value"))
+      case "MIN" => g.agg(combined(min(when(valid, col("value")))).as("value"))
+      case "MAX" => g.agg(combined(max(when(valid, col("value")))).as("value"))
+      case "SUM" => g.agg(combined(sum(when(valid, col("value")))).as("value"))
       case other => throw new IllegalArgumentException(s"unknown duplicate policy $other")
     }
   }
@@ -65,13 +84,20 @@ object WritePath {
         require(known.contains(globalPolicy.toUpperCase), s"unknown policy $globalPolicy")
         val pol = seriesPolicies.select(col("series"),
           upper(col("dup_policy")).as("__pol"))
+        // same reference NaN fold as applyDupPolicy (valid wins under
+        // FIRST/LAST; NaN-first poisons the combining policies)
+        val valid = !isnan(col("value"))
+        val vs = struct(col(seqCol).as("s"), col("value").as("v"))
+        val firstArrivedIsNaN = isnan(min(vs).getField("v"))
+        def combined(agg: Column) =
+          when(firstArrivedIsNaN, lit(Double.NaN)).otherwise(agg)
         val resolved = samples.groupBy(col("series"), col("ts")).agg(
           count(lit(1)).as("__n"),
-          min(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("__first"),
-          max(struct(col(seqCol).as("s"), col("value").as("v"))).getField("v").as("__last"),
-          min(col("value")).as("__min"),
-          max(col("value")).as("__max"),
-          sum(col("value")).as("__sum"))
+          coalesce(min(when(valid, vs)).getField("v"), lit(Double.NaN)).as("__first"),
+          coalesce(max(when(valid, vs)).getField("v"), lit(Double.NaN)).as("__last"),
+          combined(min(when(valid, col("value")))).as("__min"),
+          combined(max(when(valid, col("value")))).as("__max"),
+          combined(sum(when(valid, col("value")))).as("__sum"))
           .join(broadcast(pol), Seq("series"), "left")
           .withColumn("__pol", coalesce(col("__pol"), lit(globalPolicy.toUpperCase)))
           .localCheckpoint() // read 3x: policy validation, BLOCK check, result

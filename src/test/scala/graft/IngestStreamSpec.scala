@@ -104,12 +104,13 @@ class IngestStreamSpec extends AnyFunSuite {
               } else if (ts == lts) {
                 if (!gated) {
                   acc += ((series, ts, v))
+                  // reference NaN fold, mirroring Ingest's tail state
                   val resolved = policy match {
-                    case "LAST"  => v
-                    case "FIRST" => lv
-                    case "MIN"   => math.min(lv, v)
-                    case "MAX"   => math.max(lv, v)
-                    case "SUM"   => lv + v
+                    case "LAST"  => if (v.isNaN) lv else v
+                    case "FIRST" => if (lv.isNaN) v else lv
+                    case "MIN"   => if (lv.isNaN || v.isNaN) lv else math.min(lv, v)
+                    case "MAX"   => if (lv.isNaN || v.isNaN) lv else math.max(lv, v)
+                    case "SUM"   => if (lv.isNaN || v.isNaN) lv else lv + v
                   }
                   st(series) = (ts, resolved)
                 }
@@ -117,18 +118,22 @@ class IngestStreamSpec extends AnyFunSuite {
           }
         }
       }
-      // dup resolution over arrival order with Spark aggregate NaN
-      // semantics (NaN sorts greatest: min skips it, max prefers it)
+      // dup resolution over arrival order with the reference NaN fold
+      // (WritePath.applyDupPolicy): FIRST/LAST take the first/last
+      // VALID value; MIN/MAX/SUM are NaN iff the first arrival is NaN,
+      // else aggregate the valid values
       val out = acc.zipWithIndex.groupBy { case ((s, ts, _), _) => (s, ts) }
         .map { case (k, g) =>
           val vs = g.sortBy(_._2).map(_._1._3).toSeq
           val valid = vs.filterNot(_.isNaN)
+          def comb(f: Seq[Double] => Double) =
+            if (vs.head.isNaN) Double.NaN else f(valid)
           k -> (policy match {
-            case "FIRST" => vs.head
-            case "LAST"  => vs.last
-            case "MIN"   => if (valid.nonEmpty) valid.min else Double.NaN
-            case "MAX"   => if (vs.exists(_.isNaN)) Double.NaN else vs.max
-            case "SUM"   => vs.sum
+            case "FIRST" => valid.headOption.getOrElse(Double.NaN)
+            case "LAST"  => valid.lastOption.getOrElse(Double.NaN)
+            case "MIN"   => comb(_.min)
+            case "MAX"   => comb(_.max)
+            case "SUM"   => comb(_.sum)
           })
         }
       val src = tmp(s"rnd${seed}_src_")

@@ -20,6 +20,26 @@ class WritePathSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1000L, 1.0), (1006L, 3.0), (1008L, 10.0), (1009L, 15.0001)))
   }
 
+  test("duplicate NaN fold follows the reference (valid wins; NaN-first poisons)") {
+    // reference handleDuplicateSample generic_chunk.c:62-96: under
+    // FIRST/LAST the valid sample wins regardless of policy; under
+    // MIN/MAX/SUM a NaN/valid mix REJECTS the new write, so a NaN-first
+    // timestamp stays NaN and NaN writes never poison a valid one
+    val nan = Double.NaN
+    val in = Seq(
+      ("a", 10L, nan, 1L), ("a", 10L, 5.0, 2L), ("a", 10L, 3.0, 3L), // NaN first
+      ("b", 10L, 5.0, 1L), ("b", 10L, nan, 2L), ("b", 10L, 2.0, 3L), // valid first
+      ("c", 10L, nan, 1L), ("c", 10L, nan, 2L))                      // all NaN
+      .toDF("series", "ts", "value", "seq")
+    def m(p: String) = WritePath.applyDupPolicy(in, p)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("FIRST")("a") == 5.0 && m("FIRST")("b") == 5.0 && m("FIRST")("c").isNaN)
+    assert(m("LAST")("a") == 3.0 && m("LAST")("b") == 2.0 && m("LAST")("c").isNaN)
+    assert(m("MIN")("a").isNaN && m("MIN")("b") == 2.0 && m("MIN")("c").isNaN)
+    assert(m("MAX")("a").isNaN && m("MAX")("b") == 5.0 && m("MAX")("c").isNaN)
+    assert(m("SUM")("a").isNaN && m("SUM")("b") == 7.0 && m("SUM")("c").isNaN)
+  }
+
   test("duplicate policies resolve per arrival order and value") {
     val in = Seq(
       ("k", 10L, 5.0, 1L), ("k", 10L, 3.0, 2L), ("k", 10L, 4.0, 3L),
