@@ -313,6 +313,21 @@ object SparkEntry {
       // IGNORE insert filter (sequential; rows-only check + unit tests)
       "ts_ignore_filter" -> ((s, dir) =>
         WritePath.ignoreFilter(TSModel.samples(s, dir), maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
+      // IGNORE with PER-SERIES catalog thresholds + policy gating
+      // (reference: filter_close_samples module.c:986-998 reads the
+      // series' own config; gate arms only under LAST)
+      "ts_ignore_filter_per_series" -> ((s, dir) => {
+        val t = element_at(col("labels"), "type")
+        val th = TSModel.labels(s, dir).select(col("series"),
+          when(t === "signup", "first").otherwise("last").as("dup_policy"),
+          when(t === "click", 12L * HOUR).when(t === "view", 6L * HOUR)
+            .when(t === "signup", 12L * HOUR).otherwise(0L)
+            .as("ignore_max_time_diff"),
+          when(t === "click", 50.0).when(t === "view", 20.0)
+            .when(t === "signup", 50.0).otherwise(0.0)
+            .as("ignore_max_val_diff"))
+        WritePath.ignoreFilterPerSeries(TSModel.samples(s, dir), th)
+      }),
       // retention clamp (reference: tsdb.c:1367-1374)
       "ts_retention" -> ((s, dir) =>
         WritePath.retentionClamp(TSModel.samples(s, dir), retentionMs = 10 * DAY)),
@@ -977,6 +992,7 @@ object SparkEntry {
       // (last_ts, last_v) advances row by row exactly like the
       // executor-side streaming filter
       "ts_ignore_filter" -> ignoreFilterOracle,
+      "ts_ignore_filter_per_series" -> ignorePerSeriesOracle,
       // the streaming ingest replay has identical sequential semantics
       // (same state machine, fed by micro-batches instead of one pass)
       "ts_ingest_stream" -> ignoreFilterOracle,
@@ -1097,6 +1113,41 @@ object SparkEntry {
        |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
        |)
        |SELECT series, ts, value FROM step WHERE kept""".stripMargin
+
+  /** Per-series IGNORE oracle: the same recursive-CTE state machine
+    * with thresholds and the LAST-policy gate resolved from the series
+    * name prefix (series = event_type '_' user — signup series carry
+    * FIRST policy, so their gate is off). */
+  private val ignorePerSeriesOracle: String = {
+    val mtd = s"CASE WHEN o.series LIKE 'click%' THEN ${12 * HOUR} " +
+      s"WHEN o.series LIKE 'view%' THEN ${6 * HOUR} " +
+      s"WHEN o.series LIKE 'signup%' THEN ${12 * HOUR} ELSE 0 END"
+    val mvd = "CASE WHEN o.series LIKE 'click%' THEN 50.0 " +
+      "WHEN o.series LIKE 'view%' THEN 20.0 " +
+      "WHEN o.series LIKE 'signup%' THEN 50.0 ELSE 0.0 END"
+    val drop = s"(o.series NOT LIKE 'signup%' AND NOT isnan(o.value) " +
+      s"AND NOT isnan(s.last_v) AND o.ts - s.last_ts <= ($mtd) " +
+      s"AND abs(o.value - s.last_v) <= ($mvd))"
+    s"""WITH RECURSIVE samples AS (
+       |  SELECT event_type || '_' || CAST(user_id AS VARCHAR) AS series,
+       |         epoch_ms(ts) AS ts, value
+       |  FROM events
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |         row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM samples
+       |), step AS (
+       |  SELECT series, rn, ts, value, TRUE AS kept, ts AS last_ts, value AS last_v
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.rn, o.ts, o.value,
+       |         NOT $drop AS kept,
+       |         CASE WHEN $drop THEN s.last_ts ELSE o.ts END AS last_ts,
+       |         CASE WHEN $drop THEN s.last_v ELSE o.value END AS last_v
+       |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
+       |)
+       |SELECT series, ts, value FROM step WHERE kept""".stripMargin
+  }
 
   private def emptySumOracle: String = {
     val b = TSModel.bucketStartSql("ts", 6 * HOUR)

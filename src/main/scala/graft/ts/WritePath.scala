@@ -164,6 +164,53 @@ object WritePath {
       .toDF("series", "ts", "value")
   }
 
+  /**
+   * IGNORE filter with PER-SERIES config resolution (reference:
+   * filter_close_samples module.c:986-998 reads the series' own
+   * ignoreMaxTimeDiff / ignoreMaxValDiff and its resolved duplicate
+   * policy — the gate only arms under LAST). `catalog` carries
+   * `(series, dup_policy, ignore_max_time_diff, ignore_max_val_diff)`;
+   * series absent from it use the reference defaults (LAST, 0, 0 — the
+   * 0/0 gate only drops exact same-(ts,value) rewrites, as in the
+   * reference, where there is no separate enable flag).
+   *
+   * Scale shape identical to [[ignoreFilter]]: the O(#series) catalog
+   * broadcast-joins onto the samples (two scalar columns ride the one
+   * shuffle by series), then a streaming mapPartitions pass with O(1)
+   * state.
+   */
+  def ignoreFilterPerSeries(samples: DataFrame, catalog: DataFrame): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val th = catalog.select(col("series"),
+      upper(col("dup_policy")).as("__dp"),
+      col("ignore_max_time_diff").cast("long").as("__mtd"),
+      col("ignore_max_val_diff").cast("double").as("__mvd"))
+    samples.select(col("series"), col("ts"), col("value"))
+      .join(broadcast(th), Seq("series"), "left")
+      .select(col("series"), col("ts"), col("value"),
+        (coalesce(col("__dp"), lit("LAST")) === "LAST").as("__gate"),
+        coalesce(col("__mtd"), lit(0L)).as("__mtd"),
+        coalesce(col("__mvd"), lit(0.0)).as("__mvd"))
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double, Boolean, Long, Double)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var lastTs = Long.MinValue
+        var lastV = Double.NaN
+        var first = true
+        it.filter { case (s, ts, v, gate, mtd, mvd) =>
+          if (s != cur) { cur = s; first = true; lastTs = Long.MinValue; lastV = Double.NaN }
+          val drop = gate && !first && !v.isNaN && !lastV.isNaN &&
+            ts - lastTs <= mtd && math.abs(v - lastV) <= mvd
+          if (!drop) { lastTs = ts; lastV = v; first = false }
+          !drop
+        }.map(r => (r._1, r._2, r._3))
+      }
+      .toDF("series", "ts", "value")
+  }
+
   /** Retention: samples older than (per-series max ts − retention) are
     * invisible (query-time clamp, reference: src/tsdb.c:1367-1374).
     * The per-series max is a map-side-combined aggregate — O(#series)
