@@ -40,6 +40,48 @@ class WritePathSpec extends AnyFunSuite {
     assert(m("SUM")("a").isNaN && m("SUM")("b") == 7.0 && m("SUM")("c").isNaN)
   }
 
+  test("randomized duplicate fold equals the sequential reference model") {
+    // the grouped closed form (first-valid / last-valid / NaN-first
+    // poisons the combining policies) must equal a literal sequential
+    // fold of handleDuplicateSample (generic_chunk.c:62-96) in arrival
+    // order, for any NaN mix
+    def refFold(policy: String, vs: Seq[Double]): Double =
+      vs.reduceLeft { (stored, v) =>
+        val mixed = stored.isNaN != v.isNaN
+        val hasNaN = stored.isNaN || v.isNaN
+        policy match {
+          case "MIN" | "MAX" | "SUM" if mixed => stored // CR_ERR: write rejected
+          case _ if hasNaN => if (v.isNaN) stored else v // valid sample wins
+          case "FIRST" => stored
+          case "LAST"  => v
+          case "MIN"   => math.min(stored, v)
+          case "MAX"   => math.max(stored, v)
+          case "SUM"   => stored + v
+        }
+      }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { i =>
+        val v = if (rnd.nextInt(4) == 0) Double.NaN else rnd.nextInt(50).toDouble
+        (s"s${rnd.nextInt(4)}", rnd.nextInt(6).toLong, v, i.toLong)
+      }
+      val df = rows.toDF("series", "ts", "value", "seq")
+      for (p <- Seq("FIRST", "LAST", "MIN", "MAX", "SUM")) {
+        val expect = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+          k -> refFold(p, g.sortBy(_._4).map(_._3))
+        }
+        val got = WritePath.applyDupPolicy(df, p)
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+        assert(got.keySet == expect.keySet)
+        got.foreach { case (k, v) =>
+          val e = expect(k)
+          assert((v.isNaN && e.isNaN) || math.abs(v - e) < 1e-9,
+            s"seed=$seed policy=$p cell=$k got $v expected $e")
+        }
+      }
+    }
+  }
+
   test("duplicate policies resolve per arrival order and value") {
     val in = Seq(
       ("k", 10L, 5.0, 1L), ("k", 10L, 3.0, 2L), ("k", 10L, 4.0, 3L),
