@@ -217,6 +217,16 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = 2 * DAY),
           groupByLabel = "user", reducer = "std.p")),
+      // GROUPBY over EMPTY-filled per-series buckets: the reference
+      // fills each series' gaps FIRST (per-series AGGREGATION pipeline
+      // incl. EMPTY, module.c:467-526), then reduces across series —
+      // so a filled 0-bucket participates in the cross-series sum
+      "ts_mrange_groupby_empty" -> ((s, dir) =>
+        Multi.mrangeGroupBy(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("sum"),
+            bucketMs = DAY, empty = true),
+          groupByLabel = "type", reducer = "sum")),
       // GROUPBY with MULTIPLE per-series aggregators, each reduced in
       // lockstep across the group (reference: reply.c:291-358 replays N
       // aggregators through replyGroupedMultiRange module.c:467-526)
@@ -662,6 +672,25 @@ object SparkEntry {
            |         coalesce(stddev_pop(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN series_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      "ts_mrange_groupby_empty" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
+           |         sum(value) FILTER (WHERE NOT isnan(value)) AS v
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 AND "type" IN ('click','view')
+           |  GROUP BY 1, 2
+           |), bounds AS (
+           |  SELECT series, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+           |), spine AS (
+           |  SELECT series, unnest(generate_series(lo, hi, $DAY)) AS bucket FROM bounds
+           |), filled AS (
+           |  SELECT spine.series, spine.bucket, coalesce(v, 0.0) AS v
+           |  FROM spine LEFT JOIN agg USING (series, bucket)
+           |)
+           |SELECT 'type=' || "type" AS series, bucket AS ts,
+           |       coalesce(sum(v) FILTER (WHERE NOT isnan(v)), 'NaN'::DOUBLE) AS sum_value
+           |FROM filled JOIN series_labels USING (series)
+           |GROUP BY 1, 2""".stripMargin,
       "ts_mrange_groupby_multi" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket,
