@@ -148,6 +148,15 @@ object SparkEntry {
         RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("sum"), bucketMs = 6 * HOUR, empty = true))
       }),
+      // EMPTY × FILTER_BY_VALUE: the spine derives from the FILTERED
+      // samples, so buckets whose samples were all filtered out drop at
+      // the edges and fill as empty in the interior (reference:
+      // tests/flow/test_ts_range_empty_filter_stress.py edge-strip cases)
+      "ts_range_empty_filter_value" -> ((s, dir) => {
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("sum"), bucketMs = 6 * HOUR, empty = true,
+          filterByValue = Some((50.0, 200.0))))
+      }),
       // EMPTY + last -> LOCF (reference: compaction.c:115-140)
       "ts_range_empty_locf" -> ((s, dir) => {
         RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
@@ -625,6 +634,7 @@ object SparkEntry {
         s"""SELECT series, bucket AS ts, twa_value FROM (
            |${Twa.emptySql(6 * HOUR, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
       "ts_range_empty_sum" -> emptySumOracle,
+      "ts_range_empty_filter_value" -> emptyFilterValueOracle,
       "ts_range_empty_locf" -> emptyLocfOracle,
       "ts_queryindex" ->
         s"""WITH ${Multi.labelsCte}
@@ -1183,6 +1193,23 @@ object SparkEntry {
     s"""${TSModel.samplesCte}, agg AS (
        |  SELECT series, $b AS bucket, sum(value) FILTER (WHERE NOT isnan(value)) AS sum_value
        |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
+       |  FROM agg GROUP BY series
+       |) SELECT spine.series, spine.bucket AS ts, coalesce(sum_value, 0.0) AS sum_value
+       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+  }
+
+  /** EMPTY × FILTER_BY_VALUE oracle: spine bounds come from the buckets
+    * that still hold value-passing samples, so filtered-out edge
+    * buckets are stripped (reference edge-strip semantics,
+    * tests/flow/test_ts_range_empty_filter_stress.py). */
+  private def emptyFilterValueOracle: String = {
+    val b = TSModel.bucketStartSql("ts", 6 * HOUR)
+    s"""${TSModel.samplesCte}, agg AS (
+       |  SELECT series, $b AS bucket, sum(value) FILTER (WHERE NOT isnan(value)) AS sum_value
+       |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31
+       |    AND value >= 50.0 AND value <= 200.0 GROUP BY 1, 2
        |), spine AS (
        |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
        |  FROM agg GROUP BY series
