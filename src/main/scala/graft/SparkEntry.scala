@@ -157,6 +157,20 @@ object SparkEntry {
           aggs = Seq("sum"), bucketMs = 6 * HOUR, empty = true,
           filterByValue = Some((50.0, 200.0))))
       }),
+      // EMPTY with MIXED aggregators in one pass: each column fills by
+      // its own class — sum/count -> 0, avg -> NaN, last -> LOCF
+      // (reference finalizeEmpty per-class tables, compaction.c:73-84)
+      "ts_range_empty_multi" -> ((s, dir) => {
+        RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("sum", "avg", "last", "count"), bucketMs = 6 * HOUR, empty = true))
+      }),
+      // TWA × FILTER_BY_VALUE: filtered-out samples are invisible to the
+      // boundary interpolation too (reference:
+      // tests/flow/test_ts_range_empty_filter_stress.py twa equivalence)
+      "ts_range_twa_filter_value" -> ((s, dir) => {
+        RangeQuery.range(one(s, dir), RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("twa"), bucketMs = DAY, filterByValue = Some((50.0, 200.0))))
+      }),
       // EMPTY + last -> LOCF (reference: compaction.c:115-140)
       "ts_range_empty_locf" -> ((s, dir) => {
         RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
@@ -635,7 +649,12 @@ object SparkEntry {
            |${Twa.emptySql(6 * HOUR, 0L, Some(T0), Some(T31), seriesPred(oneSeries))})""".stripMargin,
       "ts_range_empty_sum" -> emptySumOracle,
       "ts_range_empty_filter_value" -> emptyFilterValueOracle,
+      "ts_range_empty_multi" -> emptyMultiOracle,
       "ts_range_empty_locf" -> emptyLocfOracle,
+      "ts_range_twa_filter_value" ->
+        s"""SELECT series, bucket AS ts, twa_value FROM (
+           |${Twa.sql(DAY, 0L, Some(T0), Some(T31), seriesPred(oneSeries),
+                      Some("value >= 50.0 AND value <= 200.0"))})""".stripMargin,
       "ts_queryindex" ->
         s"""WITH ${Multi.labelsCte}
            |SELECT series FROM series_labels
@@ -1214,6 +1233,30 @@ object SparkEntry {
        |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
        |  FROM agg GROUP BY series
        |) SELECT spine.series, spine.bucket AS ts, coalesce(sum_value, 0.0) AS sum_value
+       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+  }
+
+  /** Mixed-aggregator EMPTY oracle: one spine, per-class fills (sum and
+    * count -> 0, avg -> NaN, last -> LOCF). */
+  private def emptyMultiOracle: String = {
+    val b = TSModel.bucketStartSql("ts", 6 * HOUR)
+    s"""${TSModel.samplesCte}, agg AS (
+       |  SELECT series, $b AS bucket,
+       |         sum(value) FILTER (WHERE NOT isnan(value)) AS sum_value,
+       |         avg(value) FILTER (WHERE NOT isnan(value)) AS avg_value,
+       |         (max(struct_pack(t := ts, v := value)) FILTER (WHERE NOT isnan(value))).v AS last_value,
+       |         count(value) FILTER (WHERE NOT isnan(value)) AS count_value
+       |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
+       |  FROM agg GROUP BY series
+       |) SELECT spine.series, spine.bucket AS ts,
+       |         coalesce(sum_value, 0.0) AS sum_value,
+       |         coalesce(avg_value, 'NaN'::DOUBLE) AS avg_value,
+       |         last_value(last_value IGNORE NULLS)
+       |           OVER (PARTITION BY spine.series ORDER BY spine.bucket
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value,
+       |         coalesce(count_value, 0) AS count_value
        |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
   }
 

@@ -199,7 +199,11 @@ object RangeQuery {
     for (a <- args.aggs) {
       val c = Aggs.colName(a)
       Aggs.emptyFill(a) match {
-        case Some(fill) => out = out.withColumn(c, coalesce(col(c), lit(fill)))
+        case Some(fill) =>
+          // cast the fill to the column's own type: count-family columns
+          // are LONG and a bare 0.0 literal would silently widen them
+          out = out.withColumn(c,
+            coalesce(col(c), lit(fill).cast(out.schema(c).dataType)))
         case None if a == "last" =>
           val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, 0)

@@ -238,16 +238,21 @@ object Twa {
   }
 
   /** DuckDB oracle for [[bucketTwa]] — the same formula spelled in SQL
-    * window functions, independently executed by DuckDB. */
+    * window functions, independently executed by DuckDB. `extraPred`
+    * mirrors FILTER_BY_VALUE/TS: it applies BEFORE the neighbour
+    * windows, so filtered-out samples are invisible to boundary
+    * interpolation (same order as the Spark pipeline). */
   def sql(
       bucketMs: Long,
       alignMs: Long,
       from: Option[Long],
       to: Option[Long],
-      seriesPred: Option[String]): String = {
+      seriesPred: Option[String],
+      extraPred: Option[String] = None): String = {
     def bkt(c: String) = TSModel.bucketStartSql(c, bucketMs, alignMs)
     val cl = Seq.newBuilder[String]
     seriesPred.foreach(cl += _)
+    extraPred.foreach(cl += _)
     cl += "NOT isnan(value)"
     val where = cl.result().mkString("WHERE ", " AND ", "")
     val rangeCl = (from.map(f => s"ts >= $f").toSeq ++ to.map(t => s"ts <= $t")) match {
