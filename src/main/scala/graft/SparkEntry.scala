@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts._
 import graft.ts.RangeQuery.RangeArgs
-import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{CorpusPipeline, Dedup, Multimodal, Similarity, Text}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. */
@@ -489,6 +489,13 @@ object SparkEntry {
           tokenHash = Dedup.md5Hash64)),
       "dedup_embedding_cosine" -> ((s, dir) =>
         Dedup.embeddingCosinePairs(Similarity.loadEmbeddings(s, dir), 0.4, maxVecId = 300)),
+      // eval-set decontamination: corpus docs sharing >= 5 3-gram
+      // shingles with a (broadcast) benchmark set — here the first 3
+      // fixture docs, so their planted near-dups must be flagged
+      "pipeline_contamination" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        CorpusPipeline.contamination(docs, docs.filter(col("doc_id") < 3), minShared = 5L)
+      }),
       // near-dup regime (cos >= 0.95): 4 x 16-bit bands keep random
       // collisions ~2e-4 of pairs, so candidate generation stays
       // sub-quadratic at any corpus size. The fixture has no true
@@ -1064,6 +1071,7 @@ object SparkEntry {
       // (banding recall ≈ 1 at the planted-duplicate similarity)
       "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
+      "pipeline_contamination" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
       // exact oracles for the full-table LSH paths — valid because the
       // fixture's true pair sets are all planted near-duplicates
       // (jac >= 0.889 / cos ~ 1), where banding recall is

@@ -110,6 +110,47 @@ object CorpusPipeline {
        |  (CASE $whens ELSE '${hexThreshold(defaultRate)}' END)""".stripMargin
   }
 
+  /**
+   * Benchmark-contamination scan — the eval-set decontamination step of
+   * a training-data build: flag every corpus document sharing at least
+   * `minShared` word n-gram shingles with any benchmark item. The
+   * benchmark set is O(eval items) — tiny against the corpus — so it
+   * broadcasts and the corpus shingle stream makes ONE pass through a
+   * broadcast hash join keyed by shingle; no shuffle of the corpus
+   * side, no pairwise comparison. (The shingle width is [[Dedup.shingles]]'
+   * default 3-gram — the standard n-gram-overlap decontamination rule.)
+   */
+  def contamination(
+      docs: DataFrame, bench: DataFrame, minShared: Long = 5L): DataFrame = {
+    val ds = Dedup.shingles(docs)
+    val bs = Dedup.shingles(bench)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    ds.join(broadcast(bs), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** DuckDB twin: same shingle sets, relational join (`benchPred`
+    * selects the benchmark rows out of `documents`). */
+  def contaminationSql(benchPred: String, minShared: Long = 5L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(CASE WHEN len(w) >= 3
+       |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+       |      ELSE [] END)) AS shingle
+       |  FROM toks
+       |), bench AS (
+       |  SELECT doc_id AS bench_id, shingle FROM sh WHERE $benchPred
+       |)
+       |SELECT s.doc_id, b.bench_id, count(*) AS shared_ngrams
+       |FROM sh s JOIN bench b USING (shingle)
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+
   /** DuckDB twin over the bounded near-dup pair SQL. */
   def filteredCorpusSql(
       pairsSql: String,
