@@ -336,12 +336,16 @@ object Dedup {
     * Candidates from 4×16-bit chunk collisions — no cross join. The
     * pigeonhole recall guarantee (hamming ≤ 3 implies ≥1 identical
     * chunk) holds for buckets of ≤ `maxBucket` members; oversized
-    * buckets — degenerate mass-duplicate clusters — degrade to id-chain
-    * candidates, which can drop hamming≤maxDist pairs across distinct
-    * oversized-bucket chains (ADVICE r02). Pass
-    * `maxBucket = Int.MaxValue` when exact recall matters more than the
-    * hot-bucket bound. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 64,
+    * buckets degrade to id-chain candidates, which can drop
+    * hamming≤maxDist pairs across distinct oversized-bucket chains
+    * (ADVICE r02). Unlike the 64-bit MinHash/cosine band keys, a
+    * 16-bit chunk collides for merely TEMPLATED (not near-dup) text,
+    * so natural corpora form buckets of hundreds (sf0.1 fixture max:
+    * 291) — the default cap is 1024: big enough that only genuine
+    * mass-duplicate clusters chain (a 1024-bucket still costs ≤ ~0.5M
+    * in-bucket pairs), small enough to linearize a duplicated crawl.
+    * Pass `maxBucket = Int.MaxValue` for exact recall. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 1024,
       tokenHash: Column => Column = xxhash64(_),
       maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for hamming <= 3 " +

@@ -105,7 +105,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.count() == 999)
     val kept = Dedup.dedupedCorpus(clones, pairs)
     assert(kept.count() == 1 && kept.head().getLong(0) == 0L)
-    val sim = Dedup.simhashPairs(clones)
+    // simhash's default cap is 1024 (16-bit chunks collide for merely
+    // templated text) — force the guard with an explicit cap here
+    val sim = Dedup.simhashPairs(clones, maxBucket = 64)
     assert(sim.count() == 999)
     assert(sim.filter(col("hamming") =!= 0).isEmpty)
   }
