@@ -71,6 +71,7 @@ object Read {
   def blockTail(
       stream: DataFrame, series: String, cursorTs: Long,
       minCount: Int): Dataset[(String, Long, Double)] = {
+    require(minCount >= 1, s"BLOCK min_count must be >= 1, got $minCount")
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -124,6 +125,8 @@ object Read {
       minCount: Int, timeoutMs: Long,
       clock: Option[() => Long] = None,
       processingTimeTimeout: Boolean = true): Dataset[(String, Long, Double)] = {
+    require(minCount >= 1, s"BLOCK min_count must be >= 1, got $minCount")
+    require(timeoutMs > 0, s"BLOCK timeout must be positive, got $timeoutMs")
     val spark = stream.sparkSession
     import spark.implicits._
     val timeoutConf =
