@@ -50,6 +50,30 @@ class ScaleStressSpec extends AnyFunSuite {
       s"non-canonical labels: ${labels.filter(_.getLong(1) != 0L).take(5).mkString(", ")}")
   }
 
+  test("connected components on random graphs match a union-find model") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500
+      val pairs = (0 until 700).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // union-find reference model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.ccCanonical(pairs.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed=$seed: ${(got.toSet diff expect.toSet).take(5)}")
+    }
+  }
+
   test("LSH verification degrades to a shuffle join above the broadcast row cap") {
     // VERDICT r02 Wrong #1: with the candidate frame above the gate's
     // row cap the broadcast hint is withheld and the join must still
