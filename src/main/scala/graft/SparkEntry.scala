@@ -343,7 +343,7 @@ object SparkEntry {
             .as("dup_policy"))  // error series: null -> global default
         WritePath.applyDupPolicyPerSeries(dupSamples(s, dir), pol, globalPolicy = "LAST")
       }),
-      // IGNORE insert filter (sequential; rows-only check + unit tests)
+      // IGNORE insert filter (sequential; recursive-CTE oracle)
       "ts_ignore_filter" -> ((s, dir) =>
         WritePath.ignoreFilter(TSModel.samples(s, dir), maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
       // IGNORE with PER-SERIES catalog thresholds + policy gating
@@ -477,7 +477,8 @@ object SparkEntry {
       // the planted-dup similarity is ~1, so results must coincide
       "dedup_minhash_lsh" -> ((s, dir) =>
         Dedup.minhashLshPairs(Text.loadDocuments(s, dir), 0.5, maxDocId = 300)),
-      // full-table LSH paths (rows-only; recall spec-tested)
+      // full-table LSH path — hash-matches the exact quadratic oracle
+      // (planted-dup recall is deterministically 1; see oracleSql note)
       "dedup_minhash_lsh_full" -> ((s, dir) =>
         Dedup.minhashLshPairs(Text.loadDocuments(s, dir), 0.5)),
       // full simhash pipeline (bit sums -> sign -> 4-chunk banding ->
