@@ -406,6 +406,14 @@ object SparkEntry {
           Compaction.Rule("sum", DAY),
           sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
             .resolve("log").toString)),
+      // MULTI-RULE streaming downsample: one stream, one stateful agg
+      // for all rules (vs R queries × R state stores), update-mode
+      // merge-on-read sink — must converge to the batch answer
+      "ts_compaction_stream_multirule" -> ((s, dir) =>
+        Compaction.streamingDownsampleAllUpdateOnce(s, dir,
+          Seq(Compaction.Rule("sum", DAY), Compaction.Rule("max", 2 * DAY)),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_updm_")
+            .resolve("log").toString)),
       // TS.ADD live ingest: the events fixture replayed through the
       // stateful streaming ingest (per-series O(1) tail state, IGNORE
       // gate, merge-on-read upsert sink) — must equal the batch ignore
@@ -997,6 +1005,17 @@ object SparkEntry {
            |SELECT series || '_sum_$DAY' AS series,
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
+           |FROM samples GROUP BY 1, 2""".stripMargin,
+      "ts_compaction_stream_multirule" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series || '_sum_$DAY' AS series,
+           |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
+           |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
+           |FROM samples GROUP BY 1, 2
+           |UNION ALL
+           |SELECT series || '_max_${2 * DAY}' AS series,
+           |       ${TSModel.bucketStartSql("ts", 2 * DAY)} AS ts,
+           |       max(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
       "ts_mrange_raw" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}

@@ -288,6 +288,67 @@ object Compaction {
         col("bucket").as("ts"),
         col("value").cast("double"))
 
+  /**
+   * Streaming twin of [[materializeAll]] for non-TWA rules: ONE
+   * stateful aggregation serves every attached rule. Each arriving
+   * sample explodes to its (rule, bucket) assignments and the shared
+   * `groupBy(series, rid, bucket)` keeps one state row per OPEN
+   * (series, rule, bucket) — versus R separate streaming queries
+   * costing R source reads and R state stores. This is the reference's
+   * per-write rules-list walk (module.c:915-984) as a single stream.
+   * TWA is excluded (its neighbour window has no incremental streaming
+   * shape; the batch [[materializeAll]] covers mixed sets).
+   */
+  def streamingDownsampleAll(stream: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty && rules.forall(_.agg != "twa"),
+      "streaming TWA needs the window pipeline; batch materializeAll covers mixed sets")
+    val assignments = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(i).as("rid"),
+        TSModel.bucketStart(col("ts"), r.bucketMs, r.alignMs).as("bucket"))
+    }: _*)
+    val exploded = stream
+      .select(col("series"), col("ts"), col("value"), explode(assignments).as("a"))
+      .select(col("series"), col("ts"), col("value"),
+        col("a.rid").as("rid"), col("a.bucket").as("bucket"))
+    val distinctAggs = rules.map(_.agg).distinct
+    val agged = exploded.groupBy(col("series"), col("rid"), col("bucket"))
+      .agg(distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).head,
+        distinctAggs.map(a => Aggs.expr(a, col("value"), col("ts"))).tail: _*)
+    val valueByRule = rules.zipWithIndex.map { case (r, i) =>
+      when(col("rid") === i, col(Aggs.colName(r.agg)))
+    }.reduceRight((a, b) => a.otherwise(b))
+    val suffixByRule = rules.zipWithIndex.map { case (r, i) =>
+      when(col("rid") === i, lit(r.destSuffix))
+    }.reduceRight((a, b) => a.otherwise(b))
+    agged.select(
+      concat(col("series"), suffixByRule).as("series"),
+      col("bucket").as("ts"),
+      valueByRule.cast("double").as("value"))
+  }
+
+  /** One-shot multi-rule streaming downsample through the update-mode
+    * merge-on-read sink (same log-structured sink contract as
+    * [[streamingDownsampleUpdateOnce]]). */
+  def streamingDownsampleAllUpdateOnce(
+      spark: SparkSession, dir: String, rules: Seq[Rule], sinkDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import org.apache.spark.sql.{Dataset, Row}
+      val q = streamingDownsampleAll(eventsStream(spark, dir), rules)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sinkDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir)
+        .groupBy(col("series"), col("ts"))
+        .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
+          .getField("v").as("value"))
+    }
+
   /** Run `body` with `spark.sql.shuffle.partitions` (which also fixes
     * the number of streaming state-store instances) lowered to `n`,
     * restoring the session value after. The one-shot streaming runners
