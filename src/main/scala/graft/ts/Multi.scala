@@ -133,11 +133,18 @@ object Multi {
   }
 
   /** TS.MGET: last sample per label-matched series (reference:
-    * module.c:2132-2265) — one agg, no window. */
+    * module.c:2132-2265) — one agg, no window. EVERY matched series
+    * appears in the reply; one with no samples gets an empty value
+    * (null ts/value row — the relational form of the reference's empty
+    * reply array, reply.c): a left join from the matched set, so the
+    * big samples side still makes one aggregated pass. */
   def mget(samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred]): DataFrame =
-    filterSeries(samples, labels, preds)
-      .groupBy(col("series"))
-      .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))
+    broadcast(queryIndex(labels, preds))
+      .join(
+        filterSeries(samples, labels, preds)
+          .groupBy(col("series"))
+          .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s")),
+        Seq("series"), "left")
       .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
 
   /** TS.MGET ... LATEST over compaction dests (reference: module.c:2132-

@@ -70,6 +70,19 @@ class MultiSpec extends AnyFunSuite {
     assert(got == Set(("a", 5L, 9.0), ("b", 3L, 2.0)))
   }
 
+  test("mget lists matched series with no samples as empty replies") {
+    // reference TS.MGET returns EVERY matched series; one with no
+    // samples gets an empty value array (module.c:2132-2265) — here a
+    // null ts/value row
+    val lbl = Seq(("a", Map("type" -> "click")), ("ghost", Map("type" -> "click")))
+      .toDF("series", "labels")
+    val s = Seq(("a", 5L, 9.0)).toDF("series", "ts", "value")
+    val got = mget(s, lbl, Seq(parsePred("type=click")))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set(("a", 5L), ("ghost", -1L)))
+  }
+
   test("groupby reduce: per-series agg first, then cross-series reduce") {
     val s = Seq(
       ("a", 10L, 1.0), ("a", 20L, 3.0),   // bucket 0 avg=2
