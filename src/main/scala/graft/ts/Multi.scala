@@ -81,7 +81,15 @@ object Multi {
     samples.join(broadcast(queryIndex(labels, preds)), Seq("series"), "left_semi")
 
   /** TS.MRANGE: label filter -> per-series range/agg (single pass over
-    * all matched series; reference: module.c:568-622). */
+    * all matched series; reference: module.c:568-622).
+    *
+    * Empty-series mapping: the reference's reply lists every matched
+    * series, empty ones with an empty sample array, and EXCLUDEEMPTY
+    * removes them; in the relational result an empty series simply has
+    * no rows — the row SET equals the reference's under both modes
+    * (the per-series grouping is carried by the `series` column, not
+    * by reply nesting). [[mget]], whose reply is one-entry-per-series
+    * by construction, does surface empty series as null rows. */
   def mrange(
       samples: DataFrame, labels: DataFrame,
       preds: Seq[LabelPred], args: RangeQuery.RangeArgs): DataFrame =
