@@ -118,8 +118,14 @@ object Text {
   /**
    * TF-IDF: the classic two-level text pipeline — per-(doc, term)
    * counts (one shuffle by (doc, term) with map-side combine), document
-   * frequencies (one aggregate by term, an O(vocab) side that joins
-   * back broadcast-style), and `tf * ln(N / df)`.
+   * frequencies (one aggregate by term), and `tf * ln(N / df)`.
+   *
+   * The `df` (O(vocabulary)) and `docLens` (O(#documents)) sides carry
+   * NO broadcast hint: both scale with the corpus, so a hard
+   * `broadcast()` is a guaranteed OOM at the 100 TB target. AQE picks a
+   * broadcast join at runtime when the measured size is genuinely under
+   * the threshold, and falls back to a shuffle join otherwise —
+   * PlanShapeSpec pins the absence of a hint-forced broadcast.
    *
    * Output is bounded by an integer predicate (`cnt >= minCount`), not
    * a float threshold or a score ranking, so the row SET is exactly
@@ -137,8 +143,8 @@ object Text {
     val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
     termCounts
       .filter(col("cnt") >= minCount)
-      .join(broadcast(df), Seq("term"))
-      .join(broadcast(docLens), Seq("doc_id"))
+      .join(df, Seq("term"))
+      .join(docLens, Seq("doc_id"))
       .select(col("doc_id"), col("term"), col("cnt"), col("df"),
         ((col("cnt") / col("n_terms")) * log(lit(nDocs.toDouble) / col("df")))
           .as("tfidf"))
