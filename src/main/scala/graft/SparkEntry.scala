@@ -569,8 +569,14 @@ object SparkEntry {
       "ann_serving_topk" -> ((s, dir) =>
         Similarity.bruteForceTopKExternal(Similarity.loadEmbeddings(s, dir),
           Similarity.syntheticQueries(4, 64), k = 5)),
+      // probe-limited IVF with a deterministic literal quantizer: the
+      // oracle re-derives assignment + probe lists + restricted top-k
+      // in SQL from the same centroid literals, so the approximate
+      // path itself is hash-checked (trained-quantizer recall is
+      // spec-covered: PipelineSpec "IVF top-k achieves high recall")
       "ann_ivf_topk" -> ((s, dir) =>
-        Similarity.ivfTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
+        Similarity.ivfTopKQuantized(Similarity.loadEmbeddings(s, dir), annQueryIds,
+          k = 5, Similarity.syntheticCentroids(16, 64), nProbe = 4)),
       // materialized IVF index (parquet partitionBy(cid)) probed with
       // nProbe == nCentroids: every inverted list read -> exactly brute
       // force, so the whole index round-trip hash-checks against the
@@ -1123,6 +1129,9 @@ object SparkEntry {
       "ann_serving_topk" ->
         Similarity.bruteForceTopKExternalSql(Similarity.syntheticQueries(4, 64), 5),
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "ann_ivf_topk" ->
+        Similarity.ivfTopKQuantizedSql(annQueryIds, 5,
+          Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
       "pipeline_corpus_filter" ->

@@ -204,12 +204,89 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
-    val centroids = trainCentroids(corpus, nCentroids)
+    ivfTopKQuantized(embs, queryIds, k, trainCentroids(corpus, nCentroids), nProbe)
+  }
+
+  /**
+   * IVF top-k against an EXTERNALLY-SUPPLIED coarse quantizer — the
+   * same assignment/probe/score machinery as [[ivfTopK]] with the
+   * k-means training step factored out. With deterministic literal
+   * centroids (e.g. [[syntheticCentroids]]) the probe-limited path
+   * becomes exactly reproducible in plain SQL ([[ivfTopKQuantizedSql]]):
+   * the oracle re-derives the cid assignment (argmax dot, ties to the
+   * lowest cid — [[graft.functions.NearestCentroid]]'s contract), the
+   * per-query probe lists, and the brute-force top-k RESTRICTED to the
+   * probed lists — so the approximation itself, not just the plumbing,
+   * is hash-checkable.
+   */
+  def ivfTopKQuantized(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
     // zero-shuffle assignment: cid is a projected column
     val assign = corpus.withColumn("cid",
       graft.functions.NearestCentroid(col("v"), centroids))
     scoreProbes(assign,
       probeDf(corpus, centroids, queryIds, nProbe), k)
+  }
+
+  /** Deterministic synthetic unit centroids (hash-mixed, normalized,
+    * rounded to 6 decimals so every component round-trips identically
+    * through Scala's `Double.toString` and DuckDB's decimal parser —
+    * both sides of the differential see bit-identical literals). */
+  def syntheticCentroids(n: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(n) { c =>
+      val raw = Array.tabulate(dim) { d =>
+        var x = (c + 31L) * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+        ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
+      }
+      val nrm = math.max(math.sqrt(raw.map(v => v * v).sum), 1e-12)
+      raw.map(v => math.rint(v / nrm * 1e6) / 1e6)
+    }
+
+  /** DuckDB differential for [[ivfTopKQuantized]]: assignment, probe
+    * lists and the probed-list-restricted top-k, all re-derived in SQL
+    * from the same centroid literals. Tie-breaks mirror the Spark side:
+    * assignment/probe ties to the lowest cid, ranking ties to the
+    * lowest neighbour id. */
+  def ivfTopKQuantizedSql(
+      queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): String = {
+    val rows = centroids.zipWithIndex.map { case (cv, ci) =>
+      s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH c(cid, cv) AS (
+       |  SELECT * FROM (VALUES
+       |       $rows)
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), a AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid ASC) AS rn
+       |    FROM e, c) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), p AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY list_inner_product(q.qv, c.cv) DESC, c.cid ASC) AS rn
+       |    FROM q, c) WHERE rn <= $nProbe
+       |), scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         list_cosine_similarity(a.v, q.qv) AS cos
+       |  FROM a JOIN p ON a.cid = p.cid JOIN q ON p.query_id = q.query_id
+       |  WHERE a.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+       |  FROM ranked WHERE rank <= $k""".stripMargin
   }
 
   /** Probe lists: query vectors are a bounded set — collect them and

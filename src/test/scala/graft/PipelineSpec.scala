@@ -93,6 +93,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall too low") // nProbe=4/16 clusters
   }
 
+  test("quantized IVF with nProbe == nCentroids is exactly brute force") {
+    // the literal-quantizer path (ann_ivf_topk's oracle-able shape):
+    // probing every list must reduce to the exact ranking, proving the
+    // assignment/probe/score machinery drops nothing
+    val qids = Seq(0L, 97L, 194L)
+    val cents = Similarity.syntheticCentroids(16, 64)
+    val full = Similarity.ivfTopKQuantized(embs, qids, 5, cents, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(embs, qids, 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+  }
+
   test("hot-bucket guard: 1k identical docs produce linear candidates, not quadratic") {
     // every doc lands in the same bucket in every band — uncapped LSH
     // would emit 499,500 pairs x 16 bands of candidates; the guard
