@@ -370,6 +370,19 @@ object SparkEntry {
       // TS.INCRBY replay: running counter (reference: module.c:1469-1564)
       "ts_incrby_replay" -> ((s, dir) =>
         WritePath.counterReplay(one(s, dir))),
+      // TS.MADD per-item outcome surface (reference: module.c:1115-1161
+      // — each triple succeeds or errors independently): ok/err per
+      // submitted item under BLOCK with a retention gate; the planted
+      // ret_a rows exercise the retention error, the hour-coarsened
+      // duplicates the BLOCK upsert error
+      "ts_madd_status" -> ((s, dir) => {
+        import s.implicits._
+        val plant = Seq(
+          ("ret_a", 100 * DAY, 1.0, 1L), ("ret_a", 5 * DAY, 2.0, 2L),
+          ("ret_a", 95 * DAY, 3.0, 3L)).toDF("series", "ts", "value", "seq")
+        WritePath.maddStatus(dupSamples(s, dir).unionByName(plant), "BLOCK",
+          retentionMs = 10 * DAY)
+      }),
       // ---- compaction (SURVEY §2.6) ----
       // batch-materialized rule, in-flight bucket excluded
       "ts_compaction_batch" -> ((s, dir) =>
@@ -839,6 +852,39 @@ object SparkEntry {
            |FROM dsamples GROUP BY series, ts""".stripMargin,
       "ts_dup_policy_block" ->
         s"${TSModel.samplesCte} SELECT series, ts, value FROM samples",
+      // maddStatus differential: the reference's sequential retention +
+      // duplicate checks re-derived with the same two windows
+      "ts_madd_status" ->
+        s"""$dupCte, msamples AS (
+           |  SELECT * FROM dsamples
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    ('ret_a', ${100 * DAY}::BIGINT, 1.0::DOUBLE, 1::BIGINT),
+           |    ('ret_a', ${5 * DAY}::BIGINT, 2.0::DOUBLE, 2::BIGINT),
+           |    ('ret_a', ${95 * DAY}::BIGINT, 3.0::DOUBLE, 3::BIGINT)
+           |  ) v(series, ts, value, seq)
+           |), pm AS (
+           |  SELECT series, ts, value, seq,
+           |    max(ts) OVER (PARTITION BY series ORDER BY seq
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM msamples
+           |), r1 AS (
+           |  SELECT *, (prev_max IS NOT NULL AND ts < prev_max
+           |             AND prev_max - ts > ${10 * DAY}) AS ret_rej
+           |  FROM pm
+           |), fs AS (
+           |  SELECT *, min(CASE WHEN NOT ret_rej
+           |                     THEN struct_pack(s := seq, v := value) END)
+           |              OVER (PARTITION BY series, ts) AS f
+           |  FROM r1
+           |)
+           |SELECT series, ts, value, seq,
+           |  CASE WHEN ret_rej THEN FALSE
+           |       WHEN seq = (f).s THEN TRUE ELSE FALSE END AS ok,
+           |  CASE WHEN ret_rej THEN 'TSDB: Timestamp is older than retention'
+           |       WHEN seq = (f).s THEN NULL
+           |       ELSE '${WritePath.upsertErr}' END AS err
+           |FROM fs""".stripMargin,
       "ts_dup_policy_per_series" ->
         s"""$dupCte, ${Multi.labelsCte}
            |SELECT series, ts,

@@ -119,9 +119,12 @@ object Multi {
   def mrangeGroupBy(
       samples: DataFrame, labels: DataFrame,
       preds: Seq[LabelPred], args: RangeQuery.RangeArgs,
-      groupByLabel: String, reducer: String): DataFrame = {
+      groupByLabel: String, reducer: String,
+      excludeEmpty: Boolean = false): DataFrame = {
     require(!Seq("first", "last", "twa").contains(reducer),
       s"$reducer is not a valid GROUPBY reducer") // reference: query_language.c:825-841
+    // parse-time incompatibility (reference: query_language.c:1003-1007)
+    require(!excludeEmpty, "TSDB: EXCLUDEEMPTY is not allowed with GROUPBY")
     val perSeries = mrange(samples, labels, preds, args)
     val valueCols = if (args.aggs.isEmpty) Seq("value") else args.aggs.map(Aggs.colName)
     val lbl = broadcast(labels.select(col("series"),

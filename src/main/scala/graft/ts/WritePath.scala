@@ -234,13 +234,94 @@ object WritePath {
     * the series value at each ts is the running sum (reference counter
     * semantics: src/module.c:1469-1564). Deltas at equal ts combine
     * first (the reference applies each to the same last value at
-    * ts == lastTimestamp — net effect after a batch is the sum). */
-  def counterReplay(deltas: DataFrame): DataFrame = {
+    * ts == lastTimestamp — net effect after a batch is the sum).
+    *
+    * Ordering guard (reference: module.c:1515-1518 — a counter write at
+    * ts < lastTimestamp errors with "timestamp must be equal to or
+    * higher than the maximum existing timestamp"): when `seqCol` names
+    * an arrival-order column, any delta older than its series' running
+    * max ts aborts the replay with the reference's error. Without a
+    * seq column the batch is taken as already ts-ordered (the
+    * reference's happy path). The check is one window over the same
+    * shuffle-by-series the replay needs, plus one bounded validation
+    * action — the same error-contract cost as BLOCK. */
+  def counterReplay(deltas: DataFrame, seqCol: Option[String] = None): DataFrame = {
+    seqCol.foreach { sc =>
+      val prior = Window.partitionBy(col("series")).orderBy(col(sc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bad = deltas
+        .withColumn("__pm", max(col("ts")).over(prior))
+        .filter(col("__pm").isNotNull && col("ts") < col("__pm"))
+      if (bad.limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          "TSDB: timestamp must be equal to or higher than the maximum existing timestamp")
+    }
     val w = Window.partitionBy(col("series")).orderBy(col("ts"))
       .rangeBetween(Window.unboundedPreceding, 0)
     deltas.groupBy(col("series"), col("ts"))
       .agg(sum(col("value")).as("delta"))
       .withColumn("value", sum(col("delta")).over(w))
       .select(col("series"), col("ts"), col("value"))
+  }
+
+  /** The reference's combined upsert-rejection message (module.c:1027-1031). */
+  val upsertErr: String =
+    "TSDB: Error at upsert, update is not supported when DUPLICATE_POLICY " +
+      "is set to BLOCK mode, or either current or new value is NaN and " +
+      "DUPLICATE_POLICY is MAX/MIN/SUM"
+
+  /**
+   * TS.MADD per-item outcome surface (reference: TSDB_madd
+   * module.c:1115-1161 — every (key, ts, value) triple gets its own
+   * success or error reply; a failed item never aborts the rest).
+   * Whereas [[applyDupPolicy]] resolves the surviving value per
+   * (series, ts), this reports WHAT HAPPENED to each submitted item —
+   * the surface a reference user's MADD retry logic consumes.
+   *
+   * The reference's sequential checks, reproduced in one distributed
+   * pass (both windows ride a single shuffle by series):
+   *  - retention gate (internalAdd module.c:1007-1012): an item older
+   *    than (running lastTimestamp − retention) errors. lastTimestamp
+   *    is the running max ts over prior ARRIVALS, which equals the max
+   *    over prior ACCEPTED items: a rejected item is either too old to
+   *    raise the max or a duplicate of an already-counted ts.
+   *  - duplicate resolution at an occupied (series, ts)
+   *    (handleDuplicateSample generic_chunk.c:62-96): BLOCK always
+   *    errors; MIN/MAX/SUM error on a NaN/valid mix — the stored
+   *    validity class equals the FIRST stored arrival's, since folding
+   *    only ever combines like with like; FIRST/LAST always accept.
+   *    The first arrival that passed retention is the one that stored.
+   *
+   * Output: (series, ts, value, seq, ok, err) — err null when ok.
+   */
+  def maddStatus(
+      samples: DataFrame, policy: String, retentionMs: Long = 0L,
+      seqCol: String = "seq"): DataFrame = {
+    val pol = policy.toUpperCase
+    require(Seq("BLOCK", "FIRST", "LAST", "MIN", "MAX", "SUM").contains(pol),
+      s"unknown duplicate policy $policy")
+    val prior = Window.partitionBy(col("series")).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byTs = Window.partitionBy(col("series"), col("ts"))
+    val withRet = samples
+      .withColumn("__pm", max(col("ts")).over(prior))
+      .withColumn("__ret_rej",
+        lit(retentionMs > 0) && col("__pm").isNotNull &&
+          col("ts") < col("__pm") && col("__pm") - col("ts") > retentionMs)
+    val staged = withRet.withColumn("__fs",
+      min(when(!col("__ret_rej"),
+        struct(col(seqCol).as("s"), col("value").as("v")))).over(byTs))
+    val isFirstStored = col("__fs").getField("s") === col(seqCol)
+    val nanMix = isnan(col("__fs").getField("v")) =!= isnan(col("value"))
+    val dupErr: Column = pol match {
+      case "BLOCK"               => lit(upsertErr)
+      case "MIN" | "MAX" | "SUM" => when(nanMix, lit(upsertErr))
+      case _                     => lit(null).cast("string")
+    }
+    val err = when(col("__ret_rej"), lit("TSDB: Timestamp is older than retention"))
+      .when(isFirstStored, lit(null).cast("string"))
+      .otherwise(dupErr)
+    staged.select(col("series"), col("ts"), col("value"), col(seqCol).as("seq"),
+      err.isNull.as("ok"), err.as("err"))
   }
 }

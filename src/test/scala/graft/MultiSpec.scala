@@ -103,6 +103,24 @@ class MultiSpec extends AnyFunSuite {
     }
   }
 
+  test("negative parse parity: GROUPBY+EXCLUDEEMPTY and filterless MGET rejected") {
+    // reference tests/flow/test_negative.py shapes:
+    // EXCLUDEEMPTY cannot combine with GROUPBY (query_language.c:1003-1007)
+    val s = Seq(("a", 1L, 1.0)).toDF("series", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      mrangeGroupBy(s, labelsDf, Seq(parsePred("type=click")),
+        RangeArgs(aggs = Seq("avg"), bucketMs = 100L), "type", "sum",
+        excludeEmpty = true)
+    }
+    assert(e.getMessage.contains("EXCLUDEEMPTY is not allowed with GROUPBY"))
+    // MGET FILTER needs >= 1 inclusive matcher (query_language.c:903-907)
+    intercept[IllegalArgumentException] {
+      mget(s, labelsDf, Seq(parsePred("type!=click")))
+    }
+    // and an empty filter list is as invalid as a filterless command
+    intercept[IllegalArgumentException] { mget(s, labelsDf, Nil) }
+  }
+
   test("nrange pivots by ts with NaN gaps") {
     val s = Seq(("a", 0L, 1.0), ("b", 0L, 2.0), ("b", 100L, 3.0))
       .toDF("series", "ts", "value")

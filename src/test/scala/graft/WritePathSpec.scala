@@ -114,6 +114,53 @@ class WritePathSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 7.0), (3L, 3.0)))
   }
 
+  test("counter replay rejects deltas older than the per-series tail") {
+    // reference module.c:1515-1518: a counter write at ts < lastTimestamp
+    // errors — with an arrival-order column the replay enforces it
+    val ooo = Seq(("k", 10L, 1.0, 1L), ("k", 5L, 2.0, 2L))
+      .toDF("series", "ts", "value", "seq")
+    val e = intercept[IllegalArgumentException](
+      WritePath.counterReplay(ooo, seqCol = Some("seq")))
+    assert(e.getMessage.contains("timestamp must be equal to or higher"))
+    // in-order (equal ts allowed: applies to the same last value)
+    val ok = Seq(("k", 5L, 1.0, 1L), ("k", 5L, 2.0, 2L), ("k", 10L, 4.0, 3L))
+      .toDF("series", "ts", "value", "seq")
+    val got = WritePath.counterReplay(ok, seqCol = Some("seq"))
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((5L, 3.0), (10L, 7.0)))
+  }
+
+  test("madd status reports per-item outcomes (reference sequential model)") {
+    val nan = Double.NaN
+    // BLOCK: first store wins, later duplicates error; retention gate
+    // rejects items older than the running tail minus retention
+    val in = Seq(
+      ("k", 100L, 1.0, 1L), ("k", 100L, 2.0, 2L),   // dup under BLOCK
+      ("r", 1000L, 1.0, 3L), ("r", 10L, 2.0, 4L),   // 990 > 500 -> retention err
+      ("r", 700L, 3.0, 5L))                          // 300 <= 500 -> ok (upsert-insert)
+      .toDF("series", "ts", "value", "seq")
+    val got = WritePath.maddStatus(in, "BLOCK", retentionMs = 500L)
+      .collect().map(r => (r.getLong(3), (r.getBoolean(4), Option(r.getString(5))))).toMap
+    assert(got(1L) == (true, None))
+    assert(got(2L)._1 == false && got(2L)._2.get.contains("BLOCK mode"))
+    assert(got(3L) == (true, None))
+    assert(got(4L)._1 == false && got(4L)._2.get.contains("older than retention"))
+    assert(got(5L) == (true, None))
+    // MIN/MAX/SUM: NaN/valid mix errors, like-with-like folds accept;
+    // FIRST/LAST always accept duplicates
+    val mix = Seq(
+      ("a", 10L, nan, 1L), ("a", 10L, 5.0, 2L), ("a", 10L, nan, 3L),
+      ("b", 10L, 5.0, 1L), ("b", 10L, 2.0, 2L))
+      .toDF("series", "ts", "value", "seq")
+    val sum = WritePath.maddStatus(mix, "SUM")
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> r.getBoolean(4)).toMap
+    assert(sum(("a", 1L)) && !sum(("a", 2L)) && sum(("a", 3L)))  // NaN-first: valid write rejected, NaN folds
+    assert(sum(("b", 1L)) && sum(("b", 2L)))
+    val last = WritePath.maddStatus(mix, "LAST")
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> r.getBoolean(4)).toMap
+    assert(last.values.forall(identity))
+  }
+
   test("compaction materialize flushes all but the in-flight bucket; latest surfaces it") {
     val in = Seq(("k", 0L, 1.0), ("k", 50L, 3.0), ("k", 100L, 10.0), ("k", 250L, 20.0))
       .toDF("series", "ts", "value")
