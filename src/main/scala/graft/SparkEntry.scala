@@ -315,6 +315,11 @@ object SparkEntry {
       "ts_info_full" -> ((s, dir) =>
         Multi.infoFull(TSModel.samples(s, dir), retentionMs = 10 * DAY,
           chunkSizeBytes = 4096L, duplicatePolicy = "last")),
+      // TS.INFO DEBUG per-chunk list (reference: module.c:244-276):
+      // chunkSize 128 (legal: 48..1048576, multiple of 8) -> 8 samples
+      // per chunk, so real series span multiple chunks
+      "ts_info_debug" -> ((s, dir) =>
+        Multi.infoDebugChunks(TSModel.samples(s, dir), chunkSizeBytes = 128L)),
       // ---- write-path semantics (SURVEY §2.2) ----
       // duplicate policies over hour-coarsened ts (creates real dups)
       "ts_dup_policy_last" -> ((s, dir) =>
@@ -419,6 +424,13 @@ object SparkEntry {
           Compaction.Rule("sum", DAY),
           sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
             .resolve("log").toString)),
+      // streaming TWA rule: per-micro-batch incremental recompute
+      // (recomputeBuckets stitched in foreachBatch over a replayed
+      // OOO source) — TWA rules get a streaming path too; converges
+      // to the batch materialization and shares its oracle
+      "ts_compaction_stream_twa" -> ((s, dir) =>
+        Compaction.streamingDownsampleTwaOnce(s, dir, Compaction.Rule("twa", DAY),
+          workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString)),
       // MULTI-RULE streaming downsample: one stream, one stateful agg
       // for all rules (vs R queries × R state stores), update-mode
       // merge-on-read sink — must converge to the batch answer
@@ -1046,6 +1058,14 @@ object SparkEntry {
            |         (max(struct_pack(t := bucket, v := value))).t AS ts,
            |         (max(struct_pack(t := bucket, v := value))).v AS value
            |  FROM agg GROUP BY 1""".stripMargin,
+      "ts_compaction_stream_twa" ->
+        s"""WITH twa AS (
+           |${Twa.sql(DAY, 0L, None, None, None)}
+           |), agg AS (
+           |  SELECT series, bucket, twa_value AS value FROM twa
+           |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
+           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
+           |  WHERE bucket < maxb""".stripMargin,
       "ts_compaction_stream" ->
         s"""${TSModel.samplesCte}
            |SELECT series || '_sum_$DAY' AS series,
@@ -1220,6 +1240,18 @@ object SparkEntry {
            |       ((total_samples + 255) // 256) * 4096 AS memory_usage_bytes,
            |       'last' AS duplicate_policy
            |FROM base""".stripMargin,
+      "ts_info_debug" ->
+        s"""${TSModel.samplesCte}, rn AS (
+           |  SELECT series, ts,
+           |         row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+           |  FROM samples
+           |)
+           |SELECT series, CAST((rn - 1) // 8 AS BIGINT) AS chunk_idx,
+           |       min(ts) AS start_ts, max(ts) AS end_ts,
+           |       count(*) AS n_samples,
+           |       CAST(128 AS BIGINT) AS size_bytes,
+           |       128.0 / count(*) AS bytes_per_sample
+           |FROM rn GROUP BY series, chunk_idx""".stripMargin,
     )
 
   /** Sequential IGNORE semantics as a recursive CTE: state

@@ -38,6 +38,15 @@ object Dedup {
    * of clean corpora are tiny, and the hint keeps vector payloads out
    * of shuffles — PlanShapeSpec), above it the hint is withheld so the
    * join degrades to a shuffle join instead of failing.
+   *
+   * Degraded-path cost (ADVICE r03): the localCheckpoint materializes
+   * the frame into executor block-manager storage BEFORE the count, so
+   * an oversized candidate frame still occupies O(frame) storage
+   * (disk-spillable, spread across executors) rather than OOMing one
+   * driver/executor as a broadcast would — storage pressure is the
+   * deliberate trade. The checkpoint is not redundant work: the frame
+   * feeds the subsequent join either way, and without it the count
+   * would recompute the (expensive) candidate subtree.
    */
   private[pipeline] def maybeBroadcast(
       df: DataFrame, maxRows: Long = DefaultMaxBroadcastRows): DataFrame = {
@@ -259,12 +268,18 @@ object Dedup {
         .distinct().localCheckpoint()
       // fixed point: the (count, xor-checksum) of the edge set is stable
       // across a full LS+SS round (bit_xor is order-independent and,
-      // unlike sum, cannot overflow under ANSI arithmetic)
+      // unlike sum, cannot overflow under ANSI arithmetic). The cheap
+      // fingerprint gates an EXACT set comparison (ADVICE r03: a hash
+      // collision between distinct edge sets would otherwise declare
+      // convergence early and silently under-dedup): equal counts +
+      // empty exceptAll <=> equal distinct sets. The exact job runs
+      // only on fingerprint match — typically once per call.
       val statRow = ss.agg(count(lit(1)),
         expr("bit_xor(xxhash64(u, v))")).head()
       val stat = (statRow.getLong(0),
         if (statRow.isNullAt(1)) None else Some(statRow.getLong(1)))
-      converged = stat == prevStat
+      converged = stat == prevStat &&
+        (stat._1 == 0L || ss.exceptAll(edges).isEmpty)
       prevStat = stat
       edges = ss
       iter += 1

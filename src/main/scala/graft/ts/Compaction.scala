@@ -349,6 +349,64 @@ object Compaction {
           .getField("v").as("value"))
     }
 
+  /**
+   * Streaming path for TWA rules (closes the one batch/stream
+   * asymmetry — r03 item #7): TWA's boundary interpolation reads
+   * NEIGHBOUR samples, which no watermark-free stateful aggregation
+   * exposes incrementally, so the stream drives PERIODIC INCREMENTAL
+   * RECOMPUTE instead. Each micro-batch appends its raw samples to a
+   * source log, derives its touched (series, bucket) set, and
+   * foreachBatch stitches [[recomputeBuckets]] — which expands TWA's
+   * touched set to the true non-empty neighbour buckets — into the
+   * running dest (lineage truncated per batch via localCheckpoint).
+   * Per-batch cost is O(touched buckets + their series' occupied-bucket
+   * index), not O(history): the reference's per-write upsertCompaction
+   * contract (tsdb.c:621-668) at micro-batch granularity.
+   *
+   * The source is staged into `nChunks` hash-split files replayed one
+   * per micro-batch (`maxFilesPerTrigger=1`), so batches are genuinely
+   * out-of-order and late samples recompute interior buckets. The
+   * final dest is independent of the batch split: every bucket's last
+   * touch recomputes it from all of its samples seen so far, and a
+   * sample's arrival always touches its own bucket (and, transitively,
+   * its TWA neighbours).
+   */
+  def streamingDownsampleTwaOnce(
+      spark: SparkSession, dir: String, rule: Rule, workDir: String,
+      nChunks: Int = 3): DataFrame = withStatePartitions(spark, 8) {
+    require(rule.agg == "twa", "non-TWA rules use streamingDownsampleAll")
+    import org.apache.spark.sql.{Dataset, Row}
+    val srcStage = s"$workDir/stage"
+    val srcLog = s"$workDir/log"
+    val samples = TSModel.samples(spark, dir)
+    for (i <- 0 until nChunks)
+      samples.filter(pmod(xxhash64(col("series"), col("ts")), lit(nChunks)) === i)
+        .coalesce(1).write.mode("append").parquet(srcStage)
+    var dest: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], sampleSchema)
+    val q = spark.readStream.schema(sampleSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(srcLog)
+        val touched = batch.select(col("series"),
+          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("bucket"))
+        dest = recomputeBuckets(
+          spark.read.parquet(srcLog), dest, rule, touched).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // flushed read semantics, like materialize: each series' in-flight
+    // (newest) bucket is not yet written
+    val w = Window.partitionBy(col("series"))
+    dest.withColumn("__maxb", max(col("ts")).over(w))
+      .filter(col("ts") < col("__maxb"))
+      .select(col("series"), col("ts"), col("value"))
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` (which also fixes
     * the number of streaming state-store instances) lowered to `n`,
     * restoring the session value after. The one-shot streaming runners

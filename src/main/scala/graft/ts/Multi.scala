@@ -148,13 +148,17 @@ object Multi {
     * appears in the reply; one with no samples gets an empty value
     * (null ts/value row — the relational form of the reference's empty
     * reply array, reply.c): a left join from the matched set, so the
-    * big samples side still makes one aggregated pass. */
+    * big samples side still makes one aggregated pass. The broadcast
+    * hint sits on the RIGHT (aggregated, O(#series)) side — for a
+    * LeftOuter join Spark can only build the right side, so a hint on
+    * the preserved index side would be silently ignored and the join
+    * would fall back to a shuffle (ADVICE r03). */
   def mget(samples: DataFrame, labels: DataFrame, preds: Seq[LabelPred]): DataFrame =
-    broadcast(queryIndex(labels, preds))
+    queryIndex(labels, preds)
       .join(
-        filterSeries(samples, labels, preds)
+        broadcast(filterSeries(samples, labels, preds)
           .groupBy(col("series"))
-          .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s")),
+          .agg(max(struct(col("ts").as("t"), col("value").as("v"))).as("s"))),
         Seq("series"), "left")
       .select(col("series"), col("s.t").as("ts"), col("s.v").as("value"))
 
@@ -279,6 +283,31 @@ object Multi {
         lit(chunkSizeBytes).as("chunk_size_bytes"),
         (chunks * chunkSizeBytes).as("memory_usage_bytes"),
         lit(duplicatePolicy).as("duplicate_policy"))
+  }
+
+  /** TS.INFO DEBUG chunk list (reference: module.c:244-276): one row
+    * per chunk with (startTimestamp, endTimestamp, samples, size,
+    * bytesPerSample), under the same uncompressed chunk model as
+    * [[infoFull]] — samples pack into ts-ordered chunks of
+    * `chunkSizeBytes / 16` entries and `size` is the allocated chunk
+    * size, so `bytesPerSample = size / samples` exactly as the
+    * reference computes it. One shuffle by series; the grouped
+    * aggregation reuses the window's partitioning (series ⊂
+    * (series, chunk_idx)). */
+  def infoDebugChunks(samples: DataFrame, chunkSizeBytes: Long = 4096L): DataFrame = {
+    val perChunk = math.max(chunkSizeBytes / 16L, 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts"), col("value"))
+    samples
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__idx", expr(s"CAST((__rn - 1) DIV $perChunk AS BIGINT)"))
+      .groupBy(col("series"), col("__idx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_samples"))
+      .select(col("series"), col("__idx").as("chunk_idx"),
+        col("start_ts"), col("end_ts"), col("n_samples"),
+        lit(chunkSizeBytes).as("size_bytes"),
+        (lit(chunkSizeBytes).cast("double") / col("n_samples")).as("bytes_per_sample"))
   }
 
   // ----- DuckDB oracle helpers ----------------------------------------

@@ -119,6 +119,15 @@ object Read {
    * arriving batches. `clock` injects a simulated time source for tests;
    * production leaves it None and uses the state store's processing
    * time.
+   *
+   * The queried series' group state is SEEDED (initial state), so the
+   * state function runs — and the deadline arms — in the very first
+   * micro-batch even if the series never receives a single sample
+   * (ADVICE r03: arming on first data meant a data-less series never
+   * unblocked; the reference's timeout callback, module.c:1889-2017,
+   * fires after timeoutMs regardless of traffic). The timed-out flush
+   * of an empty buffer emits nothing but opens the gate — the
+   * reference's empty reply to the unblocked client.
    */
   def blockTailTimeout(
       stream: DataFrame, series: String, cursorTs: Long,
@@ -132,12 +141,17 @@ object Read {
     val timeoutConf =
       if (processingTimeTimeout) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // deadline == 0 sentinel: the function invocation arms it from the
+    // batch's clock, whether that invocation comes from data or from
+    // this seed
+    val seed = Seq((series, BlockTimeoutState(Nil, emitted = false, 0L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
     stream
       .filter(col("series") === series && col("ts") >= cursorTs)
       .select(col("series"), col("ts"), col("value"))
       .as[(String, Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf, seed) {
         (key: String, rows: Iterator[(String, Long, Double)],
          state: GroupState[BlockTimeoutState]) =>
           val now = clock.map(_())

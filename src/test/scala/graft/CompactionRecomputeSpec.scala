@@ -116,6 +116,21 @@ class CompactionRecomputeSpec extends AnyFunSuite {
       == dump(Compaction.materialize(s, Compaction.Rule("twa", 100L))))
   }
 
+  test("streaming TWA rule: incremental recompute converges to the batch materialization") {
+    // r03 item #7: TWA rules get a streaming path via per-micro-batch
+    // recomputeBuckets — the final dest must equal the batch flushed
+    // materialization no matter how the source is chopped into batches
+    val dir = SparkTest.sf
+    val work = java.nio.file.Files.createTempDirectory("stwa_spec_").toString
+    val r = Compaction.Rule("twa", 86400000L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x =>
+        (x.getString(0), x.getLong(1), math.round(x.getDouble(2) * 1e6))).toSet
+    val stream = key(Compaction.streamingDownsampleTwaOnce(spark, dir, r, work))
+    val batch = key(Compaction.materialize(TSModel.samples(spark, dir), r))
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("range delete: interior bucket disappears, partial buckets recompute") {
     val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0), ("k", 150L, 4.0), ("k", 210L, 3.0), ("k", 310L, 9.0))
       .toDF("series", "ts", "value")

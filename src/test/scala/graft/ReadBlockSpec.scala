@@ -85,4 +85,19 @@ class ReadBlockSpec extends AnyFunSuite {
     Seq(("s", 140L, 4.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b3")
     assert(drainTimeout(s"$dir/*", ckpt, clockMs = 5001L) == 1L)
   }
+
+  test("BLOCK timeout arms at query start, not at the series' first sample") {
+    // ADVICE r03: a series with no traffic must still time out — the
+    // seeded initial state runs the state function in batch 1 even
+    // though batch 1 holds only an UNRELATED series, arming the
+    // deadline at t=0. The series' own first sample then arrives past
+    // the deadline and flushes below min_count; without the seed this
+    // batch would merely arm the deadline and withhold.
+    val dir = Files.createTempDirectory("blockseed").toString
+    val ckpt = Files.createTempDirectory("blockseedckpt").toString
+    Seq(("x", 110L, 1.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b1")
+    assert(drainTimeout(s"$dir/*", ckpt, clockMs = 0L) == 0L)
+    Seq(("s", 120L, 2.0)).toDF("series", "ts", "value").write.parquet(s"$dir/b2")
+    assert(drainTimeout(s"$dir/*", ckpt, clockMs = 5000L) == 1L)
+  }
 }
