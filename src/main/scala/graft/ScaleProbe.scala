@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Text}
+import graft.ts.{Multi, RangeQuery, TSModel}
+
+/**
+ * Scale-evidence probe (r04 item #8): replay the three heaviest bench
+ * paths on an N× replica of a fixture and report wall times, so the
+ * hot-bucket chain caps, gated broadcasts and two-shuffle aggregation
+ * shapes are demonstrated to hold OFF the bench scale factor, not just
+ * argued from the plan.
+ *
+ * Replication keeps the workload character of the base fixture:
+ *  - documents: every replica suffixes each token with its replica id,
+ *    so shingle spaces are DISJOINT across replicas — near-dup
+ *    structure (and so the candidate-pair count) scales exactly N×,
+ *    instead of degenerating into an N-way mass-duplication crawl;
+ *  - events: user ids shift per replica — N× series, same per-series
+ *    density, so the groupby's two post-aggregation shuffles see N×
+ *    groups.
+ *
+ * Usage: runMain graft.ScaleProbe [baseDir] [reps] [workDir]
+ * Prints one JSON line with per-path seconds and result row counts.
+ */
+object ScaleProbe {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsDir = s"$work/documents.parquet"
+    val eventsDir = s"$work/events.parquet"
+    if (!new java.io.File(docsDir).exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until reps).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          (if (r == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1_$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(docsDir)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      (0 until reps).map { r =>
+        ev.withColumn("user_id", col("user_id") + lit(r.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(eventsDir)
+    }
+
+    val nDocs = spark.read.parquet(docsDir).count()
+    val nEvents = spark.read.parquet(eventsDir).count()
+
+    // 1. MinHash+LSH over the full replicated corpus (the engine side
+    //    of dedup_minhash_lsh_full)
+    val (nPairs, tMinhash) = timed {
+      Dedup.minhashLshPairs(Text.loadDocuments(spark, work), 0.5).count()
+    }
+
+    // 2. Connected components over the N×-sized pair graph. Pairs are
+    //    materialized first so the timing is pure star-contraction, not
+    //    a re-run of the LSH pipeline.
+    val pairs = Dedup.minhashLshPairs(Text.loadDocuments(spark, work), 0.5)
+      .localCheckpoint()
+    val (nLabels, tCc) = timed { Dedup.ccCanonical(pairs).count() }
+
+    // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
+    //    avg -> cross-series sum reduce, over N× series
+    val T0 = 1704067200000L
+    val T31 = 1706745599999L
+    val DAY = 86400000L
+    val (nRows, tGroupby) = timed {
+      Multi.mrangeGroupBy(TSModel.samples(spark, work), TSModel.labels(spark, work),
+        Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"),
+          Multi.parsePred("type!=")),
+        RangeQuery.RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("avg"), bucketMs = DAY),
+        groupByLabel = "type", reducer = "sum").count()
+    }
+
+    println(
+      s"""{"probe":"scale","base":"$base","reps":$reps,"n_docs":$nDocs,"n_events":$nEvents,""" +
+      s""""minhash_lsh_full_sec":${f"$tMinhash%.2f"},"minhash_pairs":$nPairs,""" +
+      s""""cc_canonical_sec":${f"$tCc%.2f"},"cc_labels":$nLabels,""" +
+      s""""mrange_groupby_sec":${f"$tGroupby%.2f"},"groupby_rows":$nRows}""")
+    spark.stop()
+  }
+}
