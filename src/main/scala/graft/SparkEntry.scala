@@ -430,7 +430,8 @@ object SparkEntry {
       // to the batch materialization and shares its oracle
       "ts_compaction_stream_twa" -> ((s, dir) =>
         Compaction.streamingDownsampleTwaOnce(s, dir, Compaction.Rule("twa", DAY),
-          workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString)),
+          workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString,
+          nChunks = 2)), // cross-batch recompute exercised; 3-batch OOO in spec
       // MULTI-RULE streaming downsample: one stream, one stateful agg
       // for all rules (vs R queries × R state stores), update-mode
       // merge-on-read sink — must converge to the batch answer

@@ -200,46 +200,56 @@ object Compaction {
       samples: DataFrame, prevDest: DataFrame, rule: Rule,
       touched: DataFrame): DataFrame = {
     // TWA buckets interpolate from NEIGHBOUR SAMPLES, so a late (or
-    // deleted) sample in bucket b also changes the nearest NON-EMPTY
+    // deleted) sample in bucket b also changes the nearest VALID-sample
     // bucket on each side — which can be arbitrarily far across empty
-    // gaps, not just b±1 (reference boundary carry, module.c:928-976).
-    // Expand the touched set to those true neighbours: one aggregate
-    // over the touched series' occupied buckets, conditional max/min
-    // around b. Cost is O(touched × occupied-buckets-of-those-series).
+    // (or NaN-only: invisible to TWA) gaps, not just b±1 (reference
+    // boundary carry, module.c:928-976). Expand the touched set to
+    // those true neighbours: one aggregate over the touched series'
+    // valid-occupied buckets, conditional max/min around b. Cost is
+    // O(touched × occupied-buckets-of-those-series).
     val t0 = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
-    val t =
-      if (rule.agg == "twa") {
-        val occ = samples
-          .join(broadcast(t0.select(col("__s")).distinct()),
-            col("series") === col("__s"), "left_semi")
-          .select(col("series"),
-            TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
-          .distinct()
-        val nbrs = broadcast(t0).join(occ, col("series") === col("__s"))
-          .groupBy(col("__s"), col("__b"))
-          .agg(
-            max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),
-            min(when(col("ob") > col("__b"), col("ob"))).as("nextB"))
-        nbrs.select(col("__s"), explode(array(col("__b"), col("prevB"), col("nextB"))).as("__b"))
-          .filter(col("__b").isNotNull)
-          .distinct()
-      } else t0
+    lazy val occ = samples
+      .filter(!isnan(col("value"))) // NaN-only buckets anchor nothing
+      .join(broadcast(t0.select(col("__s")).distinct()),
+        col("series") === col("__s"), "left_semi")
+      .select(col("series"),
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
+      .distinct()
+      .localCheckpoint() // read by both expansion hops
+    def expand(ts: DataFrame): DataFrame = {
+      val nbrs = broadcast(ts).join(occ, col("series") === col("__s"))
+        .groupBy(col("__s"), col("__b"))
+        .agg(
+          max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),
+          min(when(col("ob") > col("__b"), col("ob"))).as("nextB"))
+      nbrs.select(col("__s"), explode(array(col("__b"), col("prevB"), col("nextB"))).as("__b"))
+        .filter(col("__b").isNotNull)
+        .distinct()
+    }
+    val t = if (rule.agg == "twa") expand(t0) else t0
     val destTouched = t.select(
       concat(col("__s"), lit(rule.destSuffix)).as("series"),
       col("__b").as("ts"))
     // recompute ONLY touched buckets from source samples; the touched
     // set (late/deleted buckets) is small — broadcast it
     val fresh =
-      if (rule.agg == "twa")
+      if (rule.agg == "twa") {
+        // recomputing a bucket in t needs its OWN neighbours' samples
+        // as interpolation anchors — one more hop (t2 ⊇ neighbours(t))
+        // bounds the sample support, so the window pass below runs over
+        // O(touched) buckets, not the touched series' full history
+        val t2 = expand(t)
         Twa.bucketTwa(
-            samples.join(broadcast(t.select(col("__s")).distinct()),
-              col("series") === col("__s"), "left_semi"),
+            samples.join(broadcast(t2),
+              col("series") === col("__s") &&
+                TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
+              "left_semi"),
             rule.bucketMs, rule.alignMs)
           .join(broadcast(t),
             col("series") === col("__s") && col("bucket") === col("__b"), "left_semi")
           .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
             col("bucket").as("ts"), col("twa_value").cast("double").as("value"))
-      else samples
+      } else samples
         .join(broadcast(t),
           col("series") === col("__s") &&
             TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
@@ -363,24 +373,36 @@ object Compaction {
    * index), not O(history): the reference's per-write upsertCompaction
    * contract (tsdb.c:621-668) at micro-batch granularity.
    *
-   * The source is staged into `nChunks` hash-split files replayed one
-   * per micro-batch (`maxFilesPerTrigger=1`), so batches are genuinely
-   * out-of-order and late samples recompute interior buckets. The
-   * final dest is independent of the batch split: every bucket's last
-   * touch recomputes it from all of its samples seen so far, and a
-   * sample's arrival always touches its own bucket (and, transitively,
-   * its TWA neighbours).
+   * The source is staged into `nChunks` files replayed one per
+   * micro-batch (`maxFilesPerTrigger=1`). By default chunks are TS
+   * RANGES — the realistic mostly-in-order arrival, under which each
+   * batch touches only its own new buckets (plus boundary neighbours)
+   * and total work ≈ one full materialization. `oooSplit=true` stages
+   * hash-split chunks instead, so every batch carries late samples for
+   * interior buckets — the OOO stress shape (used by the spec). The
+   * final dest is independent of the split: every bucket's last touch
+   * recomputes it from all of its samples seen so far, and a sample's
+   * arrival always touches its own bucket (and, transitively, its TWA
+   * neighbours).
    */
   def streamingDownsampleTwaOnce(
       spark: SparkSession, dir: String, rule: Rule, workDir: String,
-      nChunks: Int = 3): DataFrame = withStatePartitions(spark, 8) {
+      nChunks: Int = 3, oooSplit: Boolean = false): DataFrame = withStatePartitions(spark, 8) {
     require(rule.agg == "twa", "non-TWA rules use streamingDownsampleAll")
     import org.apache.spark.sql.{Dataset, Row}
     val srcStage = s"$workDir/stage"
     val srcLog = s"$workDir/log"
     val samples = TSModel.samples(spark, dir)
+    val chunkOf: Column =
+      if (oooSplit) pmod(xxhash64(col("series"), col("ts")), lit(nChunks))
+      else {
+        val b = samples.agg(min(col("ts")), max(col("ts"))).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        least(lit(nChunks - 1),
+          ((col("ts") - lo) * nChunks / math.max(hi - lo + 1, 1L)).cast("int"))
+      }
     for (i <- 0 until nChunks)
-      samples.filter(pmod(xxhash64(col("series"), col("ts")), lit(nChunks)) === i)
+      samples.filter(chunkOf === i)
         .coalesce(1).write.mode("append").parquet(srcStage)
     var dest: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], sampleSchema)

@@ -61,8 +61,11 @@ class CompactionRecomputeSpec extends AnyFunSuite {
       // sparse series with real empty-bucket gaps
       val before = (0 until 2).flatMap { s =>
         (0 until 20).map { _ =>
+          // NaN samples also under TWA: they are invisible to the
+          // trapezoid (dropped by bucketTwa) but must not derail the
+          // valid-neighbour expansion (NaN-only buckets anchor nothing)
           (s"k$s", rnd.nextInt(2000).toLong,
-            if (agg != "twa" && rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(100).toDouble)
+            if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(100).toDouble)
         }
       }.distinctBy(r => (r._1, r._2))
       val late = (0 until 4).map { _ =>
@@ -126,7 +129,8 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(x =>
         (x.getString(0), x.getLong(1), math.round(x.getDouble(2) * 1e6))).toSet
-    val stream = key(Compaction.streamingDownsampleTwaOnce(spark, dir, r, work))
+    val stream = key(Compaction.streamingDownsampleTwaOnce(spark, dir, r, work,
+      oooSplit = true)) // hash-split: every batch is late data for interior buckets
     val batch = key(Compaction.materialize(TSModel.samples(spark, dir), r))
     assert(stream == batch && stream.nonEmpty)
   }
