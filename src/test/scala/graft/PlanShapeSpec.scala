@@ -110,6 +110,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"retention clamp shuffles full sample rows:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
   }
 
+  test("madd status: both windows share one shuffle by series") {
+    // the (series, ts) first-stored window's ClusteredDistribution is
+    // satisfied by the running-tail window's HashPartitioning(series) —
+    // a second Exchange would mean the per-item surface costs more
+    // than the resolution it annotates
+    val df = SparkEntry.queries("ts_madd_status")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+  }
+
+  test("info debug chunks: grouped agg reuses the window's exchange") {
+    val df = SparkEntry.queries("ts_info_debug")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+  }
+
   test("ignore filter: one shuffle by series, then a streaming map pass") {
     val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
     val sh = shuffles(df)
