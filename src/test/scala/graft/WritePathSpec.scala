@@ -161,6 +161,65 @@ class WritePathSpec extends AnyFunSuite {
     assert(last.values.forall(identity))
   }
 
+  test("randomized madd status equals the sequential reference model") {
+    // literal fold of internalAdd (module.c:1000-1055): running
+    // lastTimestamp, retention gate, then handleDuplicateSample
+    // (generic_chunk.c:62-96) against the stored sample at ts
+    def refModel(policy: String, retention: Long,
+        rows: Seq[(Long, Double, Long)]): Map[Long, Boolean] = {
+      var lastTs = Long.MinValue
+      val stored = scala.collection.mutable.Map.empty[Long, Double]
+      rows.sortBy(_._3).map { case (ts, v, seq) =>
+        val ok =
+          if (retention > 0 && lastTs != Long.MinValue && ts < lastTs &&
+              lastTs - ts > retention) false
+          else stored.get(ts) match {
+            case None =>
+              stored(ts) = v; if (ts > lastTs || lastTs == Long.MinValue) lastTs = ts
+              true
+            case Some(old) =>
+              val mixed = old.isNaN != v.isNaN
+              val hasNaN = old.isNaN || v.isNaN
+              policy match {
+                case "BLOCK" => false
+                case "MIN" | "MAX" | "SUM" if mixed => false
+                case _ if hasNaN => if (!v.isNaN) stored(ts) = v; true
+                case "FIRST" => true
+                case "LAST" => stored(ts) = v; true
+                case "MIN" => stored(ts) = math.min(old, v); true
+                case "MAX" => stored(ts) = math.max(old, v); true
+                case "SUM" => stored(ts) = old + v; true
+              }
+          }
+        seq -> ok
+      }.toMap
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val policy = Seq("BLOCK", "FIRST", "LAST", "MIN", "MAX", "SUM")(seed % 6)
+      val retention = Seq(0L, 300L)(rnd.nextInt(2))
+      val rows = (0 until 2).flatMap { s =>
+        (0 until 60).map { i =>
+          val ts = rnd.nextInt(12) * 100L // collisions + OOO guaranteed
+          val v = if (rnd.nextInt(6) == 0) Double.NaN else rnd.nextInt(50).toDouble
+          (s"s$s", ts, v, (s * 100 + i).toLong)
+        }
+      }
+      val got = WritePath.maddStatus(
+          rows.toDF("series", "ts", "value", "seq"), policy, retention)
+        .collect().map(r => (r.getString(0), r.getLong(3)) -> r.getBoolean(4)).toMap
+      for (s <- Seq("s0", "s1")) {
+        val expect = refModel(policy, retention,
+          rows.filter(_._1 == s).map(r => (r._2, r._3, r._4)))
+        expect.foreach { case (seq, ok) =>
+          assert(got((s, seq)) == ok,
+            s"seed=$seed policy=$policy retention=$retention series=$s seq=$seq: " +
+              s"got ${got((s, seq))} expected $ok")
+        }
+      }
+    }
+  }
+
   test("compaction materialize flushes all but the in-flight bucket; latest surfaces it") {
     val in = Seq(("k", 0L, 1.0), ("k", 50L, 3.0), ("k", 100L, 10.0), ("k", 250L, 20.0))
       .toDF("series", "ts", "value")
