@@ -589,6 +589,8 @@ object SparkEntry {
       "text_redact" -> ((s, dir) => Text.redact(Text.loadDocuments(s, dir))),
       // Gopher-style repetition quality signals
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
+      // character-distribution entropy: gibberish/boilerplate signal
+      "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       // serving path: external literal query vectors (not corpus rows)
@@ -1209,6 +1211,7 @@ object SparkEntry {
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_redact" -> Text.redactSql,
       "text_repetition" -> Text.repetitionSql,
+      "text_char_entropy" -> Text.charEntropySql,
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -249,6 +249,36 @@ object Text {
       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM t""".stripMargin
 
+  /** Character-distribution Shannon entropy per document (bits/char)
+    * plus the distinct-character count — the classic gibberish /
+    * boilerplate / encoding-junk signal (low entropy = repeated
+    * characters, high = random bytes; natural language sits ~4 bits).
+    * Computed as log2(T) - sum(c*log2(c))/T over per-char counts, the
+    * exact same formula the oracle evaluates — no reliance on either
+    * engine's built-in entropy aggregate. Two map-side-combined
+    * aggregations; shuffle keys are (doc_id, char) then doc_id. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[\\\\s\\\\S]', 0)")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (log2(sum(col("c"))) -
+          sum(col("c") * log2(col("c"))) / sum(col("c"))).as("entropy_bits"),
+        count(lit(1)).as("distinct_chars"))
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+      |)
+      |SELECT doc_id,
+      |       log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits,
+      |       count(*) AS distinct_chars
+      |FROM c GROUP BY doc_id""".stripMargin
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
