@@ -591,6 +591,17 @@ object SparkEntry {
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       // character-distribution entropy: gibberish/boilerplate signal
       "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
+      // per-domain URL counts: the domain-blocklist curation signal
+      // (URL-bearing docs planted identically on both sides — the
+      // synthetic fixture text has none, and 0 == 0 proves nothing)
+      "text_domain_freq" -> ((s, dir) => {
+        import s.implicits._
+        val plant = domainPlantTexts.zipWithIndex
+          .map { case (t, i) => (9000000L + i, t) }.toDF("doc_id", "text")
+        Text.domainFrequency(
+          Text.loadDocuments(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(plant), k = 20)
+      }),
       "ann_topk" -> ((s, dir) =>
         Similarity.bruteForceTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5)),
       // serving path: external literal query vectors (not corpus rows)
@@ -628,6 +639,12 @@ object SparkEntry {
     )
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
+
+  /** URL-bearing docs planted into text_domain_freq on both sides:
+    * mixed-case hosts, repeated domains, multiple URLs per doc. */
+  private val domainPlantTexts: Seq[String] = Seq(
+    "see https://example.com/a and https://example.com/b plus http://data.example.org/x",
+    "mirror at https://Example.COM/z and https://cdn.foo.net/y then https://example.com again")
 
   /** Orders as a second samples source: one series per customer. */
   private def ordersSamples(s: SparkSession, dir: String): DataFrame =
@@ -1212,6 +1229,7 @@ object SparkEntry {
       "text_redact" -> Text.redactSql,
       "text_repetition" -> Text.repetitionSql,
       "text_char_entropy" -> Text.charEntropySql,
+      "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -171,6 +171,10 @@ object Text {
   // no lookaround, no backrefs.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val urlRe = "https?://[^ \\t\\n]+"
+  // group 1 = host[:port]; same char-class convention as urlRe so the
+  // literal renders identically through Spark's escaped string parser
+  // and DuckDB's raw strings (both resolve \t\n inside the class)
+  private val urlHostRe = "https?://([^/ \\t\\n]+)"
 
   /** PII/URL scrubbing — the standard pre-training redaction pass:
     * emails and URLs replaced with sentinel tokens, with counts and the
@@ -248,6 +252,32 @@ object Text {
       |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM t""".stripMargin
+
+  /** Per-domain URL frequency across the corpus: extract every URL
+    * host, count by (lowercased) domain, top-k with a deterministic
+    * tie-break — the domain-blocklist / source-mix curation signal.
+    * One explode + one aggregation; the regex group is the host. */
+  def domainFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(expr(
+        s"regexp_extract_all(text, '$urlHostRe', 1)")).as("domain"))
+      .select(lower(col("domain")).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("domain").asc)
+      .limit(k)
+
+  /** `extraTexts`: literal documents planted identically on both sides
+    * (the fixture's synthetic text carries no URLs, and a 0 == 0 match
+    * discriminates nothing). */
+  def domainFrequencySql(k: Int, extraTexts: Seq[String] = Nil): String = {
+    val extra =
+      if (extraTexts.isEmpty) ""
+      else "\n  UNION ALL SELECT * FROM (VALUES " +
+        extraTexts.map(t => s"('$t')").mkString(", ") + ") v(text)"
+    s"""SELECT domain, count(*) AS n FROM (
+       |  SELECT lower(unnest(regexp_extract_all(text, '$urlHostRe', 1))) AS domain
+       |  FROM (SELECT text FROM documents$extra))
+       |GROUP BY domain ORDER BY n DESC, domain ASC LIMIT $k""".stripMargin
+  }
 
   /** Character-distribution Shannon entropy per document (bits/char)
     * plus the distinct-character count — the classic gibberish /
