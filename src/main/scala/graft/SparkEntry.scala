@@ -591,6 +591,9 @@ object SparkEntry {
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       // character-distribution entropy: gibberish/boilerplate signal
       "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
+      // unigram-LM negative log-likelihood: the perplexity-filter shape
+      "text_unigram_logprob" -> ((s, dir) =>
+        Text.unigramLogProb(Text.loadDocuments(s, dir))),
       // per-domain URL counts: the domain-blocklist curation signal
       // (URL-bearing docs planted identically on both sides — the
       // synthetic fixture text has none, and 0 == 0 proves nothing)
@@ -1230,6 +1233,7 @@ object SparkEntry {
       "text_repetition" -> Text.repetitionSql,
       "text_char_entropy" -> Text.charEntropySql,
       "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
+      "text_unigram_logprob" -> Text.unigramLogProbSql,
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -253,6 +253,43 @@ object Text {
       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
       |FROM t""".stripMargin
 
+  /**
+   * Unigram negative log-likelihood per document (bits/token) against
+   * the corpus' own word distribution — the CCNet/Wikipedia-LM
+   * "perplexity filter" shape with the simplest possible model:
+   * p(w) = corpus_count(w) / corpus_tokens, doc score =
+   * -mean(log2 p(w)). Low = boilerplate made of very common words,
+   * high = rare-word soup; both tails get filtered in practice.
+   *
+   * Scale shape: word frequencies are ONE aggregation (map-side
+   * combined, vocab-sized result); the score join is keyed by the word
+   * — a scalar-keyed shuffle join, deliberately NOT a broadcast
+   * (vocabulary is corpus-sized, the exact tfIdf lesson); the per-doc
+   * reduce is a third map-side-combined aggregation. The corpus token
+   * total is one driver scalar.
+   */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = words.count()
+    words.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg((-avg(log2(col("cw").cast("double") / total.toDouble))).as("nll_bits"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  val unigramLogProbSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents
+      |), f AS (
+      |  SELECT w, count(*) AS cw FROM w GROUP BY w
+      |), t AS (SELECT count(*) AS total FROM w)
+      |SELECT doc_id, -avg(log2(cw / CAST(total AS DOUBLE))) AS nll_bits,
+      |       count(*) AS n_tokens
+      |FROM w JOIN f USING (w) CROSS JOIN t GROUP BY doc_id""".stripMargin
+
   /** Per-domain URL frequency across the corpus: extract every URL
     * host, count by (lowercased) domain, top-k with a deterministic
     * tie-break — the domain-blocklist / source-mix curation signal.
