@@ -591,6 +591,10 @@ object SparkEntry {
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       // character-distribution entropy: gibberish/boilerplate signal
       "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
+      // duplicated 15-word spans across docs (Lee et al. substring
+      // dedup at n-gram granularity)
+      "dedup_span_ngrams" -> ((s, dir) =>
+        Dedup.duplicatedSpans(Text.loadDocuments(s, dir))),
       // unigram-LM negative log-likelihood: the perplexity-filter shape
       "text_unigram_logprob" -> ((s, dir) =>
         Text.unigramLogProb(Text.loadDocuments(s, dir))),
@@ -1234,6 +1238,7 @@ object SparkEntry {
       "text_char_entropy" -> Text.charEntropySql,
       "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
       "text_unigram_logprob" -> Text.unigramLogProbSql,
+      "dedup_span_ngrams" -> Dedup.duplicatedSpansSql(),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

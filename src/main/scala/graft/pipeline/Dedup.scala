@@ -95,6 +95,39 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
+  /**
+   * Duplicated-span detection (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better", at word-n-gram
+   * granularity): every exact n-word span appearing in >= `minDocs`
+   * DISTINCT documents, with the multiplicity and the first containing
+   * doc. The suffix-array substring pass re-expressed relationally:
+   * explode spans (distinct per doc) -> ONE map-side-combined
+   * aggregation by span. Output keys are md5(span) so rows stay
+   * narrow; the shuffle carries (span, doc_id) scalars only.
+   */
+  def duplicatedSpans(docs: DataFrame, n: Int = 15, minDocs: Int = 2): DataFrame =
+    shingles(docs, n)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("shingle")).as("span_md5"), col("n_docs"), col("first_doc"))
+
+  def duplicatedSpansSql(n: Int = 15, minDocs: Int = 2): String = {
+    val cat = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= $n
+       |    THEN [$cat for i in range(1, len(w) - ${n - 2})]
+       |    ELSE [] END) AS shingle
+       |  FROM toks
+       |)
+       |SELECT md5(shingle) AS span_md5, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM sh GROUP BY shingle HAVING count(*) >= $minDocs""".stripMargin
+  }
+
   /** Exact dedup: one row per content fingerprint with the canonical
     * (lowest) doc_id and the member count. */
   def exact(docs: DataFrame): DataFrame =
