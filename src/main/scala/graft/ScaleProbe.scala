@@ -46,7 +46,18 @@ object ScaleProbe {
 
     val docsDir = s"$work/documents.parquet"
     val eventsDir = s"$work/events.parquet"
-    if (!new java.io.File(docsDir).exists()) {
+    // replica cache is valid only for the SAME (base, reps): a marker
+    // records what was staged; any mismatch (or a partial previous
+    // stage) rebuilds, so the probe can never report timings measured
+    // on a differently-scaled fixture
+    val marker = java.nio.file.Paths.get(s"$work/STAGED")
+    val stamp = s"$base|$reps"
+    val cached = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)) == stamp &&
+      new java.io.File(eventsDir).exists()
+    if (!cached) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      java.nio.file.Files.deleteIfExists(marker)
       val docs = spark.read.parquet(s"$base/documents.parquet")
       (0 until reps).map { r =>
         docs.select(
@@ -62,22 +73,23 @@ object ScaleProbe {
         ev.withColumn("user_id", col("user_id") + lit(r.toLong * 1000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(eventsDir)
+      java.nio.file.Files.write(marker, stamp.getBytes)
     }
 
     val nDocs = spark.read.parquet(docsDir).count()
     val nEvents = spark.read.parquet(eventsDir).count()
 
     // 1. MinHash+LSH over the full replicated corpus (the engine side
-    //    of dedup_minhash_lsh_full)
-    val (nPairs, tMinhash) = timed {
-      Dedup.minhashLshPairs(Text.loadDocuments(spark, work), 0.5).count()
+    //    of dedup_minhash_lsh_full). The eager localCheckpoint IS the
+    //    timed execution; the materialized frame then feeds CC, so the
+    //    LSH pipeline runs exactly once.
+    val (pairs, tMinhash) = timed {
+      Dedup.minhashLshPairs(Text.loadDocuments(spark, work), 0.5).localCheckpoint()
     }
+    val nPairs = pairs.count()
 
-    // 2. Connected components over the N×-sized pair graph. Pairs are
-    //    materialized first so the timing is pure star-contraction, not
-    //    a re-run of the LSH pipeline.
-    val pairs = Dedup.minhashLshPairs(Text.loadDocuments(spark, work), 0.5)
-      .localCheckpoint()
+    // 2. Connected components over the N×-sized pair graph — pure
+    //    star-contraction timing against the pre-materialized pairs.
     val (nLabels, tCc) = timed { Dedup.ccCanonical(pairs).count() }
 
     // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
@@ -94,11 +106,14 @@ object ScaleProbe {
         groupByLabel = "type", reducer = "sum").count()
     }
 
+    // Locale.ROOT: the f interpolator renders decimal commas under
+    // comma-decimal locales, producing invalid JSON
+    def s2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     println(
       s"""{"probe":"scale","base":"$base","reps":$reps,"n_docs":$nDocs,"n_events":$nEvents,""" +
-      s""""minhash_lsh_full_sec":${f"$tMinhash%.2f"},"minhash_pairs":$nPairs,""" +
-      s""""cc_canonical_sec":${f"$tCc%.2f"},"cc_labels":$nLabels,""" +
-      s""""mrange_groupby_sec":${f"$tGroupby%.2f"},"groupby_rows":$nRows}""")
+      s""""minhash_lsh_full_sec":${s2(tMinhash)},"minhash_pairs":$nPairs,""" +
+      s""""cc_canonical_sec":${s2(tCc)},"cc_labels":$nLabels,""" +
+      s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()
   }
 }

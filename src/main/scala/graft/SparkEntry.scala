@@ -647,6 +647,17 @@ object SparkEntry {
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
 
+  /** Flushed TWA dest (batch and streaming paths share it — the
+    * streaming runner converges to the batch materialization). */
+  private def twaFlushedOracleSql: String =
+    s"""WITH twa AS (
+       |${Twa.sql(DAY, 0L, None, None, None)}
+       |), agg AS (
+       |  SELECT series, bucket, twa_value AS value FROM twa
+       |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
+       |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
+       |  WHERE bucket < maxb""".stripMargin
+
   /** URL-bearing docs planted into text_domain_freq on both sides:
     * mixed-case hosts, repeated domains, multiple URLs per doc. */
   private val domainPlantTexts: Seq[String] = Seq(
@@ -1045,14 +1056,7 @@ object SparkEntry {
            |UNION ALL
            |${one("sum", "sum(value) FILTER (WHERE NOT isnan(value))", DAY)}""".stripMargin
       },
-      "ts_compaction_twa" ->
-        s"""WITH twa AS (
-           |${Twa.sql(DAY, 0L, None, None, None)}
-           |), agg AS (
-           |  SELECT series, bucket, twa_value AS value FROM twa
-           |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
-           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
-           |  WHERE bucket < maxb""".stripMargin,
+      "ts_compaction_twa" -> twaFlushedOracleSql,
       "ts_compaction_multirule_twa" -> {
         def one(agg: String, aggSql: String, dur: Long) =
           s"""SELECT series || '_${agg}_$dur' AS series, bucket AS ts, value FROM (
@@ -1085,14 +1089,9 @@ object SparkEntry {
            |         (max(struct_pack(t := bucket, v := value))).t AS ts,
            |         (max(struct_pack(t := bucket, v := value))).v AS value
            |  FROM agg GROUP BY 1""".stripMargin,
-      "ts_compaction_stream_twa" ->
-        s"""WITH twa AS (
-           |${Twa.sql(DAY, 0L, None, None, None)}
-           |), agg AS (
-           |  SELECT series, bucket, twa_value AS value FROM twa
-           |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
-           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
-           |  WHERE bucket < maxb""".stripMargin,
+      // streaming TWA converges to the batch materialization — same
+      // flushed-TWA oracle by construction
+      "ts_compaction_stream_twa" -> twaFlushedOracleSql,
       "ts_compaction_stream" ->
         s"""${TSModel.samplesCte}
            |SELECT series || '_sum_$DAY' AS series,

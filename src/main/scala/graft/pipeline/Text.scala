@@ -272,7 +272,9 @@ object Text {
     val words = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
     val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val total = words.count()
+    // total tokens from the vocab-sized aggregate — not a second
+    // tokenize-the-corpus pass (sum of per-word counts == token count)
+    val total = freq.agg(sum(col("cw"))).head().getLong(0)
     words.join(freq, Seq("w"))
       .groupBy(col("doc_id"))
       .agg((-avg(log2(col("cw").cast("double") / total.toDouble))).as("nll_bits"),

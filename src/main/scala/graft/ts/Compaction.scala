@@ -217,7 +217,12 @@ object Compaction {
       .distinct()
       .localCheckpoint() // read by both expansion hops
     def expand(ts: DataFrame): DataFrame = {
-      val nbrs = broadcast(ts).join(occ, col("series") === col("__s"))
+      // LEFT join: a touched series with NO remaining valid samples
+      // (all deleted, or NaN-upserted to all-NaN) must still keep its
+      // touched buckets in the set — they name dest rows to REMOVE.
+      // An inner join would drop them and stale dest rows would
+      // survive the recompute.
+      val nbrs = ts.join(occ, col("series") === col("__s"), "left")
         .groupBy(col("__s"), col("__b"))
         .agg(
           max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),

@@ -119,6 +119,27 @@ class CompactionRecomputeSpec extends AnyFunSuite {
       == dump(Compaction.materialize(s, Compaction.Rule("twa", 100L))))
   }
 
+  test("TWA recompute removes dest rows when a series loses its last valid sample") {
+    // review r04: the valid-only occupancy index yields NO rows for a
+    // series whose samples are all NaN/deleted — an inner-join
+    // expansion would drop its touched buckets and stale dest rows
+    // would survive; the left join keeps them as removal targets
+    val twaRule = Compaction.Rule("twa", 100L)
+    val before = Seq(("k", 10L, 1.0), ("k", 110L, 2.0)).toDF("series", "ts", "value")
+    val prevDest = Compaction.materialize(before, twaRule, includeLatest = true)
+    assert(prevDest.count() == 2)
+    // range-delete everything: the series has no samples left at all
+    val emptied = WritePath.deleteRange(before, "k", 0L, 200L)
+    val touched = Seq(("k", 0L), ("k", 100L)).toDF("series", "bucket")
+    val inc = Compaction.recomputeBuckets(emptied, prevDest, twaRule, touched)
+    assert(inc.isEmpty, s"stale dest rows survived: ${inc.collect().mkString(", ")}")
+    // NaN-upsert variant: samples exist but none are valid
+    val allNaN = Seq(("k", 10L, Double.NaN), ("k", 110L, Double.NaN))
+      .toDF("series", "ts", "value")
+    val inc2 = Compaction.recomputeBuckets(allNaN, prevDest, twaRule, touched)
+    assert(inc2.isEmpty, s"stale dest rows survived NaN upsert: ${inc2.collect().mkString(", ")}")
+  }
+
   test("streaming TWA rule: incremental recompute converges to the batch materialization") {
     // r03 item #7: TWA rules get a streaming path via per-micro-batch
     // recomputeBuckets — the final dest must equal the batch flushed
