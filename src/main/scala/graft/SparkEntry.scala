@@ -591,6 +591,12 @@ object SparkEntry {
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       // character-distribution entropy: gibberish/boilerplate signal
       "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
+      // SemDeDup-shape semantic near-dup: nearest-centroid clustering
+      // (compiled projection) + within-cluster cosine verification —
+      // literal quantizer makes the cluster restriction hash-checkable
+      "dedup_semantic_pairs" -> ((s, dir) =>
+        Similarity.semanticPairs(Similarity.loadEmbeddings(s, dir), 0.4,
+          Similarity.syntheticCentroids(16, 64))),
       // duplicated 15-word spans across docs (Lee et al. substring
       // dedup at n-gram granularity)
       "dedup_span_ngrams" -> ((s, dir) =>
@@ -1238,6 +1244,8 @@ object SparkEntry {
       "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
       "text_unigram_logprob" -> Text.unigramLogProbSql,
       "dedup_span_ngrams" -> Dedup.duplicatedSpansSql(),
+      "dedup_semantic_pairs" ->
+        Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_features" ->

@@ -246,18 +246,14 @@ object Similarity {
       raw.map(v => math.rint(v / nrm * 1e6) / 1e6)
     }
 
-  /** DuckDB differential for [[ivfTopKQuantized]]: assignment, probe
-    * lists and the probed-list-restricted top-k, all re-derived in SQL
-    * from the same centroid literals. Tie-breaks mirror the Spark side:
-    * assignment/probe ties to the lowest cid, ranking ties to the
-    * lowest neighbour id. */
-  def ivfTopKQuantizedSql(
-      queryIds: Seq[Long], k: Int,
-      centroids: Array[Array[Double]], nProbe: Int): String = {
+  /** Shared SQL CTEs: centroid literals `c`, the corpus `e`, and the
+    * argmax-dot assignment `a` (ties to the lowest cid —
+    * [[graft.functions.NearestCentroid]]'s contract). */
+  private def assignCtes(centroids: Array[Array[Double]]): String = {
     val rows = centroids.zipWithIndex.map { case (cv, ci) =>
       s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n       ")
-    s"""WITH c(cid, cv) AS (
+    s"""c(cid, cv) AS (
        |  SELECT * FROM (VALUES
        |       $rows)
        |), e AS (
@@ -268,7 +264,18 @@ object Similarity {
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY list_inner_product(e.v, c.cv) DESC, c.cid ASC) AS rn
        |    FROM e, c) WHERE rn = 1
-       |), q AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB differential for [[ivfTopKQuantized]]: assignment, probe
+    * lists and the probed-list-restricted top-k, all re-derived in SQL
+    * from the same centroid literals. Tie-breaks mirror the Spark side:
+    * assignment/probe ties to the lowest cid, ranking ties to the
+    * lowest neighbour id. */
+  def ivfTopKQuantizedSql(
+      queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): String = {
+    s"""WITH ${assignCtes(centroids)}, q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM e
        |  WHERE vec_id IN (${queryIds.mkString(",")})
        |), p AS (
@@ -353,6 +360,51 @@ object Similarity {
       .filter(col("cid").isInCollection(probedCids))
     (scoreProbes(index, probes, k), index)
   }
+
+  /**
+   * SemDeDup-shape semantic near-dup (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication"): cluster every embedding to its nearest centroid
+   * (one compiled [[graft.functions.NearestCentroid]] projection, no
+   * shuffle), then verify cosine pairwise WITHIN clusters only —
+   * O(Σ cluster²) instead of O(n²), one shuffle by cid to co-locate
+   * members. Degenerate clusters route through the shared hot-bucket
+   * chain guard ([[Dedup.bucketCandidates]]). With deterministic
+   * literal centroids ([[syntheticCentroids]]) the assignment and the
+   * within-cluster pair set are reproducible in SQL
+   * ([[semanticPairsSql]]) — the restriction itself is hash-checked,
+   * like the probe-limited IVF path.
+   */
+  def semanticPairs(
+      embs: DataFrame, threshold: Double, centroids: Array[Array[Double]],
+      maxCluster: Int = 4096,
+      maxBroadcastRows: Long = Dedup.DefaultMaxBroadcastRows): DataFrame = {
+    val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val assign = corpus.select(col("vec_id"),
+      graft.functions.NearestCentroid(col("v"), centroids).as("cid"))
+    val cand = Dedup.bucketCandidates(assign, "vec_id", Seq("cid"), maxCluster)
+    // vectors re-attach to the (small) candidate set — never shuffled
+    val verified = corpus
+      .select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
+      .join(Dedup.maybeBroadcast(cand, maxBroadcastRows), Seq("i"))
+    corpus
+      .select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
+      .join(Dedup.maybeBroadcast(verified, maxBroadcastRows), Seq("j"))
+      .select(col("i"), col("j"),
+        (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** DuckDB twin of [[semanticPairs]] (uncapped clusters: the bounded
+    * fixture never trips the chain guard, so the pair set is exactly
+    * all within-cluster pairs over the threshold). */
+  def semanticPairsSql(threshold: Double, centroids: Array[Array[Double]]): String =
+    s"""WITH ${assignCtes(centroids)}
+       |SELECT x.vec_id AS i, y.vec_id AS j,
+       |       list_cosine_similarity(x.v, y.v) AS cos
+       |FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE list_cosine_similarity(x.v, y.v) >= $threshold""".stripMargin
 
   /** Random-hyperplane LSH for cosine near-dup at scale: `nBits`-bit
     * signature from signs of dot products with deterministic
