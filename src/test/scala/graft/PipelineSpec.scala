@@ -93,6 +93,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall too low") // nProbe=4/16 clusters
   }
 
+  test("semantic pairs: hot-cluster cap linearizes a degenerate cluster") {
+    // 1k near-identical vectors all assign to one centroid — uncapped
+    // within-cluster verification would emit ~500k pairs; the chain
+    // guard emits the id-sorted chain (999), every non-minimal member
+    // still appearing as some pair's j (the greedy survivor contract)
+    val base = (0 until 64).map(d => math.sin(d * 0.7))
+    val clones = (0L until 1000L).map(i =>
+      (i, base.map(x => (x + i * 1e-9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticPairs(clones, 0.99,
+      Similarity.syntheticCentroids(16, 64), maxCluster = 64)
+    assert(pairs.count() == 999)
+    val js = pairs.select("j").as[Long].collect().toSet
+    assert(js == (1L until 1000L).toSet)
+  }
+
   test("quantized IVF with nProbe == nCentroids is exactly brute force") {
     // the literal-quantizer path (ann_ivf_topk's oracle-able shape):
     // probing every list must reduce to the exact ranking, proving the

@@ -46,6 +46,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles carrying arrays:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
   }
 
+  test("semantic pairs: no shuffle carries an embedding column") {
+    val df = SparkEntry.queries("dedup_semantic_pairs")(spark, dir)
+    val offenders = shuffles(df).filter(
+      _.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(offenders.isEmpty,
+      s"shuffles carrying arrays:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
   test("IVF top-k: single scalar shuffle, assignment is a projection") {
     val df = SparkEntry.queries("ann_ivf_topk")(spark, dir)
     val sh = shuffles(df)
