@@ -660,7 +660,7 @@ object SparkEntry {
        |${Twa.sql(DAY, 0L, None, None, None)}
        |), agg AS (
        |  SELECT series, bucket, twa_value AS value FROM twa
-       |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
+       |) SELECT series || '_TWA_$DAY' AS series, bucket AS ts, value
        |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
        |  WHERE bucket < maxb""".stripMargin
 
@@ -978,14 +978,14 @@ object SparkEntry {
            |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples JOIN series_labels USING (series)
            |  WHERE "type" = 'click' GROUP BY 1, 2
-           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value FROM agg""".stripMargin,
+           |) SELECT series || '_AVG_$DAY' AS series, bucket AS ts, value FROM agg""".stripMargin,
       "ts_mrange_latest_count_rev" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
            |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples JOIN series_labels USING (series)
            |  WHERE "type" = 'click' GROUP BY 1, 2
-           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value FROM agg
+           |) SELECT series || '_AVG_$DAY' AS series, bucket AS ts, value FROM agg
            |  QUALIFY row_number() OVER (PARTITION BY series ORDER BY bucket DESC) <= 3""".stripMargin,
       "ts_mrange_nolatest" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
@@ -993,7 +993,7 @@ object SparkEntry {
            |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples JOIN series_labels USING (series)
            |  WHERE "type" = 'click' GROUP BY 1, 2
-           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
+           |) SELECT series || '_AVG_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb""".stripMargin,
       "ts_mget_latest" ->
@@ -1002,7 +1002,7 @@ object SparkEntry {
            |         max(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples JOIN series_labels USING (series)
            |  WHERE "type" = 'purchase' GROUP BY 1, 2
-           |) SELECT series || '_max_$DAY' AS series,
+           |) SELECT series || '_MAX_$DAY' AS series,
            |         (max(struct_pack(t := bucket, v := value))).t AS ts,
            |         (max(struct_pack(t := bucket, v := value))).v AS value
            |  FROM agg GROUP BY 1""".stripMargin,
@@ -1044,12 +1044,12 @@ object SparkEntry {
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
            |         avg(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples GROUP BY 1, 2
-           |) SELECT series || '_avg_$DAY' AS series, bucket AS ts, value
+           |) SELECT series || '_AVG_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb""".stripMargin,
       "ts_compaction_multirule" -> {
         def one(agg: String, aggSql: String, dur: Long) =
-          s"""SELECT series || '_${agg}_$dur' AS series, bucket AS ts, value FROM (
+          s"""SELECT series || '_${agg.toUpperCase}_$dur' AS series, bucket AS ts, value FROM (
              |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
              |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
              |           $aggSql AS value
@@ -1065,7 +1065,7 @@ object SparkEntry {
       "ts_compaction_twa" -> twaFlushedOracleSql,
       "ts_compaction_multirule_twa" -> {
         def one(agg: String, aggSql: String, dur: Long) =
-          s"""SELECT series || '_${agg}_$dur' AS series, bucket AS ts, value FROM (
+          s"""SELECT series || '_${agg.toUpperCase}_$dur' AS series, bucket AS ts, value FROM (
              |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
              |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
              |           $aggSql AS value
@@ -1081,7 +1081,7 @@ object SparkEntry {
            |${Twa.sql(DAY, 0L, None, None, None)}
            |), agg AS (
            |  SELECT series, bucket, twa_value AS value FROM twa
-           |) SELECT series || '_twa_$DAY' AS series, bucket AS ts, value
+           |) SELECT series || '_TWA_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb
            |)""".stripMargin
@@ -1091,7 +1091,7 @@ object SparkEntry {
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
            |         max(value) FILTER (WHERE NOT isnan(value)) AS value
            |  FROM samples GROUP BY 1, 2
-           |) SELECT series || '_max_$DAY' AS series,
+           |) SELECT series || '_MAX_$DAY' AS series,
            |         (max(struct_pack(t := bucket, v := value))).t AS ts,
            |         (max(struct_pack(t := bucket, v := value))).v AS value
            |  FROM agg GROUP BY 1""".stripMargin,
@@ -1100,24 +1100,24 @@ object SparkEntry {
       "ts_compaction_stream_twa" -> twaFlushedOracleSql,
       "ts_compaction_stream" ->
         s"""${TSModel.samplesCte}
-           |SELECT series || '_sum_$DAY' AS series,
+           |SELECT series || '_SUM_$DAY' AS series,
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
       "ts_compaction_stream_update" ->
         s"""${TSModel.samplesCte}
-           |SELECT series || '_sum_$DAY' AS series,
+           |SELECT series || '_SUM_$DAY' AS series,
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,
       "ts_compaction_stream_multirule" ->
         s"""${TSModel.samplesCte}
-           |SELECT series || '_sum_$DAY' AS series,
+           |SELECT series || '_SUM_$DAY' AS series,
            |       ${TSModel.bucketStartSql("ts", DAY)} AS ts,
            |       sum(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2
            |UNION ALL
-           |SELECT series || '_max_${2 * DAY}' AS series,
+           |SELECT series || '_MAX_${2 * DAY}' AS series,
            |       ${TSModel.bucketStartSql("ts", 2 * DAY)} AS ts,
            |       max(value) FILTER (WHERE NOT isnan(value)) AS value
            |FROM samples GROUP BY 1, 2""".stripMargin,

@@ -48,6 +48,11 @@ object Catalog {
       s"CHUNK_SIZE ${meta.chunkSizeBytes} not in [48, 1048576] or not a multiple of 8")
     require(Seq("COMPRESSED", "UNCOMPRESSED").contains(meta.encoding.toUpperCase),
       s"unknown ENCODING ${meta.encoding}")
+    // the reference rejects an unknown DUPLICATE_POLICY at TS.CREATE
+    // parse time (ParseDuplicatePolicy, module.c), not first ingest
+    require(Seq("BLOCK", "FIRST", "LAST", "MIN", "MAX", "SUM")
+        .contains(meta.duplicatePolicy.toUpperCase),
+      s"TSDB: Unknown DUPLICATE_POLICY ${meta.duplicatePolicy}")
     catalog :+ meta
   }
 
@@ -91,25 +96,32 @@ object Catalog {
     policy.split(";").filter(_.nonEmpty).toSeq.map { spec =>
       val parts = spec.split(":")
       val agg = parts(0).toLowerCase
+      // dest key + `aggregation` label carry the UPPERCASE agg name
+      // (reference: tsdb.c:1119-1133, 1162-1167 — flow test expects
+      // `tester_MAX_1` and labels [aggregation, MAX])
+      val aggU = agg.toUpperCase
       val dur = parseDuration(parts(1))
       val retention = parseDuration(parts(2))
       val align = if (parts.length > 3) parseDuration(parts(3)) else 0L
-      val dest = if (parts.length > 3) s"${srcKey}_${agg}_${dur}_$align"
-                 else s"${srcKey}_${agg}_$dur"
+      val dest = if (parts.length > 3) s"${srcKey}_${aggU}_${dur}_$align"
+                 else s"${srcKey}_${aggU}_$dur"
       val meta = SeriesMeta(dest, retentionMs = retention, srcKey = Some(srcKey),
-        labels = Map("aggregation" -> agg, "time_bucket" -> dur.toString))
+        labels = Map("aggregation" -> aggU, "time_bucket" -> dur.toString))
       (meta, RuleMeta(srcKey, dest, agg, dur, align))
     }
 
-  /** Duration units (reference: parse_policies.c units m/s/M/h/d). */
+  /** Duration units (reference: parse_policies.c:22-28 lookup table —
+    * counterintuitively, lowercase 'm' is MILLISECONDS (=1) and
+    * uppercase 'M' is minutes (=60000); the flow test pins it:
+    * COMPACTION_POLICY "max:1m:1d" creates `tester_MAX_1`). */
   def parseDuration(s: String): Long = {
     val (num, unit) = s.span(c => c.isDigit)
     val n = if (num.isEmpty) 1L else num.toLong
     unit match {
       case ""  => n          // bare ms
-      case "m" => n * 60000L
+      case "m" => n          // ms (reference: ['m'] = 1)
       case "s" => n * 1000L
-      case "M" => n          // ms (reference: M = milliseconds)
+      case "M" => n * 60000L // minutes (reference: ['M'] = 1000 * 60)
       case "h" => n * 3600000L
       case "d" => n * 86400000L
       case u   => throw new IllegalArgumentException(s"bad duration unit $u")

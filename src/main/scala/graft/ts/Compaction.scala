@@ -28,12 +28,15 @@ import org.apache.spark.sql.types._
 object Compaction {
 
   /** A compaction rule (reference: NewRule src/tsdb.c:1193-1216): dest
-    * key named like the reference's auto-created dests
-    * (`key_agg_dur[_align]`, reference: src/tsdb.c:1109-1191). */
+    * key named like the reference's auto-created dests —
+    * `key_AGG_dur[_align]` with the UPPERCASE dotted aggregator name
+    * (reference: tsdb.c:1119-1133 printf "%s_%s_%PRIu64" with
+    * AggTypeEnumToString, e.g. `tester_MAX_1`, `t1_MAX_1000_500` in
+    * tests/flow/test_globalconfigs.py; `STD.P` keeps its dot). */
   final case class Rule(agg: String, bucketMs: Long, alignMs: Long = 0L) {
     def destSuffix: String =
-      if (alignMs == 0) s"_${agg.replace('.', '_')}_$bucketMs"
-      else s"_${agg.replace('.', '_')}_${bucketMs}_$alignMs"
+      if (alignMs == 0) s"_${agg.toUpperCase}_$bucketMs"
+      else s"_${agg.toUpperCase}_${bucketMs}_$alignMs"
   }
 
   /** Batch-materialize a rule over every series: the dest samples DF

@@ -117,15 +117,47 @@ object RangeQuery {
       } else {
         require(!args.aggs.contains("twa"), "twa cannot be combined in one multi-agg call here")
         val aggCols = args.aggs.map(a => Aggs.expr(a, col("value"), col("ts")))
+        val hasValid = (count(when(!isnan(col("value")), lit(1))) > 0).as("__has_valid")
         var out = df
           .groupBy(col("series"), TSModel.bucketStart(col("ts"), args.bucketMs, args.alignMs))
-          .agg(aggCols.head, aggCols.tail: _*)
-        // NaN-only buckets are treated as empty and dropped unless a
-        // count-family aggregator asked for them (reference:
-        // src/filter_iterator.c:389-414).
-        if (!args.aggs.exists(a => a == "countnan" || a == "countall"))
-          out = out.filter(args.aggs.map(a => col(Aggs.colName(a)).isNotNull).reduce(_ || _))
-        out
+          .agg(aggCols.head, (aggCols.tail :+ hasValid): _*)
+        // Bucket emission == the reference's validSamplesInBucket
+        // (finalizeBucket, filter_iterator.c:389-401): a bucket is kept
+        // iff >= 1 sample is VALID under some requested aggregator's
+        // validity class — nonNaN for every classic aggregator
+        // INCLUDING plain count (aggCount.isValueValid =
+        // nonNaNValueValid, compaction.c:866-884; a NaN-only bucket
+        // with AGGREGATION count is dropped, not emitted as 0), NaN
+        // for countnan, anything for countall.
+        val keepAll = args.aggs.exists(a => a == "countnan" || a == "countall")
+        if (!keepAll) out = out.filter(col("__has_valid"))
+        else if (!args.empty) {
+          // finalizeEmpty for aggregators that saw no valid sample in a
+          // bucket kept alive by countnan/countall (compaction.c
+          // finalize_empty_with_{ZERO,NAN}, finalize_empty_last_value):
+          // sum -> 0, last -> running in-range carry (unseeded -> NaN),
+          // other value classes -> NaN; count-family never yields null.
+          // In EMPTY mode gapFill applies these fills (plus the
+          // pre-range LOCF seed) itself, so kept-bucket nulls pass
+          // through here untouched.
+          val fills = args.aggs.collect {
+            case "sum" => Aggs.colName("sum") -> lit(0.0)
+            case a @ ("min" | "max" | "avg" | "first" | "range"
+                      | "std.p" | "std.s" | "var.p" | "var.s") =>
+              Aggs.colName(a) -> lit(Double.NaN)
+          }
+          for ((c, fill) <- fills)
+            out = out.withColumn(c, coalesce(col(c), fill))
+          if (args.aggs.contains("last")) {
+            val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+            out = out.withColumn(Aggs.colName("last"),
+              coalesce(col(Aggs.colName("last")),
+                last(col(Aggs.colName("last")), ignoreNulls = true).over(w),
+                lit(Double.NaN)))
+          }
+        }
+        out.drop("__has_valid")
       }
     val spined =
       if (args.empty && args.aggs.nonEmpty && args.aggs != Seq("twa"))

@@ -102,11 +102,23 @@ object TSModel {
       // raw column is epoch-ns: ms bound f covers ns in [f*1e6, ...]
       fromMs.foreach(f => ev = ev.filter(col("ts") >= f * 1000000L))
       toMs.foreach(t => ev = ev.filter(col("ts") <= t * 1000000L + 999999L))
+      ev.select(
+        concat_ws("_", col("event_type"), col("user_id")).as("series"),
+        tsMs(ev).as("ts"),
+        col("value"))
+    } else {
+      // non-raw-ns layouts (e.g. a TIMESTAMP column): the ns pushdown
+      // path is unavailable, so the bounds MUST still apply — on the
+      // derived ms column (review r04: silently skipping them here
+      // violated the loader's documented time-range contract)
+      var out = ev.select(
+        concat_ws("_", col("event_type"), col("user_id")).as("series"),
+        tsMs(ev).as("ts"),
+        col("value"))
+      fromMs.foreach(f => out = out.filter(col("ts") >= f))
+      toMs.foreach(t => out = out.filter(col("ts") <= t))
+      out
     }
-    ev.select(
-      concat_ws("_", col("event_type"), col("user_id")).as("series"),
-      tsMs(ev).as("ts"),
-      col("value"))
   }
 
   /** Samples plus the ingest sequence number (arrival order) that

@@ -170,9 +170,13 @@ object WritePath {
    * ignoreMaxTimeDiff / ignoreMaxValDiff and its resolved duplicate
    * policy — the gate only arms under LAST). `catalog` carries
    * `(series, dup_policy, ignore_max_time_diff, ignore_max_val_diff)`;
-   * series absent from it use the reference defaults (LAST, 0, 0 — the
-   * 0/0 gate only drops exact same-(ts,value) rewrites, as in the
-   * reference, where there is no separate enable flag).
+   * series absent from it use the reference defaults — duplicate
+   * policy BLOCK (consts.h:50 DEFAULT_DUPLICATE_POLICY = DP_BLOCK)
+   * and 0/0 thresholds — under which the gate NEVER arms: an exact
+   * rewrite on an uncatalogued series passes through untouched and is
+   * rejected loudly by the BLOCK dup-policy stage downstream, exactly
+   * as the reference errors the write instead of silently swallowing
+   * it (review r04: the old LAST default silently dropped it here).
    *
    * Scale shape identical to [[ignoreFilter]]: the O(#series) catalog
    * broadcast-joins onto the samples (two scalar columns ride the one
@@ -189,7 +193,7 @@ object WritePath {
     samples.select(col("series"), col("ts"), col("value"))
       .join(broadcast(th), Seq("series"), "left")
       .select(col("series"), col("ts"), col("value"),
-        (coalesce(col("__dp"), lit("LAST")) === "LAST").as("__gate"),
+        (coalesce(col("__dp"), lit("BLOCK")) === "LAST").as("__gate"),
         coalesce(col("__mtd"), lit(0L)).as("__mtd"),
         coalesce(col("__mvd"), lit(0.0)).as("__mvd"))
       .repartition(col("series"))

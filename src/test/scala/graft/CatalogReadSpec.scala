@@ -42,12 +42,17 @@ class CatalogReadSpec extends AnyFunSuite {
   }
 
   test("COMPACTION_POLICY spec expansion matches reference naming") {
-    val out = autoRules("max:1m:1h;avg:2h:10d;avg:3d:100d:1d", "key")
+    // reference tests/flow/test_globalconfigs.py: "max:1m:1d" creates
+    // `tester_MAX_1` — lowercase 'm' is MILLISECONDS (parse_policies.c
+    // lookup ['m']=1, ['M']=60000), dest keys and the aggregation
+    // label carry the UPPERCASE agg name
+    val out = autoRules("max:1m:1h;avg:2h:10d;avg:3d:100d:1d;min:10M:1h", "key")
     assert(out.map(_._2) == Seq(
-      RuleMeta("key", "key_max_60000", "max", 60000L),
-      RuleMeta("key", "key_avg_7200000", "avg", 7200000L),
-      RuleMeta("key", "key_avg_259200000_86400000", "avg", 259200000L, 86400000L)))
-    assert(out.head._1.labels == Map("aggregation" -> "max", "time_bucket" -> "60000"))
+      RuleMeta("key", "key_MAX_1", "max", 1L),
+      RuleMeta("key", "key_AVG_7200000", "avg", 7200000L),
+      RuleMeta("key", "key_AVG_259200000_86400000", "avg", 259200000L, 86400000L),
+      RuleMeta("key", "key_MIN_600000", "min", 600000L)))
+    assert(out.head._1.labels == Map("aggregation" -> "MAX", "time_bucket" -> "1"))
     assert(out(1)._1.retentionMs == 864000000L)
   }
 

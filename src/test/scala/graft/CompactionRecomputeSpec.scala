@@ -26,7 +26,7 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     val incremental = Compaction.recomputeBuckets(after, prevDest, rule, touched)
     val full = Compaction.materialize(after, rule, includeLatest = true)
     assert(asSet(incremental) == asSet(full))
-    assert(asSet(incremental).contains(("k_sum_100", 100L, 7.0)))
+    assert(asSet(incremental).contains(("k_SUM_100", 100L, 7.0)))
   }
 
   test("TWA rule: late sample recomputes its bucket AND both neighbours") {
@@ -165,7 +165,7 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     val touched1 = Seq(("k", 100L)).toDF("series", "bucket")
     val inc1 = Compaction.recomputeBuckets(partial, prevDest, rule, touched1)
     assert(asSet(inc1) == asSet(Compaction.materialize(partial, rule, includeLatest = true)))
-    assert(asSet(inc1).contains(("k_sum_100", 100L, 4.0)))             // partial recompute
+    assert(asSet(inc1).contains(("k_SUM_100", 100L, 4.0)))             // partial recompute
 
     // delete [110, 250]: buckets 100 and 200 empty out entirely
     val emptied = WritePath.deleteRange(before, "k", 110L, 250L)

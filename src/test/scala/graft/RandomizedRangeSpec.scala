@@ -22,8 +22,6 @@ class RandomizedRangeSpec extends AnyFunSuite {
   private def bkt(ts: Long, dur: Long, align: Long): Long =
     ts - java.lang.Math.floorMod(ts - align, dur)
 
-  private val countFamily = Set("count", "countnan", "countall")
-
   private def aggModel(agg: String, rows: Seq[(Long, Double)]): Option[Double] = {
     val valid = rows.filter(!_._2.isNaN)
     def vs = valid.map(_._2)
@@ -60,13 +58,35 @@ class RandomizedRangeSpec extends AnyFunSuite {
     val inRange = s.filter(r => args.from.forall(r._1 >= _) && args.to.forall(r._1 <= _))
     val dur = args.bucketMs; val al = args.alignMs
     val grouped = inRange.groupBy(r => bkt(r._1, dur, al))
-    val hasCountFam = args.aggs.exists(countFamily)
-    // NaN-only buckets are dropped unless a count-family agg asked
+    // NaN-only buckets are dropped unless countnan/countall asked —
+    // plain count's validity class is nonNaN (aggCount.isValueValid =
+    // nonNaNValueValid), so count does NOT keep such buckets
+    val keepAll = args.aggs.exists(a => a == "countnan" || a == "countall")
     val kept = grouped.filter { case (_, rows) =>
-      rows.exists(!_._2.isNaN) || hasCountFam
+      rows.exists(!_._2.isNaN) || keepAll
     }
     var buckets: Seq[(Long, Seq[Option[Double]])] =
       kept.toSeq.map { case (b, rows) => (b, args.aggs.map(a => aggModel(a, rows))) }
+    if (!args.empty) {
+      // finalizeEmpty in kept buckets whose agg saw no valid sample
+      // (mixed countnan/countall + classic agg over a NaN-only bucket):
+      // sum -> 0, last -> running in-range carry (unseeded -> NaN),
+      // other value classes -> NaN
+      var carry: Option[Double] = None
+      buckets = buckets.sortBy(_._1).map { case (b, vals) =>
+        val filled = args.aggs.zip(vals).map {
+          case (_, Some(v))   => Some(v)
+          case ("sum", None)  => Some(0.0)
+          case ("last", None) => Some(carry.getOrElse(Double.NaN))
+          case (_, None)      => Some(Double.NaN)
+        }
+        args.aggs.indexOf("last") match {
+          case i if i >= 0 && vals(i).isDefined => carry = vals(i)
+          case _ =>
+        }
+        (b, filled)
+      }
+    }
     if (args.empty && s.nonEmpty) {
       val lo0 = bkt(s.map(_._1).min, dur, al)
       val hi0 = bkt(s.map(_._1).max, dur, al)

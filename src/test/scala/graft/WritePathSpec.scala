@@ -226,9 +226,9 @@ class WritePathSpec extends AnyFunSuite {
     val rule = Compaction.Rule("avg", 100L)
     val flushed = Compaction.materialize(in, rule)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    assert(flushed.toSet == Set(("k_avg_100", 0L, 2.0), ("k_avg_100", 100L, 10.0)))
+    assert(flushed.toSet == Set(("k_AVG_100", 0L, 2.0), ("k_AVG_100", 100L, 10.0)))
     val lat = Compaction.latest(in, rule).head()
-    assert(lat.getString(0) == "k_avg_100" && lat.getLong(1) == 200L && lat.getDouble(2) == 20.0)
+    assert(lat.getString(0) == "k_AVG_100" && lat.getLong(1) == 200L && lat.getDouble(2) == 20.0)
   }
 
   test("streaming downsample equals batch materialization incl. latest") {
