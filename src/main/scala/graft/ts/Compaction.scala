@@ -344,27 +344,46 @@ object Compaction {
       valueByRule.cast("double").as("value"))
   }
 
+  /**
+   * Run a streaming DataFrame to completion through the SHARED
+   * log-structured sink contract (one implementation for the four
+   * one-shot runners — review r04 flagged the copies): every
+   * micro-batch appends its rows to parquet stamped with the batch id;
+   * the returned frame is the raw log, to be resolved merge-on-read
+   * (last writer per key via [[lastWriterWins]], or a duplicate policy
+   * via [[Ingest.resolveSink]]).
+   */
+  private[ts] def runToLogSink(
+      streaming: DataFrame, outputMode: String, sinkDir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val q = streaming
+      .writeStream.outputMode(outputMode)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streaming.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** Merge-on-read for the update-mode downsample log: the newest
+    * batch's value per (series, bucket) wins. */
+  private[ts] def lastWriterWins(log: DataFrame): DataFrame =
+    log.groupBy(col("series"), col("ts"))
+      .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
+        .getField("v").as("value"))
+
   /** One-shot multi-rule streaming downsample through the update-mode
     * merge-on-read sink (same log-structured sink contract as
     * [[streamingDownsampleUpdateOnce]]). */
   def streamingDownsampleAllUpdateOnce(
       spark: SparkSession, dir: String, rules: Seq[Rule], sinkDir: String): DataFrame =
     withStatePartitions(spark, 8) {
-      import org.apache.spark.sql.{Dataset, Row}
-      val q = streamingDownsampleAll(eventsStream(spark, dir), rules)
-        .writeStream.outputMode("update")
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sinkDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(sinkDir)
-        .groupBy(col("series"), col("ts"))
-        .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
-          .getField("v").as("value"))
+      lastWriterWins(runToLogSink(
+        streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir))
     }
 
   /**
@@ -505,20 +524,7 @@ object Compaction {
   def streamingDownsampleUpdateOnce(
       spark: SparkSession, dir: String, rule: Rule, sinkDir: String): DataFrame =
     withStatePartitions(spark, 8) {
-      import org.apache.spark.sql.{Dataset, Row}
-      val q = streamingDownsample(eventsStream(spark, dir), rule)
-        .writeStream.outputMode("update")
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sinkDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(sinkDir)
-        .groupBy(col("series"), col("ts"))
-        .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
-          .getField("v").as("value"))
+      lastWriterWins(runToLogSink(
+        streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir))
     }
 }

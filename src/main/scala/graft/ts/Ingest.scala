@@ -95,19 +95,14 @@ object Ingest {
                 case _ =>
                   emit(ts, v)
                   // track the RESOLVED tail value so later IGNORE gates
-                  // compare against what the store now holds — reference
-                  // NaN fold (generic_chunk.c:62-96): the valid sample
-                  // wins under FIRST/LAST, a NaN/valid mix is rejected
-                  // under the combining policies
-                  val lv = st.lastValue
-                  val resolved = policy match {
-                    case "LAST"  => if (v.isNaN) lv else v
-                    case "FIRST" => if (lv.isNaN) v else lv
-                    case "MIN"   => if (lv.isNaN || v.isNaN) lv else math.min(lv, v)
-                    case "MAX"   => if (lv.isNaN || v.isNaN) lv else math.max(lv, v)
-                    case "SUM"   => if (lv.isNaN || v.isNaN) lv else lv + v
-                  }
-                  st = st.copy(lastValue = resolved)
+                  // compare against what the store now holds. Only the
+                  // IGNORE gate reads lastValue, and it arms exclusively
+                  // under LAST (module.c:994), so the other policies'
+                  // folds would be dead state (review r04) — the LAST
+                  // fold is the reference NaN rule: the valid sample
+                  // wins (generic_chunk.c:69-75)
+                  if (policy == "LAST" && !v.isNaN)
+                    st = st.copy(lastValue = v)
               }
             } else {
               // out-of-order: emit the raw write; the sink resolves it
@@ -144,23 +139,14 @@ object Ingest {
       spark: SparkSession, srcDir: String, sinkDir: String, dupPolicy: String,
       ignoreMaxTimeDiff: Long = 0L, ignoreMaxValDiff: Double = 0.0): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
-    import org.apache.spark.sql.Row
     val src = spark.readStream
       .schema(Compaction.sampleSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val q = streamingIngest(src, dupPolicy, ignoreMaxTimeDiff, ignoreMaxValDiff)
-      .toDF("series", "ts", "value", "seq")
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    resolveSink(spark.read.parquet(sinkDir), dupPolicy)
+    resolveSink(Compaction.runToLogSink(
+      streamingIngest(src, dupPolicy, ignoreMaxTimeDiff, ignoreMaxValDiff)
+        .toDF("series", "ts", "value", "seq"),
+      "append", sinkDir), dupPolicy)
   }
 
   /** The events fixture replayed through the streaming ingest with the
@@ -170,19 +156,9 @@ object Ingest {
       spark: SparkSession, dir: String, sinkDir: String,
       maxTimeDiff: Long, maxValDiff: Double): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
-    import org.apache.spark.sql.Row
-    val src = Compaction.eventsStream(spark, dir)
-    val q = streamingIngest(src, "LAST", maxTimeDiff, maxValDiff)
-      .toDF("series", "ts", "value", "seq")
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    resolveSink(spark.read.parquet(sinkDir), "LAST")
+    resolveSink(Compaction.runToLogSink(
+      streamingIngest(Compaction.eventsStream(spark, dir), "LAST", maxTimeDiff, maxValDiff)
+        .toDF("series", "ts", "value", "seq"),
+      "append", sinkDir), "LAST")
   }
 }
