@@ -97,6 +97,16 @@ object RangeQuery {
    * values_per_sample>1 EnrichedChunks, reference:
    * src/enriched_chunk.h:17-42).
    *
+   * INPUT CONTRACT (like [[Twa.bucketTwa]]): `samples` should be the
+   * series' full history, NOT pre-pruned to [from, to] — the time range
+   * is applied internally, and two features read OUTSIDE it: TWA's
+   * boundary interpolation and EMPTY+last's pre-range LOCF seed (the
+   * reference's direct series lookup before the range,
+   * filter_iterator.c:473-506, covered by EmptyGoldenSpec). A caller
+   * that feeds a range-pruned scan gets correct results except that
+   * the LOCF seed for a leading empty bucket cannot see earlier
+   * samples.
+   *
    * REVRANGE note: the reference computes identical buckets in both
    * directions (bucket membership is direction-independent), so reverse
    * only affects row order; we sort descending post-agg
@@ -216,17 +226,8 @@ object RangeQuery {
    * LOCF seed is an O(#series) aggregate joined by series key.
    */
   private def gapFill(base: DataFrame, samplesNoTime: DataFrame, args: RangeArgs): DataFrame = {
-    val step = args.bucketMs
-    val b = (c: Column) => TSModel.bucketStart(c, args.bucketMs, args.alignMs)
-    val lo0 = b(min(col("ts")))
-    val hi0 = b(max(col("ts")))
-    val bounds = samplesNoTime.groupBy(col("series")).agg(
-      args.from.map(f => greatest(lo0, lit(TSModel.bucketStartLong(f, step, args.alignMs))))
-        .getOrElse(lo0).as("lo"),
-      args.to.map(t => least(hi0, lit(TSModel.bucketStartLong(t, step, args.alignMs))))
-        .getOrElse(hi0).as("hi"))
-    val spine = bounds.filter(col("lo") <= col("hi"))
-      .select(col("series"), explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+    val spine = TSModel.bucketSpine(
+      samplesNoTime, args.bucketMs, args.alignMs, args.from, args.to)
     var out = spine.join(base, Seq("series", "bucket"), "left")
     for (a <- args.aggs) {
       val c = Aggs.colName(a)

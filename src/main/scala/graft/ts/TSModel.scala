@@ -168,6 +168,28 @@ object TSModel {
   def bucketStartSql(ts: String, durMs: Long, alignMs: Long = 0L): String =
     s"($ts - ((($ts - $alignMs) % $durMs + $durMs) % $durMs))"
 
+  /** The EMPTY emission spine: one (series, bucket) row per bucket in
+    * the intersection of the query range with each series' lifetime
+    * (bucket-aligned, inclusive) — the shared rule behind both the
+    * generic gap fill and TWA's empty-bucket interpolation (review
+    * r04: previously two hand-maintained copies). The caller chooses
+    * what "lifetime" means by pre-filtering `samples` (TWA passes
+    * valid samples only; NaN-only buckets are invisible to it). */
+  private[ts] def bucketSpine(
+      samples: DataFrame, bucketMs: Long, alignMs: Long,
+      from: Option[Long], to: Option[Long]): DataFrame = {
+    val lo0 = bucketStart(min(col("ts")), bucketMs, alignMs)
+    val hi0 = bucketStart(max(col("ts")), bucketMs, alignMs)
+    val bounds = samples.groupBy(col("series")).agg(
+      from.map(f => greatest(lo0, lit(bucketStartLong(f, bucketMs, alignMs))))
+        .getOrElse(lo0).as("lo"),
+      to.map(t => least(hi0, lit(bucketStartLong(t, bucketMs, alignMs))))
+        .getOrElse(hi0).as("hi"))
+    bounds.filter(col("lo") <= col("hi"))
+      .select(col("series"),
+        explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket"))
+  }
+
   /** BUCKETTIMESTAMP adjustment (reference: src/query_language.c:283-320):
     * reported timestamp = bucket start ("-"), mid ("~", +dur/2) or end
     * ("+", +dur). Applied post-aggregation as plain column arithmetic. */

@@ -143,18 +143,11 @@ object Twa {
       to: Option[Long] = None): DataFrame = {
 
     val nonEmpty = bucketTwa(samples, bucketMs, alignMs, from, to)
-    // spine = query range ∩ series lifetime (same emission rule as the
-    // generic gap fill: prefix/suffix gaps emit when the series has
-    // samples beyond the range)
-    val lo0 = TSModel.bucketStart(min(col("ts")), bucketMs, alignMs)
-    val hi0 = TSModel.bucketStart(max(col("ts")), bucketMs, alignMs)
-    val bounds = samples.filter(!isnan(col("value"))).groupBy(col("series")).agg(
-      from.map(f => greatest(lo0, lit(TSModel.bucketStartLong(f, bucketMs, alignMs))))
-        .getOrElse(lo0).as("lo"),
-      to.map(t => least(hi0, lit(TSModel.bucketStartLong(t, bucketMs, alignMs))))
-        .getOrElse(hi0).as("hi"))
-    val spine = bounds.filter(col("lo") <= col("hi"))
-      .select(col("series"), explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket"))
+    // spine = query range ∩ series lifetime over VALID samples only
+    // (NaN-only buckets are invisible to TWA) — the shared emission
+    // rule with the generic gap fill (TSModel.bucketSpine)
+    val spine = TSModel.bucketSpine(
+      samples.filter(!isnan(col("value"))), bucketMs, alignMs, from, to)
     val emptyB = spine.join(nonEmpty.select("series", "bucket"), Seq("series", "bucket"), "left_anti")
 
     val valid = samples.filter(!isnan(col("value")))
