@@ -44,11 +44,15 @@ object CorpusPipeline {
   def filteredCorpus(
       docs: DataFrame, nearPairs: DataFrame,
       lang: String = "en", minAlpha: Double = 0.5, minTokens: Double = 20.0): DataFrame = {
-    val langPred = Text.languageId(docs).select(col("doc_id"), col("lang_pred"))
-    val quality = Text.qualityMetrics(docs)
-      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"))
-    val fp = Text.fingerprint(docs)
-    val gated = langPred.join(quality, Seq("doc_id")).join(fp, Seq("doc_id"))
+    // all gate columns in ONE projection over one corpus scan (review
+    // r04: joining the three operator outputs by doc_id re-scanned the
+    // corpus three times and added two corpus-wide shuffles — the
+    // operators share column-expression helpers instead)
+    val gated = docs.select(col("doc_id"),
+        Text.langPredCol.as("lang_pred"),
+        Text.nTokensCol.as("n_tokens"),
+        Text.alphaRatioCol.as("alpha_ratio"),
+        md5(Text.normText(col("text"))).as("fp"))
       .filter(col("lang_pred") === lang &&
         col("alpha_ratio") >= minAlpha && col("n_tokens") >= minTokens)
     val exactKept = gated
@@ -78,13 +82,15 @@ object CorpusPipeline {
   def stratifiedSample(
       docs: DataFrame, rates: Map[String, Double], defaultRate: Double,
       valFraction: Double = 0.1): DataFrame = {
-    val langPred = Text.languageId(docs).select(col("doc_id"), col("lang_pred"))
     val h = md5(col("doc_id").cast("string"))
     val keepThreshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (lang, r)) => when(col("lang_pred") === lang, lit(hexThreshold(r))).otherwise(acc)
     }
     val valThreshold = lit(hexThreshold(valFraction))
-    docs.select(col("doc_id")).join(langPred, Seq("doc_id"))
+    // lang_pred computed inline: one projection, zero joins/shuffles
+    // (review r04: the old docs-side join with the languageId output
+    // was a corpus-wide shuffle for a semantic identity)
+    docs.select(col("doc_id"), Text.langPredCol.as("lang_pred"))
       .filter(substring(h, 1, 2) < keepThreshold)
       .select(col("doc_id"), col("lang_pred"),
         when(substring(h, 3, 2) < valThreshold, lit("val"))
@@ -97,6 +103,11 @@ object CorpusPipeline {
     val whens = rates.map { case (lang, r) =>
       s"WHEN lang_pred = '$lang' THEN '${hexThreshold(r)}'"
     }.mkString(" ")
+    // a CASE with zero WHEN branches is invalid SQL (review r04): an
+    // empty rates map degenerates to the bare default literal
+    val threshold =
+      if (rates.isEmpty) s"'${hexThreshold(defaultRate)}'"
+      else s"(CASE $whens ELSE '${hexThreshold(defaultRate)}' END)"
     s"""WITH lang AS (
        |  ${Text.languageIdSql.replace("\n", "\n  ")}
        |), hashed AS (
@@ -106,8 +117,7 @@ object CorpusPipeline {
        |       CASE WHEN substring(h, 3, 2) < '${hexThreshold(valFraction)}'
        |            THEN 'val' ELSE 'train' END AS split
        |FROM hashed
-       |WHERE substring(h, 1, 2) <
-       |  (CASE $whens ELSE '${hexThreshold(defaultRate)}' END)""".stripMargin
+       |WHERE substring(h, 1, 2) < $threshold""".stripMargin
   }
 
   /**
@@ -139,9 +149,7 @@ object CorpusPipeline {
        |  FROM documents
        |), sh AS (
        |  SELECT doc_id,
-       |    unnest(list_distinct(CASE WHEN len(w) >= 3
-       |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
-       |      ELSE [] END)) AS shingle
+       |    unnest(list_distinct(${Dedup.shingleListSql(3)})) AS shingle
        |  FROM toks
        |), bench AS (
        |  SELECT doc_id AS bench_id, shingle FROM sh WHERE $benchPred

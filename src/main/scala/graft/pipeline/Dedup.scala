@@ -112,21 +112,26 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(md5(col("shingle")).as("span_md5"), col("n_docs"), col("first_doc"))
 
-  def duplicatedSpansSql(n: Int = 15, minDocs: Int = 2): String = {
+  /** DuckDB word-n-gram shingle list comprehension over a token array
+    * column `w` — the ONE generator behind every shingle-based oracle
+    * (jaccard pairs, contamination, duplicated spans), so the SQL
+    * shingle shape can never drift between them (review r04). */
+  private[pipeline] def shingleListSql(n: Int): String = {
     val cat = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
       .mkString(" || ' ' || ")
+    s"CASE WHEN len(w) >= $n THEN [$cat for i in range(1, len(w) - ${n - 2})] ELSE [] END"
+  }
+
+  def duplicatedSpansSql(n: Int = 15, minDocs: Int = 2): String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
        |  FROM documents
        |), sh AS (
-       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= $n
-       |    THEN [$cat for i in range(1, len(w) - ${n - 2})]
-       |    ELSE [] END) AS shingle
+       |  SELECT DISTINCT doc_id, unnest(${shingleListSql(n)}) AS shingle
        |  FROM toks
        |)
        |SELECT md5(shingle) AS span_md5, count(*) AS n_docs, min(doc_id) AS first_doc
        |FROM sh GROUP BY shingle HAVING count(*) >= $minDocs""".stripMargin
-  }
 
   /** Exact dedup: one row per content fingerprint with the canonical
     * (lowest) doc_id and the member count. */
@@ -174,10 +179,7 @@ object Dedup {
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
        |  FROM documents WHERE doc_id < $maxDocId
        |), sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(CASE WHEN len(w) >= 3
-       |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
-       |      ELSE [] END) AS s
+       |  SELECT doc_id, list_distinct(${shingleListSql(3)}) AS s
        |  FROM toks
        |)
        |SELECT a.doc_id AS i, b.doc_id AS j,

@@ -51,12 +51,6 @@ object Multimodal {
     (hist, sum / n)
   }
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("mean_byte", DoubleType),
-    StructField("features", ArrayType(FloatType))))
-
   /** Batched feature extraction: one partition = one decode batch
     * (the Scala analogue of a pandas-UDF `mapInPandas` loop).
     *
@@ -65,7 +59,12 @@ object Multimodal {
     * columnar reads on either side). This stays a single logical plan —
     * DeserializeToObject -> MapPartitions -> SerializeFromObject —
     * so upstream column pruning still reaches the parquet scan and
-    * downstream operators plan against known statistics. */
+    * downstream operators plan against known statistics.
+    *
+    * Zero-length media yields a NULL mean_byte — the mean of nothing
+    * is undefined, matching the SQL oracle's `list_avg([])` (review
+    * r04: a 0.0 placeholder would silently diverge the differential
+    * the moment an empty document enters the fixture). */
   def extractFeatures(packed: DataFrame): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
@@ -73,7 +72,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val (feat, mean) = fakeDecode(bytes)
-          (id, bytes.length.toLong, mean, feat)
+          (id, bytes.length.toLong,
+            if (bytes.isEmpty) None else Some(mean), feat)
         }
       }
       .toDF("media_id", "n_bytes", "mean_byte", "features")

@@ -99,16 +99,23 @@ object Similarity {
        |  FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Shared 64-bit finalizer behind every deterministic pseudo-random
+    * vector in this file (queries, centroids, LSH hyperplanes):
+    * golden-ratio multiply + xor-shift mix of (a, d), scaled to
+    * [-0.5, 0.5]. One definition — the three sites previously carried
+    * copies that could drift (review r04). */
+  private def hashMix(a: Long, d: Long): Double = {
+    var x = a * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
+  }
+
   /** Deterministic synthetic query vectors (hash-mixed, centered) for
     * the external-serving oracle — same literals on both sides. */
   def syntheticQueries(n: Int, dim: Int): Seq[(Long, Seq[Double])] =
     (0 until n).map { q =>
       (q.toLong + 9000L,
-        (0 until dim).map { d =>
-          var x = q.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-          x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-          math.rint((((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5) * 1000) / 1000
-        })
+        (0 until dim).map(d => math.rint(hashMix(q, d) * 1000) / 1000))
     }
 
   def bruteForceTopKSql(queryIds: Seq[Long], k: Int): String =
@@ -237,11 +244,7 @@ object Similarity {
     * both sides of the differential see bit-identical literals). */
   def syntheticCentroids(n: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(n) { c =>
-      val raw = Array.tabulate(dim) { d =>
-        var x = (c + 31L) * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-        ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
-      }
+      val raw = Array.tabulate(dim)(d => hashMix(c + 31L, d))
       val nrm = math.max(math.sqrt(raw.map(v => v * v).sum), 1e-12)
       raw.map(v => math.rint(v / nrm * 1e6) / 1e6)
     }
@@ -422,12 +425,7 @@ object Similarity {
     // so per-row work is nBits plain dot products — no per-row plane
     // construction. Dim comes from one bounded head() probe.
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
-    def mix(b: Int, d: Int): Double = {
-      var x = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-      ((x & 0xFFFFFL).toDouble / 0xFFFFFL.toDouble) - 0.5
-    }
-    val planes = Array.tabulate(nBits, dim)(mix)
+    val planes = Array.tabulate(nBits, dim)((b, d) => hashMix(b, d))
     // one compiled pass per row instead of nBits interpreted
     // higher-order-function dot products
     val sig = graft.functions.VectorSignature(col("v"), planes)

@@ -32,21 +32,44 @@ object Text {
       |  length(text) AS n_chars
       |FROM documents""".stripMargin
 
+  /** The English stopword alternation — ONE definition feeding both
+    * qualityMetrics' stop_ratio and language ID's `en` score (and, via
+    * interpolation, both SQL twins). */
+  private val enStopRe = "\\b(the|a|and|of|to|in|is)\\b"
+
+  /** Gate columns as expressions over a raw `text` column, for fused
+    * single-scan pipelines (CorpusPipeline composes all of its quality
+    * gates in ONE projection instead of joining operator outputs). */
+  private[pipeline] def nTokensCol: Column =
+    size(split(trim(col("text")), "\\s+")).cast("double")
+  private[pipeline] def alphaRatioCol: Column =
+    regexp_count(col("text"), lit("[A-Za-z]")).cast("double") /
+      length(col("text")).cast("double")
+  private[pipeline] def langPredCol: Column = {
+    val scores = langPatterns.map { case (l, p) =>
+      l -> regexp_count(lower(col("text")), lit(p))
+    }
+    val maxAll = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(lit(false), lit("x"))) { case (w, (l, s)) =>
+      w.when(s === maxAll && s > 0, lit(l))
+    }.otherwise(lit("unknown"))
+  }
+
   /** Quality metrics: length, punctuation density, stopword ratio, mean
     * word length, alpha ratio. Formulas chosen to be expressible
     * identically in the DuckDB oracle. */
   def qualityMetrics(docs: DataFrame): DataFrame = {
-    val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nTok = nTokensCol
     val nCh = length(col("text")).cast("double")
     docs.select(
       col("doc_id"),
       nCh.as("n_chars"),
       nTok.as("n_tokens"),
       (regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("double") / nCh).as("punct_ratio"),
-      (regexp_count(lower(col("text")), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double") / nTok)
+      (regexp_count(lower(col("text")), lit(enStopRe)).cast("double") / nTok)
         .as("stop_ratio"),
       ((nCh - nTok + 1) / nTok).as("mean_word_len"),
-      (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / nCh).as("alpha_ratio"))
+      alphaRatioCol.as("alpha_ratio"))
   }
 
   val qualityMetricsSql: String =
@@ -65,7 +88,7 @@ object Text {
     * character density for zh. Deterministic argmax with a fixed
     * tie-break order. */
   private val langPatterns: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|and|of|to|in|is)\\b",
+    "en" -> enStopRe,
     "de" -> "\\b(der|die|das|und|ist|nicht|mit)\\b",
     "es" -> "\\b(el|los|las|que|y|por|una)\\b",
     "fr" -> "\\b(le|les|des|et|est|une|dans)\\b",
@@ -271,8 +294,11 @@ object Text {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    // total tokens from the vocab-sized aggregate — not a second
+    // the vocab-sized aggregate is materialized ONCE (review r04: the
+    // driver-side total action would otherwise run the whole
+    // tokenize+aggregate subtree and the score join would re-run it)
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("cw")).localCheckpoint()
+    // total tokens from the vocab aggregate — not a second
     // tokenize-the-corpus pass (sum of per-word counts == token count)
     val total = freq.agg(sum(col("cw"))).head().getLong(0)
     words.join(freq, Seq("w"))
