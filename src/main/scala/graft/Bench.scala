@@ -14,18 +14,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: session/codegen/parquet-footer costs land here, not in
-    // whichever query happens to run first.
-    SparkEntry.entry(spark).count()
+    // Full materialization of every row (review r04: a plain .count()
+    // lets the optimizer prune the aggregate expressions and value
+    // columns being benchmarked — count-star over a scan reads little
+    // more than parquet footers, so timings measured a row-counting
+    // plan, not the operator). toRdd executes the COMPLETE physical
+    // plan and fails loudly instead of recording a time-to-failure.
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    // Warm-up on the BENCHED fixture: session/codegen/parquet-footer
+    // costs land here, not in whichever query sorts first. Guarded —
+    // a missing warm-up must not abort the benchmark.
+    try run(SparkEntry.queries("ts_range_agg_avg")(spark, sfDir))
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    // failures are excluded from total and reported — a broken query
+    // must never read as a speedup
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -653,6 +653,16 @@ object SparkEntry {
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
 
+  /** One flushed compaction rule as SQL over the `samples` CTE —
+    * shared by both multirule oracles. */
+  private def flushedRuleOracleSql(agg: String, aggSql: String, dur: Long): String =
+    s"""SELECT series || '_${agg.toUpperCase}_$dur' AS series, bucket AS ts, value FROM (
+       |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
+       |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
+       |           $aggSql AS value
+       |    FROM samples GROUP BY 1, 2)
+       |) WHERE bucket < maxb""".stripMargin
+
   /** Flushed TWA dest (batch and streaming paths share it — the
     * streaming runner converges to the batch materialization). */
   private def twaFlushedOracleSql: String =
@@ -1047,45 +1057,26 @@ object SparkEntry {
            |) SELECT series || '_AVG_$DAY' AS series, bucket AS ts, value
            |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
            |  WHERE bucket < maxb""".stripMargin,
-      "ts_compaction_multirule" -> {
-        def one(agg: String, aggSql: String, dur: Long) =
-          s"""SELECT series || '_${agg.toUpperCase}_$dur' AS series, bucket AS ts, value FROM (
-             |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
-             |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
-             |           $aggSql AS value
-             |    FROM samples GROUP BY 1, 2)
-             |) WHERE bucket < maxb""".stripMargin
+      "ts_compaction_multirule" ->
         s"""${TSModel.samplesCte}
-           |${one("avg", "avg(value) FILTER (WHERE NOT isnan(value))", DAY)}
+           |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", DAY)}
            |UNION ALL
-           |${one("max", "max(value) FILTER (WHERE NOT isnan(value))", 2 * DAY)}
+           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 2 * DAY)}
            |UNION ALL
-           |${one("sum", "sum(value) FILTER (WHERE NOT isnan(value))", DAY)}""".stripMargin
-      },
+           |${flushedRuleOracleSql("sum", "sum(value) FILTER (WHERE NOT isnan(value))", DAY)}""".stripMargin,
       "ts_compaction_twa" -> twaFlushedOracleSql,
-      "ts_compaction_multirule_twa" -> {
-        def one(agg: String, aggSql: String, dur: Long) =
-          s"""SELECT series || '_${agg.toUpperCase}_$dur' AS series, bucket AS ts, value FROM (
-             |  SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM (
-             |    SELECT series, ${TSModel.bucketStartSql("ts", dur)} AS bucket,
-             |           $aggSql AS value
-             |    FROM samples GROUP BY 1, 2)
-             |) WHERE bucket < maxb""".stripMargin
+      // the TWA leg IS the shared flushed-TWA oracle (review r04: a
+      // third inline copy would drift from the val the other two TWA
+      // queries check against)
+      "ts_compaction_multirule_twa" ->
         s"""${TSModel.samplesCte}
-           |${one("avg", "avg(value) FILTER (WHERE NOT isnan(value))", DAY)}
+           |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", DAY)}
            |UNION ALL
-           |${one("max", "max(value) FILTER (WHERE NOT isnan(value))", 2 * DAY)}
+           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 2 * DAY)}
            |UNION ALL
            |SELECT * FROM (
-           |WITH twa AS (
-           |${Twa.sql(DAY, 0L, None, None, None)}
-           |), agg AS (
-           |  SELECT series, bucket, twa_value AS value FROM twa
-           |) SELECT series || '_TWA_$DAY' AS series, bucket AS ts, value
-           |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
-           |  WHERE bucket < maxb
-           |)""".stripMargin
-      },
+           |$twaFlushedOracleSql
+           |)""".stripMargin,
       "ts_compaction_latest" ->
         s"""${TSModel.samplesCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,

@@ -20,6 +20,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet behind
+        // — the driver's compare would read stale rows and report a
+        // pass the current code cannot produce (review r04)
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  *
  * Summation order is left-to-right, identical to the interpreted
  * `aggregate` composition it replaces, so oracle hashes are unchanged.
+ *
+ * INPUT CONTRACT: element-non-null arrays of equal length (every
+ * caller feeds `CAST(embedding AS ARRAY<DOUBLE>)` from a non-null
+ * fixed-dim parquet column). Unlike the zip_with composition — which
+ * NULL-propagates a null element and null-pads a length mismatch —
+ * this expression reads raw slots and truncates to the shorter length;
+ * feeding it ragged or null-holed arrays is out of contract.
  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class VectorSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
 
+  // a 65th plane's `1L << 64` would wrap onto bit 0 (shift mod 64) and
+  // silently alias different planes into the same signature bit —
+  // false LSH collisions with no error (review r04)
+  require(planes.length <= 64,
+    s"VectorSignature packs bits into one Long: at most 64 planes, got ${planes.length}")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "vector_signature"
 
