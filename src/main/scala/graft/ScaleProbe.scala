@@ -92,6 +92,18 @@ object ScaleProbe {
     //    star-contraction timing against the pre-materialized pairs.
     val (nLabels, tCc) = timed { Dedup.ccCanonical(pairs).count() }
 
+    // 2b. duplicated 15-gram spans: explode-heavy single aggregation —
+    //     span count scales exactly Nx under the disjoint-token replicas
+    val (nSpans, tSpans) = timed {
+      Dedup.duplicatedSpans(Text.loadDocuments(spark, work)).count()
+    }
+
+    // 2c. unigram-LM NLL: the corpus-wide vocab aggregate + scalar-keyed
+    //     shuffle join (the no-broadcast tfIdf-lesson path)
+    val (nNll, tNll) = timed {
+      Text.unigramLogProb(Text.loadDocuments(spark, work)).count()
+    }
+
     // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
     //    avg -> cross-series sum reduce, over N× series
     val T0 = 1704067200000L
@@ -113,6 +125,8 @@ object ScaleProbe {
       s"""{"probe":"scale","base":"$base","reps":$reps,"n_docs":$nDocs,"n_events":$nEvents,""" +
       s""""minhash_lsh_full_sec":${s2(tMinhash)},"minhash_pairs":$nPairs,""" +
       s""""cc_canonical_sec":${s2(tCc)},"cc_labels":$nLabels,""" +
+      s""""span_ngrams_sec":${s2(tSpans)},"span_rows":$nSpans,""" +
+      s""""unigram_nll_sec":${s2(tNll)},"nll_rows":$nNll,""" +
       s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()
   }
