@@ -41,6 +41,43 @@ class RangeQuerySpec extends AnyFunSuite {
       RangeQuery.range(df, RangeArgs(filterByTs = (1L to 129L))))
   }
 
+  test("NaN-only buckets follow the reference's per-class validity exactly") {
+    // finalizeBucket (filter_iterator.c:389-401): a bucket is emitted
+    // iff >= 1 sample is valid under SOME requested aggregator's class;
+    // aggCount's class is nonNaN (compaction.c:866-884), so plain count
+    // DROPS a NaN-only bucket. Kept buckets apply finalizeEmpty per
+    // aggregator: count/sum-family ZERO, last the running carry, other
+    // value classes NaN.
+    import spark.implicits._
+    val nan = Double.NaN
+    val df = Seq(("k", 10L, nan), ("k", 20L, nan), ("k", 110L, 5.0))
+      .toDF("series", "ts", "value")
+    // [count] alone: the NaN-only bucket 0 is dropped, NOT emitted as 0
+    val c = RangeQuery.range(df, RangeArgs(aggs = Seq("count"), bucketMs = 100L))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(c.toSeq == Seq((100L, 1L)))
+    // [count, countnan]: countnan keeps bucket 0; count finalizeEmpty -> 0
+    val cc = RangeQuery.range(df,
+        RangeArgs(aggs = Seq("count", "countnan"), bucketMs = 100L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cc.toSeq == Seq((0L, 0L, 2L), (100L, 1L, 0L)))
+    // [sum, last, min, countall] over the kept NaN-only bucket:
+    // sum -> 0.0 (finalize_empty_with_ZERO), last -> NaN (unseeded
+    // carry), min -> NaN (finalize_empty_with_NAN)
+    val m = RangeQuery.range(df,
+        RangeArgs(aggs = Seq("sum", "last", "min", "countall"), bucketMs = 100L))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(m(0)._1 == 0L && m(0)._2 == 0.0 && m(0)._3.isNaN && m(0)._4.isNaN)
+    assert(m(1) == ((100L, 5.0, 5.0, 5.0)))
+    // last carries forward IN RANGE across kept NaN-only buckets
+    val df2 = Seq(("k", 10L, 7.0), ("k", 110L, nan), ("k", 210L, nan))
+      .toDF("series", "ts", "value")
+    val lastCarry = RangeQuery.range(df2,
+        RangeArgs(aggs = Seq("last", "countall"), bucketMs = 100L))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lastCarry.toSeq == Seq((0L, 7.0), (100L, 7.0), (200L, 7.0)))
+  }
+
   test("samples mapping produces long-format epoch-ms rows") {
     val df = TSModel.samples(spark, sf)
     assert(df.columns.toSeq == Seq("series", "ts", "value"))
