@@ -27,12 +27,23 @@ object Bench {
     // a missing warm-up must not abort the benchmark.
     try run(SparkEntry.queries("ts_range_agg_avg")(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn(spark, sfDir)); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // Per-query MEDIAN of `reps` runs (review r04 #8: sf0.1 wall times
+    // swing ±30% on this host; a single sample confounds host noise
+    // with plan changes). SPARK_GRAFT_ONLY=q1,q2 narrows the set while
+    // iterating; SPARK_GRAFT_REPS=1 restores the one-shot run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+      }.takeWhile(_.isDefined).flatten.toSeq // a failed rep marks the query failed
+      val ok = times.size == reps
+      (name, if (ok) times.sorted.apply(reps / 2) else 0.0, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
@@ -41,7 +52,7 @@ object Bench {
     // must never read as a speedup
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median"}""")
     spark.stop()
   }
 }

