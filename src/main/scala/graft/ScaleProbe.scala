@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Text}
-import graft.ts.{Multi, RangeQuery, TSModel}
+import graft.ts.{Compaction, Ingest, Multi, RangeQuery, TSModel}
 
 /**
  * Scale-evidence probe (r04 item #8): replay the three heaviest bench
@@ -104,6 +104,47 @@ object ScaleProbe {
       Text.unigramLogProb(Text.loadDocuments(spark, work)).count()
     }
 
+    // 4. streaming TWA compaction (r05: the history-independence
+    //    evidence for the occ-index fix). Replicas are shifted in TIME
+    //    (same series, N× history/buckets) and the chunk count scales
+    //    with reps, so per-batch volume is CONSTANT while the
+    //    accumulated log grows N× — under the old full-log occ rebuild
+    //    sec/batch grew with history; with the incremental index +
+    //    partition-pruned log read it must stay flat.
+    val twaSrc = s"$work/twa_src"
+    val twaBatches = 3 * reps
+    if (!cached || !new java.io.File(s"$twaSrc/events.parquet").exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val shiftNs = 35L * 86400000L * 1000000L // 35 days in ns
+      (0 until reps).map { r =>
+        ev.withColumn("ts", col("ts") + lit(r * shiftNs))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$twaSrc/events.parquet")
+    }
+    val DAYMS = 86400000L
+    val (nTwa, tTwa) = timed {
+      Compaction.streamingDownsampleTwaOnce(spark, twaSrc,
+        Compaction.Rule("twa", DAYMS),
+        java.nio.file.Files.createTempDirectory("probe_twa_").toString,
+        nChunks = twaBatches).count()
+    }
+
+    // 5. streaming ingest (r05: the spillable-fold shape) over the N×
+    //    samples replayed as 3 micro-batches — N× rows per batch, so
+    //    the per-batch fold, tail-frame join and sink write all scale
+    //    with batch volume; wall time should stay ~linear in N.
+    val ingSrc = s"$work/ing_src"
+    if (!cached || !new java.io.File(ingSrc).exists()) {
+      TSModel.samples(spark, work).repartition(3)
+        .write.mode("overwrite").parquet(ingSrc)
+    }
+    val (nIng, tIng) = timed {
+      Ingest.streamingIngestOnce(spark, ingSrc,
+        java.nio.file.Files.createTempDirectory("probe_ing_").resolve("log").toString,
+        "LAST", ignoreMaxTimeDiff = 12L * 3600000L, ignoreMaxValDiff = 50.0).count()
+    }
+
     // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
     //    avg -> cross-series sum reduce, over N× series
     val T0 = 1704067200000L
@@ -127,6 +168,9 @@ object ScaleProbe {
       s""""cc_canonical_sec":${s2(tCc)},"cc_labels":$nLabels,""" +
       s""""span_ngrams_sec":${s2(tSpans)},"span_rows":$nSpans,""" +
       s""""unigram_nll_sec":${s2(tNll)},"nll_rows":$nNll,""" +
+      s""""stream_twa_sec":${s2(tTwa)},"stream_twa_batches":$twaBatches,""" +
+      s""""stream_twa_sec_per_batch":${s2(tTwa / twaBatches)},"stream_twa_rows":$nTwa,""" +
+      s""""stream_ingest_sec":${s2(tIng)},"stream_ingest_rows":$nIng,""" +
       s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()
   }

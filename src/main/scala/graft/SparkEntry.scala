@@ -268,6 +268,21 @@ object SparkEntry {
             element_at(col("labels"), "type").as("label_type"),
             element_at(col("labels"), "user").as("label_user"))
       }),
+      // SELECTED_LABELS with an ABSENT label (VERDICT r04 missing #3;
+      // reference reply.c:219-272: a selected label missing on a series
+      // replies null). The fixture's two labels are always present, so
+      // an optional third label is planted on the user%3==0 subset —
+      // the null label_tier rows discriminate.
+      "ts_mrange_selected_labels" -> ((s, dir) => {
+        val tiered = tieredLabels(s, dir)
+        val per = Multi.mrange(TSModel.samples(s, dir), tiered,
+          Seq(Multi.parsePred("user=(1,2,3,4,5,6)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = 7 * DAY))
+        per.join(broadcast(tiered), Seq("series"))
+          .select(col("series"), col("ts"), col("avg_value"),
+            element_at(col("labels"), "user").as("label_user"),
+            element_at(col("labels"), "tier").as("label_tier"))
+      }),
       // TS.NRANGE pivot (snapshot-specific; reference: module.c:724-906)
       "ts_nrange_pivot" -> ((s, dir) =>
         Multi.nrange(TSModel.samples(s, dir), Seq("click_1", "click_2", "click_3"),
@@ -425,9 +440,10 @@ object SparkEntry {
           sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
             .resolve("log").toString)),
       // streaming TWA rule: per-micro-batch incremental recompute
-      // (recomputeBuckets stitched in foreachBatch over a replayed
-      // OOO source) — TWA rules get a streaming path too; converges
-      // to the batch materialization and shares its oracle
+      // (stitchTwaRecompute in foreachBatch over a replayed source;
+      // occ index carried incrementally, log read partition-pruned to
+      // the support buckets) — converges to the batch materialization
+      // and shares its oracle
       "ts_compaction_stream_twa" -> ((s, dir) =>
         Compaction.streamingDownsampleTwaOnce(s, dir, Compaction.Rule("twa", DAY),
           workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString,
@@ -590,7 +606,15 @@ object SparkEntry {
       // Gopher-style repetition quality signals
       "text_repetition" -> ((s, dir) => Text.repetition(Text.loadDocuments(s, dir))),
       // character-distribution entropy: gibberish/boilerplate signal
-      "text_char_entropy" -> ((s, dir) => Text.charEntropy(Text.loadDocuments(s, dir))),
+      // astral-plane docs planted on both sides (ADVICE r04): emoji and
+      // musical symbols are outside the BMP, so this row discriminates
+      // UTF-16-code-unit counting from codepoint counting
+      "text_char_entropy" -> ((s, dir) => {
+        import s.implicits._
+        val plant = entropyPlantDocs.toDF("doc_id", "text")
+        Text.charEntropy(Text.loadDocuments(s, dir)
+          .select(col("doc_id"), col("text")).unionByName(plant))
+      }),
       // SemDeDup-shape semantic near-dup: nearest-centroid clustering
       // (compiled projection) + within-cluster cosine verification —
       // literal quantizer makes the cluster restriction hash-checkable
@@ -649,6 +673,57 @@ object SparkEntry {
       // multimodal frame sampling: fixed-size frames, every 4th kept
       "mm_frame_sample" -> ((s, dir) =>
         Multimodal.frameSample(Multimodal.pack(Text.loadDocuments(s, dir)))),
+
+      // COMPACTION_POLICY end-to-end (VERDICT r04 missing #2): one
+      // global policy string parsed (m/M duration units per
+      // parse_policies.c:22-28 — '3600000m' is ms, '1M' is one MINUTE),
+      // expanded to auto-rules with the reference dest naming + labels
+      // + retention (tsdb.c:1109-1191; tests/flow/test_globalconfigs.py)
+      // and materialized over every fixture series in ONE source scan;
+      // the oracle re-derives the whole chain in SQL
+      "ts_compaction_policy" -> ((s, _dir) => {
+        val metas = Catalog.autoRules("avg:3600000m:1d;max:1M:2d", "")
+        val rules = metas.map { case (_, rm) =>
+          Compaction.Rule(rm.agg, rm.bucketMs, rm.alignMs) }
+        def bySuffix(f: Catalog.SeriesMeta => String) = metas.map { case (meta, _) =>
+          when(col("series").endsWith(meta.series), lit(f(meta)))
+        }.reduce((a, b) => a.otherwise(b))
+        Compaction.materializeAll(TSModel.samples(s, _dir), rules)
+          .select(col("series"), col("ts"), col("value"),
+            bySuffix(_.labels("aggregation")).as("label_aggregation"),
+            bySuffix(_.labels("time_bucket")).as("label_time_bucket"),
+            bySuffix(_.retentionMs.toString).cast("long").as("retention_ms"))
+      }),
+
+      // ---- real-data goldens (VERDICT r04 missing #1): the reference's
+      // lemire_canada.txt float series (tests/flow/test_ts_madd.py:86-107,
+      // ts = 1..N in file order) through range/multi-agg/twa/EMPTY/
+      // dup-policy — real value distributions, not synthetics. The
+      // fixture is sfDir-independent (bundled resource), so `dir` is
+      // unused.
+      "ts_lemire_range_multi" -> ((s, _) =>
+        RangeQuery.range(RealData.lemire(s), RangeArgs(
+          aggs = Seq("min", "max", "avg", "sum", "count", "std.p"), bucketMs = 1000L))),
+      "ts_lemire_twa" -> ((s, _) =>
+        RangeQuery.range(RealData.lemire(s), RangeArgs(from = Some(5000L), to = Some(100000L),
+          aggs = Seq("twa"), bucketMs = 1000L))),
+      // EMPTY + LOCF needs real gaps: every-97th-sample sparsification
+      // against 50-tick buckets (both sides apply the same predicate)
+      "ts_lemire_empty_locf" -> ((s, _) =>
+        RangeQuery.range(RealData.lemireSparse(s), RangeArgs(from = Some(9700L), to = Some(38800L),
+          aggs = Seq("last"), bucketMs = 50L, empty = true))),
+      // duplicate-policy fold over real doubles: a second write at every
+      // ts (value - 1) resolved under MIN
+      "ts_lemire_dup_min" -> ((s, _) => {
+        val base = RealData.lemire(s)
+        WritePath.applyDupPolicy(
+          base.withColumn("seq", lit(1L)).unionByName(
+            base.withColumn("value", col("value") - 1.0).withColumn("seq", lit(2L))),
+          "min")
+      }),
+      "ts_lemire_revrange_count" -> ((s, _) =>
+        RangeQuery.range(RealData.lemire(s), RangeArgs(
+          aggs = Seq("avg"), bucketMs = 1000L, reverse = true, count = Some(10)))),
     )
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
@@ -673,6 +748,24 @@ object SparkEntry {
        |) SELECT series || '_TWA_$DAY' AS series, bucket AS ts, value
        |  FROM (SELECT *, max(bucket) OVER (PARTITION BY series) AS maxb FROM agg)
        |  WHERE bucket < maxb""".stripMargin
+
+  /** Fixture labels plus an OPTIONAL `tier` label on the user%3==0
+    * subset (ts_mrange_selected_labels: absent labels must reply
+    * null). */
+  private def tieredLabels(s: SparkSession, dir: String): DataFrame =
+    TSModel.labels(s, dir).select(col("series"),
+      when(element_at(col("labels"), "user").cast("int") % 3 === 0,
+        map_concat(col("labels"), map(lit("tier"), lit("gold"))))
+        .otherwise(col("labels")).as("labels"))
+
+  /** Astral-plane docs planted into text_char_entropy on both sides:
+    * emoji (U+1F600..) and musical symbols (U+1D11E) are supplementary
+    * codepoints — 2 UTF-16 units, 1 codepoint — so entropy_bits and
+    * distinct_chars diverge if either side counts units. It's a
+    * possessive apostrophe too (the oracle literal must escape it). */
+  private val entropyPlantDocs: Seq[(Long, String)] = Seq(
+    (9100000L, "emoji run 😀😀😁 and clef 𝄞 in one doc"),
+    (9100001L, "Ada's 🚀🚀🚀 rocket text"))
 
   /** URL-bearing docs planted into text_domain_freq on both sides:
     * mixed-case hosts, repeated domains, multiple URLs per doc. */
@@ -844,6 +937,18 @@ object SparkEntry {
            |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
            |) SELECT series, bucket AS ts, avg_value,
            |         "type" AS label_type, "user" AS label_user
+           |  FROM agg JOIN matched USING (series) WHERE avg_value IS NOT NULL""".stripMargin,
+      "ts_mrange_selected_labels" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, matched AS (
+           |  SELECT series, "user",
+           |         CASE WHEN CAST("user" AS INT) % 3 = 0 THEN 'gold' END AS tier
+           |  FROM series_labels WHERE "user" IN ('1','2','3','4','5','6')
+           |), agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN matched USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, avg_value,
+           |         "user" AS label_user, tier AS label_tier
            |  FROM agg JOIN matched USING (series) WHERE avg_value IS NOT NULL""".stripMargin,
       "ts_nrange_pivot" ->
         s"""${TSModel.samplesCte}, agg AS (
@@ -1231,7 +1336,7 @@ object SparkEntry {
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_redact" -> Text.redactSql,
       "text_repetition" -> Text.repetitionSql,
-      "text_char_entropy" -> Text.charEntropySql,
+      "text_char_entropy" -> Text.charEntropySql(entropyPlantDocs),
       "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
       "text_unigram_logprob" -> Text.unigramLogProbSql,
       "dedup_span_ngrams" -> Dedup.duplicatedSpansSql(),
@@ -1239,6 +1344,35 @@ object SparkEntry {
         Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
+      "ts_compaction_policy" ->
+        s"""${TSModel.samplesCte}
+           |SELECT *, 'AVG' AS label_aggregation, '3600000' AS label_time_bucket,
+           |       ${86400000L} AS retention_ms FROM (
+           |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", 3600000L)})
+           |UNION ALL
+           |SELECT *, 'MAX', '60000', ${2 * 86400000L} FROM (
+           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 60000L)})""".stripMargin,
+      // ---- real-data goldens over the bundled lemire_canada series
+      "ts_lemire_range_multi" -> RangeQuery.rangeSql(
+        RangeArgs(aggs = Seq("min", "max", "avg", "sum", "count", "std.p"),
+          bucketMs = 1000L),
+        None, cte = RealData.lemireCte),
+      "ts_lemire_twa" ->
+        s"""SELECT series, bucket AS ts, twa_value FROM (
+           |${Twa.sql(1000L, 0L, Some(5000L), Some(100000L), None,
+                      cte = RealData.lemireCte)})""".stripMargin,
+      "ts_lemire_empty_locf" -> lemireLocfOracle,
+      "ts_lemire_dup_min" ->
+        s"""${RealData.lemireCte}, dup AS (
+           |  SELECT series, ts, value FROM samples
+           |  UNION ALL
+           |  SELECT series, ts, value - 1.0 AS value FROM samples
+           |) SELECT series, ts, min(value) AS value FROM dup GROUP BY 1, 2""".stripMargin,
+      "ts_lemire_revrange_count" ->
+        s"""SELECT * FROM (${RangeQuery.rangeSql(
+             RangeArgs(aggs = Seq("avg"), bucketMs = 1000L),
+             None, cte = RealData.lemireCte)})
+           |ORDER BY ts DESC LIMIT 10""".stripMargin,
       "mm_features" ->
         """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           |  list_avg([ord(substring(text, CAST(i AS INT), 1))
@@ -1401,6 +1535,25 @@ object SparkEntry {
        |           OVER (PARTITION BY spine.series ORDER BY spine.bucket
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value,
        |         coalesce(count_value, 0) AS count_value
+       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
+  }
+
+  /** EMPTY+LOCF over the sparsified real-data series — the
+    * emptyLocfOracle shape against the lemire CTE (single series, so no
+    * series predicate). */
+  private def lemireLocfOracle: String = {
+    val b = TSModel.bucketStartSql("ts", 50L)
+    s"""${RealData.lemireSparseCte}, agg AS (
+       |  SELECT series, $b AS bucket,
+       |         (max(struct_pack(t := ts, v := value)) FILTER (WHERE NOT isnan(value))).v AS last_value
+       |  FROM samples WHERE ts >= 9700 AND ts <= 38800 GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), 50)) AS bucket
+       |  FROM agg GROUP BY series
+       |) SELECT spine.series, spine.bucket AS ts,
+       |         last_value(last_value IGNORE NULLS)
+       |           OVER (PARTITION BY spine.series ORDER BY spine.bucket
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
        |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
   }
 

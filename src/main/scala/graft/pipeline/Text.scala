@@ -333,11 +333,18 @@ object Text {
   /** `extraTexts`: literal documents planted identically on both sides
     * (the fixture's synthetic text carries no URLs, and a 0 == 0 match
     * discriminates nothing). */
+  /** Single-quote escaping for planted literals interpolated into the
+    * DuckDB oracle (ADVICE r04: an apostrophe in a plant text would
+    * otherwise produce invalid SQL). Backslashes are NOT escaped on
+    * purpose — DuckDB string literals don't process them, and plants
+    * avoid them so the Spark side needs no mirroring escape. */
+  private def sqlLit(t: String): String = t.replace("'", "''")
+
   def domainFrequencySql(k: Int, extraTexts: Seq[String] = Nil): String = {
     val extra =
       if (extraTexts.isEmpty) ""
       else "\n  UNION ALL SELECT * FROM (VALUES " +
-        extraTexts.map(t => s"('$t')").mkString(", ") + ") v(text)"
+        extraTexts.map(t => s"('${sqlLit(t)}')").mkString(", ") + ") v(text)"
     s"""SELECT domain, count(*) AS n FROM (
        |  SELECT lower(unnest(regexp_extract_all(text, '$urlHostRe', 1))) AS domain
        |  FROM (SELECT text FROM documents$extra))
@@ -362,17 +369,29 @@ object Text {
           sum(col("c") * log2(col("c"))) / sum(col("c"))).as("entropy_bits"),
         count(lit(1)).as("distinct_chars"))
 
-  val charEntropySql: String =
-    """WITH ch AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
-      |  FROM documents
-      |), c AS (
-      |  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
-      |)
-      |SELECT doc_id,
-      |       log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits,
-      |       count(*) AS distinct_chars
-      |FROM c GROUP BY doc_id""".stripMargin
+  /** `extraDocs`: literal documents planted identically on both sides.
+    * ADVICE r04 flagged a potential UTF-16-unit vs codepoint mismatch
+    * for non-BMP characters — both engines are in fact codepoint-based
+    * (java.util.regex matches supplementary characters as single units;
+    * DuckDB's RE2 classes match one codepoint), and the planted astral
+    * text in SparkEntry keeps the differential discriminating on it. */
+  def charEntropySql(extraDocs: Seq[(Long, String)] = Nil): String = {
+    val extra =
+      if (extraDocs.isEmpty) ""
+      else "\n  UNION ALL SELECT * FROM (VALUES " +
+        extraDocs.map { case (id, t) => s"($id::BIGINT, '${sqlLit(t)}')" }
+          .mkString(", ") + ") v(doc_id, text)"
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+       |  FROM (SELECT doc_id, text FROM documents$extra)
+       |), c AS (
+       |  SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+       |)
+       |SELECT doc_id,
+       |       log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits,
+       |       count(*) AS distinct_chars
+       |FROM c GROUP BY doc_id""".stripMargin
+  }
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */

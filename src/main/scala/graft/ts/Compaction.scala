@@ -581,15 +581,23 @@ object Compaction {
   }
 
   /** Read the bucket-partitioned streaming source log restricted to
-    * `buckets`: the `__bkt` literals are PARTITION filters, so the scan
-    * lists and reads only those buckets' directories — per-batch log
-    * I/O stays O(touched buckets) however long the stream has run.
-    * Guarded by the PlanShapeSpec partition-pruning test. */
+    * `buckets`, by listing ONLY those buckets' `__bkt=` directories
+    * (basePath keeps partition semantics). A filter-based prune over
+    * `spark.read.parquet(srcLog)` would still LIST every partition
+    * directory before pruning — O(total buckets ever) per batch, which
+    * the 30× probe showed as the one history-tracking term left — so
+    * the directory set itself is the prune: per-batch log I/O AND
+    * listing stay O(touched buckets) however long the stream has run.
+    * Guarded by the PlanShapeSpec root-path test. */
   private[graft] def prunedLogRead(
       spark: SparkSession, srcLog: String, buckets: Seq[Long]): DataFrame =
-    spark.read.parquet(srcLog)
-      .filter(col("__bkt").isin(buckets: _*))
-      .select(col("series"), col("ts"), col("value"))
+    if (buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sampleSchema)
+    else
+      spark.read.option("basePath", srcLog)
+        .parquet(buckets.distinct.map(b => s"$srcLog/__bkt=$b"): _*)
+        .select(col("series"), col("ts"), col("value"))
 
   /** Run `body` with `spark.sql.shuffle.partitions` (which also fixes
     * the number of streaming state-store instances) lowered to `n`,

@@ -121,6 +121,9 @@ object Multi {
       preds: Seq[LabelPred], args: RangeQuery.RangeArgs,
       groupByLabel: String, reducer: String,
       excludeEmpty: Boolean = false): DataFrame = {
+    // GROUPBY without REDUCE is an arity error at parse time
+    // (reference: query_language.c:1017-1023 WrongArity reply)
+    require(reducer.nonEmpty, "wrong number of arguments for 'TS.MRANGE' command")
     require(!Seq("first", "last", "twa").contains(reducer),
       s"$reducer is not a valid GROUPBY reducer") // reference: query_language.c:825-841
     // parse-time incompatibility (reference: query_language.c:1003-1007)

@@ -45,7 +45,13 @@ object RangeQuery {
       throw new IllegalArgumentException("ALIGN start needs an explicit range start"))
     case "end" | "+"   => to.getOrElse(
       throw new IllegalArgumentException("ALIGN end needs an explicit range end"))
-    case ts            => ts.toLong
+    case ts            =>
+      // a non-sentinel ALIGN must be a valid non-negative timestamp
+      // (reference: query_language.c:551-556 via parseTimestamp, which
+      // also rejects negatives — error string parity)
+      val parsed = ts.toLongOption
+      require(parsed.exists(_ >= 0L), "TSDB: unknown ALIGN parameter")
+      parsed.get
   }
 
   /** Malformed-argument rejection, matching the reference's parse-time
@@ -62,6 +68,11 @@ object RangeQuery {
       s"bad BUCKETTIMESTAMP '${args.bucketTs}'")
     require(args.empty == false || args.aggs.nonEmpty,
       "EMPTY requires AGGREGATION")
+    // reference: query_language.c:720 — ALIGN is parse-rejected without
+    // an AGGREGATION clause (alignMs != 0 implies an explicit ALIGN;
+    // `ALIGN 0` is indistinguishable from the default and is a no-op)
+    require(args.alignMs == 0L || args.aggs.nonEmpty,
+      "TSDB: ALIGN parameter can only be used with AGGREGATION")
     args.aggs.foreach(a => require(Aggs.names.contains(a) || a == "twa",
       s"unknown aggregator $a"))
   }
@@ -69,8 +80,13 @@ object RangeQuery {
   /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
   private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples
+    // reference: query_language.h:53 MAX_TS_VALUES_FILTER=128. The
+    // reference's parser silently STOPS CONSUMING at the 129th value
+    // (query_language.c:620-630 loop bound) and the leftover token then
+    // breaks the command parse; rejecting loudly at the same boundary
+    // is the honest equivalent — never silently truncate a filter.
     require(args.filterByTs.size <= 128,
-      "FILTER_BY_TS accepts at most 128 timestamps") // reference: query_language.h:53
+      "FILTER_BY_TS accepts at most 128 timestamps")
     if (args.filterByTs.nonEmpty)
       // <=128 literals (reference: src/query_language.h:53) — stays an
       // In-predicate, pushed to the scan; never a join.
@@ -277,10 +293,11 @@ object RangeQuery {
 
   /** Oracle SQL equivalent of [[range]] (no EMPTY / twa — those queries
     * carry their own handwritten oracle). */
-  def rangeSql(args: RangeArgs, seriesPred: Option[String]): String = {
+  def rangeSql(args: RangeArgs, seriesPred: Option[String],
+      cte: String = TSModel.samplesCte): String = {
     val where = whereSql(args, seriesPred)
     if (args.aggs.isEmpty)
-      s"${TSModel.samplesCte} SELECT series, ts, value FROM samples $where"
+      s"$cte SELECT series, ts, value FROM samples $where"
     else {
       val b = TSModel.bucketStartSql("ts", args.bucketMs, args.alignMs)
       val rts = TSModel.reportTsSql("bucket", args.bucketMs, args.bucketTs)
@@ -288,7 +305,7 @@ object RangeQuery {
       val keep =
         if (args.aggs.exists(a => a == "countnan" || a == "countall")) ""
         else "WHERE " + args.aggs.map(a => s"${Aggs.colName(a)} IS NOT NULL").mkString(" OR ")
-      s"""${TSModel.samplesCte}, agg AS (
+      s"""$cte, agg AS (
          |  SELECT series, $b AS bucket, $aggSel
          |  FROM samples $where
          |  GROUP BY 1, 2

@@ -241,7 +241,8 @@ object Twa {
       from: Option[Long],
       to: Option[Long],
       seriesPred: Option[String],
-      extraPred: Option[String] = None): String = {
+      extraPred: Option[String] = None,
+      cte: String = TSModel.samplesCte): String = {
     def bkt(c: String) = TSModel.bucketStartSql(c, bucketMs, alignMs)
     val cl = Seq.newBuilder[String]
     seriesPred.foreach(cl += _)
@@ -257,7 +258,7 @@ object Twa {
     val tbC = to.map(t => s"least($tbRaw, ${t + 1})").getOrElse(tbRaw)
     val pOutRange = from.map(f => s" OR prev_ts < $f").getOrElse("")
     val nOutRange = to.map(t => s" OR next_ts > $t").getOrElse("")
-    s"""${TSModel.samplesCte}, nb AS (
+    s"""$cte, nb AS (
        |  SELECT series, ts, value,
        |         lag(ts)    OVER w AS prev_ts,  lag(value)  OVER w AS prev_v,
        |         lead(ts)   OVER w AS next_ts,  lead(value) OVER w AS next_v,

@@ -119,6 +119,13 @@ class MultiSpec extends AnyFunSuite {
     }
     // and an empty filter list is as invalid as a filterless command
     intercept[IllegalArgumentException] { mget(s, labelsDf, Nil) }
+    // GROUPBY without REDUCE is a WrongArity reply in the reference
+    // (query_language.c:1017-1023); the empty reducer is that shape here
+    val e2 = intercept[IllegalArgumentException] {
+      mrangeGroupBy(s, labelsDf, Seq(parsePred("type=click")),
+        RangeArgs(aggs = Seq("avg"), bucketMs = 100L), "type", "")
+    }
+    assert(e2.getMessage.contains("wrong number of arguments for 'TS.MRANGE' command"))
   }
 
   test("nrange pivots by ts with NaN gaps") {

@@ -136,11 +136,10 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("streaming TWA log read is partition-pruned to the support buckets") {
     // VERDICT r04 #1: per-batch recompute I/O must be O(touched
-    // buckets), not O(history). The source log is partitionBy(__bkt)
-    // and prunedLogRead turns the support buckets into PARTITION
-    // filters — this guard fails if the filter ever stops reaching the
-    // scan's partition-pruning stage (e.g. the log loses its
-    // partitioning or the filter moves behind a non-pushable projection).
+    // buckets), not O(history). prunedLogRead lists ONLY the support
+    // buckets' __bkt= directories (a filter-based prune would still
+    // list every partition dir — O(total buckets ever) per batch).
+    // This guard fails if the read ever widens back to the whole log.
     import org.apache.spark.sql.functions.{col, lit}
     import graft.ts.{Compaction, TSModel}
     val log = java.nio.file.Files.createTempDirectory("plan_twa_log_").toString
@@ -149,14 +148,13 @@ class PlanShapeSpec extends AnyFunSuite {
     rows.withColumn("__bkt", TSModel.bucketStart(col("ts"), 100L))
       .write.mode("append").partitionBy("__bkt").parquet(log)
     val pruned = Compaction.prunedLogRead(spark, log, Seq(200L, 300L))
-    val scans = physical(pruned).collect { case f: FileSourceScanExec => f }
-    assert(scans.size == 1)
-    val f = scans.head
-    assert(f.partitionFilters.exists(_.references.exists(_.name == "__bkt")),
-      s"no __bkt partition filter on the log scan: ${f.partitionFilters}")
-    assert(f.selectedPartitions.partitionCount == 2,
-      s"expected 2 of 10 bucket partitions selected, got ${f.selectedPartitions.partitionCount}")
+    val files = pruned.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("__bkt=200") || f.contains("__bkt=300")),
+      s"log read touched files outside the support buckets:\n${files.mkString("\n")}")
     assert(pruned.count() == 200)
+    // empty support set degrades to an empty frame, not a full scan
+    assert(Compaction.prunedLogRead(spark, log, Nil).isEmpty)
   }
 
   test("ignore filter: one shuffle by series, then a streaming map pass") {

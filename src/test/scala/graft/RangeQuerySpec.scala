@@ -41,6 +41,36 @@ class RangeQuerySpec extends AnyFunSuite {
       RangeQuery.range(df, RangeArgs(filterByTs = (1L to 129L))))
   }
 
+  test("negative parity sweep: ALIGN / FILTER_BY_TS / FILTER_BY_VALUE edges (r05)") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 1.0), ("k", 50L, 2.0)).toDF("series", "ts", "value")
+    // ALIGN without AGGREGATION is parse-rejected with the reference
+    // string (query_language.c:720)
+    val e1 = intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(alignMs = 7L)))
+    assert(e1.getMessage.contains("TSDB: ALIGN parameter can only be used with AGGREGATION"))
+    // unknown / negative ALIGN tokens (query_language.c:551-556; flow
+    // test test_negative.py 'ALIGN 2dd2' / 'start2' / 'end2')
+    for (bad <- Seq("2dd2", "start2", "end2", "-5")) {
+      val e = intercept[IllegalArgumentException](
+        RangeQuery.resolveAlign(bad, Some(0L), Some(10L)))
+      assert(e.getMessage.contains("TSDB: unknown ALIGN parameter"), bad)
+    }
+    assert(RangeQuery.resolveAlign("123", None, None) == 123L)
+    // FILTER_BY_TS boundary: exactly 128 accepted, 129 rejected loudly
+    // (reference stops consuming at MAX_TS_VALUES_FILTER=128,
+    // query_language.c:620-630 — never silently truncate)
+    assert(RangeQuery.range(df, RangeArgs(filterByTs = (1L to 128L))).count() == 2)
+    val e2 = intercept[IllegalArgumentException](
+      RangeQuery.range(df, RangeArgs(filterByTs = (1L to 129L))))
+    assert(e2.getMessage.contains("at most 128"))
+    // swapped FILTER_BY_VALUE bounds are NOT an error in the reference
+    // (parse accepts any two doubles, query_language.c:566-583); the
+    // min>max range simply matches nothing
+    assert(RangeQuery.range(df,
+      RangeArgs(filterByValue = Some((10.0, 1.0)))).count() == 0)
+  }
+
   test("NaN-only buckets follow the reference's per-class validity exactly") {
     // finalizeBucket (filter_iterator.c:389-401): a bucket is emitted
     // iff >= 1 sample is valid under SOME requested aggregator's class;
