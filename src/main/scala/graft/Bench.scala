@@ -32,6 +32,7 @@ object Bench {
     // with plan changes). SPARK_GRAFT_ONLY=q1,q2 narrows the set while
     // iterating; SPARK_GRAFT_REPS=1 restores the one-shot run.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps (use 1 for one-shot runs)")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

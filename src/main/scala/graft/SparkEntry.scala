@@ -685,9 +685,11 @@ object SparkEntry {
         val metas = Catalog.autoRules("avg:3600000m:1d;max:1M:2d", "")
         val rules = metas.map { case (_, rm) =>
           Compaction.Rule(rm.agg, rm.bucketMs, rm.alignMs) }
+        // reduceRight: a left fold would call .otherwise on an
+        // already-defaulted Column and throw for policies with 3+ rules
         def bySuffix(f: Catalog.SeriesMeta => String) = metas.map { case (meta, _) =>
           when(col("series").endsWith(meta.series), lit(f(meta)))
-        }.reduce((a, b) => a.otherwise(b))
+        }.reduceRight((a, b) => a.otherwise(b))
         Compaction.materializeAll(TSModel.samples(s, _dir), rules)
           .select(col("series"), col("ts"), col("value"),
             bySuffix(_.labels("aggregation")).as("label_aggregation"),
@@ -1538,17 +1540,20 @@ object SparkEntry {
        |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
   }
 
-  /** EMPTY+LOCF over the sparsified real-data series — the
-    * emptyLocfOracle shape against the lemire CTE (single series, so no
-    * series predicate). */
-  private def lemireLocfOracle: String = {
-    val b = TSModel.bucketStartSql("ts", 50L)
-    s"""${RealData.lemireSparseCte}, agg AS (
+  /** ONE EMPTY+LOCF oracle shape (agg → per-series spine → LOCF
+    * window) for every source — review r05: the lemire variant was a
+    * near-verbatim copy that would silently go stale on a semantics
+    * fix. `pred` is an optional extra WHERE conjunct ("" for none). */
+  private def locfOracle(
+      cte: String, bucketMs: Long, from: Long, to: Long, pred: String): String = {
+    val b = TSModel.bucketStartSql("ts", bucketMs)
+    val extra = if (pred.isEmpty) "" else s"$pred AND "
+    s"""$cte, agg AS (
        |  SELECT series, $b AS bucket,
        |         (max(struct_pack(t := ts, v := value)) FILTER (WHERE NOT isnan(value))).v AS last_value
-       |  FROM samples WHERE ts >= 9700 AND ts <= 38800 GROUP BY 1, 2
+       |  FROM samples WHERE ${extra}ts >= $from AND ts <= $to GROUP BY 1, 2
        |), spine AS (
-       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), 50)) AS bucket
+       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), $bucketMs)) AS bucket
        |  FROM agg GROUP BY series
        |) SELECT spine.series, spine.bucket AS ts,
        |         last_value(last_value IGNORE NULLS)
@@ -1557,19 +1562,9 @@ object SparkEntry {
        |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
   }
 
-  private def emptyLocfOracle: String = {
-    val b = TSModel.bucketStartSql("ts", 6 * HOUR)
-    s"""${TSModel.samplesCte}, agg AS (
-       |  SELECT series, $b AS bucket,
-       |         (max(struct_pack(t := ts, v := value)) FILTER (WHERE NOT isnan(value))).v AS last_value
-       |  FROM samples WHERE series = '$oneSeries' AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
-       |), spine AS (
-       |  SELECT series, unnest(generate_series(min(bucket), max(bucket), ${6 * HOUR})) AS bucket
-       |  FROM agg GROUP BY series
-       |) SELECT spine.series, spine.bucket AS ts,
-       |         last_value(last_value IGNORE NULLS)
-       |           OVER (PARTITION BY spine.series ORDER BY spine.bucket
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
-       |  FROM spine LEFT JOIN agg USING (series, bucket)""".stripMargin
-  }
+  private def lemireLocfOracle: String =
+    locfOracle(RealData.lemireSparseCte, 50L, 9700L, 38800L, "")
+
+  private def emptyLocfOracle: String =
+    locfOracle(TSModel.samplesCte, 6 * HOUR, T0, T31, s"series = '$oneSeries'")
 }

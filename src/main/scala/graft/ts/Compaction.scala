@@ -201,7 +201,7 @@ object Compaction {
    */
   def recomputeBuckets(
       samples: DataFrame, prevDest: DataFrame, rule: Rule,
-      touched: DataFrame, occIndex: Option[DataFrame] = None): DataFrame = {
+      touched: DataFrame): DataFrame = {
     // TWA buckets interpolate from NEIGHBOUR SAMPLES, so a late (or
     // deleted) sample in bucket b also changes the nearest VALID-sample
     // bucket on each side — which can be arbitrarily far across empty
@@ -209,31 +209,21 @@ object Compaction {
     // boundary carry, module.c:928-976). Expand the touched set to
     // those true neighbours: one aggregate over the touched series'
     // valid-occupied buckets, conditional max/min around b. Cost is
-    // O(touched × occupied-buckets-of-those-series).
-    //
-    // `occIndex` (columns: series, bucket — bucketed with THIS rule's
-    // bucketMs/alignMs, valid samples only): callers that already
-    // maintain the valid-occupied index (the streaming TWA driver does,
-    // incrementally) pass it here so the expansion never re-scans the
-    // touched series' raw history — VERDICT r04 #1, the occ rebuild was
-    // O(touched series' full history) per micro-batch. Without it the
-    // index derives from `samples` as before (batch/TS.DEL paths, where
-    // deletes can invalidate buckets and the source is scanned anyway).
+    // O(touched × occupied-buckets-of-those-series). The index derives
+    // from `samples` here because the batch/TS.DEL paths scan the
+    // source anyway and deletes can invalidate buckets; the STREAMING
+    // driver never calls this — it maintains its occ index
+    // incrementally (dest doubles as the index) and drives
+    // [[stitchTwaRecompute]] directly (VERDICT r04 #1).
     val t0 = touched.select(col("series").as("__s"), col("bucket").as("__b")).distinct()
-    lazy val occ = occIndex match {
-      case Some(idx) => idx
-        .join(broadcast(t0.select(col("__s")).distinct()),
-          col("series") === col("__s"), "left_semi")
-        .select(col("series"), col("bucket").as("ob"))
-      case None => samples
-        .filter(!isnan(col("value"))) // NaN-only buckets anchor nothing
-        .join(broadcast(t0.select(col("__s")).distinct()),
-          col("series") === col("__s"), "left_semi")
-        .select(col("series"),
-          TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
-        .distinct()
-        .localCheckpoint() // read by both expansion hops
-    }
+    lazy val occ = samples
+      .filter(!isnan(col("value"))) // NaN-only buckets anchor nothing
+      .join(broadcast(t0.select(col("__s")).distinct()),
+        col("series") === col("__s"), "left_semi")
+      .select(col("series"),
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("ob"))
+      .distinct()
+      .localCheckpoint() // read by both expansion hops
     if (rule.agg == "twa") {
       // recomputing a bucket in t needs its OWN neighbours' samples
       // as interpolation anchors — one more hop (t2 ⊇ neighbours(t))
@@ -452,14 +442,15 @@ object Compaction {
    * long-lived stream). Two mechanisms bound it:
    *  1. the valid-occupied (series, bucket) index is maintained
    *     INCREMENTALLY — the stream is append-only (deletes arrive only
-   *     via the batch TS.DEL path), so the index grows exactly by each
-   *     batch's valid buckets and is handed to [[recomputeBuckets]]
-   *     ready-made (`occIndex`); no source scan derives it;
+   *     via the batch TS.DEL path), and the running dest, kept keyed by
+   *     SOURCE series, IS the index (a TWA dest row exists exactly per
+   *     valid-occupied bucket); the per-batch index is dest ∪ the
+   *     batch's valid buckets and the driver expands it and calls
+   *     [[stitchTwaRecompute]] directly — no source scan derives it;
    *  2. the source log is written `partitionBy(__bkt)` and the
-   *     recompute reads it through [[prunedLogRead]] with the support
-   *     buckets (touched + two TWA neighbour hops over the index) as
-   *     literal partition filters — directory pruning keeps the scan
-   *     to the touched buckets' files. The driver-side literal list is
+   *     recompute reads it through [[prunedLogRead]], which lists ONLY
+   *     the support buckets' (touched + two TWA neighbour hops over the
+   *     index) partition directories. The driver-side bucket list is
    *     bounded by time-range/bucketMs (a TIME count, not a series
    *     count), the same boundedness class as FILTER_BY_TS's 128
    *     literals.
@@ -511,6 +502,7 @@ object Compaction {
     // the file source replays them as intended (it orders by mtime)
     samples.withColumn("__c", chunkOf)
       .repartitionByRange(nChunks, col("__c"))
+      .drop("__c") // staging column must not leak into the staged files
       .write.mode("overwrite").parquet(srcStage)
     locally {
       val files = new java.io.File(srcStage).listFiles()

@@ -33,9 +33,16 @@ object RealData {
     require(in != null, "bundled fixture /fixtures/lemire_canada.txt missing from classpath")
     val bytes = in.readAllBytes(); in.close()
     if (!java.nio.file.Files.exists(target) ||
-        java.nio.file.Files.size(target) != bytes.length.toLong) {
+        !java.util.Arrays.equals(java.nio.file.Files.readAllBytes(target), bytes)) {
       java.nio.file.Files.createDirectories(target.getParent)
-      java.nio.file.Files.write(target, bytes)
+      // write-then-atomic-move: concurrent JVMs (sbt test + Bench) must
+      // never expose a half-written file to each other or to the
+      // driver's later DuckDB read of this path
+      val tmp = java.nio.file.Files.createTempFile(target.getParent, "lemire_", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     target.toAbsolutePath.toString
   }
