@@ -27,24 +27,32 @@ object RealData {
     * path that BOTH the Spark reader and the driver's later DuckDB
     * process (running [[lemireCte]] from oracle_sql.json) can open. */
   lazy val lemirePath: String = {
-    val target = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_fixtures", "lemire_canada.txt")
-    val in = getClass.getResourceAsStream("/fixtures/lemire_canada.txt")
-    require(in != null, "bundled fixture /fixtures/lemire_canada.txt missing from classpath")
-    val bytes = in.readAllBytes(); in.close()
-    if (!java.nio.file.Files.exists(target) ||
-        !java.util.Arrays.equals(java.nio.file.Files.readAllBytes(target), bytes)) {
-      java.nio.file.Files.createDirectories(target.getParent)
-      // write-then-atomic-move: concurrent JVMs (sbt test + Bench) must
-      // never expose a half-written file to each other or to the
-      // driver's later DuckDB read of this path
-      val tmp = java.nio.file.Files.createTempFile(target.getParent, "lemire_", ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // preferred: the checked-in resource file itself (sbt runs from the
+    // repo root) — a stable absolute path that outlives this JVM, so
+    // the driver's separate DuckDB process can always open it
+    val inRepo = java.nio.file.Paths.get(
+      "src/main/resources/fixtures/lemire_canada.txt")
+    if (java.nio.file.Files.exists(inRepo)) inRepo.toAbsolutePath.toString
+    else {
+      val target = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixtures", "lemire_canada.txt")
+      val in = getClass.getResourceAsStream("/fixtures/lemire_canada.txt")
+      require(in != null, "bundled fixture /fixtures/lemire_canada.txt missing from classpath")
+      val bytes = in.readAllBytes(); in.close()
+      if (!java.nio.file.Files.exists(target) ||
+          !java.util.Arrays.equals(java.nio.file.Files.readAllBytes(target), bytes)) {
+        java.nio.file.Files.createDirectories(target.getParent)
+        // write-then-atomic-move: concurrent JVMs (sbt test + Bench) must
+        // never expose a half-written file to each other or to the
+        // driver's later DuckDB read of this path
+        val tmp = java.nio.file.Files.createTempFile(target.getParent, "lemire_", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      target.toAbsolutePath.toString
     }
-    target.toAbsolutePath.toString
   }
 
   /** The series exactly as the reference flow test writes it:
