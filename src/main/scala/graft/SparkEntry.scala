@@ -586,6 +586,16 @@ object SparkEntry {
       "pipeline_stratified_sample" -> ((s, dir) =>
         graft.pipeline.CorpusPipeline.stratifiedSample(
           Text.loadDocuments(s, dir), Map("en" -> 0.8), defaultRate = 0.25)),
+      // sequence packing: documents -> fixed-token-budget training
+      // bins, contiguous fill per shard (concat-then-chunk semantics)
+      "pipeline_pack_sequences" -> ((s, dir) =>
+        graft.pipeline.CorpusPipeline.packSequences(
+          Text.loadDocuments(s, dir), budgetTokens = 2048L, nShards = 8)),
+      // sqrt-temperature source mixing: per-source quotas filled in
+      // deterministic hash order
+      "pipeline_mix_temperature" -> ((s, dir) =>
+        graft.pipeline.CorpusPipeline.mixByTemperature(
+          Text.loadDocuments(s, dir), target = 300L)),
       // cluster-canonical dedup: connected components over the near-dup
       // pair graph (min reachable id), vs a transitive-closure oracle
       "dedup_cc_canonical" -> ((s, dir) => {
@@ -1334,6 +1344,10 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
       "pipeline_stratified_sample" ->
         graft.pipeline.CorpusPipeline.stratifiedSampleSql(Map("en" -> 0.8), defaultRate = 0.25),
+      "pipeline_pack_sequences" ->
+        graft.pipeline.CorpusPipeline.packSequencesSql(budgetTokens = 2048L, nShards = 8),
+      "pipeline_mix_temperature" ->
+        graft.pipeline.CorpusPipeline.mixByTemperatureSql(target = 300L),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_redact" -> Text.redactSql,

@@ -192,4 +192,100 @@ object CorpusPipeline {
        |SELECT k.doc_id, k.lang_pred, k.n_tokens, k.fp
        |FROM exact_kept k LEFT JOIN comp USING (doc_id)
        |WHERE comp.cc IS NULL OR comp.cc = k.doc_id""".stripMargin
+
+  /**
+   * Sequence packing — the pretraining step that concatenates documents
+   * into fixed-token-budget training sequences ("document packing"):
+   * within each shard, documents fill a contiguous token stream in
+   * deterministic (doc_id) order and a document's bin is where the
+   * stream cursor stands when it begins (documents may straddle a
+   * boundary, exactly like concat-then-chunk tokenization). Integer
+   * arithmetic end-to-end, so both engines agree bit-for-bit.
+   *
+   * 100 TB shape: ONE shuffle by shard (`doc_id % nShards` — shards are
+   * the parallelism unit, sized so a shard's running window fits a
+   * task), then a per-shard running sum; no joins, no driver state.
+   * Token counts ride the same whitespace tokenizer as text_tokens.
+   */
+  def packSequences(docs: DataFrame, budgetTokens: Long, nShards: Int): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("stream_offset"),
+        expr(s"(cum - n_tokens) DIV $budgetTokens").as("bin"))
+  }
+
+  def packSequencesSql(budgetTokens: Long, nShards: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         doc_id % $nShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |       cum - n_tokens AS stream_offset,
+       |       (cum - n_tokens) // $budgetTokens AS bin
+       |FROM c""".stripMargin
+
+  /**
+   * Temperature-weighted source mixing — the data-mix step that
+   * up-samples small sources and down-samples large ones: source s gets
+   * a quota of `floor(target * n_s^α / Σ n_t^α)` documents at the
+   * classic sqrt temperature (α = 0.5, the flattening used for
+   * multilingual/multi-source pretraining mixes), and the quota is
+   * filled in deterministic md5(doc_id) order — a seedless uniform
+   * sample both engines reproduce. Quota arithmetic uses IEEE sqrt
+   * (correctly rounded in both engines); the one cross-engine hazard is
+   * a quota landing within ~1 ulp of an integer (float sum
+   * association), which real count distributions don't produce.
+   *
+   * 100 TB shape: per-source counts are O(#sources) — a broadcast-sized
+   * aggregate; the selection is ONE window rank per source over the
+   * corpus (one shuffle by source) plus a broadcast join of the quota
+   * table. The rank window over a skewed giant source is the honest
+   * cost of an exact top-quota sample; an approximate variant would
+   * pre-filter on `md5 < threshold(quota/n)` and rank only the
+   * survivors.
+   */
+  def mixByTemperature(docs: DataFrame, target: Long): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        floor(lit(target.toDouble) * sqrt(col("n_docs")) / col("z")).as("quota"))
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", rk)
+      .join(broadcast(quotas.select(col("source"), col("quota"))), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+  }
+
+  def mixByTemperatureSql(target: Long): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+       |), z AS (
+       |  SELECT sum(sqrt(n_docs)) AS z FROM counts
+       |), quotas AS (
+       |  SELECT source, floor(CAST($target AS DOUBLE) * sqrt(n_docs) / z) AS quota
+       |  FROM counts, z
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT source, doc_id FROM ranked JOIN quotas USING (source)
+       |WHERE rk <= quota""".stripMargin
 }

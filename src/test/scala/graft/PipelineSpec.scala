@@ -237,4 +237,43 @@ class PipelineSpec extends AnyFunSuite {
       else assert(Seq("en", "de", "es", "fr", "zh").contains(pred))
     }
   }
+
+  test("sequence packing: contiguous per-shard stream, bins = offset div budget") {
+    val budget = 256L
+    val packed = CorpusPipeline.packSequences(docs, budget, nShards = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq // (shard, doc_id, n_tokens, stream_offset, bin)
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // the stream is contiguous: each doc starts where the previous ended
+      ordered.foldLeft(0L) { case (cursor, (_, _, n, off, bin)) =>
+        assert(off == cursor, s"shard $shard: offset $off != cursor $cursor")
+        assert(bin == off / budget)
+        cursor + n
+      }
+      // shards really partition by doc_id % 4
+      ordered.foreach { case (_, id, _, _, _) => assert(id % 4 == shard) }
+    }
+  }
+
+  test("temperature mix: per-source take equals the sqrt-quota, deterministically") {
+    val target = 100L
+    val got = CorpusPipeline.mixByTemperature(docs, target)
+    val bySource = got.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val z = counts.values.toSeq.sorted.map(n => math.sqrt(n.toDouble)).sum
+    counts.foreach { case (src, n) =>
+      val quota = math.floor(target * math.sqrt(n.toDouble) / z).toLong
+      assert(bySource.getOrElse(src, 0L) == math.min(quota, n),
+        s"$src: got ${bySource.getOrElse(src, 0L)} want ${math.min(quota, n)} (n=$n)")
+    }
+    // without-replacement semantics cap a quota at the source size, and
+    // the hash order makes the selection reproducible
+    val again = CorpusPipeline.mixByTemperature(docs, target)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
 }
