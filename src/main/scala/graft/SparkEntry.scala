@@ -692,7 +692,9 @@ object SparkEntry {
       // and materialized over every fixture series in ONE source scan;
       // the oracle re-derives the whole chain in SQL
       "ts_compaction_policy" -> ((s, _dir) => {
-        val metas = Catalog.autoRules("avg:3600000m:1d;max:1M:2d", "")
+        // three rules on purpose: a 2-rule policy can't catch a broken
+        // when-chain fold (review r05 found exactly that crash)
+        val metas = Catalog.autoRules("avg:3600000m:1d;max:1M:2d;sum:2h:1d", "")
         val rules = metas.map { case (_, rm) =>
           Compaction.Rule(rm.agg, rm.bucketMs, rm.alignMs) }
         // reduceRight: a left fold would call .otherwise on an
@@ -1367,7 +1369,10 @@ object SparkEntry {
            |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", 3600000L)})
            |UNION ALL
            |SELECT *, 'MAX', '60000', ${2 * 86400000L} FROM (
-           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 60000L)})""".stripMargin,
+           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 60000L)})
+           |UNION ALL
+           |SELECT *, 'SUM', '${2 * 3600000L}', ${86400000L} FROM (
+           |${flushedRuleOracleSql("sum", "sum(value) FILTER (WHERE NOT isnan(value))", 2 * 3600000L)})""".stripMargin,
       // ---- real-data goldens over the bundled lemire_canada series
       "ts_lemire_range_multi" -> RangeQuery.rangeSql(
         RangeArgs(aggs = Seq("min", "max", "avg", "sum", "count", "std.p"),

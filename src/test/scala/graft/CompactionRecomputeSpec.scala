@@ -145,15 +145,19 @@ class CompactionRecomputeSpec extends AnyFunSuite {
     // recomputeBuckets — the final dest must equal the batch flushed
     // materialization no matter how the source is chopped into batches
     val dir = SparkTest.sf
-    val work = java.nio.file.Files.createTempDirectory("stwa_spec_").toString
     val r = Compaction.Rule("twa", 86400000L)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(x =>
         (x.getString(0), x.getLong(1), math.round(x.getDouble(2) * 1e6))).toSet
-    val stream = key(Compaction.streamingDownsampleTwaOnce(spark, dir, r, work,
-      oooSplit = true)) // hash-split: every batch is late data for interior buckets
     val batch = key(Compaction.materialize(TSModel.samples(spark, dir), r))
-    assert(stream == batch && stream.nonEmpty)
+    // hash-split: every batch is late data for interior buckets; the
+    // final dest must be batch-split-count independent too
+    for (n <- Seq(2, 5)) {
+      val work = java.nio.file.Files.createTempDirectory(s"stwa_spec_$n").toString
+      val stream = key(Compaction.streamingDownsampleTwaOnce(spark, dir, r, work,
+        nChunks = n, oooSplit = true))
+      assert(stream == batch && stream.nonEmpty, s"nChunks=$n diverged")
+    }
   }
 
   test("range delete: interior bucket disappears, partial buckets recompute") {
