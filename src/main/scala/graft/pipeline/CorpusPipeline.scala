@@ -250,24 +250,52 @@ object CorpusPipeline {
    * association), which real count distributions don't produce.
    *
    * 100 TB shape: per-source counts are O(#sources) — a broadcast-sized
-   * aggregate; the selection is ONE window rank per source over the
-   * corpus (one shuffle by source) plus a broadcast join of the quota
-   * table. The rank window over a skewed giant source is the honest
-   * cost of an exact top-quota sample; an approximate variant would
-   * pre-filter on `md5 < threshold(quota/n)` and rank only the
-   * survivors.
+   * aggregate. The naive selection ranks EVERY corpus row per source —
+   * a full sort of each source partition, the dominant cost on a giant
+   * source that is precisely the one being down-sampled. Instead the
+   * corpus is pre-filtered on a per-source md5-prefix threshold sized
+   * to keep ~`margin`× the quota: ranking by md5 means the quota
+   * smallest hashes ALL lie below any prefix threshold that keeps at
+   * least `quota` rows, so the pre-filter is result-TRANSPARENT (the
+   * oracle runs the unfiltered formulation and must hash-match), and
+   * the rank window sorts O(margin × target) rows instead of the
+   * corpus. A count gate checks every source kept enough survivors and
+   * falls back to the full rank otherwise — the same
+   * gated-degrade contract as the broadcast gates elsewhere.
    */
-  def mixByTemperature(docs: DataFrame, target: Long): DataFrame = {
+  def mixByTemperature(
+      docs: DataFrame, target: Long,
+      margin: Double = 4.0): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
     val quotas = counts.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"),
         floor(lit(target.toDouble) * sqrt(col("n_docs")) / col("z")).as("quota"))
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(quotas), Seq("source"))
+    // 4-hex-digit threshold (1/65536 granularity), rounded UP so the
+    // kept fraction is never below margin*quota/n; >= 1.0 keeps all
+    val thr = {
+      val p = least(lit(1.0), lit(margin) * col("quota").cast("double") / col("n_docs"))
+      val v = least(lit(65536.0), ceil(p * 65536.0))
+      // lower(): Spark's conv emits uppercase hex, md5 lowercase — a
+      // mixed-case lexicographic compare would keep the wrong region
+      when(v >= 65536.0, lit("g"))
+        .otherwise(lower(lpad(conv(v.cast("long"), 10, 16), 4, "0")))
+    }
+    val h = md5(col("doc_id").cast("string"))
+    val survivors = base.filter(substring(h, 1, 4) < thr)
+    // gate from the QUOTAS side: a fully-starved source has no survivor
+    // group at all, so a survivors-side groupBy would never report it
+    val short = quotas.join(
+        survivors.groupBy(col("source")).agg(count(lit(1)).as("kept")),
+        Seq("source"), "left")
+      .filter(coalesce(col("kept"), lit(0L)) < col("quota"))
+    val ranked = if (short.limit(1).count() == 0) survivors else base
     val rk = row_number().over(Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
-    docs.select(col("doc_id"), col("source"))
+    ranked
       .withColumn("rk", rk)
-      .join(broadcast(quotas.select(col("source"), col("quota"))), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"))
   }

@@ -272,8 +272,17 @@ class PipelineSpec extends AnyFunSuite {
     }
     // without-replacement semantics cap a quota at the source size, and
     // the hash order makes the selection reproducible
+    val got1 = got.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val again = CorpusPipeline.mixByTemperature(docs, target)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(again == got1)
+    // the md5-prefix pre-filter is result-transparent: a starved margin
+    // forces the count-gated fallback to the full rank, and a huge
+    // margin keeps everything — all three paths select the same set
+    val fallback = CorpusPipeline.mixByTemperature(docs, target, margin = 1e-9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val keepAll = CorpusPipeline.mixByTemperature(docs, target, margin = 1e9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fallback == got1 && keepAll == got1)
   }
 }
