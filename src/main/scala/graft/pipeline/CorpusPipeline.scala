@@ -212,7 +212,7 @@ object CorpusPipeline {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        Text.nTokensCol.cast("long").as("n_tokens"), // the shared tokenizer
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -245,9 +245,10 @@ object CorpusPipeline {
    * multilingual/multi-source pretraining mixes), and the quota is
    * filled in deterministic md5(doc_id) order — a seedless uniform
    * sample both engines reproduce. Quota arithmetic uses IEEE sqrt
-   * (correctly rounded in both engines); the one cross-engine hazard is
-   * a quota landing within ~1 ulp of an integer (float sum
-   * association), which real count distributions don't produce.
+   * (correctly rounded in both engines) and quantizes the quotient to
+   * 6 decimals before floor — equal-sized sources put the quota
+   * mathematically ON an integer, where the float-sum association of z
+   * would otherwise flip floor() between engines/partition layouts.
    *
    * 100 TB shape: per-source counts are O(#sources) — a broadcast-sized
    * aggregate. The naive selection ranks EVERY corpus row per source —
@@ -268,9 +269,19 @@ object CorpusPipeline {
       margin: Double = 4.0): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+    // round-to-6 BEFORE floor — the repo's literal-quantizer rule:
+    // z's float-sum association can differ by ulps between engines (and
+    // between partition layouts), and a quota landing mathematically ON
+    // an integer (review r05: 20 equal sources put sf0.1 exactly at
+    // 15.0) would flip floor() on that noise; quantizing collapses the
+    // ±1e-14 band to one deterministic value in both engines.
+    // localCheckpoint: the tiny quota table feeds the starvation gate
+    // AND the returned plan — without it each consumer re-runs the
+    // corpus counts aggregate (the maybeBroadcast precedent).
     val quotas = counts.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"),
-        floor(lit(target.toDouble) * sqrt(col("n_docs")) / col("z")).as("quota"))
+        floor(round(lit(target.toDouble) * sqrt(col("n_docs")) / col("z"), 6)).as("quota"))
+      .localCheckpoint()
     val base = docs.select(col("doc_id"), col("source"))
       .join(broadcast(quotas), Seq("source"))
     // 4-hex-digit threshold (1/65536 granularity), rounded UP so the
@@ -306,7 +317,7 @@ object CorpusPipeline {
        |), z AS (
        |  SELECT sum(sqrt(n_docs)) AS z FROM counts
        |), quotas AS (
-       |  SELECT source, floor(CAST($target AS DOUBLE) * sqrt(n_docs) / z) AS quota
+       |  SELECT source, floor(round(CAST($target AS DOUBLE) * sqrt(n_docs) / z, 6)) AS quota
        |  FROM counts, z
        |), ranked AS (
        |  SELECT doc_id, source,

@@ -266,7 +266,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val z = counts.values.toSeq.sorted.map(n => math.sqrt(n.toDouble)).sum
     counts.foreach { case (src, n) =>
-      val quota = math.floor(target * math.sqrt(n.toDouble) / z).toLong
+      // mirror the operator's round-to-6 quantizer (association-noise
+      // collapse) before flooring
+      val quota = math.floor(
+        BigDecimal(target * math.sqrt(n.toDouble) / z)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
       assert(bySource.getOrElse(src, 0L) == math.min(quota, n),
         s"$src: got ${bySource.getOrElse(src, 0L)} want ${math.min(quota, n)} (n=$n)")
     }
