@@ -738,6 +738,18 @@ object SparkEntry {
       "ts_lemire_revrange_count" -> ((s, _) =>
         RangeQuery.range(RealData.lemire(s), RangeArgs(
           aggs = Seq("avg"), bucketMs = 1000L, reverse = true, count = Some(10)))),
+      // multi-series surface on real data: the interleaved lon/lat
+      // positions split into two series, GROUPBY their shared dataset
+      // label, max-reduce across the per-series daily averages
+      "ts_lemire_mrange_groupby" -> ((s, _) =>
+        Multi.mrangeGroupBy(RealData.lemireSplit(s), RealData.lemireLabels(s),
+          Seq(Multi.parsePred("axis=(lon,lat)")),
+          RangeArgs(from = Some(1000L), to = Some(90000L), aggs = Seq("avg"), bucketMs = 1000L),
+          groupByLabel = "dataset", reducer = "max")),
+      // compaction fan-out on real data: two rules, one scan
+      "ts_lemire_compaction" -> ((s, _) =>
+        Compaction.materializeAll(RealData.lemireSplit(s),
+          Seq(Compaction.Rule("avg", 1000L), Compaction.Rule("max", 2000L)))),
     )
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
@@ -1394,6 +1406,21 @@ object SparkEntry {
              RangeArgs(aggs = Seq("avg"), bucketMs = 1000L),
              None, cte = RealData.lemireCte)})
            |ORDER BY ts DESC LIMIT 10""".stripMargin,
+      "ts_lemire_mrange_groupby" ->
+        s"""${RealData.lemireSplitCte}, ${RealData.lemireLabelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 1000L)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN lem_labels USING (series)
+           |  WHERE ts >= 1000 AND ts <= 90000 AND axis IN ('lon','lat')
+           |  GROUP BY 1, 2
+           |) SELECT 'dataset=' || dataset AS series, bucket AS ts,
+           |         coalesce(max(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN lem_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      "ts_lemire_compaction" ->
+        s"""${RealData.lemireSplitCte}
+           |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", 1000L)}
+           |UNION ALL
+           |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 2000L)}""".stripMargin,
       "mm_features" ->
         """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           |  list_avg([ord(substring(text, CAST(i AS INT), 1))

@@ -80,6 +80,43 @@ object RealData {
        |  FROM read_csv('$lemirePath', header=false, columns={'v':'DOUBLE'})
        |)""".stripMargin
 
+  /** The file INTERLEAVES longitude/latitude (odd/even line positions
+    * — the value bands ±65/±43 make it visible): split into two real
+    * series so the multi-series surface (MRANGE/GROUPBY, compaction
+    * fan-out) runs on real measurements too. */
+  def lemireSplit(spark: SparkSession): DataFrame =
+    lemire(spark).select(
+      when(col("ts") % 2 === 1, lit("lemire_lon"))
+        .otherwise(lit("lemire_lat")).as("series"),
+      col("ts"), col("value"))
+
+  /** Labels for the split series: a distinguishing `axis` plus a shared
+    * `dataset` (the cross-series GROUPBY key). */
+  def lemireLabels(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("lemire_lon", Map("axis" -> "lon", "dataset" -> "canada")),
+      ("lemire_lat", Map("axis" -> "lat", "dataset" -> "canada")))
+      .toDF("series", "labels")
+  }
+
+  lazy val lemireSplitCte: String =
+    s"""WITH samples AS (
+       |  SELECT CASE WHEN ts % 2 = 1 THEN 'lemire_lon' ELSE 'lemire_lat' END AS series,
+       |         ts, value
+       |  FROM (SELECT row_number() OVER () AS ts, v AS value
+       |        FROM read_csv('$lemirePath', header=false, columns={'v':'DOUBLE'}))
+       |)""".stripMargin
+
+  /** The split series' labels as a relational CTE (no leading WITH). */
+  lazy val lemireLabelsCte: String =
+    """lem_labels AS (
+      |  SELECT * FROM (VALUES
+      |    ('lemire_lon', 'lon', 'canada'),
+      |    ('lemire_lat', 'lat', 'canada')
+      |  ) v(series, axis, dataset)
+      |)""".stripMargin
+
   /** Sparsified variant (every 97th sample): the dense 1..N series has
     * no empty buckets at any duration, so EMPTY/LOCF need a real gap
     * structure — ts % 97 against 50-tick buckets leaves roughly half
