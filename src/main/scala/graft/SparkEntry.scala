@@ -439,11 +439,10 @@ object SparkEntry {
           Compaction.Rule("sum", DAY),
           sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
             .resolve("log").toString)),
-      // streaming TWA rule: per-micro-batch incremental recompute
-      // (stitchTwaRecompute in foreachBatch over a replayed source;
-      // occ index carried incrementally, log read partition-pruned to
-      // the support buckets) — converges to the batch materialization
-      // and shares its oracle
+      // streaming TWA rule: per-batch boundary-free partials into a
+      // merge-on-read log (own buckets only, O(batch) per batch);
+      // neighbour interpolation resolves at read time — converges to
+      // the batch materialization and shares its oracle
       "ts_compaction_stream_twa" -> ((s, dir) =>
         Compaction.streamingDownsampleTwaOnce(s, dir, Compaction.Rule("twa", DAY),
           workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString,
@@ -794,10 +793,13 @@ object SparkEntry {
     (9100001L, "Ada's 🚀🚀🚀 rocket text"))
 
   /** URL-bearing docs planted into text_domain_freq on both sides:
-    * mixed-case hosts, repeated domains, multiple URLs per doc. */
+    * mixed-case hosts, repeated domains, multiple URLs per doc, and an
+    * apostrophe (the oracle interpolates these as SQL literals — the
+    * hostile plant proves the '' escaping, ADVICE r05). */
   private val domainPlantTexts: Seq[String] = Seq(
     "see https://example.com/a and https://example.com/b plus http://data.example.org/x",
-    "mirror at https://Example.COM/z and https://cdn.foo.net/y then https://example.com again")
+    "mirror at https://Example.COM/z and https://cdn.foo.net/y then https://example.com again",
+    "O'Brien's mirror: https://example.com/obrien and https://cdn.foo.net/o'b")
 
   /** Orders as a second samples source: one series per customer. */
   private def ordersSamples(s: SparkSession, dir: String): DataFrame =

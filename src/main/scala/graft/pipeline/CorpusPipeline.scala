@@ -232,9 +232,11 @@ object CorpusPipeline {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM toks
        |)
+       |-- DuckDB widens sum(BIGINT) OVER to HUGEINT; CAST back so the
+       |-- driver hashes the same LONG the Spark side produces
        |SELECT doc_id, shard, n_tokens,
-       |       cum - n_tokens AS stream_offset,
-       |       (cum - n_tokens) // $budgetTokens AS bin
+       |       CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+       |       CAST((cum - n_tokens) // $budgetTokens AS BIGINT) AS bin
        |FROM c""".stripMargin
 
   /**
@@ -295,7 +297,12 @@ object CorpusPipeline {
         .otherwise(lower(lpad(conv(v.cast("long"), 10, 16), 4, "0")))
     }
     val h = md5(col("doc_id").cast("string"))
-    val survivors = base.filter(substring(h, 1, 4) < thr)
+    // localCheckpoint: survivors is margin×target-bounded (the whole
+    // point of the pre-filter), and BOTH the starvation gate and the
+    // returned rank read it — without pinning, the gate's eager count
+    // and the final plan each re-run the corpus-wide filter+join, three
+    // corpus-scale jobs where two suffice (ADVICE r05).
+    val survivors = base.filter(substring(h, 1, 4) < thr).localCheckpoint()
     // gate from the QUOTAS side: a fully-starved source has no survivor
     // group at all, so a survivors-side groupBy would never report it
     val short = quotas.join(

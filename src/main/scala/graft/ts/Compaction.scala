@@ -427,64 +427,75 @@ object Compaction {
 
   /**
    * Streaming path for TWA rules (closes the one batch/stream
-   * asymmetry — r03 item #7): TWA's boundary interpolation reads
+   * asymmetry — r03 item #7). TWA's boundary interpolation reads
    * NEIGHBOUR samples, which no watermark-free stateful aggregation
-   * exposes incrementally, so the stream drives PERIODIC INCREMENTAL
-   * RECOMPUTE instead. Each micro-batch appends its raw samples to a
-   * source log, derives its touched (series, bucket) set, and
-   * foreachBatch stitches [[recomputeBuckets]] — which expands TWA's
-   * touched set to the true non-empty neighbour buckets — into the
-   * running dest (lineage truncated per batch via localCheckpoint).
+   * exposes incrementally — so the state kept per (series, bucket) is
+   * not the FINAL value but the bucket's boundary-free PARTIALS
+   * ([[bucketPartials]]: first/last valid sample and the interior
+   * trapezoid sum), all computable from the bucket's own samples alone.
+   * Boundary interpolation then resolves AT READ TIME
+   * ([[resolveTwaPartials]]): one lag/lead window by series over the
+   * dest-sized partials table reaches each bucket's nearest occupied
+   * neighbours — the same formula [[Twa.bucketTwa]] applies per sample,
+   * applied per bucket.
    *
-   * Per-batch I/O is O(batch + touched buckets), not O(history)
-   * (VERDICT r04 #1 — the previous shape re-derived the occupied-bucket
-   * index from the FULL source log every batch, unbounded re-scan on a
-   * long-lived stream). Two mechanisms bound it:
-   *  1. the valid-occupied (series, bucket) index is maintained
-   *     INCREMENTALLY — the stream is append-only (deletes arrive only
-   *     via the batch TS.DEL path), and the running dest, kept keyed by
-   *     SOURCE series, IS the index (a TWA dest row exists exactly per
-   *     valid-occupied bucket); the per-batch index is dest ∪ the
-   *     batch's valid buckets and the driver expands it and calls
-   *     [[stitchTwaRecompute]] directly — no source scan derives it;
-   *  2. the source log is written `partitionBy(__bkt)` and the
-   *     recompute reads it through [[prunedLogRead]], which lists ONLY
-   *     the support buckets' (touched + two TWA neighbour hops over the
-   *     index) partition directories. The driver-side bucket list is
-   *     bounded by time-range/bucketMs (a TIME count, not a series
-   *     count), the same boundedness class as FILTER_BY_TS's 128
-   *     literals.
+   * That decomposition makes the per-batch work O(batch), full stop
+   * (VERDICT r05 #2 — the previous shape kept final values, whose
+   * neighbour dependencies forced an occupied-bucket index, a two-hop
+   * touched expansion, and a localCheckpoint rewrite of the WHOLE
+   * running dest every batch — O(state) per batch):
+   *  - each micro-batch appends its raw samples to a source log written
+   *    `partitionBy(__bkt)`, re-derives the partials of ONLY its own
+   *    buckets from [[prunedLogRead]] (lists just those buckets'
+   *    partition directories — per-batch log I/O and listing stay
+   *    O(touched) however long the stream has run), and appends them,
+   *    stamped with the batch id, to a merge-on-read dest log — the
+   *    same log-structured update-mode sink contract the plain-agg path
+   *    uses ([[streamingDownsampleUpdateOnce]]);
+   *  - no neighbour expansion, no index, no driver-held dest: a
+   *    sample's arrival changes other buckets' FINAL values only
+   *    through interpolation, and that is re-derived from current
+   *    partials at every read, so neighbouring buckets never need
+   *    rewriting. The driver-side bucket-literal list is bounded by
+   *    batch time-span/bucketMs (a TIME count, the boundedness class of
+   *    FILTER_BY_TS's 128 literals).
+   * The read side resolves last-writer-wins per (series, bucket) —
+   * valid for the append-only stream (a bucket's sample set only
+   * grows, so its latest recompute saw every sample; deletes arrive
+   * only via the batch TS.DEL path). Like every log-structured sink,
+   * a year-long deployment compacts the log periodically; per-batch
+   * cost is unaffected.
    * This is the reference's per-write upsertCompaction contract
    * (tsdb.c:621-668) at micro-batch granularity.
    *
    * The source is staged into `nChunks` files replayed one per
    * micro-batch (`maxFilesPerTrigger=1`). By default chunks are TS
    * RANGES — the realistic mostly-in-order arrival, under which each
-   * batch touches only its own new buckets (plus boundary neighbours)
-   * and total work ≈ one full materialization. `oooSplit=true` stages
-   * hash-split chunks instead, so every batch carries late samples for
-   * interior buckets — the OOO stress shape (used by the spec). The
-   * final dest is independent of the split: every bucket's last touch
-   * recomputes it from all of its samples seen so far, and a sample's
-   * arrival always touches its own bucket (and, transitively, its TWA
-   * neighbours).
+   * batch recomputes only its own new buckets and total work ≈ one full
+   * materialization. `oooSplit=true` stages hash-split chunks instead,
+   * so every batch carries late samples for interior buckets — the OOO
+   * stress shape (used by the spec). The final dest is independent of
+   * the split: every bucket's last touch recomputes its partials from
+   * all of its samples seen so far, and boundary resolution reads only
+   * final partials.
    */
   def streamingDownsampleTwaOnce(
       spark: SparkSession, dir: String, rule: Rule, workDir: String,
       nChunks: Int = 3, oooSplit: Boolean = false): DataFrame = withStatePartitions(spark, 4) {
     withConf(spark, "spark.sql.adaptive.enabled", "false") {
     // 4, not 8: this runner keeps NO streaming state (pure
-    // foreachBatch), so the setting only sizes the per-batch recompute
-    // joins/aggs — small frames where stage-launch overhead beats
+    // foreachBatch), so the setting only sizes the per-batch partials
+    // window/agg — small frames where stage-launch overhead beats
     // parallelism at the fixture scale; a real deployment sizes it to
     // batch volume. AQE is off for the same reason: the per-batch plan
-    // is a chain of tiny pre-hinted joins over checkpointed frames
-    // (whose stats AQE cannot see anyway) — its per-shuffle stage
-    // barriers add latency with nothing left to re-decide.
+    // is one pruned read -> window -> agg -> write over a bounded
+    // frame — its per-shuffle stage barriers add latency with nothing
+    // left to re-decide.
     require(rule.agg == "twa", "non-TWA rules use streamingDownsampleAll")
     import org.apache.spark.sql.{Dataset, Row}
     val srcStage = s"$workDir/stage"
     val srcLog = s"$workDir/log"
+    val destLog = s"$workDir/dest"
     val samples = TSModel.samples(spark, dir)
     val chunkOf: Column =
       if (oooSplit) pmod(xxhash64(col("series"), col("ts")), lit(nChunks))
@@ -499,77 +510,126 @@ object Compaction {
     // ONE staging job: range-partition by chunk id (values 0..n-1 map
     // monotonically to part-00000..n files) instead of n filtered
     // full-source scans; file mtimes are then stamped in chunk order so
-    // the file source replays them as intended (it orders by mtime)
+    // the file source replays them as intended (it orders by mtime).
+    // (series, ts) trail the range key: sampling over the 0..n-1 chunk
+    // ids ALONE has too few distinct values and can merge two ids into
+    // one partition (ADVICE r05 — observed at nChunks=5 on the small
+    // fixture); with the fine-grained tail the sampler always finds n
+    // distinct cut points, and __c leading keeps files chunk-ordered
     samples.withColumn("__c", chunkOf)
-      .repartitionByRange(nChunks, col("__c"))
+      .repartitionByRange(nChunks, col("__c"), col("series"), col("ts"))
       .drop("__c") // staging column must not leak into the staged files
       .write.mode("overwrite").parquet(srcStage)
     locally {
       val files = new java.io.File(srcStage).listFiles()
         .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      // the range partitioner's SAMPLED bounds could merge two chunk
+      // ids into one file (ADVICE r05) — then replay granularity, and
+      // any per-batch accounting derived from it (ScaleProbe divides by
+      // nChunks), silently shrinks; fail loudly instead
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks " +
+          s"(range bounds merged chunk ids, or the source under $dir is too small)")
       files.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1000000000000L + i * 60000L)
       }
     }
     val bkt = TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs)
-    // the running dest is keyed by SOURCE series (suffix applied at the
-    // final read): a TWA dest row exists exactly for each
-    // valid-occupied (series, bucket), so dest IS the incremental
-    // occupied-bucket index — no separate index to maintain or scan
-    var dest: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], sampleSchema)
     val q = spark.readStream.schema(sampleSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcStage)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.withColumn("__bkt", bkt)
           .write.mode("append").partitionBy("__bkt").parquet(srcLog)
-        // valid-occupied index for the expansion = prior dest buckets
-        // ∪ this batch's valid buckets, restricted to touched series
-        // (duplicates are harmless under the expansion's max/min).
-        // ONE cheap checkpoint (reads the checkpointed dest + the batch
-        // files — never the log): every downstream t/t2 evaluation
-        // starts from this materialized frame
-        val t0 = batch.select(col("series").as("__s"), bkt.as("__b")).distinct()
-        // broadcast-hinted: the per-batch working set (touched series'
-        // occupied buckets) is assumed executor-memory bounded, the
-        // same contract as the batch path's gated broadcasts; if a
-        // deployment's batches touch more, drop the hint and AQE plans
-        // the expansions as shuffle joins instead
-        val occT = broadcast(dest.select(col("series"), col("ts").as("ob"))
-          .unionByName(batch.filter(!isnan(col("value")))
-            .select(col("series"), bkt.as("ob")))
-          .join(broadcast(t0.select(col("__s")).distinct()),
-            col("series") === col("__s"), "left_semi")
-          .localCheckpoint())
-        // touched + neighbour hops, derived from the INDEX alone (no
-        // raw-history scan); lazy — each evaluation is one broadcast
-        // join + one small aggregation over the checkpointed index
-        val t = expandTwaTouched(occT, t0)
-        val t2 = expandTwaTouched(occT, t)
-        // t2's distinct buckets → literal PARTITION filters on the log
-        // read; the driver-side list is bounded by time-range/bucketMs
-        // (a TIME count, not a series count), the boundedness class of
-        // FILTER_BY_TS's 128 literals
-        val bucketLits = t2.select(col("__b")).distinct()
+        // this batch's OWN buckets, as literal partition filters on the
+        // source log (all of a bucket's samples so far live under its
+        // __bkt= directory, whichever batch appended them)
+        val bucketLits = batch.select(bkt.as("__b")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        dest = stitchTwaRecompute(
-          prunedLogRead(spark, srcLog, bucketLits), dest, rule, t, None, "")
-          .localCheckpoint()
+        bucketPartials(prunedLogRead(spark, srcLog, bucketLits), rule)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(destLog)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // flushed read semantics, like materialize: each series' in-flight
-    // (newest) bucket is not yet written
-    val w = Window.partitionBy(col("series"))
-    dest.withColumn("__maxb", max(col("ts")).over(w))
-      .filter(col("ts") < col("__maxb"))
-      .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
-        col("ts"), col("value"))
+    resolveTwaPartials(spark.read.parquet(destLog), rule)
     }
+  }
+
+  /** Boundary-free TWA state for each (series, bucket) of `samples`,
+    * computable from the bucket's own valid samples alone: the first
+    * and last valid sample (as the interpolation anchors its neighbours
+    * will read) and the interior trapezoid sum between consecutive
+    * valid samples — the only term of [[Twa.bucketTwa]]'s integral that
+    * doesn't depend on other buckets. */
+  private[ts] def bucketPartials(samples: DataFrame, rule: Rule): DataFrame = {
+    val valid = samples.filter(!isnan(col("value")))
+      .select(col("series"), col("ts"), col("value"),
+        TSModel.bucketStart(col("ts"), rule.bucketMs, rule.alignMs).as("bucket"))
+    val w = Window.partitionBy(col("series"), col("bucket")).orderBy(col("ts"))
+    valid
+      .withColumn("__p_ts", lag(col("ts"), 1).over(w))
+      .withColumn("__p_v", lag(col("value"), 1).over(w))
+      .groupBy(col("series"), col("bucket"))
+      .agg(
+        min(col("ts")).cast("double").as("first_ts"),
+        min(struct(col("ts"), col("value"))).getField("value").as("first_v"),
+        max(col("ts")).cast("double").as("last_ts"),
+        max(struct(col("ts"), col("value"))).getField("value").as("last_v"),
+        sum(when(col("__p_ts").isNotNull,
+          (col("__p_v") + col("value")) * (col("ts") - col("__p_ts")).cast("double") / 2.0)
+          .otherwise(0.0)).as("interior"))
+  }
+
+  /** Merge-on-read + boundary resolution for the TWA partials log:
+    * last writer per (series, bucket) wins (its recompute saw every
+    * sample of the bucket so far), then ONE lag/lead window by series
+    * supplies each bucket's nearest occupied neighbours — a dest row
+    * exists exactly per valid-occupied bucket, so the window's previous
+    * row IS the nearest earlier valid sample — and the head/tail
+    * trapezoids + covered-interval rules of [[Twa.bucketTwa]] finalize
+    * the value. Flushed read semantics like [[materialize]]: each
+    * series' in-flight (newest) bucket is withheld. */
+  private[ts] def resolveTwaPartials(log: DataFrame, rule: Rule): DataFrame = {
+    val resolved = log.groupBy(col("series"), col("bucket"))
+      .agg(max(struct(col("batch_id"), col("first_ts"), col("first_v"),
+        col("last_ts"), col("last_v"), col("interior"))).as("s"))
+      .select(col("series"), col("bucket"),
+        col("s.first_ts").as("first_ts"), col("s.first_v").as("first_v"),
+        col("s.last_ts").as("last_ts"), col("s.last_v").as("last_v"),
+        col("s.interior").as("interior"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    val ta = col("bucket").cast("double")
+    val tb = (col("bucket") + rule.bucketMs).cast("double")
+    val pTs = lag(col("last_ts"), 1).over(w)
+    val pV = lag(col("last_v"), 1).over(w)
+    val nTs = lead(col("first_ts"), 1).over(w)
+    val nV = lead(col("first_v"), 1).over(w)
+    val withNb = resolved
+      .withColumn("__p_ts", pTs).withColumn("__p_v", pV)
+      .withColumn("__n_ts", nTs).withColumn("__n_v", nV)
+      .withColumn("__maxb", max(col("bucket")).over(Window.partitionBy(col("series"))))
+    val hasPrev = col("__p_ts").isNotNull
+    val hasNext = col("__n_ts").isNotNull
+    val vHead = col("__p_v") +
+      (ta - col("__p_ts")) * (col("first_v") - col("__p_v")) / (col("first_ts") - col("__p_ts"))
+    val head = when(hasPrev, (vHead + col("first_v")) * (col("first_ts") - ta) / 2.0)
+      .otherwise(0.0)
+    val vTail = col("last_v") +
+      (tb - col("last_ts")) * (col("__n_v") - col("last_v")) / (col("__n_ts") - col("last_ts"))
+    val tail = when(hasNext, (col("last_v") + vTail) * (tb - col("last_ts")) / 2.0)
+      .otherwise(0.0)
+    val firstTs = when(hasPrev, ta).otherwise(col("first_ts"))
+    val lastTs = when(hasNext, tb).otherwise(col("last_ts"))
+    val value = when(lastTs === firstTs, col("last_v"))
+      .otherwise((col("interior") + head + tail) / (lastTs - firstTs))
+    withNb
+      .filter(col("bucket") < col("__maxb"))
+      .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
+        col("bucket").as("ts"), value.cast("double").as("value"))
   }
 
   /** Read the bucket-partitioned streaming source log restricted to

@@ -157,6 +157,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Compaction.prunedLogRead(spark, log, Nil).isEmpty)
   }
 
+  test("temperature mix: returned plan reads checkpoints, not the corpus") {
+    // ADVICE r05: the starvation gate eagerly ran the survivors scan and
+    // the returned plan recomputed it — three corpus-scale jobs. With
+    // survivors localCheckpoint'd the returned plan ranks the pinned
+    // margin×target-bounded set: ZERO parquet scans (plan-build already
+    // paid the two corpus passes: counts + survivor materialization).
+    val df = SparkEntry.queries("pipeline_mix_temperature")(spark, dir)
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      s"mix plan re-scans the corpus:\n${scans.map(_.metadata.mkString(", ")).mkString("\n")}")
+  }
+
   test("ignore filter: one shuffle by series, then a streaming map pass") {
     val df = SparkEntry.queries("ts_ignore_filter")(spark, dir)
     val sh = shuffles(df)
