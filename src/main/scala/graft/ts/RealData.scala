@@ -69,15 +69,24 @@ object RealData {
         (col("pos") + 1).cast("long").as("ts"),
         col("col").cast("double").as("value"))
 
-  /** The identical frame in DuckDB: `read_csv` preserves file order
-    * (preserve_insertion_order is on by default), so row_number() is
-    * the same 1..N line numbering. */
+  /** The identical frame in DuckDB, with STRUCTURAL line numbering
+    * (ADVICE r05: the previous `row_number() OVER ()` over `read_csv`
+    * relied on preserve_insertion_order and non-parallel CSV reads —
+    * an undeclared engine-config dependency that a memory-pressure
+    * setting or parallel reorder would silently break): read the file
+    * as one text blob, split, and zip each line with its index — the
+    * exact analogue of Spark's wholetext + posexplode, order-free by
+    * construction. Verified value-identical to the old numbering. */
+  private def lemireBaseSql: String =
+    s"""SELECT 'lemire' AS series, CAST(p[2] AS BIGINT) AS ts, CAST(p[1] AS DOUBLE) AS value
+       |FROM (SELECT unnest(list_zip(ls, range(1, len(ls)+1))) AS p
+       |      FROM (SELECT string_split(content, chr(10)) AS ls
+       |            FROM read_text('$lemirePath')))
+       |WHERE trim(p[1]) <> ''""".stripMargin
+
   lazy val lemireCte: String =
     s"""WITH samples AS (
-       |  SELECT 'lemire' AS series,
-       |         row_number() OVER () AS ts,
-       |         v AS value
-       |  FROM read_csv('$lemirePath', header=false, columns={'v':'DOUBLE'})
+       |  ${lemireBaseSql.replace("\n", "\n  ")}
        |)""".stripMargin
 
   /** The file INTERLEAVES longitude/latitude (odd/even line positions
@@ -104,8 +113,7 @@ object RealData {
     s"""WITH samples AS (
        |  SELECT CASE WHEN ts % 2 = 1 THEN 'lemire_lon' ELSE 'lemire_lat' END AS series,
        |         ts, value
-       |  FROM (SELECT row_number() OVER () AS ts, v AS value
-       |        FROM read_csv('$lemirePath', header=false, columns={'v':'DOUBLE'}))
+       |  FROM (${lemireBaseSql.replace("\n", "\n  ")})
        |)""".stripMargin
 
   /** The split series' labels as a relational CTE (no leading WITH). */
@@ -127,8 +135,7 @@ object RealData {
   lazy val lemireSparseCte: String =
     s"""WITH samples AS (
        |  SELECT * FROM (
-       |    SELECT 'lemire' AS series, row_number() OVER () AS ts, v AS value
-       |    FROM read_csv('$lemirePath', header=false, columns={'v':'DOUBLE'})
+       |    ${lemireBaseSql.replace("\n", "\n    ")}
        |  ) WHERE ts % 97 = 0
        |)""".stripMargin
 }
