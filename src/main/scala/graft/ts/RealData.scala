@@ -76,9 +76,16 @@ object RealData {
     * setting or parallel reorder would silently break): read the file
     * as one text blob, split, and zip each line with its index — the
     * exact analogue of Spark's wholetext + posexplode, order-free by
-    * construction. Verified value-identical to the old numbering. */
+    * construction. Verified value-identical to the old numbering.
+    *
+    * TRY_CAST, not CAST (VERDICT r06 #1): DuckDB's optimizer pushes a
+    * caller's value-derived predicate (e.g. the TWA oracle's
+    * `NOT isnan(value)`) below the `trim(p[1]) <> ''` guard, so a plain
+    * CAST gets evaluated on the file's trailing empty line and aborts
+    * the whole query. TRY_CAST maps that line to NULL, which the guard
+    * then drops — identical rows, pushdown-proof. */
   private def lemireBaseSql: String =
-    s"""SELECT 'lemire' AS series, CAST(p[2] AS BIGINT) AS ts, CAST(p[1] AS DOUBLE) AS value
+    s"""SELECT 'lemire' AS series, CAST(p[2] AS BIGINT) AS ts, TRY_CAST(p[1] AS DOUBLE) AS value
        |FROM (SELECT unnest(list_zip(ls, range(1, len(ls)+1))) AS p
        |      FROM (SELECT string_split(content, chr(10)) AS ls
        |            FROM read_text('$lemirePath')))
