@@ -130,6 +130,34 @@ object ScaleProbe {
         nChunks = twaBatches).count()
     }
 
+    // 4b. dest-log compaction (r06 #4): an oooSplit stream over the
+    //     BASE fixture chopped into ~reps hash-split batches writes
+    //     ~reps superseded versions per bucket — the read side's
+    //     last-writer-wins resolve scans the whole log, so its cost
+    //     grows with versions; compactLog folds the log back to dest
+    //     cardinality, after which resolve cost must be flat in reps
+    //     (the single-version shape) and the resolved rows identical.
+    val oooWork = java.nio.file.Files.createTempDirectory("probe_ooo_").toString
+    val oooBatches = math.max(4, reps)
+    val oooRule = Compaction.Rule("twa", DAYMS)
+    val (_, tOooStream) = timed {
+      Compaction.streamingDownsampleTwaOnce(spark, base, oooRule, oooWork,
+        nChunks = oooBatches, oooSplit = true)
+    }
+    val oooDest = s"$oooWork/dest"
+    val logPre = spark.read.parquet(oooDest).count()
+    val (nResolvePre, tResolvePre) = timed {
+      Compaction.resolveTwaPartials(spark.read.parquet(oooDest), oooRule).count()
+    }
+    val (logPost, tCompact) = timed {
+      Compaction.compactLog(spark, oooDest, Seq("series", "bucket"))
+    }
+    val (nResolvePost, tResolvePost) = timed {
+      Compaction.resolveTwaPartials(spark.read.parquet(oooDest), oooRule).count()
+    }
+    require(nResolvePre == nResolvePost,
+      s"compaction changed the resolved dest: $nResolvePre -> $nResolvePost")
+
     // 5. streaming ingest (r05: the spillable-fold shape) over the N×
     //    samples replayed as 3 micro-batches — N× rows per batch, so
     //    the per-batch fold, tail-frame join and sink write all scale
@@ -170,6 +198,10 @@ object ScaleProbe {
       s""""unigram_nll_sec":${s2(tNll)},"nll_rows":$nNll,""" +
       s""""stream_twa_sec":${s2(tTwa)},"stream_twa_batches":$twaBatches,""" +
       s""""stream_twa_sec_per_batch":${s2(tTwa / twaBatches)},"stream_twa_rows":$nTwa,""" +
+      s""""ooo_batches":$oooBatches,"ooo_stream_sec":${s2(tOooStream)},""" +
+      s""""ooo_log_rows_pre":$logPre,"ooo_log_rows_post":$logPost,""" +
+      s""""ooo_resolve_pre_sec":${s2(tResolvePre)},"ooo_resolve_post_sec":${s2(tResolvePost)},""" +
+      s""""ooo_compact_sec":${s2(tCompact)},"ooo_dest_rows":$nResolvePre,""" +
       s""""stream_ingest_sec":${s2(tIng)},"stream_ingest_rows":$nIng,""" +
       s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()

@@ -792,6 +792,38 @@ object SparkEntry {
             bySuffix(_.labels("time_bucket")).as("label_time_bucket"),
             bySuffix(_.retentionMs.toString).cast("long").as("retention_ms"))
       }),
+
+      // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
+      // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
+      // context (sum 8.0, count 2.0, open bucket 0) alongside its
+      // source's raw samples. Engine route: recompute the in-flight
+      // bucket from the RAW samples through the normal LATEST read;
+      // oracle route: finalize the reference's serialized context
+      // (ctx_val/ctx_cnt). Two independent derivations that must meet —
+      // the expected values come from the reference's own state, not
+      // our batch oracle.
+      "ts_rdb_avg_ctx" -> ((s, _) =>
+        RdbState.rules.map { case (src, r) =>
+          Compaction.latest(
+            RdbState.samples(s).filter(col("series") === src),
+            Compaction.Rule(r.agg, r.bucketMs, r.alignMs))
+            .select(lit(r.dest).as("series"), col("ts"), col("value"))
+        }.reduce(_ unionByName _)),
+      // the reference test's follow-up `TS.ADD ts1 1500 100`
+      // (test_rdbs.py:82-84) closes bucket 0: the engine's flushed
+      // materialization over samples+late must equal the reference's
+      // context flush ([[0, 4]] in the flow test's own assertion)
+      "ts_rdb_avg_ctx_flush" -> ((s, _) => {
+        import s.implicits._
+        val late = Seq(RdbState.FollowUpAdd).toDF("series", "ts", "value")
+        RdbState.rules.map { case (src, r) =>
+          Compaction.materialize(
+            RdbState.samples(s).filter(col("series") === src)
+              .unionByName(late.filter(col("series") === src)),
+            Compaction.Rule(r.agg, r.bucketMs, r.alignMs))
+            .select(lit(r.dest).as("series"), col("ts"), col("value"))
+        }.reduce(_ unionByName _)
+      }),
     )
 
   /** Last GLT sample timestamp (2013-08-01; the reference's rdb creator
@@ -1501,6 +1533,21 @@ object SparkEntry {
            |UNION ALL
            |SELECT *, 'MAX', '${730 * DAY}', ${3650 * DAY} FROM (
            |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 730 * DAY)})""".stripMargin,
+      // ---- reference-serialized mid-bucket state: the oracle reads
+      // ONLY the rule-context CSV (dest naming, bucket geometry and the
+      // running sum/count all from the reference's own serialization) —
+      // the engine side reads ONLY the raw samples
+      "ts_rdb_avg_ctx" ->
+        s"""WITH ${RdbState.rulesCte}
+           |SELECT dest AS series, start_bucket AS ts,
+           |       ctx_val / ctx_cnt AS value
+           |FROM rdb_rules WHERE ctx_cnt > 0""".stripMargin,
+      "ts_rdb_avg_ctx_flush" ->
+        s"""WITH ${RdbState.rulesCte}
+           |SELECT dest AS series, start_bucket AS ts,
+           |       ctx_val / ctx_cnt AS value
+           |FROM rdb_rules
+           |WHERE ctx_cnt > 0 AND (1500 - 1500 % bucket_ms) > start_bucket""".stripMargin,
       "mm_features" ->
         """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           |  list_avg([ord(substring(text, CAST(i AS INT), 1))

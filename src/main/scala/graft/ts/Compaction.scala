@@ -410,10 +410,56 @@ object Compaction {
 
   /** Merge-on-read for the update-mode downsample log: the newest
     * batch's value per (series, bucket) wins. */
-  private[ts] def lastWriterWins(log: DataFrame): DataFrame =
+  private[graft] def lastWriterWins(log: DataFrame): DataFrame =
     log.groupBy(col("series"), col("ts"))
       .agg(max(struct(col("batch_id").as("b"), col("value").as("v")))
         .getField("v").as("value"))
+
+  /**
+   * Maintenance pass for the log-structured streaming sinks (VERDICT
+   * r06 #4): rewrite a merge-on-read log to its current winners — the
+   * row with the highest `batch_id` per `keyCols` — so read-side
+   * resolution scans O(dest cardinality) rows again instead of every
+   * superseded version ever appended. Per-batch WRITE cost was already
+   * O(batch); this bounds the READ side on long-lived streams with
+   * sustained out-of-order traffic (each OOO batch appends a fresh
+   * version of the buckets it touches, and without a fold the
+   * `groupBy(key).max(struct(batch_id, …))` read re-scans all of them).
+   *
+   * Works on both sink shapes — the plain update-mode agg log
+   * (keys `series, ts`, [[lastWriterWins]]) and the TWA partials log
+   * (keys `series, bucket`, [[resolveTwaPartials]]) — because winners
+   * keep their `batch_id`, so resolution after compaction is the
+   * identity of resolution before it (spec-pinned), and a later
+   * micro-batch can keep appending (batch ids only grow).
+   *
+   * Runs between micro-batches (same single-writer discipline as the
+   * foreachBatch appends). The rewrite goes through the Hadoop
+   * FileSystem API — a staged sibling directory swapped in — so the
+   * same routine holds on HDFS/object stores, not just local disk;
+   * the swap is not atomic for concurrent READERS, which a deployment
+   * schedules around (or replaces with a Delta/Iceberg MERGE, whose
+   * transaction log makes the same fold atomic).
+   *
+   * Returns the compacted row count (= dest cardinality).
+   */
+  def compactLog(spark: SparkSession, logDir: String, keyCols: Seq[String]): Long = {
+    val log = spark.read.parquet(logDir)
+    val payload = log.columns.filterNot(c => keyCols.contains(c) || c == "batch_id").toSeq
+    // max(struct(batch_id, payload…)): batch_id leads, is never null and
+    // never ties (one row per key per batch), so payload order is inert
+    val winners = log.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col("batch_id") +: payload.map(col)): _*)).as("__s"))
+      .select(keyCols.map(col) ++
+        ("batch_id" +: payload).map(n => col(s"__s.$n").as(n)): _*)
+    val staged = new org.apache.hadoop.fs.Path(logDir + "__compacting")
+    winners.write.mode("overwrite").parquet(staged.toString)
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(logDir)
+    fs.delete(dst, true)
+    require(fs.rename(staged, dst), s"compactLog: rename $staged -> $dst failed")
+    spark.read.parquet(logDir).count()
+  }
 
   /** One-shot multi-rule streaming downsample through the update-mode
     * merge-on-read sink (same log-structured sink contract as
@@ -463,8 +509,10 @@ object Compaction {
    * valid for the append-only stream (a bucket's sample set only
    * grows, so its latest recompute saw every sample; deletes arrive
    * only via the batch TS.DEL path). Like every log-structured sink,
-   * a year-long deployment compacts the log periodically; per-batch
-   * cost is unaffected.
+   * a year-long deployment folds the log periodically —
+   * [[compactLog]] rewrites it to current winners between batches, so
+   * read-side resolution stays O(dest cardinality) under sustained OOO
+   * traffic; per-batch write cost is unaffected either way.
    * This is the reference's per-write upsertCompaction contract
    * (tsdb.c:621-668) at micro-batch granularity.
    *
@@ -593,7 +641,7 @@ object Compaction {
     * trapezoids + covered-interval rules of [[Twa.bucketTwa]] finalize
     * the value. Flushed read semantics like [[materialize]]: each
     * series' in-flight (newest) bucket is withheld. */
-  private[ts] def resolveTwaPartials(log: DataFrame, rule: Rule): DataFrame = {
+  private[graft] def resolveTwaPartials(log: DataFrame, rule: Rule): DataFrame = {
     val resolved = log.groupBy(col("series"), col("bucket"))
       .agg(max(struct(col("batch_id"), col("first_ts"), col("first_v"),
         col("last_ts"), col("last_v"), col("interior"))).as("s"))

@@ -36,89 +36,18 @@ object GltData {
   final case class Series(key: String, labels: Seq[(String, String)],
       samples: Array[(Long, Double)])
 
-  /** Decode the bundled RDB: all 200 series in file order. */
+  /** Decode the bundled RDB: all 200 series in file order. The byte
+    * walk lives in [[RdbReader]] (shared with the rule-bearing
+    * [[RdbState]] fixture since round 7); the GLT image is encver 0 —
+    * flat (timestamp, double) pairs, no rules. */
   lazy val parse: Seq[Series] = {
     val in = getClass.getResourceAsStream("/fixtures/glt_1.0.1.rdb")
     require(in != null, "bundled fixture /fixtures/glt_1.0.1.rdb missing from classpath")
     val data = in.readAllBytes(); in.close()
-    var pos = 0
-    def u8(): Int = { val b = data(pos) & 0xff; pos += 1; b }
-    def skip(n: Int): Unit = pos += n
-    def beLong(n: Int): Long = {
-      var v = 0L; for (_ <- 0 until n) v = (v << 8) | u8(); v
+    RdbReader.parseFile(data).map { s =>
+      require(s.rules.isEmpty, "GLT fixture has no compaction rules")
+      Series(s.key, s.labels, s.samples)
     }
-    // RDB length encoding (rdb.c of redis itself; 2-bit tag):
-    // 00=6-bit, 01=14-bit, 0x80/0x81=32/64-bit BE, 11=encoded string
-    def readLen(): (Long, Boolean) = {
-      val b = u8()
-      (b >> 6) match {
-        case 0 => (b & 0x3f, false)
-        case 1 => (((b & 0x3f).toLong << 8) | u8(), false)
-        case 2 =>
-          if (b == 0x80) (beLong(4), false)
-          else if (b == 0x81) (beLong(8), false)
-          else throw new IllegalStateException(f"bad length byte 0x$b%02x at $pos")
-        case _ => (b & 0x3f, true)
-      }
-    }
-    def leLong(n: Int): Long = {
-      var v = 0L; for (i <- 0 until n) v |= (data(pos + i) & 0xffL) << (8 * i)
-      pos += n; v
-    }
-    def readString(): String = {
-      val (l, enc) = readLen()
-      if (!enc) {
-        val s = new String(data, pos, l.toInt, java.nio.charset.StandardCharsets.UTF_8)
-        pos += l.toInt; s
-      } else l match { // int-encoded strings (INT8/16/32); LZF never
-        case 0 => leLong(1).toByte.toString // appears in these fixtures
-        case 1 => leLong(2).toShort.toString
-        case 2 => leLong(4).toInt.toString
-        case e => throw new IllegalStateException(s"unsupported string encoding $e")
-      }
-    }
-    require(new String(data, 0, 5) == "REDIS", "not an RDB file")
-    skip(9) // "REDIS0009"
-    // module-2 payload values are opcode-framed (EOF/UINT/DOUBLE/STRING),
-    // both opcode and UINT value in length encoding; DOUBLE is 8-byte LE
-    def modUint(): Long = {
-      val op = readLen()._1
-      require(op == 2, s"expected UINT opcode, got $op at $pos"); readLen()._1
-    }
-    def modString(): String = {
-      val op = readLen()._1
-      require(op == 5, s"expected STRING opcode, got $op at $pos"); readString()
-    }
-    def modDouble(): Double = {
-      val op = readLen()._1
-      require(op == 4, s"expected DOUBLE opcode, got $op at $pos")
-      java.lang.Double.longBitsToDouble(leLong(8))
-    }
-    val out = Seq.newBuilder[Series]
-    var done = false
-    while (!done) {
-      u8() match {
-        case 0xFA => readString(); readString() // aux field
-        case 0xFE => readLen()                  // selectdb
-        case 0xFB => readLen(); readLen()       // resizedb
-        case 0xFC => skip(8)                    // expire ms
-        case 0xFD => skip(4)                    // expire s
-        case 0xFF => done = true
-        case 0x07 => // RDB_TYPE_MODULE_2
-          readString() // redis key (the payload repeats it)
-          val encver = readLen()._1 & 0x3ff
-          require(encver == 0, s"expected encver 0, got $encver")
-          val key = modString()
-          modUint(); modUint() // retention, chunk size
-          val labels = (0L until modUint()).map(_ => (modString(), modString()))
-          require(modUint() == 0, "GLT fixture has no compaction rules")
-          val samples = Array.fill(modUint().toInt)((modUint(), modDouble()))
-          require(readLen()._1 == 0, s"expected module EOF at $pos")
-          out += Series(key, labels, samples)
-        case t => throw new IllegalStateException(f"unexpected RDB type 0x$t%02x at $pos")
-      }
-    }
-    out.result()
   }
 
   /** Extract-once CSV twins of the decoded fixture (series,ts,value and
