@@ -793,6 +793,26 @@ object SparkEntry {
             bySuffix(_.retentionMs.toString).cast("long").as("retention_ms"))
       }),
 
+      // real-data GAP-FILL goldens (VERDICT r06 #6). The decoded GLT
+      // fixture has NO missing months (verified: zero interior gaps,
+      // zero NaNs — the rdb creator loads a complete 1970..2013 span),
+      // so EMPTY semantics are exercised against the data's own monthly
+      // cadence: 10-day buckets leave ~2 of every 3 buckets genuinely
+      // sample-free, and LOCF must carry each real month across them
+      "ts_glt_empty_locf" -> ((s, _) =>
+        RangeQuery.range(
+          GltData.samples(s).filter(col("series").isin(GLT_GAP_SERIES: _*)),
+          RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("last"),
+            bucketMs = 10 * DAY, empty = true))),
+      // TWA over real monthly spacing: month lengths differ, so every
+      // annual bucket boundary lands mid-interval and the head/tail
+      // interpolation anchors on genuinely irregular neighbours
+      "ts_glt_twa" -> ((s, _) =>
+        RangeQuery.range(
+          GltData.samples(s).filter(col("series").isin(GLT_GAP_SERIES: _*)),
+          RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("twa"),
+            bucketMs = 365 * DAY))),
+
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
       // context (sum 8.0, count 2.0, open bucket 0) alongside its
@@ -829,6 +849,13 @@ object SparkEntry {
   /** Last GLT sample timestamp (2013-08-01; the reference's rdb creator
     * skips pre-epoch rows, so the series span is 1970..2013). */
   private val GLT_END = 1375315200000L
+
+  /** Series for the gap-fill goldens: real temperature + its paired
+    * uncertainty series (different value distributions, same cadence). */
+  private val GLT_GAP_SERIES = Seq(
+    "AverageTemperature:Toronto", "AverageTemperatureUncertainty:Toronto",
+    "AverageTemperature:Karachi")
+  private val GLT_GAP_IN = GLT_GAP_SERIES.map(s => s"'$s'").mkString(", ")
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
 
@@ -1533,6 +1560,15 @@ object SparkEntry {
            |UNION ALL
            |SELECT *, 'MAX', '${730 * DAY}', ${3650 * DAY} FROM (
            |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 730 * DAY)})""".stripMargin,
+      // real-data gap-fill twins (shared locfOracle / Twa.sql shapes
+      // over the GLT samples CTE)
+      "ts_glt_empty_locf" ->
+        locfOracle(GltData.samplesCte, 10 * DAY, 0L, GLT_END,
+          s"series IN ($GLT_GAP_IN)"),
+      "ts_glt_twa" ->
+        s"""SELECT series, bucket AS ts, twa_value FROM (
+           |${Twa.sql(365 * DAY, 0L, Some(0L), Some(GLT_END),
+                      Some(s"series IN ($GLT_GAP_IN)"), None, GltData.samplesCte)})""".stripMargin,
       // ---- reference-serialized mid-bucket state: the oracle reads
       // ONLY the rule-context CSV (dest naming, bucket geometry and the
       // running sum/count all from the reference's own serialization) —
