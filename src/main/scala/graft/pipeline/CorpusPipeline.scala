@@ -301,7 +301,13 @@ object CorpusPipeline {
     // point of the pre-filter), and BOTH the starvation gate and the
     // returned rank read it — without pinning, the gate's eager count
     // and the final plan each re-run the corpus-wide filter+join, three
-    // corpus-scale jobs where two suffice (ADVICE r05).
+    // corpus-scale jobs where two suffice (ADVICE r05). Trade-offs
+    // (ADVICE r06): the default-eager checkpoint runs those jobs at
+    // plan-CONSTRUCTION time (callers that only inspect the plan still
+    // pay them), and checkpointed blocks are pinned to executors — not
+    // recomputable after executor loss under dynamic allocation; a
+    // deployment that cares uses reliable checkpoint() to durable
+    // storage instead.
     val survivors = base.filter(substring(h, 1, 4) < thr).localCheckpoint()
     // gate from the QUOTAS side: a fully-starved source has no survivor
     // group at all, so a survivors-side groupBy would never report it

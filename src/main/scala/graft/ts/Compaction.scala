@@ -563,7 +563,12 @@ object Compaction {
     // ids ALONE has too few distinct values and can merge two ids into
     // one partition (ADVICE r05 — observed at nChunks=5 on the small
     // fixture); with the fine-grained tail the sampler always finds n
-    // distinct cut points, and __c leading keeps files chunk-ordered
+    // distinct cut points, and __c leading keeps files chunk-ordered.
+    // Chunk boundaries are APPROXIMATE (ADVICE r06): sampled range
+    // bounds can land mid-chunk, so file i may carry a fringe of the
+    // adjacent chunk's rows — the nChunks check below catches merged
+    // ids, not fringes. Replay correctness doesn't care (the spec pins
+    // split-independence); only per-file accounting is approximate.
     samples.withColumn("__c", chunkOf)
       .repartitionByRange(nChunks, col("__c"), col("series"), col("ts"))
       .drop("__c") // staging column must not leak into the staged files

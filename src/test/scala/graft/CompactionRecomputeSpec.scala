@@ -179,6 +179,10 @@ class CompactionRecomputeSpec extends AnyFunSuite {
       spark.read.parquet(f.getPath).select("ts")
         .collect().map(x => bkt(x.getLong(0))).toSet
     }
+    // chunkBuckets(batchId) relies on AvailableNow + maxFilesPerTrigger=1
+    // replaying staged files in mtime order with batch ids from 0 (fresh
+    // implicit temp checkpoint) — streaming-source defaults; if this
+    // assert ever flakes, check those assumptions first (ADVICE r06)
     val written = spark.read.parquet(s"$work/dest")
       .select("batch_id", "bucket").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
