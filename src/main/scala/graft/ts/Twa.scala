@@ -182,18 +182,24 @@ object Twa {
     nonEmpty.unionByName(filled)
   }
 
-  /** DuckDB oracle for [[bucketTwaWithEmpty]]'s gap-filled rows. */
+  /** DuckDB oracle for [[bucketTwaWithEmpty]]'s gap-filled rows.
+    * `extraPred`/`cte` as in [[sql]] — the filter applies before the
+    * spine bounds and the neighbour windows, so filtered-out samples
+    * are invisible to lifetime and interpolation alike. */
   def emptySql(
       bucketMs: Long,
       alignMs: Long,
       from: Option[Long],
       to: Option[Long],
-      seriesPred: Option[String]): String = {
-    val base = sql(bucketMs, alignMs, from, to, seriesPred)
+      seriesPred: Option[String],
+      extraPred: Option[String] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val base = sql(bucketMs, alignMs, from, to, seriesPred, extraPred, cte)
     // neighbours for empty-bucket interpolation may lie outside the
     // query range (same direct-lookup semantics as non-empty twa)
     val cl = Seq.newBuilder[String]
     seriesPred.foreach(cl += _)
+    extraPred.foreach(cl += _)
     cl += "NOT isnan(value)"
     val where = cl.result().mkString("WHERE ", " AND ", "")
     val taP = from.map(f => s"greatest(bucket, $f)").getOrElse("bucket")
@@ -205,13 +211,13 @@ object Twa {
     val hiClip = to.map(t => s"least($hiB, ${TSModel.bucketStartLong(t, bucketMs, alignMs)})").getOrElse(hiB)
     s"""WITH ne AS ($base), sp AS (
        |  SELECT series, unnest(generate_series($loClip, $hiClip, $bucketMs)) AS bucket
-       |  FROM (${TSModel.samplesCte} SELECT * FROM samples $where) GROUP BY series
+       |  FROM ($cte SELECT * FROM samples $where) GROUP BY series
        |), eb AS (
        |  SELECT sp.series, sp.bucket FROM sp LEFT JOIN ne USING (series, bucket)
        |  WHERE ne.twa_value IS NULL
        |), u AS (
        |  SELECT series, ts, value, NULL::BIGINT AS bucket
-       |  FROM (${TSModel.samplesCte} SELECT * FROM samples $where)
+       |  FROM ($cte SELECT * FROM samples $where)
        |  UNION ALL BY NAME
        |  SELECT series, $taP AS ts, NULL::DOUBLE AS value, bucket FROM eb
        |), nb AS (
