@@ -393,13 +393,19 @@ object Compaction {
    * via [[Ingest.resolveSink]]).
    */
   private[ts] def runToLogSink(
-      streaming: DataFrame, outputMode: String, sinkDir: String): DataFrame = {
+      streaming: DataFrame, outputMode: String, sinkDir: String,
+      compactEvery: Int = 0, keyCols: Seq[String] = Seq("series", "ts")): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val q = streaming
       .writeStream.outputMode(outputMode)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(sinkDir)
+        // opt-in periodic maintenance (between batches, same
+        // single-writer discipline): fold the log to current winners so
+        // read-side resolution stays O(dest) on long-lived streams
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactLog(batch.sparkSession, sinkDir, keyCols)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -529,7 +535,8 @@ object Compaction {
    */
   def streamingDownsampleTwaOnce(
       spark: SparkSession, dir: String, rule: Rule, workDir: String,
-      nChunks: Int = 3, oooSplit: Boolean = false): DataFrame = withStatePartitions(spark, 4) {
+      nChunks: Int = 3, oooSplit: Boolean = false,
+      compactEvery: Int = 0): DataFrame = withStatePartitions(spark, 4) {
     withConf(spark, "spark.sql.adaptive.enabled", "false") {
     // 4, not 8: this runner keeps NO streaming state (pure
     // foreachBatch), so the setting only sizes the per-batch partials
@@ -603,6 +610,10 @@ object Compaction {
         bucketPartials(prunedLogRead(spark, srcLog, bucketLits), rule)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(destLog)
+        // opt-in periodic log fold (the [[compactLog]] contract the doc
+        // above describes), exercised mid-stream by CompactLogSpec
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactLog(spark, destLog, Seq("series", "bucket"))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -773,9 +784,11 @@ object Compaction {
    * bucket simply supersedes the earlier row at read time.
    */
   def streamingDownsampleUpdateOnce(
-      spark: SparkSession, dir: String, rule: Rule, sinkDir: String): DataFrame =
+      spark: SparkSession, dir: String, rule: Rule, sinkDir: String,
+      compactEvery: Int = 0): DataFrame =
     withStatePartitions(spark, 8) {
       lastWriterWins(runToLogSink(
-        streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir))
+        streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
+        compactEvery))
     }
 }

@@ -41,6 +41,28 @@ class CompactLogSpec extends AnyFunSuite {
     assert(key(Compaction.resolveTwaPartials(spark.read.parquet(destLog), r)) == before)
   }
 
+  test("mid-stream auto-compaction (compactEvery) preserves the result and bounds the log") {
+    val r = Compaction.Rule("twa", DAY)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x =>
+        (x.getString(0), x.getLong(1), math.round(x.getDouble(2) * 1e6))).toSet
+    val plainWork = java.nio.file.Files.createTempDirectory("clog_auto0_").toString
+    val autoWork = java.nio.file.Files.createTempDirectory("clog_auto2_").toString
+    val plain = key(Compaction.streamingDownsampleTwaOnce(spark, sf, r, plainWork,
+      nChunks = 4, oooSplit = true))
+    val auto = key(Compaction.streamingDownsampleTwaOnce(spark, sf, r, autoWork,
+      nChunks = 4, oooSplit = true, compactEvery = 2))
+    assert(auto == plain && auto.nonEmpty,
+      "mid-stream compaction changed the resolved result")
+    val plainRows = spark.read.parquet(s"$plainWork/dest").count()
+    val autoRows = spark.read.parquet(s"$autoWork/dest").count()
+    // with oooSplit every batch re-partials most buckets: 4 batches
+    // leave ~4 versions/bucket unfolded; compactEvery=2 folds twice
+    // mid-stream, so only the post-fold tail of versions remains
+    assert(autoRows < plainRows,
+      s"auto-compacted log ($autoRows rows) not smaller than unfolded ($plainRows)")
+  }
+
   test("update-mode agg log: last-writer-wins result survives compaction exactly") {
     val sink = java.nio.file.Files.createTempDirectory("clog_upd_")
       .resolve("log").toString
