@@ -340,4 +340,56 @@ object CorpusPipeline {
        |)
        |SELECT source, doc_id FROM ranked JOIN quotas USING (source)
        |WHERE rk <= quota""".stripMargin
+
+  /**
+   * Percentile quality gate WITHOUT a global sort — the 100 TB shape
+   * for "drop the worst `dropFrac` of the corpus by quality score".
+   * A `percent_rank` formulation would total-sort the corpus; instead
+   * the score is quantized (`floor(stop_ratio * 1e4)` — a literal
+   * quantizer, so the DuckDB oracle re-derives the exact threshold),
+   * the BOUNDED histogram of quantized scores (≤ 10k rows, aggregated
+   * map-side) yields the cut from its cumulative counts, and the
+   * corpus is filtered with that broadcast scalar. Corpus cost: two
+   * projection scans + one tiny-key shuffle; all ordering work happens
+   * on the histogram. The histogram is localCheckpoint'd — the total
+   * and threshold jobs read it twice and must not rescan the corpus.
+   *
+   * Threshold rule (exact, integer-only): with k = floor(dropFrac *
+   * total), t = the largest score with cumulative count <= k; keep
+   * docs with score > t. Ties never straddle the cut — a score's
+   * whole bucket is dropped or kept, so at most k docs are dropped.
+   */
+  def qualityPercentileKeep(docs: DataFrame, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac out of range: $dropFrac")
+    val scored = Text.qualityMetrics(docs)
+      .select(col("doc_id"), floor(col("stop_ratio") * 10000).as("qscore"))
+    val hist = scored.groupBy(col("qscore")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = hist.agg(sum(col("c"))).head.getLong(0)
+    if (total == 0L) return scored
+    val k = math.floor(dropFrac * total).toLong
+    // single-partition window is deliberate: it runs on the bounded
+    // histogram, not the corpus
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("qscore"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.filter(col("cum") <= k).agg(max(col("qscore"))).head
+    val t = if (thr.isNullAt(0)) Long.MinValue else thr.getLong(0)
+    scored.filter(col("qscore") > t)
+  }
+
+  def qualityPercentileKeepSql(dropFrac: Double): String =
+    s"""WITH q AS (
+       |${Text.qualityMetricsSql}
+       |), scored AS (
+       |  SELECT doc_id, CAST(floor(stop_ratio * 10000) AS BIGINT) AS qscore FROM q
+       |), cum AS (
+       |  SELECT qscore, sum(c) OVER (ORDER BY qscore) AS cum FROM (
+       |    SELECT qscore, count(*) AS c FROM scored GROUP BY 1)
+       |), thr AS (
+       |  SELECT max(qscore) AS t FROM cum
+       |  WHERE cum <= floor($dropFrac * (SELECT count(*) FROM scored))
+       |)
+       |SELECT doc_id, qscore FROM scored, thr
+       |WHERE qscore > coalesce(t, ${Long.MinValue}::BIGINT)""".stripMargin
 }

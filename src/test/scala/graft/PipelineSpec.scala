@@ -257,6 +257,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality percentile gate drops whole score buckets, never more than k docs") {
+    // stop_ratio buckets: "the x" -> 0.5 (3 docs), "the the" -> 1.0
+    // (2 docs), "x y" -> 0.0 (3 docs). dropFrac=0.5 over 8 docs -> k=4:
+    // cum(0.0)=3 <= 4 but cum(0.5)=6 > 4, so only the 0.0 bucket drops
+    // (3 docs, not 4 — a bucket is atomic at the cut)
+    val d = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y"),
+      (4L, "the x"), (5L, "the x"), (6L, "the x"),
+      (7L, "the the"), (8L, "the the")).toDF("doc_id", "text")
+    val kept = CorpusPipeline.qualityPercentileKeep(d, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L, 7L, 8L), s"got $kept")
+    // dropFrac=0 keeps everything
+    assert(CorpusPipeline.qualityPercentileKeep(d, 0.0).count() == 8)
+    // driver-gate shape at fixture scale: drops exactly floor(0.25 * n)
+    // docs only when no bucket straddles the cut; never more
+    val full = CorpusPipeline.qualityPercentileKeep(docs, 0.25).count()
+    val n = docs.count()
+    assert(full >= n - n / 4 && full < n, s"kept $full of $n")
+  }
+
   test("temperature mix: per-source take equals the sqrt-quota, deterministically") {
     val target = 100L
     val got = CorpusPipeline.mixByTemperature(docs, target)
