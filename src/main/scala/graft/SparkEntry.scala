@@ -585,6 +585,11 @@ object SparkEntry {
       "pipeline_stratified_sample" -> ((s, dir) =>
         graft.pipeline.CorpusPipeline.stratifiedSample(
           Text.loadDocuments(s, dir), Map("en" -> 0.8), defaultRate = 0.25)),
+      // percentile quality gate via the bounded score histogram — the
+      // no-global-sort threshold shape (drop the worst quarter)
+      "pipeline_quality_percentile" -> ((s, dir) =>
+        graft.pipeline.CorpusPipeline.qualityPercentileKeep(
+          Text.loadDocuments(s, dir), dropFrac = 0.25)),
       // sequence packing: documents -> fixed-token-budget training
       // bins, contiguous fill per shard (concat-then-chunk semantics)
       "pipeline_pack_sequences" -> ((s, dir) =>
@@ -602,6 +607,19 @@ object SparkEntry {
         Dedup.ccCanonicalMapping(
           docs.filter(col("doc_id") < 300),
           Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300))
+      }),
+      // cross-source dedup priority: within each near-dup component keep
+      // the most-trusted source's doc, not the min-id canonical. The map
+      // is chosen so that at sf0.01 it actually inverts 5 of the 7
+      // components' winners vs min-id and leaves one priority tie to the
+      // doc_id tiebreak — a non-vacuous differential.
+      "dedup_priority_keep" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        Dedup.priorityKeep(
+          docs.filter(col("doc_id") < 300),
+          Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300),
+          Map("src13" -> 0, "src14" -> 1, "src10" -> 2, "src5" -> 3),
+          defaultPriority = 9)
       }),
       // TF-IDF: per-(doc, term) counts x inverse document frequency;
       // membership bounded by an integer predicate (cnt >= 3)
@@ -1462,10 +1480,16 @@ object SparkEntry {
           Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
+      "dedup_priority_keep" ->
+        Dedup.priorityKeepSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300,
+          Map("src13" -> 0, "src14" -> 1, "src10" -> 2, "src5" -> 3),
+          defaultPriority = 9),
       "pipeline_corpus_filter" ->
         graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
       "pipeline_stratified_sample" ->
         graft.pipeline.CorpusPipeline.stratifiedSampleSql(Map("en" -> 0.8), defaultRate = 0.25),
+      "pipeline_quality_percentile" ->
+        graft.pipeline.CorpusPipeline.qualityPercentileKeepSql(dropFrac = 0.25),
       "pipeline_pack_sequences" ->
         graft.pipeline.CorpusPipeline.packSequencesSql(budgetTokens = 2048L, nShards = 8),
       "pipeline_mix_temperature" ->

@@ -356,6 +356,67 @@ object Dedup {
        |FROM (SELECT doc_id FROM documents WHERE doc_id < $maxDocId) d
        |LEFT JOIN comp USING (doc_id)""".stripMargin
 
+  /** Cross-source priority keep — the policy a real corpus build
+    * applies when the same page arrives from several feeds (say a
+    * curated dump AND a crawl): within each near-dup component keep
+    * the doc from the most-trusted source (lowest priority rank;
+    * doc_id breaks ties), not the arbitrary min-id canonical.
+    *
+    * Scale shape: the election runs ONLY over pair-graph members — the
+    * star-contraction label frame is O(pair-graph nodes), so members,
+    * winners, and the mapping are all bounded by the dup subset and
+    * ride gated broadcasts; the corpus pays one broadcast-join
+    * projection pass and is never shuffled. Docs outside the pair
+    * graph keep themselves. Output: (doc_id, kept_id) for every doc —
+    * kept_id == doc_id marks survivors.
+    */
+  def priorityKeep(docs: DataFrame, pairs: DataFrame,
+      priority: Map[String, Int], defaultPriority: Int): DataFrame = {
+    val labels = ccCanonical(pairs).withColumnRenamed("node", "doc_id")
+    val prio = coalesce(
+      element_at(typedLit(priority), col("source")), lit(defaultPriority))
+    val members = docs.select(col("doc_id"), col("source"))
+      .join(maybeBroadcast(labels), Seq("doc_id")) // inner: dup subset only
+      .withColumn("p", prio)
+    val winners = members.groupBy(col("label"))
+      .agg(min(struct(col("p"), col("doc_id"))).getField("doc_id").as("kept_id"))
+    val mapping = members.join(maybeBroadcast(winners), Seq("label"))
+      .select(col("doc_id"), col("kept_id"))
+    docs.select(col("doc_id"))
+      .join(maybeBroadcast(mapping), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept_id"), col("doc_id")).as("kept_id"))
+  }
+
+  /** DuckDB twin of [[priorityKeep]]: transitive closure by recursive
+    * CTE, then the same (priority, doc_id) argmin per component. */
+  def priorityKeepSql(pairsSql: String, maxDocId: Long,
+      priority: Map[String, Int], defaultPriority: Int): String = {
+    val cases = priority.toSeq.sortBy(_._2)
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS label FROM reach GROUP BY a
+       |), members AS (
+       |  SELECT d.doc_id, comp.label,
+       |         CASE d.source $cases ELSE $defaultPriority END AS p
+       |  FROM (SELECT doc_id, source FROM documents WHERE doc_id < $maxDocId) d
+       |  JOIN comp USING (doc_id)
+       |), win AS (
+       |  SELECT label, (min(struct_pack(p := p, d := doc_id))).d AS kept_id
+       |  FROM members GROUP BY label
+       |)
+       |SELECT d.doc_id, coalesce(kw.kept_id, d.doc_id) AS kept_id
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < $maxDocId) d
+       |LEFT JOIN (SELECT members.doc_id, win.kept_id
+       |           FROM members JOIN win USING (label)) kw USING (doc_id)""".stripMargin
+  }
+
   /** 64-bit token hash computable identically in DuckDB: two 32-bit
     * halves of the md5 hex digest, `(hi32 << 32) | lo32`. Slower than
     * xxhash64 — exists so the driver's oracle can replay the simhash

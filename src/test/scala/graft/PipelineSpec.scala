@@ -187,6 +187,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
   }
 
+  test("priority keep elects the trusted source, ties fall to min doc_id") {
+    // comp {1,2}: curated 2 beats crawl 1 (a flip vs min-id canonical);
+    // comp {3,4}: both crawl -> tie -> 3 by doc_id; 5 and 10 untouched.
+    val toyDocs = Seq((1L, "crawl"), (2L, "curated"), (3L, "crawl"),
+      (4L, "crawl"), (5L, "crawl"), (10L, "curated")).toDF("doc_id", "source")
+    val toyPairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.9)).toDF("i", "j", "jac")
+    val kept = Dedup.priorityKeep(toyDocs, toyPairs,
+        Map("curated" -> 0), defaultPriority = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 10L -> 10L))
+    // fixture-level non-vacuity: the SparkEntry map must invert at least
+    // one component's winner vs the min-id canonical, or the oracle row
+    // degenerates into dedup_cc_canonical
+    val bounded = docs.filter(col("doc_id") < 300)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 300)
+    val prio = Dedup.priorityKeep(bounded, pairs,
+        Map("src13" -> 0, "src14" -> 1, "src10" -> 2, "src5" -> 3),
+        defaultPriority = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val minId = Dedup.ccCanonicalMapping(bounded, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prio.keySet == minId.keySet)
+    val flipped = prio.count { case (d, k) => minId(d) != k }
+    assert(flipped > 0, "priority map never flips a winner - vacuous fixture")
+    // both policies keep exactly one survivor per component
+    assert(prio.values.toSet.size == minId.values.toSet.size)
+  }
+
   test("multimodal packing and feature extraction round-trip") {
     val packed = Multimodal.pack(docs)
     assert(packed.schema("media").dataType.typeName == "binary")
