@@ -22,11 +22,21 @@ object Bench {
     // plan and fails loudly instead of recording a time-to-failure.
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
-    // Warm-up on the BENCHED fixture: session/codegen/parquet-footer
-    // costs land here, not in whichever query sorts first. Guarded —
-    // a missing warm-up must not abort the benchmark.
-    try run(SparkEntry.queries("ts_range_agg_avg")(spark, sfDir))
-    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    // Warm-up: session/codegen/parquet-footer costs land here, not in
+    // whichever query sorts first. TWO warm-ups (VERDICT r8 #3): one on
+    // self-contained bundled data (ts_lemire_twa — immune to fixture
+    // regeneration, so codegen/session warm-up ALWAYS happens) and one
+    // on the benched fixture (footer/caching). Guarded — a failed
+    // warm-up must not abort the benchmark — and the outcome is
+    // recorded in the emitted JSON so a broken warm-up is visible in
+    // the round artifact instead of silently poisoning the
+    // alphabetically-first measurements.
+    val warmup = Seq("ts_lemire_twa", "ts_range_agg_avg").map { name =>
+      try { run(SparkEntry.queries(name)(spark, sfDir)); name -> "ok" }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        name -> "failed" }
+    }
     // Per-query MEDIAN of `reps` runs (review r04 #8: sf0.1 wall times
     // swing ±30% on this host; a single sample confounds host noise
     // with plan changes). SPARK_GRAFT_ONLY=q1,q2 narrows the set while
@@ -53,7 +63,9 @@ object Bench {
     // must never read as a speedup
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
+    val wu = warmup.map { case (n, s) => "\"" + n + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":$wu}"""
     println(json)
     // ALSO persist the full JSON to a file (VERDICT r06 #3): the
     // driver's stdout tail capture truncates the per-query map for the

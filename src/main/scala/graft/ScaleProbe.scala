@@ -116,9 +116,15 @@ object ScaleProbe {
     if (!cached || !new java.io.File(s"$twaSrc/events.parquet").exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$base/events.parquet")
-      val shiftNs = 35L * 86400000L * 1000000L // 35 days in ns
+      // shift replicas 35 days apart IN THE COLUMN'S NATIVE TYPE — the
+      // fixture's ts encoding is not stable across regenerations (r8)
+      def shifted(r: Int) = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // raw epoch-ns
+          col("ts") + lit(r * 35L * 86400000L * 1000000L)
+        case _ => col("ts") + expr(s"INTERVAL ${r * 35} DAY")
+      }
       (0 until reps).map { r =>
-        ev.withColumn("ts", col("ts") + lit(r * shiftNs))
+        ev.withColumn("ts", shifted(r))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$twaSrc/events.parquet")
     }

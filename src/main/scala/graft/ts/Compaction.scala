@@ -414,6 +414,28 @@ object Compaction {
     streaming.sparkSession.read.parquet(sinkDir)
   }
 
+  /** Loud unit guard for the one-shot streaming runners (VERDICT r8 #5):
+    * assert the streamed result's ts range lies inside the batch read's
+    * [bucket-aligned min, max] of the SAME source. The r8 failure mode
+    * — us-as-ns misparse collapsing timestamps ~1000× and silently
+    * merging buckets — moves the output range by six orders of
+    * magnitude and trips this; legitimate results cannot (every output
+    * bucket start is ≥ bucketStart(min source ts) and ≤ max source ts).
+    * Cost: two small aggs over frames the caller is about to
+    * materialize anyway. */
+  private[ts] def guardStreamedRange(
+      out: DataFrame, src: DataFrame, maxBucketMs: Long): DataFrame = {
+    val s = src.agg(min(col("ts")), max(col("ts"))).head()
+    if (!s.isNullAt(0)) {
+      val (lo, hi) = (s.getLong(0) - maxBucketMs, s.getLong(1))
+      val o = out.agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
+      require(o.getLong(2) == 0L || (o.getLong(0) >= lo && o.getLong(1) <= hi),
+        s"streamed output ts range [${o.get(0)}, ${o.get(1)}] escapes the batch " +
+          s"source's [$lo, $hi] — streaming/batch ts-unit disagreement (r8 class)")
+    }
+    out
+  }
+
   /** Merge-on-read for the update-mode downsample log: the newest
     * batch's value per (series, bucket) wins. */
   private[graft] def lastWriterWins(log: DataFrame): DataFrame =
@@ -473,8 +495,10 @@ object Compaction {
   def streamingDownsampleAllUpdateOnce(
       spark: SparkSession, dir: String, rules: Seq[Rule], sinkDir: String): DataFrame =
     withStatePartitions(spark, 8) {
-      lastWriterWins(runToLogSink(
-        streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir))
+      guardStreamedRange(
+        lastWriterWins(runToLogSink(
+          streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir)),
+        TSModel.samples(spark, dir), rules.map(_.bucketMs).max)
     }
 
   /**
@@ -619,7 +643,8 @@ object Compaction {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    resolveTwaPartials(spark.read.parquet(destLog), rule)
+    guardStreamedRange(
+      resolveTwaPartials(spark.read.parquet(destLog), rule), samples, rule.bucketMs)
     }
   }
 
@@ -731,19 +756,25 @@ object Compaction {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** The fixture's events.parquet as a streaming long-format source. */
-  private[ts] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The fixture's events.parquet as a streaming long-format source.
+    *
+    * The streaming source needs an explicit schema, but hard-coding one
+    * is how r8's silent corruption happened: the fixture regenerated
+    * with `timestamp[us]` and a baked-in LongType-ns schema misparsed
+    * us as ns (timestamps collapsed 1000×, buckets merged, results
+    * wrong with NO error). So the schema is PROBED from one batch read
+    * of the same file — a footer-only operation — and the ms conversion
+    * dispatches through the same [[TSModel.tsMsFor]] the batch loaders
+    * use: one encoding policy, enforced in one place. */
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(
         concat_ws("_", col("event_type"), col("user_id")).as("series"),
-        expr("ts DIV 1000000").as("ts"),
+        TSModel.tsMsFor(schema("ts").dataType).as("ts"),
         col("value"))
   }
 
@@ -766,7 +797,8 @@ object Compaction {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      guardStreamedRange(spark.table(queryName),
+        TSModel.samples(spark, dir), rule.bucketMs)
     }
 
   /**
@@ -787,8 +819,10 @@ object Compaction {
       spark: SparkSession, dir: String, rule: Rule, sinkDir: String,
       compactEvery: Int = 0): DataFrame =
     withStatePartitions(spark, 8) {
-      lastWriterWins(runToLogSink(
-        streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
-        compactEvery))
+      guardStreamedRange(
+        lastWriterWins(runToLogSink(
+          streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
+          compactEvery)),
+        TSModel.samples(spark, dir), rule.bucketMs)
     }
 }

@@ -222,7 +222,10 @@ object Ingest {
       spark: SparkSession, dir: String, sinkDir: String,
       maxTimeDiff: Long, maxValDiff: Double): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
-    runIngest(spark, Compaction.eventsStream(spark, dir), sinkDir, "LAST",
-      maxTimeDiff, maxValDiff)
+    // sink rows keep sample timestamps (no bucketing) -> zero slack
+    Compaction.guardStreamedRange(
+      runIngest(spark, Compaction.eventsStream(spark, dir), sinkDir, "LAST",
+        maxTimeDiff, maxValDiff),
+      TSModel.samples(spark, dir), 0L)
   }
 }

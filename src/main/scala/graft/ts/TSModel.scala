@@ -28,19 +28,41 @@ object TSModel {
     * reference's native unit, reference: src/consts.h:38-39), avoiding
     * timezone semantics entirely.
     */
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong legacy conf (as a raw LONG of epoch-ns).
-    * Integer DIV keeps exact ms — a double roundtrip would lose
-    * precision at 1.7e18 ns. */
+  /** The fixture's `ts` physical encoding is NOT stable across
+    * regenerations (r8: it silently switched from TIMESTAMP(NANOS) to
+    * timestamp[us]-no-tz), so every reader dispatches on the OBSERVED
+    * schema instead of assuming one encoding:
+    *  - TIMESTAMP(NANOS): Spark 4 only reads it via the nanosAsLong
+    *    legacy conf, as a raw LONG of epoch-ns. Integer DIV keeps exact
+    *    ms — a double roundtrip would lose precision at 1.7e18 ns.
+    *  - timestamp[us] no-tz → TIMESTAMP_NTZ: converted with
+    *    `timestampdiff` against the NTZ epoch — exact and independent
+    *    of the session timezone (an `unix_millis(cast)` would shift by
+    *    the session zone on non-UTC sessions).
+    *  - timestamp[us/ms] with tz → TIMESTAMP: `unix_millis` is exact.
+    * Any OTHER encoding throws at plan time — a new regeneration must
+    * fail loudly, never misparse units (see FixtureSchemaSpec).
+    */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  private def tsMs(df: DataFrame): Column = df.schema("ts").dataType match {
+  /** Epoch-ms extraction for a `ts` column of type `dt` — the single
+    * shared dispatch used by the batch loaders AND the streaming
+    * readers (r8: a second hand-maintained copy in the streaming path
+    * misparsed us as ns and corrupted results silently). */
+  private[graft] def tsMsFor(dt: org.apache.spark.sql.types.DataType): Column = dt match {
     case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
-    case _                                   => unix_millis(col("ts"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    case org.apache.spark.sql.types.TimestampType => unix_millis(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported physical type $other — extend TSModel.tsMsFor " +
+        "(refusing to guess a unit; see r8 us-as-ns silent corruption)")
   }
+
+  private def tsMs(df: DataFrame): Column = tsMsFor(df.schema("ts").dataType)
 
   def samples(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
@@ -98,28 +120,38 @@ object TSModel {
         col("event_type") === key.substring(0, i) &&
           col("user_id") === key.substring(i + 1).toLong
       }.reduce(_ || _))
-    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      // raw column is epoch-ns: ms bound f covers ns in [f*1e6, ...]
-      fromMs.foreach(f => ev = ev.filter(col("ts") >= f * 1000000L))
-      toMs.foreach(t => ev = ev.filter(col("ts") <= t * 1000000L + 999999L))
-      ev.select(
-        concat_ws("_", col("event_type"), col("user_id")).as("series"),
-        tsMs(ev).as("ts"),
-        col("value"))
-    } else {
-      // non-raw-ns layouts (e.g. a TIMESTAMP column): the ns pushdown
-      // path is unavailable, so the bounds MUST still apply — on the
-      // derived ms column (review r04: silently skipping them here
-      // violated the loader's documented time-range contract)
-      var out = ev.select(
-        concat_ws("_", col("event_type"), col("user_id")).as("series"),
-        tsMs(ev).as("ts"),
-        col("value"))
-      fromMs.foreach(f => out = out.filter(col("ts") >= f))
-      toMs.foreach(t => out = out.filter(col("ts") <= t))
-      out
+    // Time bounds are pushed in the column's NATIVE type so they reach
+    // the parquet scan as PushedFilters (row-group min/max skipping),
+    // never as post-Project ms filters. An inclusive ms bound t covers
+    // every finer-grained value that floors to t (ns: +999999, us: +999).
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // raw epoch-ns
+        fromMs.foreach(f => ev = ev.filter(col("ts") >= f * 1000000L))
+        toMs.foreach(t => ev = ev.filter(col("ts") <= t * 1000000L + 999999L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ literals (LocalDateTime) compare zone-independently
+        fromMs.foreach(f => ev = ev.filter(col("ts") >= lit(msToLdt(f, 0))))
+        toMs.foreach(t => ev = ev.filter(col("ts") <= lit(msToLdt(t, 999))))
+      case org.apache.spark.sql.types.TimestampType =>
+        fromMs.foreach(f =>
+          ev = ev.filter(col("ts") >= lit(java.time.Instant.ofEpochMilli(f))))
+        toMs.foreach(t =>
+          ev = ev.filter(col("ts") <= lit(java.time.Instant.ofEpochMilli(t).plusNanos(999999L))))
+      case _ => () // tsMs below throws the loud refusal
     }
+    ev.select(
+      concat_ws("_", col("event_type"), col("user_id")).as("series"),
+      tsMs(ev).as("ts"),
+      col("value"))
   }
+
+  /** Epoch-ms (+ sub-ms microseconds) as a zone-free LocalDateTime —
+    * the literal form Spark maps to TIMESTAMP_NTZ for pushdown. */
+  private def msToLdt(ms: Long, extraMicros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      java.lang.Math.floorDiv(ms, 1000L),
+      (java.lang.Math.floorMod(ms, 1000L) * 1000000L + extraMicros * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 
   /** Samples plus the ingest sequence number (arrival order) that
     * FIRST/LAST duplicate policies refer to. */
