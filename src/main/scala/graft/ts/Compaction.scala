@@ -421,8 +421,10 @@ object Compaction {
     * merging buckets — moves the output range by six orders of
     * magnitude and trips this; legitimate results cannot (every output
     * bucket start is ≥ bucketStart(min source ts) and ≤ max source ts).
-    * Cost: two small aggs over frames the caller is about to
-    * materialize anyway. */
+    * Cost: two min/max aggs. Callers pass the RAW sink log where one
+    * exists (same ts universe as the resolved view — resolution only
+    * drops superseded versions) so the guard never re-executes the
+    * merge-on-read resolution. */
   private[ts] def guardStreamedRange(
       out: DataFrame, src: DataFrame, maxBucketMs: Long): DataFrame = {
     val s = src.agg(min(col("ts")), max(col("ts"))).head()
@@ -495,10 +497,10 @@ object Compaction {
   def streamingDownsampleAllUpdateOnce(
       spark: SparkSession, dir: String, rules: Seq[Rule], sinkDir: String): DataFrame =
     withStatePartitions(spark, 8) {
-      guardStreamedRange(
-        lastWriterWins(runToLogSink(
-          streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir)),
-        TSModel.samples(spark, dir), rules.map(_.bucketMs).max)
+      val log = runToLogSink(
+        streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir)
+      guardStreamedRange(log, TSModel.samples(spark, dir), rules.map(_.bucketMs).max)
+      lastWriterWins(log)
     }
 
   /**
@@ -644,7 +646,9 @@ object Compaction {
       .start()
     q.awaitTermination()
     guardStreamedRange(
-      resolveTwaPartials(spark.read.parquet(destLog), rule), samples, rule.bucketMs)
+      spark.read.parquet(destLog).select(col("bucket").as("ts")),
+      samples, rule.bucketMs)
+    resolveTwaPartials(spark.read.parquet(destLog), rule)
     }
   }
 
@@ -819,10 +823,10 @@ object Compaction {
       spark: SparkSession, dir: String, rule: Rule, sinkDir: String,
       compactEvery: Int = 0): DataFrame =
     withStatePartitions(spark, 8) {
-      guardStreamedRange(
-        lastWriterWins(runToLogSink(
-          streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
-          compactEvery)),
-        TSModel.samples(spark, dir), rule.bucketMs)
+      val log = runToLogSink(
+        streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
+        compactEvery)
+      guardStreamedRange(log, TSModel.samples(spark, dir), rule.bucketMs)
+      lastWriterWins(log)
     }
 }

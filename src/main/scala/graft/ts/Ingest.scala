@@ -222,10 +222,14 @@ object Ingest {
       spark: SparkSession, dir: String, sinkDir: String,
       maxTimeDiff: Long, maxValDiff: Double): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
-    // sink rows keep sample timestamps (no bucketing) -> zero slack
+    val out = runIngest(spark, Compaction.eventsStream(spark, dir), sinkDir, "LAST",
+      maxTimeDiff, maxValDiff)
+    // range-check the RAW sink log, not the resolved view: resolution
+    // only drops superseded duplicate versions (same ts universe), and
+    // guarding the resolved frame would re-run its window a second
+    // time. Sink rows keep sample timestamps (no bucketing) -> 0 slack.
     Compaction.guardStreamedRange(
-      runIngest(spark, Compaction.eventsStream(spark, dir), sinkDir, "LAST",
-        maxTimeDiff, maxValDiff),
-      TSModel.samples(spark, dir), 0L)
+      spark.read.parquet(sinkDir), TSModel.samples(spark, dir), 0L)
+    out
   }
 }
