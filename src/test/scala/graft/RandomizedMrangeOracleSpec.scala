@@ -266,4 +266,174 @@ class RandomizedMrangeOracleSpec extends AnyFunSuite {
     }
     assert(checkedRows > 400, s"only $checkedRows rows compared — generator too weak")
   }
+
+  /** Same differential through the REAL fixture loader (VERDICT r8 #6
+    * extended to the multi-series surface): Spark reads /root/testdata
+    * via [[graft.ts.TSModel.samples]]/[[graft.ts.TSModel.labels]] while
+    * DuckDB derives samples, the tall labels relation, and the GROUPBY
+    * join directly from the SAME parquet file — so label compilation,
+    * the broadcast semi-join, agg-then-reduce order AND the loader's ms
+    * conversion are all under randomized cross-engine test at once. */
+  test("randomized MRANGE/GROUPBY combos over the fixture loader match DuckDB") {
+    val py = java.nio.file.Paths.get("tools/run_oracle_batch.py")
+    assume(java.nio.file.Files.exists(py), "tools/run_oracle_batch.py missing")
+    import graft.ts.TSModel
+    import org.apache.spark.sql.functions.{col, element_at}
+
+    val ev = s"'$sf/events.parquet'"
+    val seriesExpr = "event_type || '_' || CAST(user_id AS VARCHAR)"
+    def fixtureCte(preds: Seq[Multi.LabelPred]): String =
+      s"""WITH samples(series, ts, value) AS (
+         |  SELECT $seriesExpr, epoch_ms(ts), value FROM $ev),
+         |serieses(series) AS (SELECT DISTINCT series FROM samples),
+         |labels(series, name, val) AS (
+         |  SELECT DISTINCT $seriesExpr, 'type', event_type FROM $ev
+         |  UNION ALL
+         |  SELECT DISTINCT $seriesExpr, 'user', CAST(user_id AS VARCHAR) FROM $ev),
+         |matched AS (SELECT series FROM serieses u
+         |            WHERE ${preds.map(predSql).mkString("\n              AND ")})""".stripMargin
+    def groupRelSql(gLabel: String): String = gLabel match {
+      case "type" => s"(SELECT DISTINCT $seriesExpr AS series, event_type AS lv FROM $ev)"
+      case "user" => s"(SELECT DISTINCT $seriesExpr AS series, CAST(user_id AS VARCHAR) AS lv FROM $ev)"
+      case other  => fail(s"no group relation for fixture label $other")
+    }
+    def groupBySqlFix(preds: Seq[Multi.LabelPred], args: RangeArgs,
+        gLabel: String, reducer: String): String = {
+      val per = RangeQuery.rangeSqlFull(
+        args, Some("series IN (SELECT series FROM matched)"), fixtureCte(preds))
+      val cols = if (args.aggs.isEmpty) Seq("value") else args.aggs.map(Aggs.colName)
+      def reduceExpr(c: String): String =
+        Aggs.sql(reducer, v = c, t = "ts").stripSuffix(s" AS ${Aggs.colName(reducer)}")
+      val fill = if (Set("count", "countnan", "countall")(reducer)) "0.0" else "'NaN'::DOUBLE"
+      val sel = cols.map(c =>
+        s"coalesce(CAST(${reduceExpr(c)} AS DOUBLE), $fill) AS $c").mkString(",\n       ")
+      val castCols = cols.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(", ")
+      s"""SELECT ${sqlLit(gLabel + "=")} || g.lv AS series, per.ts, $sel
+         |FROM (SELECT series, ts, $castCols FROM ($per)) per
+         |JOIN ${groupRelSql(gLabel)} g USING (series)
+         |GROUP BY g.lv, per.ts""".stripMargin
+    }
+
+    // real label values from the loader (the predicates must hit)
+    val lbl = TSModel.labels(spark, sf).select(
+      element_at(col("labels"), "type").as("t"),
+      element_at(col("labels"), "user").as("u"))
+    val types = lbl.select("t").distinct().orderBy("t")
+      .collect().map(_.getString(0)).toSeq
+    val users = lbl.select("u").distinct().orderBy("u").limit(8)
+      .collect().map(_.getString(0)).toSeq
+    val keyPool = Seq("type" -> types, "user" -> users)
+    val reducers = Aggs.names.filterNot(Set("first", "last", "twa"))
+
+    val JAN = 1704067200000L
+    val rnd = new Random(20260815L)
+    case class Combo(name: String, preds: Seq[Multi.LabelPred],
+                     args: RangeArgs, group: Option[(String, String)])
+    val combos = (0 until 30).map { iter =>
+      def randKV(): (String, Seq[String]) = keyPool(rnd.nextInt(keyPool.size))
+      val (ik, ivs) = randKV()
+      val inclusive: Multi.LabelPred =
+        if (rnd.nextBoolean()) Multi.Eq(ik, ivs(rnd.nextInt(ivs.size)))
+        else Multi.InSet(ik, rnd.shuffle(ivs :+ "nope").take(1 + rnd.nextInt(3)))
+      val extra: Seq[Multi.LabelPred] = if (rnd.nextInt(3) == 0) {
+        val (k, vs) = randKV()
+        Seq(rnd.nextInt(4) match {
+          case 0 => Multi.NotEq(k, vs(rnd.nextInt(vs.size)))
+          case 1 => Multi.Present(k)
+          case 2 => Multi.Absent("dc") // label no fixture series carries
+          case _ => Multi.NotInSet(k, rnd.shuffle(vs).take(1 + rnd.nextInt(2)))
+        })
+      } else Nil
+      val preds = inclusive +: extra
+      val raw = iter % 10 == 0
+      val dur = Seq(3600000L, 6L * 3600000L, 86400000L)(rnd.nextInt(3))
+      val fromDay = rnd.nextInt(20)
+      val toDay = fromDay + rnd.nextInt(31 - fromDay)
+      val args = RangeArgs(
+        from = if (rnd.nextBoolean()) Some(JAN + fromDay * 86400000L) else None,
+        to = if (rnd.nextBoolean()) Some(JAN + toDay * 86400000L) else None,
+        aggs = if (raw) Nil else rnd.shuffle(Aggs.names).take(1 + rnd.nextInt(2)),
+        bucketMs = if (raw) 0L else dur,
+        alignMs = if (raw) 0L else Seq(0L, 1800000L, -3600000L)(rnd.nextInt(3)),
+        bucketTs = if (raw) "-" else Seq("-", "~", "+")(rnd.nextInt(3)),
+        empty = !raw && rnd.nextInt(3) == 0,
+        filterByValue = if (rnd.nextInt(4) == 0) Some((-1000.0, 1000.0)) else None,
+        count = if (rnd.nextInt(5) == 0) Some(1 + rnd.nextInt(5)) else None,
+        reverse = rnd.nextBoolean())
+      val group =
+        if (iter % 2 == 1)
+          Some((keyPool(rnd.nextInt(keyPool.size))._1, reducers(rnd.nextInt(reducers.size))))
+        else None
+      Combo(f"fcombo_$iter%03d", preds, args, group)
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("rand_mrange_fix")
+    val sqlOf = combos.map { c =>
+      c.name -> (c.group match {
+        case Some((gl, red)) => groupBySqlFix(c.preds, c.args, gl, red)
+        case None => RangeQuery.rangeSqlFull(
+          c.args, Some("series IN (SELECT series FROM matched)"), fixtureCte(c.preds))
+      })
+    }.toMap
+    val in = dir.resolve("sqls.json"); val out = dir.resolve("rows.tsv")
+    java.nio.file.Files.writeString(in,
+      combos.map(c => s"${jq(c.name)}: ${jq(sqlOf(c.name))}").mkString("{", ",", "}"))
+    import scala.sys.process._
+    val log = new StringBuilder
+    val rc = Seq("python3", py.toAbsolutePath.toString, in.toString, out.toString)
+      .!(ProcessLogger(l => log.append(l).append('\n')))
+    assert(rc == 0, s"oracle batch runner failed (rc=$rc):\n$log")
+
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(out)).asScala.toSeq
+    val errs = lines.filter(_.split("\t", -1).lift(1).contains("__ERROR__"))
+    assert(errs.isEmpty, s"DuckDB rejected generated oracle SQL:\n${errs.mkString("\n")}")
+    assert(lines.count(_.split("\t", -1).lift(1).contains("__DONE__")) == combos.size,
+      "oracle did not run every combo")
+    val expected: Map[String, Seq[(String, Long, Seq[Option[Double]])]] =
+      lines.filterNot(_.split("\t", -1).lift(1).contains("__DONE__"))
+        .map(_.split("\t", -1)).groupBy(_.head)
+        .map { case (name, rows) =>
+          name -> rows.map { f =>
+            (f(1), f(2).toLong, f.drop(3).toSeq.map {
+              case ""    => None
+              case "NaN" => Some(Double.NaN)
+              case s     => Some(s.toDouble)
+            })
+          }.sortBy(r => (r._1, r._2)).toSeq
+        }
+
+    val samplesDf = TSModel.samples(spark, sf)
+    val labelsDf = TSModel.labels(spark, sf)
+    var checkedRows = 0
+    combos.foreach { c =>
+      val res = c.group match {
+        case Some((gl, red)) =>
+          Multi.mrangeGroupBy(samplesDf, labelsDf, c.preds, c.args, gl, red)
+        case None => Multi.mrange(samplesDf, labelsDf, c.preds, c.args)
+      }
+      val nVals = if (c.args.aggs.isEmpty) 1 else c.args.aggs.size
+      val got = res.collect().map { r =>
+        (r.getString(0), r.getLong(1), (0 until nVals).map { i =>
+          if (r.isNullAt(i + 2)) None
+          else r.get(i + 2) match {
+            case l: java.lang.Long   => Some(l.toDouble)
+            case d: java.lang.Double => Some(d.doubleValue)
+          }
+        })
+      }.sortBy(r => (r._1, r._2)).toSeq
+      val exp = expected.getOrElse(c.name, Nil)
+      def ctx = s"${c.name}\npreds=${c.preds} group=${c.group}\nargs=${c.args}\n" +
+        s"got=${got.take(20)}\nexp=${exp.take(20)}\nsql=\n${sqlOf(c.name)}"
+      assert(got.map(r => (r._1, r._2)) == exp.map(r => (r._1, r._2)),
+        s"(series, ts) keys differ: $ctx")
+      got.zip(exp).foreach { case ((s, ts, gv), (_, _, ev)) =>
+        gv.zip(ev).zipWithIndex.foreach { case ((g, e), i) =>
+          assert(closeEnough(g, e), s"series=$s ts=$ts col=$i: got $g expected $e\n$ctx")
+        }
+      }
+      checkedRows += got.size
+    }
+    assert(checkedRows > 200, s"only $checkedRows rows compared — generator too weak")
+  }
 }
