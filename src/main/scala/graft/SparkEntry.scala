@@ -690,6 +690,46 @@ object SparkEntry {
           k = 5, indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
             .resolve("index").toString,
           nCentroids = 16, nProbe = 16)._1),
+      // SQL-surface route (GraftFunctions / SparkSessionExtensions):
+      // the SAME compiled kernels invoked from spark.sql text — the
+      // registered-function registry checked end-to-end against the
+      // DuckDB oracle. Distinct query ids from ann_topk. The float
+      // embedding column rides through vec_cosine's implicit
+      // array<float> -> array<double> coercion (no manual CAST).
+      "ann_sql_topk" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.loadEmbeddings(s, dir).createOrReplaceTempView("graft_sql_embeddings")
+        s.sql(
+          s"""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS qv
+             |  FROM graft_sql_embeddings WHERE vec_id IN (${sqlAnnQueryIds.mkString(",")})
+             |), scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         vec_cosine(e.embedding, q.qv) AS cos
+             |  FROM graft_sql_embeddings e JOIN q ON e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+             |  FROM scored
+             |) SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)
+      }),
+      // the engine's bucket arithmetic (ts_bucket = the reference's
+      // CalcBucketStart) registered as a SQL function and driven from
+      // pure SQL text over the samples view — a user can express a
+      // bucketed range aggregation without touching the Column API
+      "ts_sql_range_agg" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir).createOrReplaceTempView("graft_sql_samples")
+        s.sql(
+          s"""SELECT series, ts_bucket(ts, ${6 * HOUR}L, ${HOUR}L) AS bucket,
+             |       avg(value) AS avg_value, max(value) AS max_value,
+             |       count(value) AS cnt
+             |FROM graft_sql_samples
+             |WHERE NOT isnan(value) AND ts BETWEEN $T0 AND ${T0 + 7 * DAY}
+             |  AND series LIKE 'click%'
+             |GROUP BY series, bucket
+             |ORDER BY series, bucket""".stripMargin)
+      }),
       "mm_features" -> ((s, dir) =>
         Multimodal.extractFeatures(Multimodal.pack(Text.loadDocuments(s, dir)))
           .select(col("media_id"), col("n_bytes"), col("mean_byte"))),
@@ -876,6 +916,9 @@ object SparkEntry {
   private val GLT_GAP_IN = GLT_GAP_SERIES.map(s => s"'$s'").mkString(", ")
 
   private val annQueryIds: Seq[Long] = Seq(0L, 97L, 194L, 291L, 388L, 485L)
+  // distinct ids for the SQL-surface twin so the two entries cannot
+  // mask each other's results
+  private val sqlAnnQueryIds: Seq[Long] = Seq(11L, 108L, 205L, 302L, 399L, 496L)
 
   /** One flushed compaction rule as SQL over the `samples` CTE —
     * shared by both multirule oracles. */
@@ -1472,6 +1515,16 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
+      "ts_sql_range_agg" ->
+        s"""${TSModel.samplesCte}
+           |SELECT series, ${TSModel.bucketStartSql("ts", 6 * HOUR, HOUR)} AS bucket,
+           |       avg(value) AS avg_value, max(value) AS max_value,
+           |       count(value) AS cnt
+           |FROM samples
+           |WHERE NOT isnan(value) AND ts BETWEEN $T0 AND ${T0 + 7 * DAY}
+           |  AND series LIKE 'click%'
+           |GROUP BY series, bucket""".stripMargin,
       "ann_serving_topk" ->
         Similarity.bruteForceTopKExternalSql(Similarity.syntheticQueries(4, 64), 5),
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /**
  * IVF coarse-quantizer assignment as a single Catalyst expression: for
@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  * partition-pruned probes.
  */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /**
  * Vector dot product as a native codegen'd Catalyst expression.
@@ -28,8 +28,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * this expression reads raw slots and truncates to the shorter length;
  * feeding it ragged or null-holed arrays is out of contract.
  */
-case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // SQL callers (GraftFunctions) get array<float> -> array<double>
+  // coercion from the analyzer instead of a runtime accessor error.
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -65,8 +70,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 /** Euclidean norm `sqrt(v . v)` with the same codegen rationale as
   * [[VecDot]]. */
-case class VecNorm(child: Expression) extends UnaryExpression {
+case class VecNorm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 

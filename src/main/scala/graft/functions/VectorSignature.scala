@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Random-hyperplane LSH signature as a single Catalyst expression:
@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * matrix rides along as a codegen reference object).
  */
 case class VectorSignature(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
 
   // a 65th plane's `1L << 64` would wrap onto bit 0 (shift mod 64) and
   // silently alias different planes into the same signature bit —

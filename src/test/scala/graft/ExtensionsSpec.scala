@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{GraftSessionBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.ts.TSModel
+
+/** SQL surface of the custom Catalyst kernels (GraftFunctions):
+  * values, implicit float->double coercion, literal-matrix extraction,
+  * ts_bucket parity with the engine's bucket arithmetic, and the
+  * SparkSessionExtensions injection route. */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def sql1(q: String): Any = {
+    GraftFunctions.register(spark)
+    spark.sql(q).collect().head.get(0)
+  }
+
+  test("vec_dot / vec_norm / vec_cosine evaluate from SQL") {
+    assert(sql1("SELECT vec_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D))") == 32.0)
+    assert(sql1("SELECT vec_norm(array(3.0D,4.0D))") == 5.0)
+    assert(math.abs(sql1("SELECT vec_cosine(array(2.0D,0.0D), array(5.0D,0.0D))")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(sql1("SELECT vec_cosine(array(1.0D,0.0D), array(0.0D,1.0D))")
+      .asInstanceOf[Double]) < 1e-12)
+  }
+
+  test("array<float> columns coerce implicitly (parquet embedding shape)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
+    df.createOrReplaceTempView("ext_float_vecs")
+    val v = spark.sql("SELECT vec_dot(emb, emb) FROM ext_float_vecs").collect().head.getDouble(0)
+    assert(v == 5.0)
+  }
+
+  test("ts_bucket matches TSModel.bucketStartLong incl. negatives and align") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      (1704067200123L, 3600000L, 0L),
+      (1704067200123L, 21600000L, 3600000L),
+      (-5L, 10L, 0L),
+      (-5L, 10L, 3L),
+      (7L, 10L, 9L),       // ts < align
+      (1704067200000L, 86400000L, 1704067200000L))
+    for ((ts, dur, align) <- cases) {
+      val got = spark.sql(s"SELECT ts_bucket(${ts}L, ${dur}L, ${align}L)")
+        .collect().head.getLong(0)
+      assert(got == TSModel.bucketStartLong(ts, dur, align), s"case ($ts,$dur,$align)")
+    }
+    // 2-arg form defaults align to 0
+    assert(spark.sql("SELECT ts_bucket(25L, 10L)").collect().head.getLong(0) == 20L)
+  }
+
+  test("nearest_centroid / vector_signature with literal matrices") {
+    GraftFunctions.register(spark)
+    assert(sql1("SELECT nearest_centroid(array(0.9D,0.1D), array(array(1.0D,0.0D), array(0.0D,1.0D)))") == 0)
+    assert(sql1("SELECT nearest_centroid(array(0.1D,0.9D), array(array(1.0D,0.0D), array(0.0D,1.0D)))") == 1)
+    // planes (1,0) and (-1,0): v=(0.5, 2) -> bit0 set, bit1 clear
+    assert(sql1("SELECT vector_signature(array(0.5D,2.0D), array(array(1.0D,0.0D), array(-1.0D,0.0D)))") == 1L)
+    // non-literal matrix is a loud plan-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT nearest_centroid(array(1.0D), array(array(vec_norm(array(rand())))))").collect()
+    }
+    assert(e.getMessage.contains("foldable"))
+  }
+
+  test("SparkSessionExtensions injection registers the same function set") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    assert(!registry.functionExists(FunctionIdentifier("vec_dot")))
+    GraftSessionBridge.applyInjectedFunctions(ext, registry)
+    for (name <- Seq("vec_dot", "vec_norm", "vec_cosine", "ts_bucket",
+        "nearest_centroid", "vector_signature"))
+      assert(registry.functionExists(FunctionIdentifier(name)), name)
+  }
+
+  test("SQL route stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // range() scan + projection: a codegen-able pipeline (a local
+    // relation would collapse to LocalTableScan and prove nothing)
+    val df = spark.sql(
+      "SELECT id, vec_cosine(array(CAST(id AS DOUBLE), 1.0D), array(CAST(id AS DOUBLE), 1.0D)) AS c FROM range(4)")
+    assert(df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    assert(df.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+}
