@@ -713,6 +713,28 @@ object SparkEntry {
              |  FROM scored
              |) SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)
       }),
+      // whole-operator SQL: TS.RANGE itself as a registered
+      // table-valued function (injectTableFunction) — the builder
+      // splices the engine's own DataFrame plan into the calling SQL
+      // statement at analysis time, so SQL users get the identical
+      // code path (and Catalyst optimizes it like any subquery)
+      "ts_sql_tvf_range" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_range('$oneSeries', $T0, $T31, 'max', ${2 * DAY}, $HOUR)")
+      }),
+      // TS.MRANGE as a TVF: reference FILTER predicate syntax in the
+      // first argument, label resolution + per-series aggregation by
+      // the same Multi.mrange plan the Column API uses
+      "ts_sql_tvf_mrange" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        TSModel.labels(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+        s.sql(s"SELECT * FROM ts_mrange('type=click user=(2,4,6)', $T0, $T31, 'max', ${3 * DAY})")
+      }),
       // the engine's bucket arithmetic (ts_bucket = the reference's
       // CalcBucketStart) registered as a SQL function and driven from
       // pure SQL text over the samples view — a user can express a
@@ -1516,6 +1538,19 @@ object SparkEntry {
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
+      "ts_sql_tvf_range" -> RangeQuery.rangeSql(
+        RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),
+          bucketMs = 2 * DAY, alignMs = HOUR),
+        Some(s"series = '$oneSeries'")),
+      "ts_sql_tvf_mrange" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, matched AS (
+           |  SELECT series FROM series_labels
+           |  WHERE "type" = 'click' AND "user" IN ('2','4','6')
+           |), agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 3 * DAY)} AS bucket, ${Aggs.sql("max")}
+           |  FROM samples JOIN matched USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
       "ts_sql_range_agg" ->
         s"""${TSModel.samplesCte}
            |SELECT series, ${TSModel.bucketStartSql("ts", 6 * HOUR, HOUR)} AS bucket,

@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{GraftSessionBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.TableFunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /**
@@ -107,11 +109,94 @@ object GraftFunctions {
     })
   )
 
-  /** Register every kernel on a live session (idempotent). */
+  // -----------------------------------------------------------------
+  // Table-valued functions: the engine's WHOLE range operators as SQL
+  // TVFs. The builder runs at analysis time, composes the engine's own
+  // DataFrame plan (RangeQuery/Multi — identical code path to the
+  // Column API), and splices its logical plan into the calling SQL
+  // statement's tree, where Catalyst optimizes it like any subquery.
+  //
+  // Data contract: the session temp views `graft_samples`
+  // (series STRING, ts BIGINT-ms, value DOUBLE) and — for ts_mrange —
+  // `graft_labels` (series, labels MAP<STRING,STRING>) must exist; a
+  // missing view is a loud analysis error. All arguments must be
+  // literals (they select the plan, not row values).
+  // -----------------------------------------------------------------
+
+  /** The samples / labels views the TVFs read. */
+  val SamplesView = "graft_samples"
+  val LabelsView = "graft_labels"
+
+  private def literalString(fn: String, e: Expression, what: String): String = {
+    require(e.foldable, s"$fn: $what must be a literal string")
+    val v = e.eval(null)
+    require(v != null, s"$fn: $what must not be null")
+    v.toString
+  }
+
+  private def literalLong(fn: String, e: Expression, what: String): Long = {
+    require(e.foldable, s"$fn: $what must be an integral literal")
+    e.eval(null) match {
+      case l: java.lang.Long    => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integral literal, got $other")
+    }
+  }
+
+  private def activeSession(fn: String): SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(s"$fn: no active SparkSession"))
+
+  /** Shared RangeArgs assembly for both TVFs:
+    * (from, to[, agg, bucket_ms[, align_ms]]). */
+  private def tvfRangeArgs(fn: String, args: Seq[Expression], off: Int): graft.ts.RangeQuery.RangeArgs = {
+    val from = literalLong(fn, args(off), "from")
+    val to = literalLong(fn, args(off + 1), "to")
+    if (args.length == off + 2)
+      graft.ts.RangeQuery.RangeArgs(from = Some(from), to = Some(to))
+    else
+      graft.ts.RangeQuery.RangeArgs(from = Some(from), to = Some(to),
+        aggs = Seq(literalString(fn, args(off + 2), "aggregator")),
+        bucketMs = literalLong(fn, args(off + 3), "bucket_ms"),
+        alignMs = if (args.length > off + 4) literalLong(fn, args(off + 4), "align_ms") else 0L)
+  }
+
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TableFunctionBuilder)] = Seq(
+    // ts_range('series', from, to[, 'agg', bucket_ms[, align_ms]])
+    (FunctionIdentifier("ts_range"), info("ts_range"), { args: Seq[Expression] =>
+      nargs("ts_range", Seq(3, 5, 6), args)
+      val series = literalString("ts_range", args.head, "series key")
+      val spark = activeSession("ts_range")
+      val samples = spark.table(SamplesView).filter(col("series") === series)
+      GraftSessionBridge.logicalPlan(
+        graft.ts.RangeQuery.range(samples, tvfRangeArgs("ts_range", args, 1)))
+    }),
+    // ts_mrange('label_filter ...', from, to[, 'agg', bucket_ms[, align_ms]])
+    // filter syntax = the reference's FILTER predicates, whitespace-
+    // separated (l=v l!=v l=(a,b) l!=(a,b) l= l!=)
+    (FunctionIdentifier("ts_mrange"), info("ts_mrange"), { args: Seq[Expression] =>
+      nargs("ts_mrange", Seq(3, 5, 6), args)
+      val preds = literalString("ts_mrange", args.head, "label filter")
+        .split("\\s+").filter(_.nonEmpty).toSeq.map(graft.ts.Multi.parsePred)
+      require(preds.nonEmpty, "ts_mrange: at least one label predicate is required")
+      val spark = activeSession("ts_mrange")
+      GraftSessionBridge.logicalPlan(
+        graft.ts.Multi.mrange(spark.table(SamplesView), spark.table(LabelsView),
+          preds, tvfRangeArgs("ts_mrange", args, 1)))
+    })
+  )
+
+  /** Register every kernel + table function on a live session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = GraftSessionBridge.functionRegistry(spark)
     all.foreach { case (id, inf, builder) =>
       if (!registry.functionExists(id)) registry.registerFunction(id, inf, builder)
+    }
+    val tvfs = GraftSessionBridge.tableFunctionRegistry(spark)
+    tableFunctions.foreach { case (id, inf, builder) =>
+      if (!tvfs.functionExists(id)) tvfs.registerFunction(id, inf, builder)
     }
   }
 }
@@ -120,6 +205,8 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TableFunctionRegistry}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into the package-private session internals needed to
   * register catalog functions on an ALREADY-BUILT session (the driver
@@ -14,10 +15,25 @@ object GraftSessionBridge {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 
+  /** The session's mutable TABLE function registry (SQL TVFs). */
+  def tableFunctionRegistry(spark: SparkSession): TableFunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+
+  /** A DataFrame's logical plan — what a table-function builder must
+    * return (the TVF route composes the engine's own DataFrame plan
+    * into the calling SQL statement's plan tree). */
+  def logicalPlan(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
+
   /** Apply a [[SparkSessionExtensions]] injector's registered function
     * set to an arbitrary registry — lets a spec exercise the
     * `injectFunction` route without tearing down the shared test
     * session (extensions are otherwise only applied at session build). */
   def applyInjectedFunctions(ext: SparkSessionExtensions, registry: FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Table-function twin of [[applyInjectedFunctions]]. */
+  def applyInjectedTableFunctions(
+      ext: SparkSessionExtensions, registry: TableFunctionRegistry): Unit =
+    ext.registerTableFunctions(registry)
 }

@@ -78,6 +78,53 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
+  test("ts_range TVF == the Column-API range pipeline") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val DAY = 86400000L; val HOUR = 3600000L
+    // raw 3-arg form
+    val raw = spark.sql(s"SELECT * FROM ts_range('click_7', $T0, ${T0 + 5 * DAY})")
+    val rawApi = graft.ts.RangeQuery.range(samples.filter(org.apache.spark.sql.functions.col("series") === "click_7"),
+      graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 5 * DAY)))
+    assert(raw.collect().toSeq == rawApi.collect().toSeq)
+    // aggregated 6-arg form with align
+    val agg = spark.sql(s"SELECT * FROM ts_range('click_7', $T0, ${T0 + 20 * DAY}, 'avg', ${2 * DAY}, $HOUR)")
+    val aggApi = graft.ts.RangeQuery.range(samples.filter(org.apache.spark.sql.functions.col("series") === "click_7"),
+      graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 20 * DAY),
+        aggs = Seq("avg"), bucketMs = 2 * DAY, alignMs = HOUR))
+    assert(agg.collect().toSeq == aggApi.collect().toSeq)
+    // non-literal argument is a loud error
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM ts_range('click_7', CAST(rand() AS BIGINT), $T0)").collect())
+  }
+
+  test("ts_mrange TVF == Multi.mrange incl. label predicates") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    val labels = TSModel.labels(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    labels.createOrReplaceTempView(GraftFunctions.LabelsView)
+    val T0 = 1704067200000L; val DAY = 86400000L
+    val tvf = spark.sql(
+      s"SELECT * FROM ts_mrange('type=click user=(2,4,6)', $T0, ${T0 + 31 * DAY}, 'sum', ${3 * DAY})")
+    val api = graft.ts.Multi.mrange(samples, labels,
+      Seq(graft.ts.Multi.parsePred("type=click"), graft.ts.Multi.parsePred("user=(2,4,6)")),
+      graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 31 * DAY),
+        aggs = Seq("sum"), bucketMs = 3 * DAY))
+    assert(tvf.collect().toSeq == api.collect().toSeq)
+  }
+
+  test("extension injection registers the table functions too") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val registry = org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.builtin.clone()
+    assert(!registry.functionExists(FunctionIdentifier("ts_range")))
+    GraftSessionBridge.applyInjectedTableFunctions(ext, registry)
+    for (name <- Seq("ts_range", "ts_mrange"))
+      assert(registry.functionExists(FunctionIdentifier(name)), name)
+  }
+
   test("SQL route stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range() scan + projection: a codegen-able pipeline (a local
