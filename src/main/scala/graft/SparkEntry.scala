@@ -735,6 +735,15 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
         s.sql(s"SELECT * FROM ts_mrange('type=click user=(2,4,6)', $T0, $T31, 'max', ${3 * DAY})")
       }),
+      // 7-arg TVF form: TS.MRANGE ... GROUPBY label REDUCE reducer
+      "ts_sql_tvf_mrange_groupby" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        TSModel.labels(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+        s.sql(s"SELECT * FROM ts_mrange('type=(click,view)', $T0, $T31, 'avg', ${7 * DAY}, 'type', 'max')")
+      }),
       // the engine's bucket arithmetic (ts_bucket = the reference's
       // CalcBucketStart) registered as a SQL function and driven from
       // pure SQL text over the samples view — a user can express a
@@ -1551,6 +1560,16 @@ object SparkEntry {
            |  FROM samples JOIN matched USING (series)
            |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
            |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
+      "ts_sql_tvf_mrange_groupby" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31 AND "type" IN ('click','view')
+           |  GROUP BY 1, 2
+           |) SELECT 'type=' || "type" AS series, bucket AS ts,
+           |         coalesce(max(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
       "ts_sql_range_agg" ->
         s"""${TSModel.samplesCte}
            |SELECT series, ${TSModel.bucketStartSql("ts", 6 * HOUR, HOUR)} AS bucket,

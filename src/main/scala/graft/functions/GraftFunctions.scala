@@ -172,18 +172,29 @@ object GraftFunctions {
       GraftSessionBridge.logicalPlan(
         graft.ts.RangeQuery.range(samples, tvfRangeArgs("ts_range", args, 1)))
     }),
-    // ts_mrange('label_filter ...', from, to[, 'agg', bucket_ms[, align_ms]])
+    // ts_mrange('label_filter ...', from, to[, 'agg', bucket_ms
+    //           [, 'groupby_label', 'reducer']])
     // filter syntax = the reference's FILTER predicates, whitespace-
-    // separated (l=v l!=v l=(a,b) l!=(a,b) l= l!=)
+    // separated (l=v l!=v l=(a,b) l!=(a,b) l= l!=); the 7-arg form is
+    // TS.MRANGE ... GROUPBY label REDUCE reducer
     (FunctionIdentifier("ts_mrange"), info("ts_mrange"), { args: Seq[Expression] =>
-      nargs("ts_mrange", Seq(3, 5, 6), args)
+      nargs("ts_mrange", Seq(3, 5, 6, 7), args)
       val preds = literalString("ts_mrange", args.head, "label filter")
         .split("\\s+").filter(_.nonEmpty).toSeq.map(graft.ts.Multi.parsePred)
       require(preds.nonEmpty, "ts_mrange: at least one label predicate is required")
       val spark = activeSession("ts_mrange")
-      GraftSessionBridge.logicalPlan(
-        graft.ts.Multi.mrange(spark.table(SamplesView), spark.table(LabelsView),
-          preds, tvfRangeArgs("ts_mrange", args, 1)))
+      val samples = spark.table(SamplesView)
+      val labels = spark.table(LabelsView)
+      val df =
+        if (args.length == 7)
+          graft.ts.Multi.mrangeGroupBy(samples, labels, preds,
+            tvfRangeArgs("ts_mrange", args.take(5), 1),
+            groupByLabel = literalString("ts_mrange", args(5), "GROUPBY label"),
+            reducer = literalString("ts_mrange", args(6), "reducer"))
+        else
+          graft.ts.Multi.mrange(samples, labels, preds,
+            tvfRangeArgs("ts_mrange", args, 1))
+      GraftSessionBridge.logicalPlan(df)
     })
   )
 

@@ -113,6 +113,15 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 31 * DAY),
         aggs = Seq("sum"), bucketMs = 3 * DAY))
     assert(tvf.collect().toSeq == api.collect().toSeq)
+    // 7-arg GROUPBY/REDUCE form
+    val g = spark.sql(
+      s"SELECT * FROM ts_mrange('type=(click,view)', $T0, ${T0 + 31 * DAY}, 'avg', ${7 * DAY}, 'type', 'max')")
+    val gApi = graft.ts.Multi.mrangeGroupBy(samples, labels,
+      Seq(graft.ts.Multi.parsePred("type=(click,view)")),
+      graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 31 * DAY),
+        aggs = Seq("avg"), bucketMs = 7 * DAY),
+      groupByLabel = "type", reducer = "max")
+    assert(g.collect().toSeq == gApi.collect().toSeq)
   }
 
   test("extension injection registers the table functions too") {
