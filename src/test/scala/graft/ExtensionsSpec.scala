@@ -124,6 +124,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g.collect().toSeq == gApi.collect().toSeq)
   }
 
+  test("TVF over a native-column samples table keeps pushdown and the bucketed layout") {
+    GraftFunctions.register(spark)
+    val table = "graft_tvf_bucketed_samples"
+    try {
+      TSModel.writeBucketed(TSModel.samples(spark, sf), table, buckets = 8)
+      spark.table(table).createOrReplaceTempView(GraftFunctions.SamplesView)
+      val T0 = 1704067200000L; val DAY = 86400000L
+      val df = spark.sql(s"SELECT * FROM ts_range('click_7', $T0, ${T0 + 20 * DAY}, 'avg', $DAY)")
+      // unwrap AQE: AdaptiveSparkPlanExec is leaf-like, collect would
+      // not see through it
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      // the TVF's series/ts predicates reach the parquet scan — the
+      // SQL route loses nothing vs the Column API at scan level
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val pushed = scans.head.metadata("PushedFilters")
+      assert(pushed.contains("EqualTo(series,click_7)"), pushed)
+      assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
+      // and the bucketed layout still satisfies the per-series
+      // aggregation with ZERO data shuffles through the TVF route
+      val dataShuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+      }
+      assert(dataShuffles.isEmpty, s"expected shuffle-free TVF plan:\n$plan")
+      assert(df.collect().nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("extension injection registers the table functions too") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
