@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{Aggs, Multi, RangeQuery, TSModel}
+import graft.ts.RangeQuery.RangeArgs
+
+/**
+ * Randomized differential for the SQL TVF route: seeded random option
+ * combos rendered as `SELECT * FROM ts_range(...)` / `ts_mrange(...)`
+ * SQL text must return row-for-row what the Column API returns for the
+ * same arguments. The Column API itself is checked against DuckDB by
+ * six randomized suites — this sweep proves the TVF argument plumbing
+ * (literal extraction, arity dispatch, predicate parsing, GROUPBY
+ * routing) is faithful across the option space, not just the four
+ * hand-picked ExtensionsSpec combos.
+ */
+class RandomizedTvfSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private val T0 = 1704067200000L
+  private val HOUR = 3600000L
+  private val DAY = 86400000L
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("ts_range TVF == Column API across 40 random option combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val keys = samples.select(col("series")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rnd = new scala.util.Random(4242)
+    val buckets = Seq(HOUR, 6 * HOUR, DAY, 2 * DAY)
+    for (i <- 1 to 40) {
+      val key = keys(rnd.nextInt(keys.size))
+      val from = T0 + rnd.nextInt(20) * DAY
+      val to = from + (1 + rnd.nextInt(12)) * DAY
+      val raw = rnd.nextInt(4) == 0
+      val agg = Aggs.names(rnd.nextInt(Aggs.names.size))
+      val bucket = buckets(rnd.nextInt(buckets.size))
+      val align = if (rnd.nextBoolean()) 0L else from + rnd.nextInt(1000) * 60000L
+      val (sqlText, args) =
+        if (raw)
+          (s"SELECT * FROM ts_range('$key', $from, $to)",
+            RangeArgs(from = Some(from), to = Some(to)))
+        else if (align == 0L)
+          (s"SELECT * FROM ts_range('$key', $from, $to, '$agg', $bucket)",
+            RangeArgs(from = Some(from), to = Some(to), aggs = Seq(agg), bucketMs = bucket))
+        else
+          (s"SELECT * FROM ts_range('$key', $from, $to, '$agg', $bucket, $align)",
+            RangeArgs(from = Some(from), to = Some(to), aggs = Seq(agg),
+              bucketMs = bucket, alignMs = align))
+      val api = RangeQuery.range(samples.filter(col("series") === key), args)
+      assert(rows(spark.sql(sqlText)) == rows(api), s"combo $i: $sqlText")
+    }
+  }
+
+  test("ts_mrange TVF == Column API across 20 random predicate/GROUPBY combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    val labels = TSModel.labels(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    labels.createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+    val rnd = new scala.util.Random(777)
+    // the reference requires >= 1 inclusive matcher (equality/list
+    // match) per filter — draw the first pred from the inclusive pool
+    val inclusivePool = Seq(
+      "type=click", "type=view", "type=(click,view)", "type=(purchase,signup)",
+      "user=(1,2,3)", "user=(4,5,6,7)")
+    val extraPool = inclusivePool ++ Seq("type!=error", "user!=(1,2)", "type!=")
+    val reducers = Aggs.names.filterNot(Set("first", "last", "twa"))
+    val gLabels = Seq("type", "user")
+    for (i <- 1 to 20) {
+      val first = inclusivePool(rnd.nextInt(inclusivePool.size))
+      val preds = first +: (if (rnd.nextBoolean())
+        Seq(extraPool(rnd.nextInt(extraPool.size))).filterNot(_ == first) else Nil)
+      val from = T0 + rnd.nextInt(15) * DAY
+      val to = from + (2 + rnd.nextInt(14)) * DAY
+      val agg = Aggs.names(rnd.nextInt(Aggs.names.size))
+      val bucket = Seq(6 * HOUR, DAY, 3 * DAY)(rnd.nextInt(3))
+      val parsed = preds.map(Multi.parsePred)
+      val args = RangeArgs(from = Some(from), to = Some(to), aggs = Seq(agg), bucketMs = bucket)
+      val groupBy = if (rnd.nextInt(3) == 0 && agg != "twa")
+        Some((gLabels(rnd.nextInt(gLabels.size)), reducers(rnd.nextInt(reducers.size))))
+      else None
+      val filter = preds.mkString(" ")
+      val (sqlText, api) = groupBy match {
+        case Some((gl, red)) =>
+          (s"SELECT * FROM ts_mrange('$filter', $from, $to, '$agg', $bucket, '$gl', '$red')",
+            Multi.mrangeGroupBy(samples, labels, parsed, args, gl, red))
+        case None =>
+          (s"SELECT * FROM ts_mrange('$filter', $from, $to, '$agg', $bucket)",
+            Multi.mrange(samples, labels, parsed, args))
+      }
+      assert(rows(spark.sql(sqlText)) == rows(api), s"combo $i: $sqlText")
+    }
+  }
+}
