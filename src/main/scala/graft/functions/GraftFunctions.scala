@@ -149,12 +149,19 @@ object GraftFunctions {
       throw new IllegalStateException(s"$fn: no active SparkSession"))
 
   /** Shared RangeArgs assembly for both TVFs:
-    * (from, to[, agg, bucket_ms[, align_ms]]). */
+    * (from, to[, agg, bucket_ms[, align_ms]]), or — when the 4th
+    * positional argument is a STRING — (from, to, 'options...') with
+    * the reference's own TS.RANGE option grammar
+    * (RangeQuery.parseOptions: AGGREGATION/ALIGN/BUCKETTIMESTAMP/
+    * EMPTY/COUNT/LATEST/REV/FILTER_BY_TS/FILTER_BY_VALUE). */
   private def tvfRangeArgs(fn: String, args: Seq[Expression], off: Int): graft.ts.RangeQuery.RangeArgs = {
     val from = literalLong(fn, args(off), "from")
     val to = literalLong(fn, args(off + 1), "to")
     if (args.length == off + 2)
       graft.ts.RangeQuery.RangeArgs(from = Some(from), to = Some(to))
+    else if (args.length == off + 3 && args(off + 2).dataType == StringType)
+      graft.ts.RangeQuery.parseOptions(
+        literalString(fn, args(off + 2), "options"), Some(from), Some(to))
     else
       graft.ts.RangeQuery.RangeArgs(from = Some(from), to = Some(to),
         aggs = Seq(literalString(fn, args(off + 2), "aggregator")),
@@ -164,8 +171,9 @@ object GraftFunctions {
 
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TableFunctionBuilder)] = Seq(
     // ts_range('series', from, to[, 'agg', bucket_ms[, align_ms]])
+    // or ts_range('series', from, to, '<reference option grammar>')
     (FunctionIdentifier("ts_range"), info("ts_range"), { args: Seq[Expression] =>
-      nargs("ts_range", Seq(3, 5, 6), args)
+      nargs("ts_range", Seq(3, 4, 5, 6), args)
       val series = literalString("ts_range", args.head, "series key")
       val spark = activeSession("ts_range")
       val samples = spark.table(SamplesView).filter(col("series") === series)
@@ -177,23 +185,40 @@ object GraftFunctions {
     // filter syntax = the reference's FILTER predicates, whitespace-
     // separated (l=v l!=v l=(a,b) l!=(a,b) l= l!=); the 7-arg form is
     // TS.MRANGE ... GROUPBY label REDUCE reducer
+    // the 4-arg form takes the reference option grammar, optionally
+    // including its GROUPBY label REDUCE reducer clause
     (FunctionIdentifier("ts_mrange"), info("ts_mrange"), { args: Seq[Expression] =>
-      nargs("ts_mrange", Seq(3, 5, 6, 7), args)
+      nargs("ts_mrange", Seq(3, 4, 5, 6, 7), args)
       val preds = literalString("ts_mrange", args.head, "label filter")
         .split("\\s+").filter(_.nonEmpty).toSeq.map(graft.ts.Multi.parsePred)
       require(preds.nonEmpty, "ts_mrange: at least one label predicate is required")
       val spark = activeSession("ts_mrange")
       val samples = spark.table(SamplesView)
       val labels = spark.table(LabelsView)
-      val df =
+      // GROUPBY/REDUCE arrives either positionally (7-arg form) or as
+      // a clause inside the option string (reference grammar)
+      val optGroupBy: Option[(String, String, graft.ts.RangeQuery.RangeArgs)] =
         if (args.length == 7)
-          graft.ts.Multi.mrangeGroupBy(samples, labels, preds,
-            tvfRangeArgs("ts_mrange", args.take(5), 1),
-            groupByLabel = literalString("ts_mrange", args(5), "GROUPBY label"),
-            reducer = literalString("ts_mrange", args(6), "reducer"))
-        else
+          Some((literalString("ts_mrange", args(5), "GROUPBY label"),
+            literalString("ts_mrange", args(6), "reducer"),
+            tvfRangeArgs("ts_mrange", args.take(5), 1)))
+        else if (args.length == 4 && args(3).dataType == StringType) {
+          val raw = literalString("ts_mrange", args(3), "options")
+          val from = literalLong("ts_mrange", args(1), "from")
+          val to = literalLong("ts_mrange", args(2), "to")
+          "(?i)\\bGROUPBY\\s+(\\S+)\\s+REDUCE\\s+(\\S+)".r.findFirstMatchIn(raw).map { g =>
+            (g.group(1), g.group(2), graft.ts.RangeQuery.parseOptions(
+              raw.substring(0, g.start) + " " + raw.substring(g.end), Some(from), Some(to)))
+          }
+        } else None
+      val df = optGroupBy match {
+        case Some((gl, red, ra)) =>
+          graft.ts.Multi.mrangeGroupBy(samples, labels, preds, ra,
+            groupByLabel = gl, reducer = red)
+        case None =>
           graft.ts.Multi.mrange(samples, labels, preds,
             tvfRangeArgs("ts_mrange", args, 1))
+      }
       GraftSessionBridge.logicalPlan(df)
     })
   )

@@ -77,6 +77,77 @@ object RangeQuery {
       s"unknown aggregator $a"))
   }
 
+  /**
+   * Parse the reference's TS.RANGE option grammar — the token stream
+   * that follows `key fromTimestamp toTimestamp` in the text protocol
+   * (reference: src/query_language.c parseRangeArguments) — into
+   * [[RangeArgs]]. Keywords are case-insensitive (the reference parses
+   * with strcasecmp); clauses accepted in any order:
+   *
+   *   LATEST
+   *   FILTER_BY_TS ts...              (numeric run, <=128 values)
+   *   FILTER_BY_VALUE min max
+   *   COUNT n
+   *   ALIGN <start|-|end|+|ts>
+   *   AGGREGATION aggregator bucketDuration
+   *   BUCKETTIMESTAMP <-|~|+|start|mid|end>
+   *   EMPTY
+   *   REV                             (TS.REVRANGE spelled as an option)
+   *
+   * Engine extension: a REPEATED AGGREGATION clause appends to the
+   * multi-aggregator set (same bucketDuration required) — the text
+   * form of the engine's one-pass multi-agg. Unknown tokens and
+   * missing clause arguments throw, mirroring the reference's
+   * parse-time errors (tests/flow/test_negative.py).
+   */
+  def parseOptions(options: String, from: Option[Long], to: Option[Long]): RangeArgs = {
+    val toks = options.trim.split("\\s+").filter(_.nonEmpty)
+    var args = RangeArgs(from = from, to = to)
+    var i = 0
+    def arg(n: Int, kw: String): String = {
+      require(i + n < toks.length, s"TSDB: missing argument(s) for $kw")
+      toks(i + n)
+    }
+    while (i < toks.length) {
+      toks(i).toUpperCase match {
+        case "LATEST" => args = args.copy(latest = true); i += 1
+        case "EMPTY"  => args = args.copy(empty = true); i += 1
+        case "REV"    => args = args.copy(reverse = true); i += 1
+        case "COUNT"  =>
+          args = args.copy(count = Some(arg(1, "COUNT").toInt)); i += 2
+        case "ALIGN"  =>
+          args = args.copy(alignMs = resolveAlign(arg(1, "ALIGN").toLowerCase, from, to)); i += 2
+        case "AGGREGATION" =>
+          val a = arg(1, "AGGREGATION").toLowerCase
+          val dur = arg(2, "AGGREGATION").toLong
+          require(args.aggs.isEmpty || args.bucketMs == dur,
+            s"TSDB: a repeated AGGREGATION clause must keep the bucketDuration (${args.bucketMs} != $dur)")
+          args = args.copy(aggs = args.aggs :+ a, bucketMs = dur); i += 3
+        case "BUCKETTIMESTAMP" =>
+          val bt = arg(1, "BUCKETTIMESTAMP").toLowerCase match {
+            case "-" | "start" => "-"
+            case "~" | "mid"   => "~"
+            case "+" | "end"   => "+"
+            case other => throw new IllegalArgumentException(s"bad BUCKETTIMESTAMP '$other'")
+          }
+          args = args.copy(bucketTs = bt); i += 2
+        case "FILTER_BY_TS" =>
+          var j = i + 1
+          val vals = scala.collection.mutable.ArrayBuffer[Long]()
+          while (j < toks.length && toks(j).matches("-?\\d+")) { vals += toks(j).toLong; j += 1 }
+          require(vals.nonEmpty, "TSDB: missing argument(s) for FILTER_BY_TS")
+          args = args.copy(filterByTs = args.filterByTs ++ vals); i = j
+        case "FILTER_BY_VALUE" =>
+          args = args.copy(filterByValue =
+            Some((arg(1, "FILTER_BY_VALUE").toDouble, arg(2, "FILTER_BY_VALUE").toDouble)))
+          i += 3
+        case other =>
+          throw new IllegalArgumentException(s"TSDB: unknown argument '$other'")
+      }
+    }
+    args
+  }
+
   /** FILTER_BY_TS / FILTER_BY_VALUE (no time range). */
   private def sampleFiltered(samples: DataFrame, args: RangeArgs): DataFrame = {
     var df = samples

@@ -57,6 +57,63 @@ class RandomizedTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("option-grammar TVF form == Column API across 30 random renderings") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val keys = samples.select(col("series")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rnd = new scala.util.Random(31337)
+    def kw(s: String): String = if (rnd.nextBoolean()) s else s.toLowerCase
+    for (i <- 1 to 30) {
+      val key = keys(rnd.nextInt(keys.size))
+      val from = T0 + rnd.nextInt(20) * DAY
+      val to = from + (2 + rnd.nextInt(10)) * DAY
+      val nAggs = rnd.nextInt(3)
+      val aggs =
+        if (nAggs == 0) Nil
+        else if (nAggs == 1) Seq(Aggs.names(rnd.nextInt(Aggs.names.size)))
+        else rnd.shuffle(Aggs.names.filterNot(_ == "twa")).take(2)
+      val bucket = Seq(6 * HOUR, DAY, 2 * DAY)(rnd.nextInt(3))
+      val clauses = scala.collection.mutable.ArrayBuffer[String]()
+      var args = RangeArgs(from = Some(from), to = Some(to))
+      if (aggs.nonEmpty) {
+        aggs.foreach(a => clauses += s"${kw("AGGREGATION")} $a $bucket")
+        args = args.copy(aggs = aggs, bucketMs = bucket)
+        if (rnd.nextBoolean()) {
+          val align = from + rnd.nextInt(100) * 60000L
+          clauses += s"${kw("ALIGN")} $align"; args = args.copy(alignMs = align)
+        }
+        if (rnd.nextBoolean()) {
+          val (sym, norm) = Seq(("~", "~"), ("mid", "~"), ("+", "+"), ("end", "+"))(rnd.nextInt(4))
+          clauses += s"${kw("BUCKETTIMESTAMP")} $sym"; args = args.copy(bucketTs = norm)
+        }
+        if (rnd.nextBoolean()) { clauses += kw("EMPTY"); args = args.copy(empty = true) }
+      }
+      if (rnd.nextBoolean()) {
+        val n = 1 + rnd.nextInt(10)
+        clauses += s"${kw("COUNT")} $n"; args = args.copy(count = Some(n))
+      }
+      if (rnd.nextBoolean()) { clauses += kw("REV"); args = args.copy(reverse = true) }
+      if (rnd.nextInt(3) == 0) {
+        val lo = -2.0 + rnd.nextDouble(); val hi = lo + 2 * rnd.nextDouble()
+        clauses += s"${kw("FILTER_BY_VALUE")} $lo $hi"
+        args = args.copy(filterByValue = Some((lo, hi)))
+      }
+      // shuffle clause order, but keep the AGGREGATION clauses in
+      // their relative order — output column order follows clause
+      // order by design (one column per aggregator, in query order)
+      val shuffled = rnd.shuffle(clauses.toSeq)
+      val aggClauses = clauses.toSeq.filter(_.toUpperCase.startsWith("AGGREGATION"))
+      val it = aggClauses.iterator
+      val opts = shuffled.map(c =>
+        if (c.toUpperCase.startsWith("AGGREGATION")) it.next() else c).mkString(" ")
+      val tvf = spark.sql(s"SELECT * FROM ts_range('$key', $from, $to, '$opts')")
+      val api = RangeQuery.range(samples.filter(col("series") === key), args)
+      assert(rows(tvf) == rows(api), s"combo $i: '$opts'")
+    }
+  }
+
   test("ts_mrange TVF == Column API across 20 random predicate/GROUPBY combos") {
     graft.functions.GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
