@@ -735,6 +735,16 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
         s.sql(s"SELECT * FROM ts_mrange('type=click user=(2,4,6)', $T0, $T31, 'max', ${3 * DAY})")
       }),
+      // TS.MGET through the TVF surface (left-join null-row contract
+      // identical to ts_mget's Column route)
+      "ts_sql_tvf_mget" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        TSModel.labels(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+        s.sql("SELECT * FROM ts_mget('user=(1,3,5)')")
+      }),
       // 7-arg TVF form: TS.MRANGE ... GROUPBY label REDUCE reducer
       "ts_sql_tvf_mrange_groupby" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -1560,6 +1570,12 @@ object SparkEntry {
            |  FROM samples JOIN matched USING (series)
            |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
            |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
+      "ts_sql_tvf_mget" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}
+           |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
+           |       (max(struct_pack(t := ts, v := value))).v AS value
+           |FROM samples JOIN series_labels USING (series)
+           |WHERE "user" IN ('1','3','5') GROUP BY series""".stripMargin,
       "ts_sql_tvf_mrange_groupby" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 7 * DAY)} AS bucket, ${Aggs.sql("avg")}

@@ -148,6 +148,12 @@ object GraftFunctions {
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException(s"$fn: no active SparkSession"))
 
+  /** Whitespace-separated reference FILTER predicates
+    * (l=v l!=v l=(a,b) l!=(a,b) l= l!=). */
+  private def parsePreds(fn: String, e: Expression): Seq[graft.ts.Multi.LabelPred] =
+    literalString(fn, e, "label filter")
+      .split("\\s+").filter(_.nonEmpty).toSeq.map(graft.ts.Multi.parsePred)
+
   /** Shared RangeArgs assembly for both TVFs:
     * (from, to[, agg, bucket_ms[, align_ms]]), or — when the 4th
     * positional argument is a STRING — (from, to, 'options...') with
@@ -189,8 +195,7 @@ object GraftFunctions {
     // including its GROUPBY label REDUCE reducer clause
     (FunctionIdentifier("ts_mrange"), info("ts_mrange"), { args: Seq[Expression] =>
       nargs("ts_mrange", Seq(3, 4, 5, 6, 7), args)
-      val preds = literalString("ts_mrange", args.head, "label filter")
-        .split("\\s+").filter(_.nonEmpty).toSeq.map(graft.ts.Multi.parsePred)
+      val preds = parsePreds("ts_mrange", args.head)
       require(preds.nonEmpty, "ts_mrange: at least one label predicate is required")
       val spark = activeSession("ts_mrange")
       val samples = spark.table(SamplesView)
@@ -220,6 +225,38 @@ object GraftFunctions {
             tvfRangeArgs("ts_mrange", args, 1))
       }
       GraftSessionBridge.logicalPlan(df)
+    }),
+    // ts_get('key') — TS.GET: last sample of one series
+    (FunctionIdentifier("ts_get"), info("ts_get"), { args: Seq[Expression] =>
+      nargs("ts_get", Seq(1), args)
+      val spark = activeSession("ts_get")
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.get(
+        spark.table(SamplesView), literalString("ts_get", args.head, "series key")))
+    }),
+    // ts_mget('<FILTER preds>') — TS.MGET over the label index
+    (FunctionIdentifier("ts_mget"), info("ts_mget"), { args: Seq[Expression] =>
+      nargs("ts_mget", Seq(1), args)
+      val spark = activeSession("ts_mget")
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.mget(
+        spark.table(SamplesView), spark.table(LabelsView),
+        parsePreds("ts_mget", args.head)))
+    }),
+    // ts_queryindex('<FILTER preds>') — TS.QUERYINDEX
+    (FunctionIdentifier("ts_queryindex"), info("ts_queryindex"), { args: Seq[Expression] =>
+      nargs("ts_queryindex", Seq(1), args)
+      val spark = activeSession("ts_queryindex")
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.queryIndex(
+        spark.table(LabelsView), parsePreds("ts_queryindex", args.head)))
+    }),
+    // ts_querylabels('label'[, '<FILTER preds>']) — TS.QUERYLABELS
+    // (distinct values of one label, optionally over a filtered set)
+    (FunctionIdentifier("ts_querylabels"), info("ts_querylabels"), { args: Seq[Expression] =>
+      nargs("ts_querylabels", Seq(1, 2), args)
+      val spark = activeSession("ts_querylabels")
+      val preds = if (args.length == 2) parsePreds("ts_querylabels", args(1)) else Nil
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.queryLabelValues(
+        spark.table(LabelsView),
+        literalString("ts_querylabels", args.head, "label name"), preds))
     })
   )
 

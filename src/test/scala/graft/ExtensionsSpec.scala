@@ -124,6 +124,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g.collect().toSeq == gApi.collect().toSeq)
   }
 
+  test("read-command TVFs (get / mget / queryindex / querylabels) == Column API") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    val labels = TSModel.labels(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    labels.createOrReplaceTempView(GraftFunctions.LabelsView)
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(set(spark.sql("SELECT * FROM ts_get('click_7')")) ==
+      set(graft.ts.Multi.get(samples, "click_7")))
+    assert(set(spark.sql("SELECT * FROM ts_mget('type=purchase')")) ==
+      set(graft.ts.Multi.mget(samples, labels, Seq(graft.ts.Multi.parsePred("type=purchase")))))
+    assert(set(spark.sql("SELECT * FROM ts_queryindex('type=(click,view) user=(1,2,3)')")) ==
+      set(graft.ts.Multi.queryIndex(labels,
+        Seq(graft.ts.Multi.parsePred("type=(click,view)"), graft.ts.Multi.parsePred("user=(1,2,3)")))))
+    assert(set(spark.sql("SELECT * FROM ts_querylabels('user', 'type=click')")) ==
+      set(graft.ts.Multi.queryLabelValues(labels, "user",
+        Seq(graft.ts.Multi.parsePred("type=click")))))
+    // 1-arg form: unfiltered label values
+    assert(set(spark.sql("SELECT * FROM ts_querylabels('type')")) ==
+      set(graft.ts.Multi.queryLabelValues(labels, "type")))
+  }
+
   test("TVF over a native-column samples table keeps pushdown and the bucketed layout") {
     GraftFunctions.register(spark)
     val table = "graft_tvf_bucketed_samples"
@@ -166,7 +189,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val registry = org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.builtin.clone()
     assert(!registry.functionExists(FunctionIdentifier("ts_range")))
     GraftSessionBridge.applyInjectedTableFunctions(ext, registry)
-    for (name <- Seq("ts_range", "ts_mrange"))
+    for (name <- Seq("ts_range", "ts_mrange", "ts_get", "ts_mget",
+        "ts_queryindex", "ts_querylabels"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
