@@ -735,6 +735,23 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
         s.sql(s"SELECT * FROM ts_mrange('type=click user=(2,4,6)', $T0, $T31, 'max', ${3 * DAY})")
       }),
+      // source adapter end-to-end: canonical samples dumped to CSV,
+      // re-normalized by Sources.fromCsv (declared ms unit + epoch
+      // guard), then run through the ordinary range pipeline — the
+      // oracle reads the ORIGINAL parquet, so the whole round trip
+      // (write, declared-schema read, unit dispatch) hash-checks
+      "ts_source_csv_range" -> ((s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_src_q_").toString
+        TSModel.samples(s, dir)
+          .select(col("series").as("k"), col("ts").as("t"), col("value").as("v"))
+          .write.option("header", "true").mode("overwrite").csv(tmp)
+        val src = Sources.requireEpochWindow(
+          Sources.fromCsv(s, tmp, "k", "t", "v", Sources.Millis),
+          1600000000000L, 1800000000000L)
+        RangeQuery.range(src.filter(col("series") === oneSeries),
+          RangeArgs(from = Some(T0), to = Some(T31),
+            aggs = Seq("avg", "count"), bucketMs = 3 * DAY))
+      }),
       // TS.MGET through the TVF surface (left-join null-row contract
       // identical to ts_mget's Column route)
       "ts_sql_tvf_mget" -> ((s, dir) => {
@@ -1570,6 +1587,10 @@ object SparkEntry {
            |  FROM samples JOIN matched USING (series)
            |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
            |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
+      "ts_source_csv_range" -> RangeQuery.rangeSql(
+        RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("avg", "count"), bucketMs = 3 * DAY),
+        Some(s"series = '$oneSeries'")),
       "ts_sql_tvf_mget" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}
            |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
