@@ -257,6 +257,28 @@ object GraftFunctions {
       GraftSessionBridge.logicalPlan(graft.ts.Multi.queryLabelValues(
         spark.table(LabelsView),
         literalString("ts_querylabels", args.head, "label name"), preds))
+    }),
+    // ts_info(['key']) — TS.INFO core stats; the 0-arg form surveys
+    // every series (engine extension: INFO is per-key in the text
+    // protocol only because RESP replies are per-key)
+    (FunctionIdentifier("ts_info"), info("ts_info"), { args: Seq[Expression] =>
+      nargs("ts_info", Seq(0, 1), args)
+      val spark = activeSession("ts_info")
+      val samples = spark.table(SamplesView)
+      val scoped = if (args.isEmpty) samples
+        else samples.filter(col("series") === literalString("ts_info", args.head, "series key"))
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.info(scoped))
+    }),
+    // ts_nrange('k1 k2 ...', from, to[, 'agg', bucket_ms[, align_ms]])
+    // or ('k1 k2 ...', from, to, '<option grammar>') — TS.NRANGE pivot
+    (FunctionIdentifier("ts_nrange"), info("ts_nrange"), { args: Seq[Expression] =>
+      nargs("ts_nrange", Seq(3, 4, 5, 6), args)
+      val keys = literalString("ts_nrange", args.head, "key list")
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "ts_nrange: at least one series key is required")
+      val spark = activeSession("ts_nrange")
+      GraftSessionBridge.logicalPlan(graft.ts.Multi.nrange(
+        spark.table(SamplesView), keys, tvfRangeArgs("ts_nrange", args, 1)))
     })
   )
 

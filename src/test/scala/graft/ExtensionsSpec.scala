@@ -145,6 +145,17 @@ class ExtensionsSpec extends AnyFunSuite {
     // 1-arg form: unfiltered label values
     assert(set(spark.sql("SELECT * FROM ts_querylabels('type')")) ==
       set(graft.ts.Multi.queryLabelValues(labels, "type")))
+    assert(set(spark.sql("SELECT * FROM ts_info('click_7')")) ==
+      set(graft.ts.Multi.info(samples.filter(
+        org.apache.spark.sql.functions.col("series") === "click_7"))))
+    assert(set(spark.sql("SELECT * FROM ts_info()")) ==
+      set(graft.ts.Multi.info(samples)))
+    val T0 = 1704067200000L; val DAY = 86400000L
+    assert(set(spark.sql(
+      s"SELECT * FROM ts_nrange('click_3 click_7 view_3', $T0, ${T0 + 14 * DAY}, 'avg', ${2 * DAY})")) ==
+      set(graft.ts.Multi.nrange(samples, Seq("click_3", "click_7", "view_3"),
+        graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T0 + 14 * DAY),
+          aggs = Seq("avg"), bucketMs = 2 * DAY))))
   }
 
   test("TVF over a native-column samples table keeps pushdown and the bucketed layout") {
@@ -190,7 +201,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!registry.functionExists(FunctionIdentifier("ts_range")))
     GraftSessionBridge.applyInjectedTableFunctions(ext, registry)
     for (name <- Seq("ts_range", "ts_mrange", "ts_get", "ts_mget",
-        "ts_queryindex", "ts_querylabels"))
+        "ts_queryindex", "ts_querylabels", "ts_info", "ts_nrange"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
