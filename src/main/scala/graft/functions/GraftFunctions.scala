@@ -293,6 +293,11 @@ object GraftFunctions {
     tableFunctions.foreach { case (id, inf, builder) =>
       if (!tvfs.functionExists(id)) tvfs.registerFunction(id, inf, builder)
     }
+    // optimizer rules: experimental.extraOptimizations is the public
+    // live-session twin of injectOptimizerRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.VecNormRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VecNormRule
   }
 }
 
@@ -303,5 +308,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
+    ext.injectOptimizerRule(_ => graft.plans.VecNormRule)
   }
 }

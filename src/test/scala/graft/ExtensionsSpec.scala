@@ -205,6 +205,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
+  test("VecNormRule rewrites sqrt(vec_dot(x,x)) to vec_norm(x)") {
+    GraftFunctions.register(spark)
+    // id-based arrays: non-foldable, so constant folding cannot hide
+    // the rewrite
+    val df = spark.sql(
+      "SELECT SQRT(vec_dot(array(CAST(id AS DOUBLE), 4.0D), array(CAST(id AS DOUBLE), 4.0D))) AS n FROM range(3, 4)")
+    val exprs = df.queryExecution.optimizedPlan.expressions.map(_.toString).mkString("\n")
+    assert(exprs.contains("vec_norm"), exprs)
+    assert(!exprs.toUpperCase.contains("SQRT"), exprs)
+    assert(df.collect().head.getDouble(0) == 5.0)
+    // different children: no rewrite
+    val keep = spark.sql(
+      "SELECT SQRT(vec_dot(array(CAST(id AS DOUBLE)), array(2.0D))) AS n FROM range(1)")
+    assert(keep.queryExecution.optimizedPlan.expressions.map(_.toString)
+      .mkString.toUpperCase.contains("SQRT"))
+  }
+
   test("SQL route stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range() scan + projection: a codegen-able pipeline (a local
