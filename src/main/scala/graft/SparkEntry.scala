@@ -762,6 +762,13 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
         s.sql("SELECT * FROM ts_mget('user=(1,3,5)')")
       }),
+      // TS.NRANGE through the TVF surface (explicit key list, pivot)
+      "ts_sql_tvf_nrange" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_nrange('click_2 click_4 view_1', $T0, $T31, 'sum', ${2 * DAY})")
+      }),
       // 7-arg TVF form: TS.MRANGE ... GROUPBY label REDUCE reducer
       "ts_sql_tvf_mrange_groupby" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -1591,6 +1598,16 @@ object SparkEntry {
         RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("avg", "count"), bucketMs = 3 * DAY),
         Some(s"series = '$oneSeries'")),
+      "ts_sql_tvf_nrange" ->
+        s"""${TSModel.samplesCte}, agg AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket, ${Aggs.sql("sum")}
+           |  FROM samples WHERE series IN ('click_2','click_4','view_1')
+           |    AND ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
+           |) SELECT bucket AS ts,
+           |    coalesce(max(sum_value) FILTER (WHERE series = 'click_2'), 'NaN'::DOUBLE) AS click_2,
+           |    coalesce(max(sum_value) FILTER (WHERE series = 'click_4'), 'NaN'::DOUBLE) AS click_4,
+           |    coalesce(max(sum_value) FILTER (WHERE series = 'view_1'), 'NaN'::DOUBLE) AS view_1
+           |  FROM agg WHERE sum_value IS NOT NULL GROUP BY 1""".stripMargin,
       "ts_sql_tvf_mget" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}
            |SELECT series, (max(struct_pack(t := ts, v := value))).t AS ts,
