@@ -143,10 +143,24 @@ class RandomizedTvfSpec extends AnyFunSuite {
         Some((gLabels(rnd.nextInt(gLabels.size)), reducers(rnd.nextInt(reducers.size))))
       else None
       val filter = preds.mkString(" ")
+      // half the combos drive the positional forms, half render the
+      // same call through the option-grammar string (with COUNT/REV
+      // riders the positional forms cannot express)
+      val grammar = rnd.nextBoolean()
       val (sqlText, api) = groupBy match {
+        case Some((gl, red)) if grammar =>
+          val extra = if (rnd.nextBoolean()) " REV" else ""
+          val a2 = if (extra.nonEmpty) args.copy(reverse = true) else args
+          (s"SELECT * FROM ts_mrange('$filter', $from, $to, 'AGGREGATION $agg $bucket GROUPBY $gl REDUCE $red$extra')",
+            Multi.mrangeGroupBy(samples, labels, parsed, a2, gl, red))
         case Some((gl, red)) =>
           (s"SELECT * FROM ts_mrange('$filter', $from, $to, '$agg', $bucket, '$gl', '$red')",
             Multi.mrangeGroupBy(samples, labels, parsed, args, gl, red))
+        case None if grammar =>
+          val n = 1 + rnd.nextInt(6)
+          val a2 = args.copy(count = Some(n))
+          (s"SELECT * FROM ts_mrange('$filter', $from, $to, 'COUNT $n AGGREGATION $agg $bucket')",
+            Multi.mrange(samples, labels, parsed, a2))
         case None =>
           (s"SELECT * FROM ts_mrange('$filter', $from, $to, '$agg', $bucket)",
             Multi.mrange(samples, labels, parsed, args))
