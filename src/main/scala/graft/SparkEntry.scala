@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts._
 import graft.ts.RangeQuery.RangeArgs
-import graft.pipeline.{CorpusPipeline, Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Clustering, CorpusPipeline, Dedup, Multimodal, Similarity, Text}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. */
@@ -805,6 +805,32 @@ object SparkEntry {
       // multimodal frame sampling: fixed-size frames, every 4th kept
       "mm_frame_sample" -> ((s, dir) =>
         Multimodal.frameSample(Multimodal.pack(Text.loadDocuments(s, dir)))),
+
+      // CCNet/RefinedWeb-style boilerplate removal at fixed word-window
+      // granularity: the repeated-segment vocabulary, and the corpus
+      // with those segments stripped (order-preserving reassembly)
+      "dedup_boilerplate_segments" -> ((s, dir) =>
+        Dedup.boilerplateSegments(Text.loadDocuments(s, dir))),
+      "dedup_boilerplate_clean" -> ((s, dir) =>
+        Dedup.removeBoilerplate(Text.loadDocuments(s, dir))),
+
+      // fully-distributed spherical k-means (2 Lloyd refinements,
+      // deterministic init/ties) — the corpus-scale clustering step of
+      // SemDeDup-style curation; assignment + occupancy surfaces
+      "cluster_kmeans_assign" -> ((s, dir) =>
+        Clustering.kmeansAssign(Similarity.loadEmbeddings(s, dir))),
+      "cluster_kmeans_sizes" -> ((s, dir) =>
+        Clustering.kmeansSizes(Similarity.loadEmbeddings(s, dir))),
+
+      // sliding (hopping) windows — beyond-reference extension (§2.8:
+      // the reference aggregates tumbling-only): 1d rolling avg/count
+      // emitted every 6h over the whole fixture month
+      "ts_range_sliding" -> ((s, dir) =>
+        Sliding.slidingRange(TSModel.samples(s, dir), "avg",
+          windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
+      "ts_range_sliding_count" -> ((s, dir) =>
+        Sliding.slidingRange(TSModel.samples(s, dir), "count",
+          windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
 
       // COMPACTION_POLICY end-to-end (VERDICT r04 missing #2): one
       // global policy string parsed (m/M duration units per
@@ -1667,6 +1693,14 @@ object SparkEntry {
         Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
+      "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
+      "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
+      "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),
+      "cluster_kmeans_sizes" -> Clustering.kmeansSizesSql(),
+      "ts_range_sliding" -> Sliding.slidingRangeSql("avg",
+        windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_sliding_count" -> Sliding.slidingRangeSql("count",
+        windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_compaction_policy" ->
         s"""${TSModel.samplesCte}
            |SELECT *, 'AVG' AS label_aggregation, '3600000' AS label_time_bucket,

@@ -535,4 +535,97 @@ object Dedup {
        |FROM embeddings a, embeddings b
        |WHERE a.vec_id < b.vec_id AND a.vec_id < $maxVecId AND b.vec_id < $maxVecId
        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $threshold""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Boilerplate-segment removal (CCNet / RefinedWeb style, generalized
+  // to fixed word-window segments since the fixture corpus has no line
+  // structure): a SEGMENT repeated across >= minDocs distinct documents
+  // is boilerplate (headers, footers, licence blurbs, nav chrome) and
+  // is stripped from every document, preserving the order of what
+  // remains.
+  // ------------------------------------------------------------------
+
+  /** Non-overlapping `w`-word segments with their in-doc position.
+    * The last segment keeps its (possibly shorter) tail — `slice`
+    * clamps. Pure codegen expressions; the explode multiplies rows by
+    * ~len/w, far below the n-gram shingle blowup. */
+  private[pipeline] def segments(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $w), i -> array_join(slice(toks, i * $w + 1, $w), ' '))")))
+      .toDF("doc_id", "pos", "seg")
+
+  /** The boilerplate vocabulary: segments in >= `minDocs` DISTINCT
+    * docs, with multiplicity. One map-side-combined aggregation by
+    * segment — the same shuffle shape as [[duplicatedSpans]]. */
+  def boilerplateSegments(docs: DataFrame, w: Int = 3, minDocs: Int = 5): DataFrame =
+    segments(docs, w)
+      .dropDuplicates("seg", "doc_id")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /**
+   * Strip boilerplate segments from every document. The boilerplate
+   * set is duplicate-rate-bound, not corpus-bound, so it goes through
+   * the [[maybeBroadcast]] gate (broadcast anti-join on a clean
+   * corpus; shuffle anti-join on a template-heavy crawl). Documents
+   * whose every segment is boilerplate survive with an empty
+   * `clean_text` — a downstream length filter decides their fate, not
+   * this operator. Reassembly sorts by in-doc position inside one
+   * groupBy(doc_id) aggregation (kept + dropped counted in the same
+   * pass — one shuffle by doc_id total).
+   */
+  def removeBoilerplate(docs: DataFrame, w: Int = 3, minDocs: Int = 5): DataFrame = {
+    val segs = segments(docs, w)
+    val bp = maybeBroadcast(boilerplateSegments(docs, w, minDocs).select(col("seg")))
+    val marked = segs.join(bp.withColumn("is_bp", lit(true)), Seq("seg"), "left")
+    val agg = marked.groupBy(col("doc_id")).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("is_bp").isNull, struct(col("pos"), col("seg"))))),
+          x => x("seg")),
+        " ").as("clean_text"),
+      count(when(col("is_bp").isNull, 1)).as("n_kept"),
+      count(when(col("is_bp").isNotNull, 1)).as("n_dropped"))
+    agg.select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_dropped"))
+  }
+
+  def boilerplateSegmentsSql(w: Int = 3, minDocs: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // $w) + 1)) AS i
+       |  FROM toks
+       |), seg AS (
+       |  SELECT doc_id, i AS pos,
+       |         array_to_string(list_slice(w, i * $w + 1, i * $w + $w), ' ') AS seg
+       |  FROM idx
+       |)
+       |SELECT seg, count(*) AS n_docs
+       |FROM (SELECT DISTINCT doc_id, seg FROM seg)
+       |GROUP BY seg HAVING count(*) >= $minDocs""".stripMargin
+
+  def removeBoilerplateSql(w: Int = 3, minDocs: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // $w) + 1)) AS i
+       |  FROM toks
+       |), seg AS (
+       |  SELECT doc_id, i AS pos,
+       |         array_to_string(list_slice(w, i * $w + 1, i * $w + $w), ' ') AS seg
+       |  FROM idx
+       |), bp AS (
+       |  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg)
+       |  GROUP BY seg HAVING count(*) >= $minDocs
+       |)
+       |SELECT s.doc_id,
+       |  coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text,
+       |  count(CASE WHEN b.seg IS NULL THEN 1 END) AS n_kept,
+       |  count(CASE WHEN b.seg IS NOT NULL THEN 1 END) AS n_dropped
+       |FROM seg s LEFT JOIN bp b ON s.seg = b.seg
+       |GROUP BY s.doc_id""".stripMargin
 }
