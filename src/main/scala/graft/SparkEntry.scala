@@ -806,6 +806,12 @@ object SparkEntry {
       "mm_frame_sample" -> ((s, dir) =>
         Multimodal.frameSample(Multimodal.pack(Text.loadDocuments(s, dir)))),
 
+      // streaming exact dedup: first-arrival-wins per content
+      // fingerprint via flatMapGroupsWithState, 8 ordered micro-batches
+      // — must equal the batch canonical (min doc_id per fp)
+      "dedup_stream_exact" -> ((s, dir) =>
+        graft.pipeline.StreamDedup.documentsDedupOnce(s, dir)),
+
       // CCNet/RefinedWeb-style boilerplate removal at fixed word-window
       // granularity: the repeated-segment vocabulary, and the corpus
       // with those segments stripped (order-preserving reassembly)
@@ -1693,6 +1699,7 @@ object SparkEntry {
         Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
+      "dedup_stream_exact" -> graft.pipeline.StreamDedup.documentsDedupOnceSql,
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

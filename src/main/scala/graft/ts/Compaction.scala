@@ -750,11 +750,11 @@ object Compaction {
     * below hold tiny state; 32 state stores each committing every
     * micro-batch is pure overhead, so they run at a handful. A real
     * deployment sizes this to state volume instead. */
-  private[ts] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+  private[graft] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
     withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
 
   /** Run `body` with one session conf overridden, restoring after. */
-  private[ts] def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+  private[graft] def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
     val prev = spark.conf.get(key)
     spark.conf.set(key, value)
     try body finally spark.conf.set(key, prev)
