@@ -56,16 +56,18 @@ object Sliding {
       .agg(Aggs.expr(agg, col("value"), col("ts")))
   }
 
-  /** DuckDB oracle twin ([[TSModel.samplesCte]] supplies `samples`). */
+  /** DuckDB oracle twin (`cte` supplies `samples` — the fixture CTE by
+    * default, a VALUES CTE in the randomized differential). */
   def slidingRangeSql(
       agg: String, windowMs: Long, hopMs: Long, alignMs: Long = 0L,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): String = {
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = if (bounds.nonEmpty) s"WHERE $bounds" else ""
     val wmax = TSModel.bucketStartSql("ts", hopMs, alignMs)
     val wmin = s"(${TSModel.bucketStartSql(s"(ts - $windowMs)", hopMs, alignMs)} + $hopMs)"
-    s"""${TSModel.samplesCte}, f AS (
+    s"""$cte, f AS (
        |  SELECT * FROM samples $where
        |), ex AS (
        |  SELECT series, ts, value, unnest(range($wmin, $wmax + $hopMs, $hopMs)) AS wstart

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{Aggs, Sessions, Sliding}
+import scala.util.Random
+
+/** Randomized differential for the round-9 window extensions (sliding
+  * hop windows, gap sessions) vs DuckDB — same harness as
+  * RandomizedOracleSpec (one python3 subprocess over all combos). */
+class RandomizedWindowsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def dLit(d: Double): String =
+    if (d.isNaN) "'NaN'::DOUBLE" else d.toString
+
+  private def valuesCte(samples: Seq[(String, Long, Double)]): String =
+    "WITH samples(series, ts, value) AS (VALUES " +
+      samples.map { case (s, t, v) => s"('$s', ${t}::BIGINT, ${dLit(v)})" }
+        .mkString(", ") + ")"
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def closeEnough(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+    case (None, None) => true
+    case (Some(x), Some(y)) =>
+      (x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-7 * math.max(1.0, math.abs(y))
+    case _ => false
+  }
+
+  test("randomized sliding/session combos match DuckDB (>=80 combos)") {
+    val py = java.nio.file.Paths.get("tools/run_oracle_batch.py")
+    assume(java.nio.file.Files.exists(py), "tools/run_oracle_batch.py missing")
+    val rnd = new Random(20260814L)
+
+    sealed trait Combo { def name: String; def samples: Seq[(String, Long, Double)]; def sql: String }
+    case class Slide(name: String, samples: Seq[(String, Long, Double)],
+        agg: String, win: Long, hop: Long, align: Long,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        Sliding.slidingRangeSql(agg, win, hop, align, from, to, valuesCte(samples))
+    }
+    case class Sess(name: String, samples: Seq[(String, Long, Double)],
+        agg: String, gap: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        Sessions.sessionRangeSql(agg, gap, from, to, valuesCte(samples))
+    }
+
+    val combos: Seq[Combo] = (0 until 90).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val agg = Aggs.names(rnd.nextInt(Aggs.names.size))
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      if (iter % 2 == 0) {
+        val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
+        val ratio = 1 + rnd.nextInt(4)
+        val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
+        Slide(f"slide_$iter%03d", samples, agg, hop * ratio, hop, align, from, to)
+      } else {
+        val gap = Seq(5L, 20L, 100L)(rnd.nextInt(3))
+        Sess(f"sess_$iter%03d", samples, agg, gap, from, to)
+      }
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
+    val sqlJson = combos.map(c => s"${jq(c.name)}: ${jq(c.sql)}").mkString("{", ",", "}")
+    val in = dir.resolve("sqls.json"); val out = dir.resolve("rows.tsv")
+    java.nio.file.Files.writeString(in, sqlJson)
+    import scala.sys.process._
+    val log = new StringBuilder
+    val rc = Seq("python3", py.toAbsolutePath.toString, in.toString, out.toString)
+      .!(ProcessLogger(l => log.append(l).append('\n')))
+    assert(rc == 0, s"oracle batch runner failed (rc=$rc):\n$log")
+
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(out)).asScala.toSeq
+    val errs = lines.filter(_.split("\t", -1).lift(1).contains("__ERROR__"))
+    assert(errs.isEmpty, s"DuckDB rejected generated SQL:\n${errs.mkString("\n")}")
+    // expected rows keyed by (name, series, first numeric col)
+    val expected: Map[String, Seq[Seq[String]]] = lines
+      .filterNot(_.split("\t", -1).lift(1).contains("__DONE__"))
+      .map(_.split("\t", -1).toSeq).groupBy(_.head)
+      .view.mapValues(_.map(_.drop(1)).sortBy(r => (r.head, r(1).toLong)).toSeq).toMap
+
+    def numOpt(s: String): Option[Double] = s match {
+      case ""    => None
+      case "NaN" => Some(Double.NaN)
+      case x     => Some(x.toDouble)
+    }
+
+    var checked = 0
+    combos.foreach { c =>
+      val df = c.samples.toDF("series", "ts", "value")
+      val gotDf = c match {
+        case s: Slide => Sliding.slidingRange(df, s.agg, s.win, s.hop, s.align, s.from, s.to)
+        case s: Sess  => Sessions.sessionRange(df, s.agg, s.gap, s.from, s.to)
+      }
+      val got = gotDf.collect().map { r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "" else r.get(i).toString)
+      }.sortBy(r => (r.head, r(1).toLong)).toSeq
+      val exp = expected.getOrElse(c.name, Nil)
+      def ctx = s"${c.name}\nsamples=${c.samples.sortBy(r => (r._1, r._2))}\n" +
+        s"got=$got\nexp=$exp\nsql=\n${c.sql}"
+      assert(got.size == exp.size, s"row count ${got.size} vs ${exp.size}: $ctx")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.head == e.head, s"series differ: $g vs $e\n$ctx")
+        // integral key/count columns must match exactly; the value
+        // column with tolerance
+        g.drop(1).zip(e.drop(1)).zipWithIndex.foreach { case ((gv, ev), i) =>
+          val isLast = i == g.size - 2
+          if (isLast) assert(closeEnough(numOpt(gv), numOpt(ev)), s"col $i: $gv vs $ev\n$ctx")
+          else assert(numOpt(gv).map(_.toLong) == numOpt(ev).map(_.toLong),
+            s"col $i: $gv vs $ev\n$ctx")
+        }
+      }
+      checked += got.size
+    }
+    assert(checked > 400, s"only $checked rows compared — generator too weak")
+  }
+}
