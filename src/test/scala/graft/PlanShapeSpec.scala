@@ -176,4 +176,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val partCols = sh.head.outputPartitioning.toString
     assert(partCols.contains("series"), partCols)
   }
+
+  test("session windows: the aggregation reuses the analytic window's exchange") {
+    val df = SparkEntry.queries("ts_range_session")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+    assert(sh.head.outputPartitioning.toString.contains("series"))
+  }
+
+  test("sliding windows: single shuffle with map-side partial aggregation") {
+    val df = SparkEntry.queries("ts_range_sliding")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+    // partial agg must sit BELOW the exchange (shuffle carries
+    // (series, wstart) partials, not the exploded sample rows)
+    val aggs = physical(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final agg, got ${aggs.size}")
+    val partialBelow = sh.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(partialBelow.nonEmpty, "no partial aggregate below the exchange")
+  }
+
+  test("k-means final assignment is a pure projection over the scan") {
+    val embs = graft.pipeline.Similarity.loadEmbeddings(spark, dir)
+    val df = graft.pipeline.Clustering.kmeansAssign(embs)
+    assert(shuffles(df).isEmpty, "assignment must not shuffle")
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+  }
 }
