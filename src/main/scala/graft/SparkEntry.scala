@@ -838,6 +838,15 @@ object SparkEntry {
         Sliding.slidingRange(TSModel.samples(s, dir), "count",
           windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
 
+      // PromQL-style counter semantics (beyond-reference): per-bucket
+      // gauge delta + per-second rate, and reset-aware counter increase
+      "ts_range_delta_rate" -> ((s, dir) =>
+        Rates.deltaRate(TSModel.samples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_range_increase" -> ((s, dir) =>
+        Rates.increase(TSModel.samples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+
       // gap-based session windows (beyond-reference, the batch twin of
       // session_window(gap)): activity bursts per series, 12h gap
       "ts_range_session" -> ((s, dir) =>
@@ -1717,6 +1726,10 @@ object SparkEntry {
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_sliding_count" -> Sliding.slidingRangeSql("count",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_increase" -> Rates.increaseSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_session" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_session_max" -> Sessions.sessionRangeSql("max", gapMs = 2 * DAY,

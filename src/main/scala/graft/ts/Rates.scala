@@ -1,0 +1,115 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Counter semantics over bucketed ranges — beyond-the-reference
+ * extension (SURVEY §2.8; the PromQL-style rate family every
+ * monitoring stack derives from raw counters):
+ *
+ *  - `delta`:   last(value) - first(value) per bucket (gauge change);
+ *  - `rate`:    delta / (last_ts - first_ts) * 1000 per bucket
+ *               (per-SECOND rate; NULL when a bucket has < 2 samples
+ *               — a zero-width interval has no rate);
+ *  - `increase`: sum of positive sample-to-sample diffs per bucket —
+ *               monotone-counter growth that survives counter RESETS
+ *               (a decrease means the counter restarted; its absolute
+ *               level is discarded, per-bucket growth keeps only the
+ *               positive steps).
+ *
+ * delta/rate are pure aggregations (struct-ordered first/last — ONE
+ * partial/final hash aggregate, no window). increase needs the
+ * previous sample, so it rides a lag window by series; the bucket
+ * aggregation reuses the window's exchange (group keys ⊇ partition
+ * key), one shuffle total — the [[Sessions]] shape. NaN samples are
+ * excluded up front (counter math over NaN would poison whole
+ * buckets; the reference's aggregators skip NaN the same way,
+ * src/compaction.c AppendValue guards).
+ */
+object Rates {
+
+  private def clean(samples: DataFrame,
+      fromMs: Option[Long], toMs: Option[Long]): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    s
+  }
+
+  /** `(series, bucket, delta_value, rate_value)` per non-empty bucket. */
+  def deltaRate(
+      samples: DataFrame, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    val s = clean(samples, fromMs, toMs)
+    val tv = struct(col("ts").as("t"), col("value").as("v"))
+    s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(
+        (max(tv).getField("v") - min(tv).getField("v")).as("delta_value"),
+        when(max(col("ts")) > min(col("ts")),
+          (max(tv).getField("v") - min(tv).getField("v")) * 1000.0 /
+            (max(col("ts")) - min(col("ts"))))
+          .as("rate_value"))
+  }
+
+  /** `(series, bucket, increase_value)`: reset-aware counter growth.
+    * The first sample of each series contributes nothing (no previous
+    * sample to diff against); a bucket whose samples are all
+    * first-or-decreasing reports 0.0. */
+  def increase(
+      samples: DataFrame, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    val s = clean(samples, fromMs, toMs)
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
+    s.withColumn("d", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("step", when(col("d") > 0, col("d")).otherwise(lit(0.0)))
+      .groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(sum(col("step")).as("increase_value"))
+  }
+
+  private def rangeWhere(fromMs: Option[Long], toMs: Option[Long]): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val nan = "NOT isnan(value)"
+    if (bounds.nonEmpty) s"WHERE $nan AND $bounds" else s"WHERE $nan"
+  }
+
+  def deltaRateSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples ${rangeWhere(fromMs, toMs)}
+       |)
+       |SELECT series, $bkt AS bucket,
+       |  (max(struct_pack(t := ts, v := value)).v
+       |     - min(struct_pack(t := ts, v := value)).v) AS delta_value,
+       |  CASE WHEN max(ts) > min(ts) THEN
+       |    (max(struct_pack(t := ts, v := value)).v
+       |       - min(struct_pack(t := ts, v := value)).v) * 1000.0
+       |      / (max(ts) - min(ts))
+       |  END AS rate_value
+       |FROM f GROUP BY series, $bkt""".stripMargin
+  }
+
+  def increaseSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples ${rangeWhere(fromMs, toMs)}
+       |), diffed AS (
+       |  SELECT series, ts,
+       |    value - lag(value) OVER (PARTITION BY series ORDER BY ts, value) AS d
+       |  FROM f
+       |)
+       |SELECT series, $bkt AS bucket,
+       |  sum(CASE WHEN d > 0 THEN d ELSE 0.0 END) AS increase_value
+       |FROM diffed GROUP BY series, $bkt""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Sessions, Sliding}
+import graft.ts.{Aggs, Rates, Sessions, Sliding}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -11,8 +11,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
   import SparkTest._
   import spark.implicits._
 
+  // always ::DOUBLE — a bare decimal literal types as DECIMAL(18,..)
+  // in DuckDB and the rate multiplication then overflows the decimal
   private def dLit(d: Double): String =
-    if (d.isNaN) "'NaN'::DOUBLE" else d.toString
+    if (d.isNaN) "'NaN'::DOUBLE" else s"(${d})::DOUBLE"
 
   private def valuesCte(samples: Seq[(String, Long, Double)]): String =
     "WITH samples(series, ts, value) AS (VALUES " +
@@ -51,8 +53,16 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String =
         Sessions.sessionRangeSql(agg, gap, from, to, valuesCte(samples))
     }
+    case class DRate(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Rates.deltaRateSql(bucket, align, from, to, valuesCte(samples))
+    }
+    case class Incr(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Rates.increaseSql(bucket, align, from, to, valuesCte(samples))
+    }
 
-    val combos: Seq[Combo] = (0 until 90).map { iter =>
+    val combos: Seq[Combo] = (0 until 120).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
       val n = 1 + rnd.nextInt(40)
       val samples = (0 until n).map { _ =>
@@ -64,14 +74,18 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val agg = Aggs.names(rnd.nextInt(Aggs.names.size))
       val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
-      if (iter % 2 == 0) {
-        val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
-        val ratio = 1 + rnd.nextInt(4)
-        val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-        Slide(f"slide_$iter%03d", samples, agg, hop * ratio, hop, align, from, to)
-      } else {
-        val gap = Seq(5L, 20L, 100L)(rnd.nextInt(3))
-        Sess(f"sess_$iter%03d", samples, agg, gap, from, to)
+      val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
+      val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
+      iter % 4 match {
+        case 0 =>
+          val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
+          val ratio = 1 + rnd.nextInt(4)
+          Slide(f"slide_$iter%03d", samples, agg, hop * ratio, hop, align, from, to)
+        case 1 =>
+          val gap = Seq(5L, 20L, 100L)(rnd.nextInt(3))
+          Sess(f"sess_$iter%03d", samples, agg, gap, from, to)
+        case 2 => DRate(f"drate_$iter%03d", samples, bucket, align, from, to)
+        case _ => Incr(f"incr_$iter%03d", samples, bucket, align, from, to)
       }
     }
 
@@ -107,6 +121,8 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val gotDf = c match {
         case s: Slide => Sliding.slidingRange(df, s.agg, s.win, s.hop, s.align, s.from, s.to)
         case s: Sess  => Sessions.sessionRange(df, s.agg, s.gap, s.from, s.to)
+        case s: DRate => Rates.deltaRate(df, s.bucket, s.align, s.from, s.to)
+        case s: Incr  => Rates.increase(df, s.bucket, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
@@ -118,13 +134,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       assert(got.size == exp.size, s"row count ${got.size} vs ${exp.size}: $ctx")
       got.zip(exp).foreach { case (g, e) =>
         assert(g.head == e.head, s"series differ: $g vs $e\n$ctx")
-        // integral key/count columns must match exactly; the value
-        // column with tolerance
+        // every numeric column with relative tolerance (exact longs
+        // pass trivially; all values < 2^53 so doubles are exact)
         g.drop(1).zip(e.drop(1)).zipWithIndex.foreach { case ((gv, ev), i) =>
-          val isLast = i == g.size - 2
-          if (isLast) assert(closeEnough(numOpt(gv), numOpt(ev)), s"col $i: $gv vs $ev\n$ctx")
-          else assert(numOpt(gv).map(_.toLong) == numOpt(ev).map(_.toLong),
-            s"col $i: $gv vs $ev\n$ctx")
+          assert(closeEnough(numOpt(gv), numOpt(ev)), s"col $i: $gv vs $ev\n$ctx")
         }
       }
       checked += got.size
