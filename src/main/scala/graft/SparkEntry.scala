@@ -838,6 +838,13 @@ object SparkEntry {
         Sliding.slidingRange(TSModel.samples(s, dir), "count",
           windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
 
+      // exact bucket quantiles (beyond-reference): the p50/p90/p99
+      // latency surface; Spark percentile == DuckDB quantile_cont
+      "ts_range_quantiles" -> ((s, dir) =>
+        Quantiles.bucketQuantiles(TSModel.samples(s, dir),
+          Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+
       // PromQL-style counter semantics (beyond-reference): per-bucket
       // gauge delta + per-second rate, and reset-aware counter increase
       "ts_range_delta_rate" -> ((s, dir) =>
@@ -1726,6 +1733,9 @@ object SparkEntry {
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_sliding_count" -> Sliding.slidingRangeSql("count",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_quantiles" -> Quantiles.bucketQuantilesSql(
+        Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_increase" -> Rates.increaseSql(bucketMs = DAY,

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Rates, Sessions, Sliding}
+import graft.ts.{Aggs, Quantiles, Rates, Sessions, Sliding}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -61,8 +61,13 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Rates.increaseSql(bucket, align, from, to, valuesCte(samples))
     }
+    case class Quant(name: String, samples: Seq[(String, Long, Double)],
+        qs: Seq[Double], bucket: Long, align: Long,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Quantiles.bucketQuantilesSql(qs, bucket, align, from, to, valuesCte(samples))
+    }
 
-    val combos: Seq[Combo] = (0 until 120).map { iter =>
+    val combos: Seq[Combo] = (0 until 150).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
       val n = 1 + rnd.nextInt(40)
       val samples = (0 until n).map { _ =>
@@ -76,7 +81,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 4 match {
+      iter % 5 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -85,7 +90,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           val gap = Seq(5L, 20L, 100L)(rnd.nextInt(3))
           Sess(f"sess_$iter%03d", samples, agg, gap, from, to)
         case 2 => DRate(f"drate_$iter%03d", samples, bucket, align, from, to)
-        case _ => Incr(f"incr_$iter%03d", samples, bucket, align, from, to)
+        case 3 => Incr(f"incr_$iter%03d", samples, bucket, align, from, to)
+        case _ =>
+          val qs = Seq(Seq(0.5), Seq(0.5, 0.9), Seq(0.01, 0.25, 0.5, 0.75, 0.99))(rnd.nextInt(3))
+          Quant(f"quant_$iter%03d", samples, qs, bucket, align, from, to)
       }
     }
 
@@ -123,6 +131,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Sess  => Sessions.sessionRange(df, s.agg, s.gap, s.from, s.to)
         case s: DRate => Rates.deltaRate(df, s.bucket, s.align, s.from, s.to)
         case s: Incr  => Rates.increase(df, s.bucket, s.align, s.from, s.to)
+        case s: Quant => Quantiles.bucketQuantiles(df, s.qs, s.bucket, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
