@@ -104,4 +104,45 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3) - (lo + hi) * bucket / 2) < 1e-3)
     }
   }
+
+  test("sliding windows over 2M samples: membership closed form") {
+    import org.apache.spark.sql.functions.sum
+    val n = 2000000L
+    val df = spark.range(n).select(
+      lit("hot").as("series"), col("id").as("ts"),
+      lit(1.0).as("value"))
+    // every sample belongs to exactly win/hop = 4 windows
+    val total = graft.ts.Sliding.slidingRange(df, "count", 40L, 10L)
+      .agg(sum("count_value")).collect().head.getLong(0)
+    assert(total == 4 * n)
+  }
+
+  test("session windows over 2M samples: gap structure closed form") {
+    val n = 2000000L
+    val span = 100000L
+    // 1 ms cadence with a 1000 ms jump every `span` samples -> with a
+    // 500 ms gap threshold, exactly n/span sessions of span samples
+    val df = spark.range(n).select(
+      lit("hot").as("series"),
+      (col("id") + (col("id") / span).cast("long") * 1000L).as("ts"),
+      lit(1.0).as("value"))
+    val out = graft.ts.Sessions.sessionRange(df, "count", gapMs = 500L).collect()
+    assert(out.length == (n / span).toInt)
+    assert(out.forall(_.getLong(3) == span))
+  }
+
+  test("distributed k-means recovers 4 planted clusters over 200k vectors") {
+    // cluster c concentrates on dim 2c at magnitude 10 with sub-1.0
+    // deterministic jitter elsewhere; ids 0..3 land in distinct
+    // clusters, so init centroid j seeds cluster j and the final
+    // assignment must be exactly id % 4
+    val n = 200000L
+    val embs = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), d -> CASE WHEN d = CAST((id % 4) * 2 AS INT) " +
+        "THEN 10.0 ELSE ((id * (d + 7)) % 13) / 13.0 END)").as("embedding"))
+    val bad = graft.pipeline.Clustering.kmeansAssign(embs, k = 4, iters = 2)
+      .filter(col("cid") =!= (col("vec_id") % 4).cast("int")).count()
+    assert(bad == 0L)
+  }
 }
