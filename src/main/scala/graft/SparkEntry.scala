@@ -838,6 +838,33 @@ object SparkEntry {
         Sliding.slidingRange(TSModel.samples(s, dir), "count",
           windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
 
+      // the window extensions through the SQL TVF route — identical
+      // plans to the Column API, registered via SparkSessionExtensions
+      "ts_sql_tvf_sliding" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_sliding($T0, $T31, 'avg', $DAY, ${6 * HOUR})")
+      }),
+      "ts_sql_tvf_session" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_session($T0, $T31, 'avg', ${12 * HOUR})")
+      }),
+      "ts_sql_tvf_rate" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_rate($T0, $T31, $DAY)")
+      }),
+      "ts_sql_tvf_quantiles" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5,0.9,0.99')")
+      }),
+
       // exact bucket quantiles (beyond-reference): the p50/p90/p99
       // latency surface; Spark percentile == DuckDB quantile_cont
       "ts_range_quantiles" -> ((s, dir) =>
@@ -1734,6 +1761,15 @@ object SparkEntry {
       "ts_range_sliding_count" -> Sliding.slidingRangeSql("count",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_quantiles" -> Quantiles.bucketQuantilesSql(
+        Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
+        windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_session" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_rate" -> Rates.deltaRateSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,

@@ -279,6 +279,66 @@ object GraftFunctions {
       val spark = activeSession("ts_nrange")
       GraftSessionBridge.logicalPlan(graft.ts.Multi.nrange(
         spark.table(SamplesView), keys, tvfRangeArgs("ts_nrange", args, 1)))
+    }),
+    // ---- beyond-reference window extensions as TVFs (round 9) ----
+    // ts_sliding(from, to, 'agg', window_ms, hop_ms[, align_ms])
+    (FunctionIdentifier("ts_sliding"), info("ts_sliding"), { args: Seq[Expression] =>
+      nargs("ts_sliding", Seq(5, 6), args)
+      val spark = activeSession("ts_sliding")
+      GraftSessionBridge.logicalPlan(graft.ts.Sliding.slidingRange(
+        spark.table(SamplesView),
+        literalString("ts_sliding", args(2), "aggregator"),
+        literalLong("ts_sliding", args(3), "window_ms"),
+        literalLong("ts_sliding", args(4), "hop_ms"),
+        if (args.length > 5) literalLong("ts_sliding", args(5), "align_ms") else 0L,
+        Some(literalLong("ts_sliding", args(0), "from")),
+        Some(literalLong("ts_sliding", args(1), "to"))))
+    }),
+    // ts_session(from, to, 'agg', gap_ms)
+    (FunctionIdentifier("ts_session"), info("ts_session"), { args: Seq[Expression] =>
+      nargs("ts_session", Seq(4), args)
+      val spark = activeSession("ts_session")
+      GraftSessionBridge.logicalPlan(graft.ts.Sessions.sessionRange(
+        spark.table(SamplesView),
+        literalString("ts_session", args(2), "aggregator"),
+        literalLong("ts_session", args(3), "gap_ms"),
+        Some(literalLong("ts_session", args(0), "from")),
+        Some(literalLong("ts_session", args(1), "to"))))
+    }),
+    // ts_rate(from, to, bucket_ms[, align_ms]) — delta + per-second rate
+    (FunctionIdentifier("ts_rate"), info("ts_rate"), { args: Seq[Expression] =>
+      nargs("ts_rate", Seq(3, 4), args)
+      val spark = activeSession("ts_rate")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.deltaRate(
+        spark.table(SamplesView),
+        literalLong("ts_rate", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_rate", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_rate", args(0), "from")),
+        Some(literalLong("ts_rate", args(1), "to"))))
+    }),
+    // ts_increase(from, to, bucket_ms[, align_ms]) — reset-aware growth
+    (FunctionIdentifier("ts_increase"), info("ts_increase"), { args: Seq[Expression] =>
+      nargs("ts_increase", Seq(3, 4), args)
+      val spark = activeSession("ts_increase")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.increase(
+        spark.table(SamplesView),
+        literalLong("ts_increase", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_increase", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_increase", args(0), "from")),
+        Some(literalLong("ts_increase", args(1), "to"))))
+    }),
+    // ts_quantiles(from, to, bucket_ms, 'q1,q2,...') — exact quantiles
+    (FunctionIdentifier("ts_quantiles"), info("ts_quantiles"), { args: Seq[Expression] =>
+      nargs("ts_quantiles", Seq(4, 5), args)
+      val qs = literalString("ts_quantiles", args(3), "quantile list")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      val spark = activeSession("ts_quantiles")
+      GraftSessionBridge.logicalPlan(graft.ts.Quantiles.bucketQuantiles(
+        spark.table(SamplesView), qs,
+        literalLong("ts_quantiles", args(2), "bucket_ms"),
+        if (args.length > 4) literalLong("ts_quantiles", args(4), "align_ms") else 0L,
+        Some(literalLong("ts_quantiles", args(0), "from")),
+        Some(literalLong("ts_quantiles", args(1), "to"))))
     })
   )
 

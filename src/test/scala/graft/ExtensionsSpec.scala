@@ -99,6 +99,34 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM ts_range('click_7', CAST(rand() AS BIGINT), $T0)").collect())
   }
 
+  test("window-extension TVFs (sliding/session/rate/increase/quantiles) == Column API") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val DAY = 86400000L; val HOUR = 3600000L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_sliding($T0, $T31, 'sum', $DAY, ${6 * HOUR})")) ==
+      sorted(graft.ts.Sliding.slidingRange(samples, "sum", DAY, 6 * HOUR, 0L, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_session($T0, $T31, 'count', ${12 * HOUR})")) ==
+      sorted(graft.ts.Sessions.sessionRange(samples, "count", 12 * HOUR, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_rate($T0, $T31, $DAY)")) ==
+      sorted(graft.ts.Rates.deltaRate(samples, DAY, 0L, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_increase($T0, $T31, $DAY)")) ==
+      sorted(graft.ts.Rates.increase(samples, DAY, 0L, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5, 0.99')")) ==
+      sorted(graft.ts.Quantiles.bucketQuantiles(samples, Seq(0.5, 0.99), DAY, 0L, Some(T0), Some(T31))))
+    // non-literal argument stays a loud analysis error
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM ts_sliding(CAST(rand() AS BIGINT), $T31, 'avg', $DAY, $HOUR)").collect())
+  }
+
   test("ts_mrange TVF == Multi.mrange incl. label predicates") {
     GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
