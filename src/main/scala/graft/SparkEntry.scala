@@ -865,6 +865,18 @@ object SparkEntry {
         s.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5,0.9,0.99')")
       }),
 
+      // per-series z-score outliers (beyond-reference): one unordered
+      // analytic window by series, single pass
+      "ts_range_zscore" -> ((s, dir) =>
+        Anomaly.zscore(TSModel.samples(s, dir), threshold = 2.0,
+          fromMs = Some(T0), toMs = Some(T31))),
+
+      // linear resampling onto a 12h grid (beyond-reference UPsample:
+      // union + two frame-bounded windows, no self-join)
+      "ts_resample_linear" -> ((s, dir) =>
+        Resample.linear(TSModel.samples(s, dir), stepMs = 12 * HOUR,
+          fromMs = Some(T0), toMs = Some(T31))),
+
       // exact bucket quantiles (beyond-reference): the p50/p90/p99
       // latency surface; Spark percentile == DuckDB quantile_cont
       "ts_range_quantiles" -> ((s, dir) =>
@@ -1762,6 +1774,10 @@ object SparkEntry {
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_zscore" -> Anomaly.zscoreSql(2.0,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_resample_linear" -> Resample.linearSql(stepMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Quantiles, Rates, Sessions, Sliding}
+import graft.ts.{Aggs, Anomaly, Quantiles, Rates, Resample, Sessions, Sliding}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -66,8 +66,16 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Quantiles.bucketQuantilesSql(qs, bucket, align, from, to, valuesCte(samples))
     }
+    case class Zs(name: String, samples: Seq[(String, Long, Double)],
+        thr: Double, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Anomaly.zscoreSql(thr, from, to, valuesCte(samples))
+    }
+    case class Rsmp(name: String, samples: Seq[(String, Long, Double)],
+        step: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Resample.linearSql(step, align, from, to, valuesCte(samples))
+    }
 
-    val combos: Seq[Combo] = (0 until 150).map { iter =>
+    val combos: Seq[Combo] = (0 until 210).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
       val n = 1 + rnd.nextInt(40)
       val samples = (0 until n).map { _ =>
@@ -81,7 +89,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 5 match {
+      iter % 7 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -91,9 +99,16 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           Sess(f"sess_$iter%03d", samples, agg, gap, from, to)
         case 2 => DRate(f"drate_$iter%03d", samples, bucket, align, from, to)
         case 3 => Incr(f"incr_$iter%03d", samples, bucket, align, from, to)
-        case _ =>
+        case 4 =>
           val qs = Seq(Seq(0.5), Seq(0.5, 0.9), Seq(0.01, 0.25, 0.5, 0.75, 0.99))(rnd.nextInt(3))
           Quant(f"quant_$iter%03d", samples, qs, bucket, align, from, to)
+        case 5 =>
+          // thresholds chosen OFF the structural z-boundaries: a
+          // 2-sample series has z = ±1 exactly, where the two engines'
+          // stddev rounding can land on opposite sides of a 1.0 gate
+          Zs(f"zs_$iter%03d", samples, Seq(0.43, 1.17, 1.91)(rnd.nextInt(3)), from, to)
+        case _ =>
+          Rsmp(f"rsmp_$iter%03d", samples, bucket, align, from, to)
       }
     }
 
@@ -132,6 +147,8 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: DRate => Rates.deltaRate(df, s.bucket, s.align, s.from, s.to)
         case s: Incr  => Rates.increase(df, s.bucket, s.align, s.from, s.to)
         case s: Quant => Quantiles.bucketQuantiles(df, s.qs, s.bucket, s.align, s.from, s.to)
+        case s: Zs    => Anomaly.zscore(df, s.thr, s.from, s.to)
+        case s: Rsmp  => Resample.linear(df, s.step, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
