@@ -827,6 +827,12 @@ object SparkEntry {
         Clustering.kmeansAssign(Similarity.loadEmbeddings(s, dir))),
       "cluster_kmeans_sizes" -> ((s, dir) =>
         Clustering.kmeansSizes(Similarity.loadEmbeddings(s, dir))),
+      // SemDeDup over the DISTRIBUTED k-means quantizer (composition:
+      // Lloyd training -> NearestCentroid restriction -> cosine verify)
+      "dedup_semantic_kmeans" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.semanticPairs(embs, 0.4, Clustering.kmeansCentroids(embs))
+      }),
 
       // sliding (hopping) windows — beyond-reference extension (§2.8:
       // the reference aggregates tumbling-only): 1d rolling avg/count
@@ -1768,6 +1774,7 @@ object SparkEntry {
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),
       "cluster_kmeans_sizes" -> Clustering.kmeansSizesSql(),
+      "dedup_semantic_kmeans" -> Clustering.semanticPairsKmeansSql(0.4),
       "ts_range_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_sliding_count" -> Sliding.slidingRangeSql("count",

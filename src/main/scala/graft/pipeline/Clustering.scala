@@ -67,17 +67,26 @@ object Clustering {
     next
   }
 
-  /** Cluster assignment after `iters` Lloyd refinements:
-    * `(vec_id, cid)`. */
-  def kmeansAssign(embs: DataFrame, k: Int = 10, iters: Int = 2): DataFrame = {
+  /** The trained (unit) centroid matrix after `iters` Lloyd
+    * refinements — k·dim doubles, usable as the literal quantizer for
+    * any downstream [[graft.functions.NearestCentroid]] consumer
+    * (e.g. [[Similarity.semanticPairs]]'s cluster restriction). */
+  def kmeansCentroids(
+      embs: DataFrame, k: Int = 10, iters: Int = 2): Array[Array[Double]] = {
     val corpus = embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     var cents = initCentroids(corpus, k)
     for (_ <- 0 until iters) cents = refine(corpus, cents)
-    corpus
-      .withColumn("cid", graft.functions.NearestCentroid(col("v"), cents))
-      .select(col("vec_id"), col("cid"))
+    cents
   }
+
+  /** Cluster assignment after `iters` Lloyd refinements:
+    * `(vec_id, cid)`. */
+  def kmeansAssign(embs: DataFrame, k: Int = 10, iters: Int = 2): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid",
+        graft.functions.NearestCentroid(col("v"), kmeansCentroids(embs, k, iters)))
+      .select(col("vec_id"), col("cid"))
 
   /** Cluster occupancy after `iters` refinements: `(cid, n_members)` —
     * the balance diagnostic cluster-curation pipelines gate on. */
@@ -136,4 +145,17 @@ object Clustering {
     s"""${kmeansCtes(k, iters)}
        |SELECT CAST(cid AS INT) AS cid, count(*) AS n_members
        |FROM asg GROUP BY cid""".stripMargin
+
+  /** SemDeDup restricted to the DISTRIBUTED k-means clusters: the
+    * oracle recomputes the Lloyd chain AND the within-cluster pair
+    * verification, so the composition (training → assignment →
+    * restriction → cosine) is hash-checked end-to-end. */
+  def semanticPairsKmeansSql(threshold: Double, k: Int = 10, iters: Int = 2): String =
+    s"""${kmeansCtes(k, iters)}
+       |SELECT x.vec_id AS i, y.vec_id AS j,
+       |       list_cosine_similarity(xe.v, ye.v) AS cos
+       |FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |JOIN e xe ON xe.vec_id = x.vec_id
+       |JOIN e ye ON ye.vec_id = y.vec_id
+       |WHERE list_cosine_similarity(xe.v, ye.v) >= $threshold""".stripMargin
 }
