@@ -871,6 +871,21 @@ object SparkEntry {
         s.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5,0.9,0.99')")
       }),
 
+      // as-of join (beyond-reference): align view_7 values onto
+      // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
+      // ASOF JOIN — two different algorithms must agree. The second
+      // variant adds a staleness tolerance.
+      "ts_asof_join" -> ((s, dir) =>
+        AsOf.asofJoin(TSModel.samples(s, dir), "click_7", "view_7",
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_asof_join_tolerance" -> ((s, dir) =>
+        AsOf.asofJoin(TSModel.samples(s, dir), "click_7", "view_7",
+          toleranceMs = Some(2 * DAY), fromMs = Some(T0), toMs = Some(T31))),
+      // bucket-aligned Pearson correlation of two series
+      "ts_corr_pair" -> ((s, dir) =>
+        AsOf.pearson(TSModel.samples(s, dir), "click_7", "view_7",
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+
       // per-series z-score outliers (beyond-reference): one unordered
       // analytic window by series, single pass
       "ts_range_zscore" -> ((s, dir) =>
@@ -1782,6 +1797,12 @@ object SparkEntry {
       "ts_range_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_asof_join" -> AsOf.asofJoinSql("click_7", "view_7",
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_asof_join_tolerance" -> AsOf.asofJoinSql("click_7", "view_7",
+        toleranceMs = Some(2 * DAY), fromMs = Some(T0), toMs = Some(T31)),
+      "ts_corr_pair" -> AsOf.pearsonSql("click_7", "view_7",
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_zscore" -> Anomaly.zscoreSql(2.0,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_resample_linear" -> Resample.linearSql(stepMs = 12 * HOUR,

@@ -1,0 +1,124 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-series alignment operators — beyond-the-reference extensions
+ * (the reference has no joins at all, SURVEY §2.8; aligning a metric
+ * against a reference series is the bread-and-butter of kdb/TSDB
+ * analytics):
+ *
+ *  - [[asofJoin]]: for every sample of the LEFT series, the latest
+ *    RIGHT-series value with `r.ts <= l.ts` (optionally within a
+ *    staleness tolerance). Implemented with the union + backward
+ *    window trick — ONE shuffle, no range join, no per-row probe:
+ *    tag right rows to sort BEFORE left rows at equal ts, then
+ *    `last(value ignoreNulls)` over the backward frame is exactly
+ *    the as-of lookup. The DuckDB oracle uses the engine's NATIVE
+ *    `ASOF LEFT JOIN` — two genuinely different algorithms must
+ *    agree.
+ *
+ *  - [[pearson]]: bucket-aligned Pearson correlation of two series
+ *    (bucket averages joined on the bucket grid, then one `corr`
+ *    aggregate). Spark `corr` and DuckDB `corr` are both the sample
+ *    Pearson coefficient.
+ */
+object AsOf {
+
+  /** `(ts, value, asof_value)` for every left-series sample; the
+    * as-of match is NULL when nothing precedes (or the match is
+    * older than `toleranceMs`). */
+  def asofJoin(
+      samples: DataFrame, leftKey: String, rightKey: String,
+      toleranceMs: Option[Long] = None,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val l = s.filter(col("series") === leftKey)
+      .select(col("ts"), col("value"), lit(1).as("is_left"))
+    val r = s.filter(col("series") === rightKey)
+      .select(col("ts"), col("value"), lit(0).as("is_left"))
+    // right rows sort first at equal ts: an exactly-simultaneous right
+    // sample IS visible to the left row (ASOF's <= contract)
+    val back = Window.orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightVal = when(col("is_left") === 0, col("value"))
+    val rightTs = when(col("is_left") === 0, col("ts"))
+    val joined = l.unionByName(r)
+      .withColumn("rv", last(rightVal, ignoreNulls = true).over(back))
+      .withColumn("rt", last(rightTs, ignoreNulls = true).over(back))
+      .filter(col("is_left") === 1)
+    val fresh = toleranceMs match {
+      case Some(tol) => col("rt") >= col("ts") - tol
+      case None      => col("rt").isNotNull
+    }
+    joined.select(col("ts"), col("value"),
+      when(fresh, col("rv")).as("asof_value"))
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    * algorithm for the same contract. */
+  def asofJoinSql(
+      leftKey: String, rightKey: String,
+      toleranceMs: Option[Long] = None,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val freshness = toleranceMs
+      .map(tol => s"CASE WHEN r.ts >= l.ts - $tol THEN r.value END")
+      .getOrElse("r.value")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), l AS (
+       |  SELECT ts, value FROM f WHERE series = '$leftKey'
+       |), r AS (
+       |  SELECT ts, value FROM f WHERE series = '$rightKey'
+       |)
+       |SELECT l.ts, l.value, $freshness AS asof_value
+       |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts""".stripMargin
+  }
+
+  /** One-row `(corr_value)` Pearson correlation of the two series'
+    * bucket averages over the shared bucket grid. */
+  def pearson(
+      samples: DataFrame, keyA: String, keyB: String,
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    def bucketed(key: String, out: String) =
+      s.filter(col("series") === key)
+        .groupBy(TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+        .agg(avg(col("value")).as(out))
+    bucketed(keyA, "va").join(bucketed(keyB, "vb"), Seq("bucket"))
+      .agg(corr(col("va"), col("vb")).as("corr_value"))
+  }
+
+  def pearsonSql(
+      keyA: String, keyB: String, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), a AS (
+       |  SELECT $bkt AS bucket, avg(value) AS va FROM f
+       |  WHERE series = '$keyA' GROUP BY 1
+       |), b AS (
+       |  SELECT $bkt AS bucket, avg(value) AS vb FROM f
+       |  WHERE series = '$keyB' GROUP BY 1
+       |)
+       |SELECT corr(va, vb) AS corr_value FROM a JOIN b USING (bucket)""".stripMargin
+  }
+}
