@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts._
 import graft.ts.RangeQuery.RangeArgs
-import graft.pipeline.{Clustering, CorpusPipeline, Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Clustering, CorpusPipeline, Dedup, Multimodal, PQ, Similarity, Text}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. */
@@ -690,6 +690,17 @@ object SparkEntry {
           k = 5, indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
             .resolve("index").toString,
           nCentroids = 16, nProbe = 16)._1),
+      // product quantization (Jégou et al. 2011): the memory-side ANN
+      // scale path — codebook training (per-subspace L2 Lloyd via the
+      // augmented-dot NearestCentroid trick), encoding (one compiled
+      // projection), and ADC top-k (m table lookups per vector, no
+      // embedding read at query time). Both the codes and the ranking
+      // are re-derived end-to-end by the DuckDB oracle.
+      "pq_codes" -> ((s, dir) =>
+        PQ.codes(Similarity.loadEmbeddings(s, dir), m = 4, ksub = 8, iters = 2)),
+      "ann_pq_adc" -> ((s, dir) =>
+        PQ.adcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
+          m = 4, ksub = 8, iters = 2)),
       // SQL-surface route (GraftFunctions / SparkSessionExtensions):
       // the SAME compiled kernels invoked from spark.sql text — the
       // registered-function registry checked end-to-end against the
@@ -1052,6 +1063,29 @@ object SparkEntry {
           GltData.samples(s).filter(col("series").isin(GLT_GAP_SERIES: _*)),
           RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("twa"),
             bucketMs = 365 * DAY))),
+
+      // ---- round-10 analytics extensions (beyond-reference) ----
+      // robust MAD outliers: modified z-score, median-based — two
+      // exact-percentile windows on ONE shuffle by series
+      "ts_range_mad" -> ((s, dir) =>
+        Anomaly.mad(TSModel.samples(s, dir), threshold = 2.5,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // per-series OLS trend + predict_linear at T31+7d: one hash agg
+      // of regression moments, map-side combined
+      "ts_range_trend" -> ((s, dir) =>
+        Trend.fit(TSModel.samples(s, dir), predictAtMs = T31 + 7 * DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // fixed-width value histogram [0,120)/24: shuffle volume bounded
+      // by series×bins, independent of sample count
+      "ts_range_histogram" -> ((s, dir) =>
+        Histogram.valueHistogram(TSModel.samples(s, dir),
+          lo = 0.0, hi = 120.0, nbins = 24,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // parallel LTTB downsample: one representative point per day via
+      // centroid-anchored max-triangle-area selection
+      "ts_downsample_lttb" -> ((s, dir) =>
+        Lttb.downsample(TSModel.samples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -1697,6 +1731,8 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
+      "pq_codes" -> PQ.codesSql(m = 4, d = 16, ksub = 8, iters = 2),
+      "ann_pq_adc" -> PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
       "ts_sql_tvf_range" -> RangeQuery.rangeSql(
         RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),
@@ -1806,6 +1842,15 @@ object SparkEntry {
       "ts_range_zscore" -> Anomaly.zscoreSql(2.0,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_resample_linear" -> Resample.linearSql(stepMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_mad" -> Anomaly.madSql(2.5,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_trend" -> Trend.fitSql(predictAtMs = T31 + 7 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_histogram" -> Histogram.valueHistogramSql(
+        lo = 0.0, hi = 120.0, nbins = 24,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

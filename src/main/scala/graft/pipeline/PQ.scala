@@ -1,0 +1,321 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (Jégou et al., "Product Quantization for
+ * Nearest Neighbor Search", TPAMI 2011) — the memory-side scale path
+ * for ANN over a 100-TB embedding corpus, complementing the IVF
+ * partition-pruning path in [[Similarity]]:
+ *
+ *  - the embedding is split into `m` contiguous subvectors;
+ *  - each subspace gets its own small L2 k-means codebook (`ksub`
+ *    centroids), trained with deterministic Lloyd iterations;
+ *  - a vector is stored as `m` small codes (here 4 bytes instead of
+ *    64 doubles — a 128× compression of the scan payload);
+ *  - a query is answered by Asymmetric Distance Computation (ADC):
+ *    one `m × ksub` lookup table of exact subspace distances per
+ *    query, then every corpus vector's approximate distance is `m`
+ *    table lookups + adds over its CODES — the full-precision
+ *    embedding column is never read at query time.
+ *
+ * Spark mapping, stage by stage:
+ *  - assignment/encoding reuses [[graft.functions.NearestCentroid]]
+ *    (compiled dot-argmax projection, zero shuffle) via the augmented
+ *    trick: `argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2)`, i.e. the
+ *    L2-nearest codeword is the dot-nearest after appending a
+ *    constant 1 to x and `−‖c‖²/2` to each codeword. No second
+ *    kernel needed, and the augmented coordinate is ordered LAST so
+ *    the accumulation order matches the oracle's
+ *    `list_inner_product(x,c) − list_inner_product(c,c)/2` exactly.
+ *  - codebook training is the same distributed Lloyd shape as
+ *    [[Clustering]] (posexplode → groupBy(cid, ord) with map-side
+ *    combine; only k·d doubles reach the driver per iteration), just
+ *    plain-L2 instead of spherical: subvectors are NOT normalized and
+ *    centroid updates are NOT re-projected to the sphere.
+ *  - the ADC scan is one projection over the encoded table: per
+ *    query, `m` `element_at`s into broadcast literal lookup arrays,
+ *    summed — codegen-friendly, no join, no shuffle until the final
+ *    per-query top-k window.
+ *
+ * Determinism contract (differential-testable end to end): init =
+ * the ksub lowest vec_ids' subvectors, assignment ties to the lowest
+ * code, empty clusters keep their previous codeword, ADC ties to the
+ * lowest neighbor id. The DuckDB oracle re-derives codebooks, codes
+ * and ADC ranking from the same contract.
+ *
+ * At production scale the codebooks are trained on a bounded sample
+ * (the [[Similarity.trainCentroids]] pattern) and the encoded table
+ * is written once, bucketed; here training runs on the full corpus so
+ * the whole pipeline stays oracle-checkable.
+ */
+object PQ {
+
+  /** `cents(j)(c)` = codeword c of subspace j (d doubles each). */
+  final case class Codebooks(m: Int, d: Int, cents: Array[Array[Array[Double]]])
+
+  private def corpus(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def subvec(j: Int, d: Int): Column = slice(col("v"), j * d + 1, d)
+
+  /** `[c, -‖c‖²/2]` rows for the L2-as-dot argmax. */
+  private def augmented(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { c =>
+      var n2 = 0.0
+      var i = 0
+      while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+      c :+ (-0.5 * n2)
+    }
+
+  private def assignCol(j: Int, d: Int, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid(
+      concat(subvec(j, d), array(lit(1.0))), augmented(cents))
+
+  /** One plain-L2 Lloyd refinement of ALL m codebooks in a single
+    * Spark job: per-subspace assignment columns (m compiled argmax
+    * projections), then ONE explode of (subspace, cid, ord, value)
+    * structs into one hash agg — map-side combine collapses each
+    * partition to ≤ m·ksub·d rows, and the driver receives one
+    * m·ksub·d result instead of m round-trips per iteration. */
+  private def refineAll(
+      c: DataFrame, d: Int,
+      cents: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val m = cents.length
+    val withCids = c.select(col("v") +: (0 until m).map(j =>
+      assignCol(j, d, cents(j)).as(s"cid$j")): _*)
+    val parts = (0 until m).map { j =>
+      transform(subvec(j, d), (x, i) =>
+        struct(lit(j).as("j"), col(s"cid$j").as("cid"),
+          i.as("ord"), x.as("value")))
+    }
+    val means = withCids
+      .select(explode(flatten(array(parts: _*))).as("s"))
+      .select(col("s.j"), col("s.cid"), col("s.ord"), col("s.value"))
+      .groupBy(col("j"), col("cid"), col("ord"))
+      .agg(avg(col("value")).as("m"))
+      .collect()
+    val next = cents.map(_.map(_.clone()))
+    val sums = Array.fill(m, cents.head.length)(null: Array[Double])
+    means.foreach { r =>
+      val (j, cid) = (r.getInt(0), r.getInt(1))
+      if (sums(j)(cid) == null) sums(j)(cid) = new Array[Double](d)
+      sums(j)(cid)(r.getInt(2)) = r.getDouble(3)
+    }
+    for (j <- 0 until m; cid <- cents(j).indices if sums(j)(cid) != null)
+      next(j)(cid) = sums(j)(cid)
+    next
+  }
+
+  /** Training loop over an ALREADY-persisted corpus frame — the
+    * m·iters refinement jobs each rescan it, so callers cache it once
+    * (train/codes/adcTopK do; at production scale training runs on a
+    * bounded cached sample regardless). */
+  private def trainOn(c: DataFrame, m: Int, ksub: Int, iters: Int): Codebooks = {
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val init: Array[Array[Double]] = c.sort(col("vec_id")).limit(ksub)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var cents = Array.tabulate(m)(j => init.map(_.slice(j * d, j * d + d)))
+    for (_ <- 0 until iters) cents = refineAll(c, d, cents)
+    Codebooks(m, d, cents)
+  }
+
+  /** Train all `m` codebooks (deterministic, see object doc). */
+  def train(embs: DataFrame, m: Int, ksub: Int, iters: Int): Codebooks = {
+    val c = corpus(embs).persist()
+    try trainOn(c, m, ksub, iters) finally c.unpersist()
+  }
+
+  private def encodeOn(c: DataFrame, cb: Codebooks): DataFrame = {
+    val cols = col("vec_id") +: (0 until cb.m).map(j =>
+      assignCol(j, cb.d, cb.cents(j)).as(s"c$j"))
+    c.select(cols: _*)
+  }
+
+  /** `(vec_id, c0..c{m-1})` — the encoded table: one compiled
+    * projection, no shuffle, no row blowup. */
+  def encode(embs: DataFrame, cb: Codebooks): DataFrame =
+    encodeOn(corpus(embs), cb)
+
+  /** Train + encode in one call (the oracle-checkable composition).
+    * The corpus projection is cached across the two stages; at
+    * production scale the encoded table is WRITTEN once (that is the
+    * point of PQ — a 100-TB embedding corpus becomes a sub-TB code
+    * table) and queries never touch the embeddings again. */
+  def codes(embs: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val c = corpus(embs).persist()
+    try {
+      val cb = trainOn(c, m, ksub, iters)
+      // eager localCheckpoint: materializes the (tiny) code table
+      // before the corpus cache is dropped
+      encodeOn(c, cb).localCheckpoint()
+    } finally c.unpersist()
+  }
+
+  /**
+   * ADC top-k: `(query_id, neighbor_id, adist, rank)` per corpus
+   * query id. The lookup tables (m·ksub doubles per query) are exact
+   * subspace distances computed driver-side from the collected query
+   * vectors (bounded set, the [[Similarity.bruteForceTopK]] contract).
+   */
+  def adcTopK(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    val c = corpus(embs).persist()
+    val (cb, enc, qvecs) = try {
+      val cb = trainOn(c, m, ksub, iters)
+      // the per-query score branches below each rescan the encoded
+      // table; checkpoint it once (m ints per vector — the compressed
+      // representation ADC exists for)
+      val enc = encodeOn(c, cb).localCheckpoint()
+      val qvecs: Seq[(Long, Array[Double])] = c
+        .filter(col("vec_id").isInCollection(queryIds))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        .sortBy(_._1)
+      (cb, enc, qvecs)
+    } finally c.unpersist()
+    val perQuery = qvecs.map { case (qid, q) =>
+      // table(j)(c) = ‖q_j − cent_{j,c}‖², sequential accumulation
+      val tables: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
+        cb.cents(j).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < cb.d) {
+            val diff = q(j * cb.d + i) - c(i)
+            s += diff * diff
+            i += 1
+          }
+          s
+        }
+      }
+      val adist = (0 until cb.m).map(j =>
+        element_at(typedLit(tables(j).toSeq), col(s"c$j") + 1))
+        .reduce(_ + _)
+      enc.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          adist.as("adist"))
+    }
+    val scored = perQuery.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle twins: re-derive codebooks (per-subspace Lloyd CTE
+  // chains, the Clustering.kmeansCtes pattern in L2 form), codes and
+  // the ADC ranking from the same determinism contract.
+  // ------------------------------------------------------------------
+
+  /** L2 assignment score written EXACTLY like the Spark kernel
+    * evaluates the augmented dot (see object doc). */
+  private def scoreSql(v: String, c: String): String =
+    s"(list_inner_product($v, $c) - list_inner_product($c, $c)/2)"
+
+  /** CTE chain for subspace j: `s{j}_e` (sliced corpus), `s{j}_c0` …
+    * `s{j}_c{iters}` (codebooks), `s{j}_asg` (final codes). */
+  private def subspaceCtes(j: Int, d: Int, ksub: Int, iters: Int): String = {
+    val lo = j * d + 1
+    val hi = j * d + d
+    val p = s"s$j"
+    val sb = new StringBuilder
+    sb.append(
+      s""", ${p}_e AS (
+         |  SELECT vec_id, v[$lo:$hi] AS v FROM e
+         |), ${p}_c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM ${p}_e ORDER BY vec_id LIMIT $ksub)
+         |)""".stripMargin)
+    def assign(name: String, cents: String): String =
+      s""", $name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${scoreSql("e.v", "c.c")} DESC, c.cid ASC) AS rn
+         |    FROM ${p}_e e, $cents c) WHERE rn = 1
+         |)""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = if (i == 1) s"${p}_c0" else s"${p}_c${i - 1}"
+      sb.append(assign(s"${p}_a$i", prev))
+      sb.append(
+        s""", ${p}_m$i AS (
+           |  SELECT cid, ord, avg(val) AS m FROM (
+           |    SELECT a.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS ord
+           |    FROM ${p}_a$i a JOIN ${p}_e e ON a.vec_id = e.vec_id) GROUP BY cid, ord
+           |), ${p}_l$i AS (
+           |  SELECT cid, list(m ORDER BY ord) AS l FROM ${p}_m$i GROUP BY cid
+           |), ${p}_c$i AS (
+           |  SELECT prev.cid, coalesce(u.l, prev.c) AS c
+           |  FROM $prev prev LEFT JOIN ${p}_l$i u ON prev.cid = u.cid
+           |)""".stripMargin)
+    }
+    sb.append(assign(s"${p}_asg", s"${p}_c$iters"))
+    sb.toString
+  }
+
+  private def pqCtes(m: Int, d: Int, ksub: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)""".stripMargin)
+    for (j <- 0 until m) sb.append(subspaceCtes(j, d, ksub, iters))
+    val joins = (1 until m)
+      .map(j => s"JOIN s${j}_asg s$j ON s$j.vec_id = s0.vec_id").mkString("\n  ")
+    val codeCols = (0 until m).map(j => s"CAST(s$j.cid AS INT) AS c$j").mkString(", ")
+    sb.append(
+      s""", codes AS (
+         |  SELECT s0.vec_id, $codeCols FROM s0_asg s0
+         |  $joins
+         |)""".stripMargin)
+    sb.toString
+  }
+
+  /** Oracle for [[codes]]. `d` must match the fixture dim / m. */
+  def codesSql(m: Int, d: Int, ksub: Int, iters: Int): String =
+    s"""${pqCtes(m, d, ksub, iters)}
+       |SELECT * FROM codes""".stripMargin
+
+  /** Oracle for [[adcTopK]]: subspace distance tables from the same
+    * codebook CTEs, ADC sum in subspace order, same tie-breaks. */
+  def adcTopKSql(
+      queryIds: Seq[Long], k: Int,
+      m: Int, d: Int, ksub: Int, iters: Int): String = {
+    val lastC = (0 until m).map(j => s"s${j}_c$iters")
+    // per-subspace distance table: ‖q_j − c‖² via elementwise lambda,
+    // sequential list_sum — the Spark driver loop's arithmetic
+    val dtabs = (0 until m).map { j =>
+      val lo = j * d + 1
+      val hi = j * d + d
+      s""", dtab$j AS (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    list_sum(list_transform(list_zip(q.v[$lo:$hi], c.c),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+         |  FROM e q, ${lastC(j)} c
+         |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+         |)""".stripMargin
+    }.mkString
+    val dFrom = (0 until m).map(j => s"dtab$j d$j").mkString(", ")
+    val dPreds = (0 until m)
+      .map(j => s"d$j.query_id = q.query_id AND d$j.cid = codes.c$j")
+      .mkString("\n    AND ")
+    val adist = (0 until m).map(j => s"d$j.dist").mkString(" + ")
+    s"""${pqCtes(m, d, ksub, iters)}$dtabs, qids(query_id) AS (
+       |  SELECT unnest([${queryIds.mkString(",")}])
+       |), scored AS (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id, $adist AS adist
+       |  FROM qids q, codes, $dFrom
+       |  WHERE $dPreds
+       |    AND codes.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
+       |  FROM ranked WHERE rank <= $k""".stripMargin
+  }
+}

@@ -53,4 +53,59 @@ object Anomaly {
        |SELECT series, ts, value, (value - mu) / sigma AS z_value
        |FROM scored WHERE sigma > 0 AND abs((value - mu) / sigma) >= $threshold""".stripMargin
   }
+
+  /** Robust (MAD-based) outliers: the modified z-score
+    * `0.6745 * |value - median| / MAD` (Iglewicz & Hoaglin's B.3
+    * estimator — median-based, so a single extreme sample cannot drag
+    * the detection threshold the way it drags mean/stddev in
+    * [[zscore]]).
+    *
+    * Plan shape: both medians are EXACT `percentile(…, 0.5)` analytic
+    * windows over `PARTITION BY series` — the second window reuses the
+    * first's exchange+sort, so the whole two-pass estimator costs ONE
+    * shuffle by series and never joins a grouped aggregate back to the
+    * samples. Exact percentile holds one series' values per window
+    * partition — at 100 TB the scale escape hatch is the same as
+    * [[Quantiles]]: `percentile_approx` (t-digest), same query shape.
+    * Constant-majority series (MAD = 0) flag nothing — the estimator
+    * has no deviation scale there.
+    */
+  def mad(
+      samples: DataFrame, threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = Window.partitionBy(col("series"))
+    s.withColumn("med", percentile(col("value"), lit(0.5)).over(w))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .withColumn("madv", percentile(col("dev"), lit(0.5)).over(w))
+      .filter(col("madv") > 0)
+      .withColumn("mad_score", lit(0.6745) * col("dev") / col("madv"))
+      .filter(col("mad_score") >= threshold)
+      .select(col("series"), col("ts"), col("value"), col("mad_score"))
+  }
+
+  def madSql(
+      threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), med AS (
+       |  SELECT series, ts, value,
+       |    abs(value - quantile_cont(value, 0.5) OVER (PARTITION BY series)) AS dev
+       |  FROM f
+       |), scored AS (
+       |  SELECT series, ts, value, dev,
+       |    quantile_cont(dev, 0.5) OVER (PARTITION BY series) AS madv
+       |  FROM med
+       |)
+       |SELECT series, ts, value, 0.6745 * dev / madv AS mad_score
+       |FROM scored WHERE madv > 0 AND 0.6745 * dev / madv >= $threshold""".stripMargin
+  }
 }

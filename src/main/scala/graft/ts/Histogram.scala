@@ -1,0 +1,71 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-series fixed-width value histograms — beyond-the-reference
+ * extension (the value-distribution surface behind latency heatmaps;
+ * the reference's aggregator vtable has no histogram, SURVEY §2.4).
+ *
+ * One hash aggregation by (series, bin) with map-side combine: each
+ * partition collapses to at most series×nbins partial counts before
+ * the shuffle, so shuffle volume is bounded by the histogram size —
+ * independent of sample count. That is the canonical 100-TB shape for
+ * distribution sketches (same reasoning as the bounded-histogram
+ * quality percentile in CorpusPipeline).
+ *
+ * Binning: `bin = floor((value - lo) / width)` over [lo, hi), values
+ * outside the range are dropped (no clamp — a clamped edge bin lies
+ * about the distribution's tails; callers widen the range instead).
+ * Empty bins are not emitted (downstream gap-fill can densify with a
+ * `sequence` spine, the [[TSModel.bucketSpine]] pattern). The
+ * bin bounds are reported as columns so the result is self-describing.
+ */
+object Histogram {
+
+  /** `(series, bin, bin_lo, bin_hi, n)` per non-empty bin. */
+  def valueHistogram(
+      samples: DataFrame, lo: Double, hi: Double, nbins: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(nbins > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nbins")
+    val width = (hi - lo) / nbins
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    s.filter(col("value") >= lo && col("value") < hi)
+      .groupBy(col("series"),
+        floor((col("value") - lo) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("series"), col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+        col("n"))
+  }
+
+  def valueHistogramSql(
+      lo: Double, hi: Double, nbins: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(nbins > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nbins")
+    val width = (hi - lo) / nbins
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)",
+      s"value >= ($lo)::DOUBLE", s"value < ($hi)::DOUBLE") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), binned AS (
+       |  SELECT series,
+       |    CAST(floor((value - ($lo)::DOUBLE) / ($width)::DOUBLE) AS BIGINT) AS bin,
+       |    count(*) AS n
+       |  FROM f GROUP BY 1, 2
+       |)
+       |SELECT series, bin,
+       |  ($lo)::DOUBLE + bin * ($width)::DOUBLE AS bin_lo,
+       |  ($lo)::DOUBLE + (bin + 1) * ($width)::DOUBLE AS bin_hi,
+       |  n
+       |FROM binned""".stripMargin
+  }
+}

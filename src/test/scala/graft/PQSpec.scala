@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.pipeline.PQ
+
+/** Product-quantization pipeline: exactness on cluster-shaped data
+  * (where ADC must reduce to exact distances), recall on perturbed
+  * clusters, determinism, and the no-shuffle encode plan. The
+  * fixture-backed hash checks live in the pq_codes / ann_pq_adc
+  * oracle entries. */
+class PQSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  /** 8 orthogonal-ish prototypes in dim 8; `spread` copies each, with
+    * a deterministic sub-0.05 perturbation when `jitter` is set. */
+  private def clustered(spread: Int, jitter: Boolean): DataFrame = {
+    val protos: Seq[Seq[Double]] =
+      (0 until 8).map(p => (0 until 8).map(d => if (d == p) 4.0 else 0.0))
+    val rows = for {
+      c <- 0 until spread
+      p <- 0 until 8
+    } yield {
+      val base = protos(p)
+      val v =
+        if (!jitter || c == 0) base
+        else base.zipWithIndex.map { case (x, d) =>
+          // deterministic jitter in (-0.05, 0.05): small vs the 4.0
+          // proto separation, so nearest-proto structure is preserved
+          x + (((p * 131 + c * 17 + d * 7) % 19) - 9) / 200.0
+        }
+      ((c * 8 + p).toLong, v.map(_.toFloat))
+    }
+    // copy-major ids: the first 8 vec_ids are one clean copy of each
+    // prototype, so the deterministic init spans every point mass and
+    // Lloyd's fixed point reconstructs the corpus exactly (the pure-
+    // cluster test's premise)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("codes: identical vectors always share codes; determinism across runs") {
+    val df = clustered(spread = 3, jitter = false).cache()
+    try {
+      val c1 = PQ.codes(df, m = 2, ksub = 4, iters = 2).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+      val c2 = PQ.codes(df, m = 2, ksub = 4, iters = 2).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+      assert(c1 == c2, "two runs disagree — nondeterminism in training")
+      // members of the same cluster are exact duplicates -> same codes
+      for (p <- 0 until 8; c <- 1 until 3)
+        assert(c1(c * 8L + p) == c1(p.toLong),
+          s"duplicate vectors got different codes (cluster $p)")
+    } finally df.unpersist()
+  }
+
+  test("adc on pure clusters: top-k agrees with exact L2 ranking") {
+    // ksub = 8 codewords per subspace and 8 point-mass clusters:
+    // Lloyd converges to the prototypes, every vector's reconstruction
+    // is itself, and ADC == exact distance — so the approximate path
+    // must EQUAL brute force here, rank for rank
+    val df = clustered(spread = 3, jitter = false).cache()
+    try {
+      val vecs = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toMap
+      val queryIds = Seq(0L, 7L, 23L)
+      val got = PQ.adcTopK(df, queryIds, k = 5, m = 2, ksub = 8, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val exp = queryIds.flatMap { q =>
+        vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (q, id, l2sq(vecs(q), v)) }
+          .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+          .map { case ((qq, id, dd), i) => (qq, i + 1, id, dd) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+        exp.map(t => (t._1, t._2, t._3)))
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g._4 - e._4) < 1e-9, s"adist off: $g vs $e")
+      }
+    } finally df.unpersist()
+  }
+
+  test("adc on jittered clusters: right cluster always, recall@5 >= 0.6") {
+    // Within a cluster every member shares the query's nearest
+    // codewords, so ADC cannot ORDER the members — that is PQ's
+    // documented quantization floor (serving stacks re-rank the
+    // shortlist exactly). What must hold: every returned neighbour is
+    // from the query's cluster (cross-cluster gap 32 vs jitter² ~
+    // 0.01), which pigeonholes recall@5 to >= (5+5-7)/5 = 0.6.
+    val df = clustered(spread = 8, jitter = true).cache()
+    try {
+      val vecs = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toMap
+      val queryIds = Seq(1L, 17L, 33L, 49L)
+      val got = PQ.adcTopK(df, queryIds, k = 5, m = 2, ksub = 8, iters = 3)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      queryIds.foreach { q =>
+        assert(got(q).forall(n => n % 8 == q % 8),
+          s"query $q returned a cross-cluster neighbour: ${got(q)}")
+      }
+      val hits = queryIds.map { q =>
+        val exact = vecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, l2sq(vecs(q), v)) }
+          .sortBy(t => (t._2, t._1)).take(5).map(_._1).toSet
+        (got(q) & exact).size
+      }.sum
+      val recall = hits.toDouble / (queryIds.size * 5)
+      assert(recall >= 0.6, s"recall@5 = $recall")
+    } finally df.unpersist()
+  }
+
+  test("encode plan: one projection, ZERO shuffles, no row blowup") {
+    val df = clustered(spread = 2, jitter = false)
+    val cb = PQ.train(df, m = 2, ksub = 4, iters = 1)
+    val enc = PQ.encode(df, cb)
+    val plan = enc.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    assert(enc.count() == df.count())
+  }
+
+  test("train rejects a dim not divisible into m subspaces") {
+    val df = clustered(spread = 1, jitter = false)
+    intercept[IllegalArgumentException](PQ.train(df, m = 3, ksub = 2, iters = 1))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Anomaly, Quantiles, Rates, Resample, Sessions, Sliding}
+import graft.ts.{Aggs, Anomaly, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Trend}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -74,6 +74,30 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         step: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Resample.linearSql(step, align, from, to, valuesCte(samples))
     }
+    case class Mad(name: String, samples: Seq[(String, Long, Double)],
+        thr: Double, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Anomaly.madSql(thr, from, to, valuesCte(samples))
+    }
+    case class Tr(name: String, samples: Seq[(String, Long, Double)],
+        predictAt: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Trend.fitSql(predictAt, from, to, valuesCte(samples))
+    }
+    case class Hist(name: String, samples: Seq[(String, Long, Double)],
+        lo: Double, hi: Double, nbins: Int,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Histogram.valueHistogramSql(lo, hi, nbins, from, to, valuesCte(samples))
+    }
+    // LTTB combos floor the values to integers: the argmax selection
+    // compares triangle areas for exact equality across engines, and
+    // integer-valued doubles make every avg/area step bit-identical in
+    // any summation order (ties then break on ts identically). With
+    // arbitrary doubles an ulp difference in a bucket centroid could
+    // legitimately flip a near-tied argmax — not a correctness bug,
+    // but not differentiable row-by-row either.
+    case class Lt(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Lttb.downsampleSql(bucket, align, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 210).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -89,7 +113,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 7 match {
+      iter % 11 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -107,8 +131,21 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           // 2-sample series has z = ±1 exactly, where the two engines'
           // stddev rounding can land on opposite sides of a 1.0 gate
           Zs(f"zs_$iter%03d", samples, Seq(0.43, 1.17, 1.91)(rnd.nextInt(3)), from, to)
-        case _ =>
+        case 6 =>
           Rsmp(f"rsmp_$iter%03d", samples, bucket, align, from, to)
+        case 7 =>
+          // thresholds off the structural modified-z boundaries (the
+          // 0.6745 factor makes small-n scores land near 0.67/1.35)
+          Mad(f"mad_$iter%03d", samples, Seq(0.41, 1.13, 2.21)(rnd.nextInt(3)), from, to)
+        case 8 =>
+          Tr(f"trend_$iter%03d", samples, 1000L + rnd.nextInt(2000), from, to)
+        case 9 =>
+          val lo = -12.0 + rnd.nextInt(5)
+          val nb = 1 + rnd.nextInt(12)
+          Hist(f"hist_$iter%03d", samples, lo, lo + 1 + rnd.nextInt(30), nb, from, to)
+        case _ =>
+          Lt(f"lttb_$iter%03d", samples.map(r => (r._1, r._2, r._3.floor)),
+            bucket, align, from, to)
       }
     }
 
@@ -149,6 +186,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Quant => Quantiles.bucketQuantiles(df, s.qs, s.bucket, s.align, s.from, s.to)
         case s: Zs    => Anomaly.zscore(df, s.thr, s.from, s.to)
         case s: Rsmp  => Resample.linear(df, s.step, s.align, s.from, s.to)
+        case s: Mad   => Anomaly.mad(df, s.thr, s.from, s.to)
+        case s: Tr    => Trend.fit(df, s.predictAt, s.from, s.to)
+        case s: Hist  => Histogram.valueHistogram(df, s.lo, s.hi, s.nbins, s.from, s.to)
+        case s: Lt    => Lttb.downsample(df, s.bucket, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.ts.{Anomaly, Histogram, Lttb, Trend}
+
+/** Closed-form cases for the round-10 analytics extensions (MAD
+  * outliers, OLS trend/forecast, value histograms, parallel LTTB) —
+  * the executable-model complement of the RandomizedWindowsSpec
+  * DuckDB differential. */
+class TrendAnalyticsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  // ---- Trend ----
+
+  test("trend: a perfect line is recovered exactly, forecast included") {
+    val df = (0L to 10L).map(t => ("s", t, 2.0 * t + 5.0)).toDF("series", "ts", "value")
+    val Array(r) = Trend.fit(df, predictAtMs = 100L).collect()
+    assert(r.getAs[Long]("n_samples") == 11L)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("predicted") - 205.0) < 1e-9)
+  }
+
+  test("trend: degenerate series (single sample) defines no trend") {
+    val df = Seq(("a", 5L, 1.0), ("b", 1L, 1.0), ("b", 2L, 3.0))
+      .toDF("series", "ts", "value")
+    val rows = Trend.fit(df, 10L).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("trend: NaN samples are invisible to the fit") {
+    val df = Seq(("s", 0L, 0.0), ("s", 1L, 1.0), ("s", 2L, Double.NaN))
+      .toDF("series", "ts", "value")
+    val Array(r) = Trend.fit(df, 0L).collect()
+    assert(r.getAs[Long]("n_samples") == 2L)
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-12)
+  }
+
+  test("trend plan: ONE shuffle (hash agg of regression moments)") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    assert(shuffles(Trend.fit(df, 0L)) == 1)
+  }
+
+  // ---- MAD ----
+
+  test("mad: a single extreme sample is flagged and does not mask itself") {
+    // values 10,11,12,13,14 + outlier 1000: median 12.5, MAD ~1.5 —
+    // classic case where the MEAN-based zscore is dragged by the
+    // outlier but the median-based score is not
+    val vals = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val rows = Anomaly.mad(df, threshold = 3.5).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5L))
+    assert(rows.head.getAs[Double]("mad_score") > 100)
+  }
+
+  test("mad: constant-majority series (MAD = 0) flags nothing") {
+    val df = Seq(("s", 0L, 5.0), ("s", 1L, 5.0), ("s", 2L, 5.0), ("s", 3L, 99.0))
+      .toDF("series", "ts", "value")
+    assert(Anomaly.mad(df, threshold = 0.1).collect().isEmpty)
+  }
+
+  test("mad plan: ONE shuffle (both percentile windows share the sort)") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    assert(shuffles(Anomaly.mad(df, 1.0)) == 1)
+  }
+
+  // ---- Histogram ----
+
+  test("histogram: bins, bounds and out-of-range drops") {
+    val df = Seq(
+      ("s", 0L, -0.5), // below lo: dropped
+      ("s", 1L, 0.0), ("s", 2L, 9.99), // bin 0
+      ("s", 3L, 10.0), // bin 1
+      ("s", 4L, 35.0), // bin 3
+      ("s", 5L, 40.0), // == hi: dropped
+      ("s", 6L, Double.NaN))
+      .toDF("series", "ts", "value")
+    val rows = Histogram.valueHistogram(df, lo = 0.0, hi = 40.0, nbins = 4)
+      .collect().sortBy(_.getLong(1))
+    assert(rows.map(r => (r.getLong(1), r.getLong(4))).toSeq ==
+      Seq((0L, 2L), (1L, 1L), (3L, 1L)))
+    assert(rows.head.getAs[Double]("bin_lo") == 0.0)
+    assert(rows.head.getAs[Double]("bin_hi") == 10.0)
+    assert(rows.last.getAs[Double]("bin_lo") == 30.0)
+  }
+
+  test("histogram plan: ONE shuffle, volume bounded by series×bins") {
+    val df = Seq(("s", 0L, 0.5)).toDF("series", "ts", "value")
+    assert(shuffles(Histogram.valueHistogram(df, 0, 1, 10)) == 1)
+  }
+
+  // ---- LTTB ----
+
+  test("lttb: endpoints pinned, planted spike survives downsampling") {
+    // 3 buckets of 10; flat series except a spike at ts=15 — the
+    // interior bucket must keep the spike (max triangle area), the
+    // first/last buckets their first/last points
+    val df = (0L until 30L).map(t => ("s", t, if (t == 15) 50.0 else 1.0))
+      .toDF("series", "ts", "value")
+    val rows = Lttb.downsample(df, bucketMs = 10L).collect().sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 10L, 20L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 15L, 29L))
+  }
+
+  test("lttb: flat interior bucket ties break to the earliest ts") {
+    val df = (0L until 30L).map(t => ("s", t, 1.0)).toDF("series", "ts", "value")
+    val rows = Lttb.downsample(df, bucketMs = 10L).collect().sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 10L, 29L))
+  }
+
+  test("lttb: single-bucket series keeps its first point") {
+    val df = Seq(("s", 3L, 7.0), ("s", 5L, 9.0)).toDF("series", "ts", "value")
+    val rows = Lttb.downsample(df, bucketMs = 100L).collect()
+    assert(rows.map(r => (r.getLong(2), r.getDouble(3))).toSeq == Seq((3L, 7.0)))
+  }
+
+  test("lttb: one selected point per non-empty bucket on the fixture") {
+    val DAY = 86400000L
+    val s = graft.ts.TSModel.samples(spark, sf)
+    val out = Lttb.downsample(s, DAY).cache()
+    try {
+      val perBucket = out.groupBy("series", "bucket").count()
+        .filter(org.apache.spark.sql.functions.col("count") =!= 1).count()
+      assert(perBucket == 0)
+      assert(out.count() > 0)
+    } finally out.unpersist()
+  }
+}
