@@ -881,6 +881,26 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5,0.9,0.99')")
       }),
+      // round-10 analytics TVFs (distinct parameters from their
+      // Column-API twins, so the two routes cannot mask each other)
+      "ts_sql_tvf_mad" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_mad($T0, $T31, 1.8)")
+      }),
+      "ts_sql_tvf_trend" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_trend($T0, $T31, ${T31 + 14 * DAY})")
+      }),
+      "ts_sql_tvf_lttb" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_lttb($T0, $T31, ${2 * DAY})")
+      }),
 
       // as-of join (beyond-reference): align view_7 values onto
       // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
@@ -1860,6 +1880,12 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_mad" -> Anomaly.madSql(1.8,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_trend" -> Trend.fitSql(predictAtMs = T31 + 14 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_lttb" -> Lttb.downsampleSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -144,6 +144,19 @@ object GraftFunctions {
     }
   }
 
+  private def literalDouble(fn: String, e: Expression, what: String): Double = {
+    require(e.foldable, s"$fn: $what must be a numeric literal")
+    e.eval(null) match {
+      case d: java.lang.Double  => d.doubleValue
+      case f: java.lang.Float   => f.doubleValue
+      case l: java.lang.Long    => l.doubleValue
+      case i: java.lang.Integer => i.doubleValue
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+  }
+
   private def activeSession(fn: String): SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException(s"$fn: no active SparkSession"))
@@ -339,6 +352,60 @@ object GraftFunctions {
         if (args.length > 4) literalLong("ts_quantiles", args(4), "align_ms") else 0L,
         Some(literalLong("ts_quantiles", args(0), "from")),
         Some(literalLong("ts_quantiles", args(1), "to"))))
+    }),
+    // ---- round-10 analytics extensions as TVFs ----
+    // ts_zscore(from, to, threshold) — per-series z-score outliers
+    (FunctionIdentifier("ts_zscore"), info("ts_zscore"), { args: Seq[Expression] =>
+      nargs("ts_zscore", Seq(3), args)
+      val spark = activeSession("ts_zscore")
+      GraftSessionBridge.logicalPlan(graft.ts.Anomaly.zscore(
+        spark.table(SamplesView),
+        literalDouble("ts_zscore", args(2), "threshold"),
+        Some(literalLong("ts_zscore", args(0), "from")),
+        Some(literalLong("ts_zscore", args(1), "to"))))
+    }),
+    // ts_mad(from, to, threshold) — robust modified-z outliers
+    (FunctionIdentifier("ts_mad"), info("ts_mad"), { args: Seq[Expression] =>
+      nargs("ts_mad", Seq(3), args)
+      val spark = activeSession("ts_mad")
+      GraftSessionBridge.logicalPlan(graft.ts.Anomaly.mad(
+        spark.table(SamplesView),
+        literalDouble("ts_mad", args(2), "threshold"),
+        Some(literalLong("ts_mad", args(0), "from")),
+        Some(literalLong("ts_mad", args(1), "to"))))
+    }),
+    // ts_trend(from, to, predict_at_ms) — per-series OLS + forecast
+    (FunctionIdentifier("ts_trend"), info("ts_trend"), { args: Seq[Expression] =>
+      nargs("ts_trend", Seq(3), args)
+      val spark = activeSession("ts_trend")
+      GraftSessionBridge.logicalPlan(graft.ts.Trend.fit(
+        spark.table(SamplesView),
+        literalLong("ts_trend", args(2), "predict_at_ms"),
+        Some(literalLong("ts_trend", args(0), "from")),
+        Some(literalLong("ts_trend", args(1), "to"))))
+    }),
+    // ts_histogram(from, to, lo, hi, nbins) — fixed-width value bins
+    (FunctionIdentifier("ts_histogram"), info("ts_histogram"), { args: Seq[Expression] =>
+      nargs("ts_histogram", Seq(5), args)
+      val spark = activeSession("ts_histogram")
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.valueHistogram(
+        spark.table(SamplesView),
+        literalDouble("ts_histogram", args(2), "lo"),
+        literalDouble("ts_histogram", args(3), "hi"),
+        literalLong("ts_histogram", args(4), "nbins").toInt,
+        Some(literalLong("ts_histogram", args(0), "from")),
+        Some(literalLong("ts_histogram", args(1), "to"))))
+    }),
+    // ts_lttb(from, to, bucket_ms[, align_ms]) — parallel LTTB pick
+    (FunctionIdentifier("ts_lttb"), info("ts_lttb"), { args: Seq[Expression] =>
+      nargs("ts_lttb", Seq(3, 4), args)
+      val spark = activeSession("ts_lttb")
+      GraftSessionBridge.logicalPlan(graft.ts.Lttb.downsample(
+        spark.table(SamplesView),
+        literalLong("ts_lttb", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_lttb", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_lttb", args(0), "from")),
+        Some(literalLong("ts_lttb", args(1), "to"))))
     })
   )
 

@@ -127,6 +127,38 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM ts_sliding(CAST(rand() AS BIGINT), $T31, 'avg', $DAY, $HOUR)").collect())
   }
 
+  test("analytics TVFs (zscore/mad/trend/histogram/lttb) == Column API") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val DAY = 86400000L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_zscore($T0, $T31, 1.5)")) ==
+      sorted(graft.ts.Anomaly.zscore(samples, 1.5, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_mad($T0, $T31, 2.0)")) ==
+      sorted(graft.ts.Anomaly.mad(samples, 2.0, Some(T0), Some(T31))))
+    // integer threshold literal coerces (literalDouble accepts ints)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_mad($T0, $T31, 2)")) ==
+      sorted(graft.ts.Anomaly.mad(samples, 2.0, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_trend($T0, $T31, ${T31 + DAY})")) ==
+      sorted(graft.ts.Trend.fit(samples, T31 + DAY, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_histogram($T0, $T31, 0.0, 100.0, 10)")) ==
+      sorted(graft.ts.Histogram.valueHistogram(samples, 0.0, 100.0, 10, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_lttb($T0, $T31, ${3 * DAY})")) ==
+      sorted(graft.ts.Lttb.downsample(samples, 3 * DAY, 0L, Some(T0), Some(T31))))
+    // non-literal threshold is a loud error, not a silent default
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())
+  }
+
   test("ts_mrange TVF == Multi.mrange incl. label predicates") {
     GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
