@@ -1106,6 +1106,11 @@ object SparkEntry {
       "ts_downsample_lttb" -> ((s, dir) =>
         Lttb.downsample(TSModel.samples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
+      // windowed EWMA smoothing: collect_list over a bounded ROWS
+      // frame + one aggregate fold, single shuffle by series
+      "ts_range_ewma" -> ((s, dir) =>
+        Smoothing.ewma(TSModel.samples(s, dir), alpha = 0.3, span = 16,
+          fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -1871,6 +1876,8 @@ object SparkEntry {
         lo = 0.0, hi = 120.0, nbins = 24,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

@@ -406,6 +406,17 @@ object GraftFunctions {
         if (args.length > 3) literalLong("ts_lttb", args(3), "align_ms") else 0L,
         Some(literalLong("ts_lttb", args(0), "from")),
         Some(literalLong("ts_lttb", args(1), "to"))))
+    }),
+    // ts_ewma(from, to, alpha[, span]) — windowed EWM smoothing
+    (FunctionIdentifier("ts_ewma"), info("ts_ewma"), { args: Seq[Expression] =>
+      nargs("ts_ewma", Seq(3, 4), args)
+      val spark = activeSession("ts_ewma")
+      GraftSessionBridge.logicalPlan(graft.ts.Smoothing.ewma(
+        spark.table(SamplesView),
+        literalDouble("ts_ewma", args(2), "alpha"),
+        if (args.length > 3) literalLong("ts_ewma", args(3), "span").toInt else 32,
+        Some(literalLong("ts_ewma", args(0), "from")),
+        Some(literalLong("ts_ewma", args(1), "to"))))
     })
   )
 

@@ -154,6 +154,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql(s"SELECT * FROM ts_lttb($T0, $T31, ${3 * DAY})")) ==
       sorted(graft.ts.Lttb.downsample(samples, 3 * DAY, 0L, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_ewma($T0, $T31, 0.4, 8)")) ==
+      sorted(graft.ts.Smoothing.ewma(samples, 0.4, 8, Some(T0), Some(T31))))
     // non-literal threshold is a loud error, not a silent default
     intercept[Exception](
       spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())

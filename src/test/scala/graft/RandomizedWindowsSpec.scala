@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Anomaly, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Trend}
+import graft.ts.{Aggs, Anomaly, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Smoothing, Trend}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -98,6 +98,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Lttb.downsampleSql(bucket, align, from, to, valuesCte(samples))
     }
+    case class Ew(name: String, samples: Seq[(String, Long, Double)],
+        alpha: Double, span: Int, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Smoothing.ewmaSql(alpha, span, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 210).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -113,7 +117,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 11 match {
+      iter % 12 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -143,9 +147,14 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           val lo = -12.0 + rnd.nextInt(5)
           val nb = 1 + rnd.nextInt(12)
           Hist(f"hist_$iter%03d", samples, lo, lo + 1 + rnd.nextInt(30), nb, from, to)
-        case _ =>
+        case 10 =>
           Lt(f"lttb_$iter%03d", samples.map(r => (r._1, r._2, r._3.floor)),
             bucket, align, from, to)
+        case _ =>
+          // span 1 degenerates to ewma == value; alpha 1.0 to newest-only
+          Ew(f"ewma_$iter%03d", samples,
+            Seq(0.2, 0.55, 1.0)(rnd.nextInt(3)), Seq(1, 4, 16)(rnd.nextInt(3)),
+            from, to)
       }
     }
 
@@ -190,6 +199,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Tr    => Trend.fit(df, s.predictAt, s.from, s.to)
         case s: Hist  => Histogram.valueHistogram(df, s.lo, s.hi, s.nbins, s.from, s.to)
         case s: Lt    => Lttb.downsample(df, s.bucket, s.align, s.from, s.to)
+        case s: Ew    => Smoothing.ewma(df, s.alpha, s.span, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

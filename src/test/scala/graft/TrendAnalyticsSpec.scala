@@ -121,6 +121,40 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 10L, 29L))
   }
 
+  // ---- EWMA ----
+
+  test("ewma: hand-computed adjusted weights, constant series fixed point") {
+    val df = Seq(("s", 0L, 2.0), ("s", 1L, 4.0), ("s", 2L, 8.0),
+      ("c", 0L, 5.0), ("c", 1L, 5.0))
+      .toDF("series", "ts", "value")
+    val got = graft.ts.Smoothing.ewma(df, alpha = 0.5, span = 16)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    // adjusted EWM, newest-first weights 1, .5, .25:
+    assert(math.abs(got(("s", 0L)) - 2.0) < 1e-12)
+    assert(math.abs(got(("s", 1L)) - (4.0 + 0.5 * 2.0) / 1.5) < 1e-12)
+    assert(math.abs(got(("s", 2L)) - (8.0 + 0.5 * 4.0 + 0.25 * 2.0) / 1.75) < 1e-12)
+    assert(got(("c", 0L)) == 5.0 && got(("c", 1L)) == 5.0)
+  }
+
+  test("ewma: span truncates history; span=1 and alpha=1 degenerate to identity") {
+    val df = (0L until 5L).map(t => ("s", t, t.toDouble)).toDF("series", "ts", "value")
+    val span2 = graft.ts.Smoothing.ewma(df, alpha = 0.5, span = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // only the previous sample participates: (x_t + .5 x_{t-1}) / 1.5
+    assert(math.abs(span2(4L) - (4.0 + 0.5 * 3.0) / 1.5) < 1e-12)
+    val ident = graft.ts.Smoothing.ewma(df, alpha = 0.5, span = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    (0L until 5L).foreach(t => assert(ident(t) == t.toDouble))
+    val newest = graft.ts.Smoothing.ewma(df, alpha = 1.0, span = 16)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    (0L until 5L).foreach(t => assert(newest(t) == t.toDouble))
+  }
+
+  test("ewma plan: ONE shuffle (frame window + fold, no self-join)") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    assert(shuffles(graft.ts.Smoothing.ewma(df, 0.3)) == 1)
+  }
+
   test("lttb: single-bucket series keeps its first point") {
     val df = Seq(("s", 3L, 7.0), ("s", 5L, 9.0)).toDF("series", "ts", "value")
     val rows = Lttb.downsample(df, bucketMs = 100L).collect()
