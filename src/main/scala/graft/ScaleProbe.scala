@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Text}
+import graft.pipeline.{Dedup, PQ, Text}
 import graft.ts.{Compaction, Ingest, Multi, RangeQuery, TSModel}
 
 /**
@@ -54,7 +54,8 @@ object ScaleProbe {
     val stamp = s"$base|$reps"
     val cached = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker)) == stamp &&
-      new java.io.File(eventsDir).exists()
+      new java.io.File(eventsDir).exists() &&
+      new java.io.File(s"$work/embeddings.parquet").exists()
     if (!cached) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
       java.nio.file.Files.deleteIfExists(marker)
@@ -73,6 +74,12 @@ object ScaleProbe {
         ev.withColumn("user_id", col("user_id") + lit(r.toLong * 1000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(eventsDir)
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until reps).map { r =>
+        embs.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
       java.nio.file.Files.write(marker, stamp.getBytes)
     }
 
@@ -179,6 +186,21 @@ object ScaleProbe {
         "LAST", ignoreMaxTimeDiff = 12L * 3600000L, ignoreMaxValDiff = 50.0).count()
     }
 
+    // 6. product quantization over the N× embedding corpus: training
+    //    is full-corpus Lloyd (2 fused jobs) + zero-shuffle encode —
+    //    both single-pass shapes, so wall time must stay ~linear in N;
+    //    ADC adds the per-query scored-codes top-k windows. The
+    //    replicas duplicate vectors, which only DENSIFIES clusters —
+    //    codebook geometry (and so per-vector work) is unchanged.
+    val embWork = spark.read.parquet(s"$work/embeddings.parquet")
+    val (nCodes, tPqCodes) = timed {
+      PQ.codes(embWork, m = 4, ksub = 8, iters = 2).count()
+    }
+    val (nAdc, tPqAdc) = timed {
+      PQ.adcTopK(embWork, Seq(0L, 97L, 194L), k = 5,
+        m = 4, ksub = 8, iters = 2).count()
+    }
+
     // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
     //    avg -> cross-series sum reduce, over N× series
     val T0 = 1704067200000L
@@ -209,6 +231,8 @@ object ScaleProbe {
       s""""ooo_resolve_pre_sec":${s2(tResolvePre)},"ooo_resolve_post_sec":${s2(tResolvePost)},""" +
       s""""ooo_compact_sec":${s2(tCompact)},"ooo_dest_rows":$nResolvePre,""" +
       s""""stream_ingest_sec":${s2(tIng)},"stream_ingest_rows":$nIng,""" +
+      s""""pq_codes_sec":${s2(tPqCodes)},"pq_rows":$nCodes,""" +
+      s""""pq_adc_sec":${s2(tPqAdc)},"pq_adc_rows":$nAdc,""" +
       s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()
   }

@@ -701,6 +701,14 @@ object SparkEntry {
       "ann_pq_adc" -> ((s, dir) =>
         PQ.adcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
           m = 4, ksub = 8, iters = 2)),
+      // IVF + ADC composition (IVFADC minus residuals): coarse-list
+      // pruning over the deterministic literal quantizer, ADC scoring
+      // only the probed lists' codes — the pruning AND the compressed
+      // scoring are both re-derived by the oracle
+      "ann_ivfpq_topk" -> ((s, dir) =>
+        PQ.ivfAdcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
+          m = 4, ksub = 8, iters = 2,
+          coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4)),
       // SQL-surface route (GraftFunctions / SparkSessionExtensions):
       // the SAME compiled kernels invoked from spark.sql text — the
       // registered-function registry checked end-to-end against the
@@ -1758,6 +1766,9 @@ object SparkEntry {
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "pq_codes" -> PQ.codesSql(m = 4, d = 16, ksub = 8, iters = 2),
       "ann_pq_adc" -> PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
+      "ann_ivfpq_topk" -> PQ.ivfAdcTopKSql(annQueryIds, 5,
+        m = 4, d = 16, ksub = 8, iters = 2,
+        coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
       "ts_sql_tvf_range" -> RangeQuery.rangeSql(
         RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),

@@ -156,6 +156,38 @@ object PQ {
     } finally c.unpersist()
   }
 
+  /** Per-query ADC lookup tables: `table(j)(c) = ‖q_j − cent_{j,c}‖²`,
+    * sequential accumulation (the oracle's list_zip lambda mirrors
+    * this order). */
+  private def lookupTables(cb: Codebooks, q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(cb.m) { j =>
+      cb.cents(j).map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < cb.d) {
+          val diff = q(j * cb.d + i) - c(i)
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
+
+  /** Union of per-query scored-code projections + the final top-k
+    * window (shared by the full-scan and IVF-restricted paths). */
+  private def rankAdc(
+      perQuery: Seq[DataFrame], k: Int): DataFrame = {
+    val scored = perQuery.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def adcCol(cb: Codebooks, tables: Array[Array[Double]]): Column =
+    (0 until cb.m).map(j =>
+      element_at(typedLit(tables(j).toSeq), col(s"c$j") + 1))
+      .reduce(_ + _)
+
   /**
    * ADC top-k: `(query_id, neighbor_id, adist, rank)` per corpus
    * query id. The lookup tables (m·ksub doubles per query) are exact
@@ -178,31 +210,60 @@ object PQ {
         .sortBy(_._1)
       (cb, enc, qvecs)
     } finally c.unpersist()
-    val perQuery = qvecs.map { case (qid, q) =>
-      // table(j)(c) = ‖q_j − cent_{j,c}‖², sequential accumulation
-      val tables: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
-        cb.cents(j).map { c =>
-          var s = 0.0
-          var i = 0
-          while (i < cb.d) {
-            val diff = q(j * cb.d + i) - c(i)
-            s += diff * diff
-            i += 1
-          }
-          s
-        }
-      }
-      val adist = (0 until cb.m).map(j =>
-        element_at(typedLit(tables(j).toSeq), col(s"c$j") + 1))
-        .reduce(_ + _)
+    rankAdc(qvecs.map { case (qid, q) =>
+      val adist = adcCol(cb, lookupTables(cb, q))
       enc.filter(col("vec_id") =!= qid)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           adist.as("adist"))
-    }
-    val scored = perQuery.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }, k)
+  }
+
+  /**
+   * IVF + ADC — the production composition (Jégou et al.'s IVFADC
+   * minus the residual encoding, kept non-residual so the oracle
+   * stays a pure re-derivation): a coarse quantizer restricts each
+   * query to its `nProbe` nearest inverted lists (partition pruning
+   * at deployment: the code table is written `partitionBy(cid)`), and
+   * ADC scores ONLY the codes in the probed lists. Search cost is
+   * O(N · nProbe / |coarse|) table lookups per query, embeddings
+   * never read. Coarse assignment ties to the lowest cid
+   * ([[graft.functions.NearestCentroid]]'s contract); probe lists are
+   * ranked by dot, ties to the lowest cid — both re-derived by the
+   * DuckDB oracle, so the pruning itself is hash-checked.
+   */
+  def ivfAdcTopK(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, ksub: Int, iters: Int,
+      coarse: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= coarse.length)
+    val c = corpus(embs).persist()
+    val (cb, enc, qvecs) = try {
+      val cb = trainOn(c, m, ksub, iters)
+      // ONE projection: m subspace codes + the coarse list id
+      val cols = col("vec_id") +:
+        ((0 until m).map(j => assignCol(j, cb.d, cb.cents(j)).as(s"c$j")) :+
+          graft.functions.NearestCentroid(col("v"), coarse).as("cid"))
+      val enc = c.select(cols: _*).localCheckpoint()
+      val qvecs: Seq[(Long, Array[Double])] = c
+        .filter(col("vec_id").isInCollection(queryIds))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        .sortBy(_._1)
+      (cb, enc, qvecs)
+    } finally c.unpersist()
+    rankAdc(qvecs.map { case (qid, q) =>
+      // probe list: nProbe coarse ids by descending dot, ties low cid
+      val probes = coarse.zipWithIndex.map { case (cv, ci) =>
+        var s = 0.0
+        var i = 0
+        val n = math.min(q.length, cv.length)
+        while (i < n) { s += q(i) * cv(i); i += 1 }
+        (s, ci)
+      }.sortBy { case (d, ci) => (-d, ci) }.take(nProbe).map(_._2)
+      val adist = adcCol(cb, lookupTables(cb, q))
+      enc.filter(col("cid").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          adist.as("adist"))
+    }, k)
   }
 
   // ------------------------------------------------------------------
@@ -280,42 +341,85 @@ object PQ {
     s"""${pqCtes(m, d, ksub, iters)}
        |SELECT * FROM codes""".stripMargin
 
-  /** Oracle for [[adcTopK]]: subspace distance tables from the same
-    * codebook CTEs, ADC sum in subspace order, same tie-breaks. */
-  def adcTopKSql(
-      queryIds: Seq[Long], k: Int,
-      m: Int, d: Int, ksub: Int, iters: Int): String = {
-    val lastC = (0 until m).map(j => s"s${j}_c$iters")
-    // per-subspace distance table: ‖q_j − c‖² via elementwise lambda,
-    // sequential list_sum — the Spark driver loop's arithmetic
-    val dtabs = (0 until m).map { j =>
+  /** Per-subspace distance-table CTEs: ‖q_j − c‖² via elementwise
+    * lambda, sequential list_sum — the Spark driver loop's
+    * arithmetic. */
+  private def dtabCtes(queryIds: Seq[Long], m: Int, d: Int, iters: Int): String =
+    (0 until m).map { j =>
       val lo = j * d + 1
       val hi = j * d + d
       s""", dtab$j AS (
          |  SELECT q.vec_id AS query_id, c.cid,
          |    list_sum(list_transform(list_zip(q.v[$lo:$hi], c.c),
          |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
-         |  FROM e q, ${lastC(j)} c
+         |  FROM e q, s${j}_c$iters c
          |  WHERE q.vec_id IN (${queryIds.mkString(",")})
          |)""".stripMargin
     }.mkString
-    val dFrom = (0 until m).map(j => s"dtab$j d$j").mkString(", ")
-    val dPreds = (0 until m)
-      .map(j => s"d$j.query_id = q.query_id AND d$j.cid = codes.c$j")
-      .mkString("\n    AND ")
-    val adist = (0 until m).map(j => s"d$j.dist").mkString(" + ")
-    s"""${pqCtes(m, d, ksub, iters)}$dtabs, qids(query_id) AS (
-       |  SELECT unnest([${queryIds.mkString(",")}])
-       |), scored AS (
-       |  SELECT q.query_id, codes.vec_id AS neighbor_id, $adist AS adist
-       |  FROM qids q, codes, $dFrom
-       |  WHERE $dPreds
-       |    AND codes.vec_id <> q.query_id
-       |), ranked AS (
+
+  private def dFrom(m: Int) = (0 until m).map(j => s"dtab$j d$j").mkString(", ")
+  private def dPreds(m: Int) = (0 until m)
+    .map(j => s"d$j.query_id = q.query_id AND d$j.cid = codes.c$j")
+    .mkString("\n    AND ")
+  private def adistSum(m: Int) = (0 until m).map(j => s"d$j.dist").mkString(" + ")
+
+  private val rankTail =
+    s"""), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, neighbor_id ASC) AS rank
        |  FROM scored
        |) SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
-       |  FROM ranked WHERE rank <= $k""".stripMargin
+       |  FROM ranked WHERE rank <= """.stripMargin
+
+  /** Oracle for [[adcTopK]]: subspace distance tables from the same
+    * codebook CTEs, ADC sum in subspace order, same tie-breaks. */
+  def adcTopKSql(
+      queryIds: Seq[Long], k: Int,
+      m: Int, d: Int, ksub: Int, iters: Int): String = {
+    s"""${pqCtes(m, d, ksub, iters)}${dtabCtes(queryIds, m, d, iters)}, qids(query_id) AS (
+       |  SELECT unnest([${queryIds.mkString(",")}])
+       |), scored AS (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id, ${adistSum(m)} AS adist
+       |  FROM qids q, codes, ${dFrom(m)}
+       |  WHERE ${dPreds(m)}
+       |    AND codes.vec_id <> q.query_id
+       |$rankTail$k""".stripMargin
+  }
+
+  /** Oracle for [[ivfAdcTopK]]: the ADC oracle plus literal coarse
+    * centroids, the argmax-dot assignment, and per-query probe lists —
+    * every pruning decision re-derived in SQL. */
+  def ivfAdcTopKSql(
+      queryIds: Seq[Long], k: Int,
+      m: Int, d: Int, ksub: Int, iters: Int,
+      coarse: Array[Array[Double]], nProbe: Int): String = {
+    val coarseRows = coarse.zipWithIndex.map { case (cv, ci) =>
+      s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""${pqCtes(m, d, ksub, iters)}${dtabCtes(queryIds, m, d, iters)}, cc(ccid, cv) AS (
+       |  SELECT * FROM (VALUES
+       |       $coarseRows)
+       |), a AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT e.vec_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(e.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM e, cc) WHERE rn = 1
+       |), qids(query_id) AS (
+       |  SELECT unnest([${queryIds.mkString(",")}])
+       |), p AS (
+       |  SELECT query_id, ccid FROM (
+       |    SELECT q.vec_id AS query_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM e q, cc WHERE q.vec_id IN (${queryIds.mkString(",")})) WHERE rn <= $nProbe
+       |), scored AS (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id, ${adistSum(m)} AS adist
+       |  FROM qids q, codes, a, p, ${dFrom(m)}
+       |  WHERE ${dPreds(m)}
+       |    AND a.vec_id = codes.vec_id
+       |    AND p.query_id = q.query_id AND p.ccid = a.ccid
+       |    AND codes.vec_id <> q.query_id
+       |$rankTail$k""".stripMargin
   }
 }

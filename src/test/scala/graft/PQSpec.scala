@@ -116,6 +116,33 @@ class PQSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("ivf-adc: full probe == plain adc; partial probe only prunes") {
+    val df = clustered(spread = 4, jitter = true).cache()
+    try {
+      val coarse = graft.pipeline.Similarity.syntheticCentroids(4, 8)
+      val queryIds = Seq(2L, 19L)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3), r.getLong(1))
+      // probing EVERY list must reproduce the unrestricted ADC ranking
+      val full = PQ.ivfAdcTopK(df, queryIds, k = 5, m = 2, ksub = 8, iters = 2,
+        coarse, nProbe = 4).collect().map(key).toSet
+      val plain = PQ.adcTopK(df, queryIds, k = 5, m = 2, ksub = 8, iters = 2)
+        .collect().map(key).toSet
+      assert(full == plain)
+      // a partial probe returns a subset of the candidates (pruning
+      // can only REMOVE neighbours, never invent or re-rank survivors
+      // ahead of better pruned ones — adist values are unchanged)
+      val partial = PQ.ivfAdcTopK(df, queryIds, k = 5, m = 2, ksub = 8, iters = 2,
+        coarse, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullIds = PQ.ivfAdcTopK(df, queryIds, k = 40, m = 2, ksub = 8, iters = 2,
+        coarse, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(partial.subsetOf(fullIds))
+      assert(partial.nonEmpty)
+    } finally df.unpersist()
+  }
+
   test("encode plan: one projection, ZERO shuffles, no row blowup") {
     val df = clustered(spread = 2, jitter = false)
     val cb = PQ.train(df, m = 2, ksub = 4, iters = 1)
