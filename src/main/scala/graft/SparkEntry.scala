@@ -1119,6 +1119,19 @@ object SparkEntry {
       "ts_range_ewma" -> ((s, dir) =>
         Smoothing.ewma(TSModel.samples(s, dir), alpha = 0.3, span = 16,
           fromMs = Some(T0), toMs = Some(T31))),
+      // CUSUM change detection: normalized cumulative deviation sum,
+      // four analytic windows on one exchange by series
+      "ts_range_cusum" -> ((s, dir) =>
+        Changepoint.cusum(TSModel.samples(s, dir), threshold = 0.6,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // STREAMING per-series anomaly scoring: prefix z-score via
+      // flatMapGroupsWithState (constant state per series), replayed
+      // in time-ordered micro-batches; the oracle re-derives the
+      // same semantics as a cumulative window — the state path is
+      // hash-checked against a closed form
+      "ts_anomaly_stream" -> ((s, dir) =>
+        StreamAnomaly.zscoreStreamOnce(s, TSModel.samples(s, dir),
+          threshold = 2.5, fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -1889,6 +1902,10 @@ object SparkEntry {
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_cusum" -> Changepoint.cusumSql(0.6,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_anomaly_stream" -> StreamAnomaly.zscoreStreamSql(2.5,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

@@ -1,0 +1,143 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Streaming per-series anomaly detection — the online twin of
+ * [[Anomaly.zscore]] for live ingest: each arriving sample is scored
+ * against the statistics of its series' PREFIX (all samples that
+ * arrived before it), so an alert fires at arrival time, not after a
+ * batch re-read.
+ *
+ * Semantics (deterministic, oracle-checkable): samples are processed
+ * in (ts, value) order; sample x at prefix (n, μ, σ) is flagged when
+ * `n ≥ minPrefix`, `σ > 0` and `|x − μ| / σ ≥ threshold`, then folded
+ * into the state. This is exactly the cumulative-window formulation
+ * `avg/stddev_pop OVER (PARTITION BY series ORDER BY ts, value ROWS
+ * UNBOUNDED PRECEDING TO 1 PRECEDING)` — which is what the DuckDB
+ * oracle computes, so the STREAMING state path is hash-checked
+ * against a closed-form batch derivation.
+ *
+ * Scale: state is three doubles + a count per series (constant), the
+ * per-batch shuffle is by series — the same key every TS operator
+ * groups on. Ordering inside a micro-batch is a bounded in-memory
+ * sort of that batch's rows per series; cross-batch order is the
+ * staging discipline (time-ordered arrival), which production ingest
+ * provides by construction.
+ */
+object StreamAnomaly {
+
+  /** minimum prior samples before a score is meaningful */
+  val MinPrefix = 5
+
+  private def runZscore(
+      spark: SparkSession, srcStage: String, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, sum, sumsq) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val flagged = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double)]
+          // batch-local sort: (ts, value) is the operator's total order
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            if (n >= MinPrefix) {
+              val mu = sum / n
+              val sigma = math.sqrt(math.max(sumsq / n - mu * mu, 0.0))
+              if (sigma > 0) {
+                val z = (v - mu) / sigma
+                if (math.abs(z) >= threshold) flagged += ((series, ts, v, z))
+              }
+            }
+            n += 1; sum += v; sumsq += v * v
+          }
+          state.update((n, sum, sumsq))
+          flagged.iterator
+      }
+      .toDF("series", "ts", "value", "z_value")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_sanom_").resolve("out").toString
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
+  /** One-shot replay of a samples frame in `nChunks` time-ordered
+    * micro-batches through the streaming scorer (the TS streaming
+    * family's staging discipline: range-partition by ts, mtime-ordered
+    * files, one file per trigger). */
+  def zscoreStreamOnce(
+      spark: SparkSession, samples: DataFrame, threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_sanom_src_").resolve("stage").toString
+    s.select(col("series"), col("ts"), col("value"))
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    runZscore(spark, srcStage, threshold)
+  }
+
+  /** Oracle: the prefix statistics as a cumulative window — the
+    * streaming state fold and this closed form must agree row-for-row
+    * (`sqrt(sumsq/n − μ²)` vs stddev_pop differ only in ulps, far
+    * inside the compare tolerance; gate flips would need |z−thr| ~
+    * 1e-12, probability ~0 on continuous data). */
+  def zscoreStreamSql(
+      threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), scored AS (
+       |  SELECT series, ts, value,
+       |    avg(value)        OVER w AS mu,
+       |    stddev_pop(value) OVER w AS sigma,
+       |    count(*)          OVER w AS n
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY series ORDER BY ts, value
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT series, ts, value, (value - mu) / sigma AS z_value
+       |FROM scored
+       |WHERE n >= $MinPrefix AND sigma > 0
+       |  AND abs((value - mu) / sigma) >= $threshold""".stripMargin
+  }
+}

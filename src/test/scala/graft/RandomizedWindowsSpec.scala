@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Anomaly, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Smoothing, Trend}
+import graft.ts.{Aggs, Anomaly, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Smoothing, Trend}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -102,6 +102,13 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         alpha: Double, span: Int, from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Smoothing.ewmaSql(alpha, span, from, to, valuesCte(samples))
     }
+    // threshold 0 emits every scored row: the differential compares
+    // score VALUES under tolerance; a random gate would turn ulp-level
+    // engine differences at the threshold into row-set mismatches
+    case class Cs(name: String, samples: Seq[(String, Long, Double)],
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Changepoint.cusumSql(0.0, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 210).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -117,7 +124,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 12 match {
+      iter % 13 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -150,11 +157,13 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case 10 =>
           Lt(f"lttb_$iter%03d", samples.map(r => (r._1, r._2, r._3.floor)),
             bucket, align, from, to)
-        case _ =>
+        case 11 =>
           // span 1 degenerates to ewma == value; alpha 1.0 to newest-only
           Ew(f"ewma_$iter%03d", samples,
             Seq(0.2, 0.55, 1.0)(rnd.nextInt(3)), Seq(1, 4, 16)(rnd.nextInt(3)),
             from, to)
+        case _ =>
+          Cs(f"cusum_$iter%03d", samples, from, to)
       }
     }
 
@@ -200,6 +209,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Hist  => Histogram.valueHistogram(df, s.lo, s.hi, s.nbins, s.from, s.to)
         case s: Lt    => Lttb.downsample(df, s.bucket, s.align, s.from, s.to)
         case s: Ew    => Smoothing.ewma(df, s.alpha, s.span, s.from, s.to)
+        case s: Cs    => Changepoint.cusum(df, 0.0, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

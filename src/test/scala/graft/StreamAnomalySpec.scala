@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ts.{Changepoint, StreamAnomaly}
+
+/** Streaming prefix z-score + CUSUM change detection: planted-anomaly
+  * closed forms and the streaming==batch-window equivalence that the
+  * oracle entries hash-check at fixture scale. */
+class StreamAnomalySpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("streaming zscore: planted spike fires once, at arrival, cross-batch") {
+    // series 'a': 12 quiet samples then a spike at ts=12 (lands in a
+    // LATER micro-batch than the prefix under 4-chunk staging) then
+    // quiet again — exactly one alert, at the spike, scored against
+    // the pre-spike prefix only
+    val quiet = (0L until 12L).map(t => ("a", t, (t % 3).toDouble))
+    val tail = (13L until 16L).map(t => ("a", t, (t % 3).toDouble))
+    val rows = quiet ++ Seq(("a", 12L, 50.0)) ++ tail
+    val df = rows.toDF("series", "ts", "value")
+    val out = StreamAnomaly.zscoreStreamOnce(spark, df, threshold = 3.0, nChunks = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 12L)))
+    // prefix of the spike: 12 samples of 0,1,2 pattern — mu=1, sigma
+    // = sqrt(2/3); z = (50-1)/sqrt(2/3)
+    val expected = 49.0 / math.sqrt(2.0 / 3.0)
+    assert(math.abs(out.head._3 - expected) < 1e-9)
+  }
+
+  test("streaming zscore: nothing fires before MinPrefix history exists") {
+    // the FIRST sample is extreme, but with no prefix it cannot score
+    val rows = Seq(("b", 0L, 999.0)) ++ (1L until 8L).map(t => ("b", t, (t % 2).toDouble))
+    val out = StreamAnomaly.zscoreStreamOnce(
+      spark, rows.toDF("series", "ts", "value"), threshold = 0.5, nChunks = 2)
+      .collect()
+    // the early extreme is IN the prefix of later samples, inflating
+    // sigma — later quiet samples may or may not fire, but ts=0 never
+    assert(!out.map(_.getLong(1)).contains(0L))
+  }
+
+  test("streaming zscore == the cumulative-window closed form on the fixture") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    val got = StreamAnomaly.zscoreStreamOnce(spark, samples, 2.0,
+        Some(T0), Some(T31), nChunks = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // closed form: same prefix statistics via Spark windows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts"), col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val exp = samples.filter(!isnan(col("value")))
+      .filter(col("ts") >= T0 && col("ts") <= T31)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_pop(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= StreamAnomaly.MinPrefix && col("sigma") > 0)
+      .filter(abs((col("value") - col("mu")) / col("sigma")) >= 2.0)
+      .select(col("series"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("cusum: a planted level shift peaks at the shift point") {
+    // 20 samples at 0, then 20 at 10: S ramps to its max exactly at
+    // the boundary and decays back to ~0 at the end
+    val rows = (0L until 20L).map(t => ("s", t, 0.0)) ++
+      (20L until 40L).map(t => ("s", t, 10.0))
+    val all = Changepoint.cusum(rows.toDF("series", "ts", "value"), threshold = 0.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    val peakTs = all.maxBy(t => math.abs(t._2))._1
+    assert(peakTs == 19L, s"peak at $peakTs")
+    // bridge property: the last cumulative sum of deviations is 0
+    assert(math.abs(all.last._2) < 1e-9)
+    // the peak is far above the no-change excursion scale
+    assert(math.abs(all.maxBy(t => math.abs(t._2))._2) > 1.0)
+  }
+
+  test("cusum: constant series (sigma = 0) emits nothing") {
+    val df = (0L until 10L).map(t => ("c", t, 4.0)).toDF("series", "ts", "value")
+    assert(Changepoint.cusum(df, 0.0).collect().isEmpty)
+  }
+
+  test("cusum plan: all four windows on ONE exchange by series") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    val plan = Changepoint.cusum(df, 0.5).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val n = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.size
+    assert(n == 1)
+  }
+}
