@@ -318,12 +318,19 @@ object PQ {
     sb.toString
   }
 
-  private def pqCtes(m: Int, d: Int, ksub: Int, iters: Int): String = {
+  /** Default corpus CTE body (the fixture table); the randomized
+    * differential suite substitutes a VALUES-backed corpus. */
+  val DefaultCorpusSql: String =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  private def pqCtes(
+      m: Int, d: Int, ksub: Int, iters: Int,
+      corpusSql: String): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |)""".stripMargin)
+      s"""WITH e AS (
+         |  $corpusSql
+         |)""".stripMargin)
     for (j <- 0 until m) sb.append(subspaceCtes(j, d, ksub, iters))
     val joins = (1 until m)
       .map(j => s"JOIN s${j}_asg s$j ON s$j.vec_id = s0.vec_id").mkString("\n  ")
@@ -336,9 +343,10 @@ object PQ {
     sb.toString
   }
 
-  /** Oracle for [[codes]]. `d` must match the fixture dim / m. */
-  def codesSql(m: Int, d: Int, ksub: Int, iters: Int): String =
-    s"""${pqCtes(m, d, ksub, iters)}
+  /** Oracle for [[codes]]. `d` must match the corpus dim / m. */
+  def codesSql(m: Int, d: Int, ksub: Int, iters: Int,
+      corpusSql: String = DefaultCorpusSql): String =
+    s"""${pqCtes(m, d, ksub, iters, corpusSql)}
        |SELECT * FROM codes""".stripMargin
 
   /** Per-subspace distance-table CTEs: ‖q_j − c‖² via elementwise
@@ -375,8 +383,9 @@ object PQ {
     * codebook CTEs, ADC sum in subspace order, same tie-breaks. */
   def adcTopKSql(
       queryIds: Seq[Long], k: Int,
-      m: Int, d: Int, ksub: Int, iters: Int): String = {
-    s"""${pqCtes(m, d, ksub, iters)}${dtabCtes(queryIds, m, d, iters)}, qids(query_id) AS (
+      m: Int, d: Int, ksub: Int, iters: Int,
+      corpusSql: String = DefaultCorpusSql): String = {
+    s"""${pqCtes(m, d, ksub, iters, corpusSql)}${dtabCtes(queryIds, m, d, iters)}, qids(query_id) AS (
        |  SELECT unnest([${queryIds.mkString(",")}])
        |), scored AS (
        |  SELECT q.query_id, codes.vec_id AS neighbor_id, ${adistSum(m)} AS adist
@@ -392,11 +401,12 @@ object PQ {
   def ivfAdcTopKSql(
       queryIds: Seq[Long], k: Int,
       m: Int, d: Int, ksub: Int, iters: Int,
-      coarse: Array[Array[Double]], nProbe: Int): String = {
+      coarse: Array[Array[Double]], nProbe: Int,
+      corpusSql: String = DefaultCorpusSql): String = {
     val coarseRows = coarse.zipWithIndex.map { case (cv, ci) =>
       s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n       ")
-    s"""${pqCtes(m, d, ksub, iters)}${dtabCtes(queryIds, m, d, iters)}, cc(ccid, cv) AS (
+    s"""${pqCtes(m, d, ksub, iters, corpusSql)}${dtabCtes(queryIds, m, d, iters)}, cc(ccid, cv) AS (
        |  SELECT * FROM (VALUES
        |       $coarseRows)
        |), a AS (
