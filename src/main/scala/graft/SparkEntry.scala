@@ -19,6 +19,15 @@ object SparkEntry {
   private val oneSeries = "click_7"
   private def seriesPred(s: String) = Some(s"series = '$s'")
 
+  /** The fixture-month samples with the [T0, T31] bounds pushed into
+    * the parquet scan in the column's NATIVE type (samplesPruned), so
+    * row groups outside the window are skipped at the source. The
+    * operators re-apply the same bounds on the derived ms column — a
+    * residual no-op filter, kept so their semantics never depend on
+    * the caller pre-filtering. */
+  private def monthSamples(s: SparkSession, dir: String): DataFrame =
+    TSModel.samplesPruned(s, dir, fromMs = Some(T0), toMs = Some(T31))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ts_range_agg_avg")(spark, "/root/testdata/sf0.001")
@@ -857,10 +866,10 @@ object SparkEntry {
       // the reference aggregates tumbling-only): 1d rolling avg/count
       // emitted every 6h over the whole fixture month
       "ts_range_sliding" -> ((s, dir) =>
-        Sliding.slidingRange(TSModel.samples(s, dir), "avg",
+        Sliding.slidingRange(monthSamples(s, dir), "avg",
           windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
       "ts_range_sliding_count" -> ((s, dir) =>
-        Sliding.slidingRange(TSModel.samples(s, dir), "count",
+        Sliding.slidingRange(monthSamples(s, dir), "count",
           windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31))),
 
       // the window extensions through the SQL TVF route — identical
@@ -915,51 +924,51 @@ object SparkEntry {
       // ASOF JOIN — two different algorithms must agree. The second
       // variant adds a staleness tolerance.
       "ts_asof_join" -> ((s, dir) =>
-        AsOf.asofJoin(TSModel.samples(s, dir), "click_7", "view_7",
+        AsOf.asofJoin(monthSamples(s, dir), "click_7", "view_7",
           fromMs = Some(T0), toMs = Some(T31))),
       "ts_asof_join_tolerance" -> ((s, dir) =>
-        AsOf.asofJoin(TSModel.samples(s, dir), "click_7", "view_7",
+        AsOf.asofJoin(monthSamples(s, dir), "click_7", "view_7",
           toleranceMs = Some(2 * DAY), fromMs = Some(T0), toMs = Some(T31))),
       // bucket-aligned Pearson correlation of two series
       "ts_corr_pair" -> ((s, dir) =>
-        AsOf.pearson(TSModel.samples(s, dir), "click_7", "view_7",
+        AsOf.pearson(monthSamples(s, dir), "click_7", "view_7",
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
 
       // per-series z-score outliers (beyond-reference): one unordered
       // analytic window by series, single pass
       "ts_range_zscore" -> ((s, dir) =>
-        Anomaly.zscore(TSModel.samples(s, dir), threshold = 2.0,
+        Anomaly.zscore(monthSamples(s, dir), threshold = 2.0,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // linear resampling onto a 12h grid (beyond-reference UPsample:
       // union + two frame-bounded windows, no self-join)
       "ts_resample_linear" -> ((s, dir) =>
-        Resample.linear(TSModel.samples(s, dir), stepMs = 12 * HOUR,
+        Resample.linear(monthSamples(s, dir), stepMs = 12 * HOUR,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // exact bucket quantiles (beyond-reference): the p50/p90/p99
       // latency surface; Spark percentile == DuckDB quantile_cont
       "ts_range_quantiles" -> ((s, dir) =>
-        Quantiles.bucketQuantiles(TSModel.samples(s, dir),
+        Quantiles.bucketQuantiles(monthSamples(s, dir),
           Seq(0.5, 0.9, 0.99), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // PromQL-style counter semantics (beyond-reference): per-bucket
       // gauge delta + per-second rate, and reset-aware counter increase
       "ts_range_delta_rate" -> ((s, dir) =>
-        Rates.deltaRate(TSModel.samples(s, dir), bucketMs = DAY,
+        Rates.deltaRate(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
       "ts_range_increase" -> ((s, dir) =>
-        Rates.increase(TSModel.samples(s, dir), bucketMs = DAY,
+        Rates.increase(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // gap-based session windows (beyond-reference, the batch twin of
       // session_window(gap)): activity bursts per series, 12h gap
       "ts_range_session" -> ((s, dir) =>
-        Sessions.sessionRange(TSModel.samples(s, dir), "avg", gapMs = 12 * HOUR,
+        Sessions.sessionRange(monthSamples(s, dir), "avg", gapMs = 12 * HOUR,
           fromMs = Some(T0), toMs = Some(T31))),
       "ts_range_session_max" -> ((s, dir) =>
-        Sessions.sessionRange(TSModel.samples(s, dir), "max", gapMs = 2 * DAY,
+        Sessions.sessionRange(monthSamples(s, dir), "max", gapMs = 2 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // COMPACTION_POLICY end-to-end (VERDICT r04 missing #2): one
@@ -1096,33 +1105,33 @@ object SparkEntry {
       // robust MAD outliers: modified z-score, median-based — two
       // exact-percentile windows on ONE shuffle by series
       "ts_range_mad" -> ((s, dir) =>
-        Anomaly.mad(TSModel.samples(s, dir), threshold = 2.5,
+        Anomaly.mad(monthSamples(s, dir), threshold = 2.5,
           fromMs = Some(T0), toMs = Some(T31))),
       // per-series OLS trend + predict_linear at T31+7d: one hash agg
       // of regression moments, map-side combined
       "ts_range_trend" -> ((s, dir) =>
-        Trend.fit(TSModel.samples(s, dir), predictAtMs = T31 + 7 * DAY,
+        Trend.fit(monthSamples(s, dir), predictAtMs = T31 + 7 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
       // fixed-width value histogram [0,120)/24: shuffle volume bounded
       // by series×bins, independent of sample count
       "ts_range_histogram" -> ((s, dir) =>
-        Histogram.valueHistogram(TSModel.samples(s, dir),
+        Histogram.valueHistogram(monthSamples(s, dir),
           lo = 0.0, hi = 120.0, nbins = 24,
           fromMs = Some(T0), toMs = Some(T31))),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
       "ts_downsample_lttb" -> ((s, dir) =>
-        Lttb.downsample(TSModel.samples(s, dir), bucketMs = DAY,
+        Lttb.downsample(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
       // windowed EWMA smoothing: collect_list over a bounded ROWS
       // frame + one aggregate fold, single shuffle by series
       "ts_range_ewma" -> ((s, dir) =>
-        Smoothing.ewma(TSModel.samples(s, dir), alpha = 0.3, span = 16,
+        Smoothing.ewma(monthSamples(s, dir), alpha = 0.3, span = 16,
           fromMs = Some(T0), toMs = Some(T31))),
       // CUSUM change detection: normalized cumulative deviation sum,
       // four analytic windows on one exchange by series
       "ts_range_cusum" -> ((s, dir) =>
-        Changepoint.cusum(TSModel.samples(s, dir), threshold = 0.6,
+        Changepoint.cusum(monthSamples(s, dir), threshold = 0.6,
           fromMs = Some(T0), toMs = Some(T31))),
       // STREAMING per-series anomaly scoring: prefix z-score via
       // flatMapGroupsWithState (constant state per series), replayed
@@ -1130,7 +1139,7 @@ object SparkEntry {
       // same semantics as a cumulative window — the state path is
       // hash-checked against a closed form
       "ts_anomaly_stream" -> ((s, dir) =>
-        StreamAnomaly.zscoreStreamOnce(s, TSModel.samples(s, dir),
+        StreamAnomaly.zscoreStreamOnce(s, monthSamples(s, dir),
           threshold = 2.5, fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06

@@ -38,6 +38,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
   }
 
+  test("analytics family: the [T0,T31] bounds reach the parquet scan") {
+    // the window/analytics entries read through monthSamples
+    // (samplesPruned): the time bounds must appear as native-type
+    // PushedFilters, not only as post-Project ms filters
+    Seq("ts_range_mad", "ts_range_sliding", "ts_range_cusum",
+        "ts_range_trend", "ts_downsample_lttb", "ts_range_ewma").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val scans = physical(df).collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, q)
+      val pushed = scans.map(_.metadata("PushedFilters")).mkString
+      assert(pushed.contains("GreaterThanOrEqual(ts,"), s"$q: $pushed")
+      assert(pushed.contains("LessThanOrEqual(ts,"), s"$q: $pushed")
+    }
+  }
+
   test("cosine LSH: no shuffle carries an embedding column") {
     val df = SparkEntry.queries("dedup_cosine_lsh")(spark, dir)
     val offenders = shuffles(df).filter(
