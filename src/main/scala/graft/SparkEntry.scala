@@ -555,6 +555,15 @@ object SparkEntry {
         val docs = Text.loadDocuments(s, dir)
         CorpusPipeline.contamination(docs, docs.filter(col("doc_id") < 3), minShared = 5L)
       }),
+      // two-phase scale variant: Bloom prefilter (map-side, codegen'd)
+      // + exact shuffle join on survivors — result identical to the
+      // exact operator (no false negatives; join kills the fpp), so
+      // it shares the oracle derivation
+      "pipeline_contamination_bloom" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        CorpusPipeline.contaminationBloom(docs, docs.filter(col("doc_id") < 3),
+          minShared = 5L)
+      }),
       // near-dup regime (cos >= 0.95): 4 x 16-bit bands keep random
       // collisions ~2e-4 of pairs, so candidate generation stays
       // sub-quadratic at any corpus size. The fixture has no true
@@ -1758,6 +1767,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
       "pipeline_contamination" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
+      "pipeline_contamination_bloom" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
       // exact oracles for the full-table LSH paths — valid because the
       // fixture's true pair sets are all planted near-duplicates
       // (jac >= 0.889 / cos ~ 1), where banding recall is

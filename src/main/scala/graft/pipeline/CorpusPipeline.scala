@@ -141,6 +141,39 @@ object CorpusPipeline {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /**
+   * Two-phase contamination: the SCALE variant of [[contamination]]
+   * for when the benchmark side outgrows a broadcast-hash join (a
+   * multi-benchmark eval registry is millions of shingles — too big
+   * to broadcast as strings, trivial as a Bloom filter at ~8
+   * bits/item). Phase 1 drops corpus shingles map-side through a
+   * driver-built Bloom of the benchmark shingles
+   * ([[graft.functions.BloomMightContain]], codegen'd, BEFORE any
+   * shuffle); phase 2 is the exact shuffle join + count on the
+   * survivors only. Bloom filters have NO false negatives and the
+   * exact join removes the false positives, so the result is
+   * IDENTICAL to [[contamination]] — same oracle — while corpus-side
+   * shuffle volume shrinks from every shingle to the survivors
+   * (~matches + fpp of the corpus).
+   */
+  def contaminationBloom(
+      docs: DataFrame, bench: DataFrame, minShared: Long = 5L,
+      fpp: Double = 0.01): DataFrame = {
+    val bs = Dedup.shingles(bench)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val nBench = math.max(bs.count(), 1L)
+    val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
+    val pre = Dedup.shingles(docs)
+      .filter(graft.functions.BloomMightContain(col("shingle"), bloom))
+    // deliberately NOT broadcast: the whole point is that phase 2
+    // survives a bench side too big to broadcast (AQE may still
+    // choose broadcast when it happens to be small — fine)
+    pre.join(bs, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** DuckDB twin: same shingle sets, relational join (`benchPred`
     * selects the benchmark rows out of `documents`). */
   def contaminationSql(benchPred: String, minShared: Long = 5L): String =
