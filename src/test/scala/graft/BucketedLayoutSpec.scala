@@ -62,4 +62,34 @@ class BucketedLayoutSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("analytics window family over the bucketed table plans shuffle-free") {
+    // the round-10 analytics ops are all windows PARTITIONED BY series
+    // (zscore/mad/cusum/ewma) — over the bucketed layout the scan's
+    // hash-partitioning satisfies the window distribution, so at the
+    // production layout the whole family is map-side only
+    val table = "graft_bucketed_analytics_spec"
+    try {
+      TSModel.writeBucketed(
+        TSModel.samples(spark, "/root/testdata/sf0.001"), table, buckets = 8)
+      val bucketed = spark.table(table)
+      val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "zscore" -> graft.ts.Anomaly.zscore(bucketed, 2.0),
+        "mad"    -> graft.ts.Anomaly.mad(bucketed, 2.5),
+        "cusum"  -> graft.ts.Changepoint.cusum(bucketed, 0.5),
+        "ewma"   -> graft.ts.Smoothing.ewma(bucketed, 0.3),
+        "trend"  -> graft.ts.Trend.fit(bucketed, 0L),
+        "sessions" -> graft.ts.Sessions.sessionRange(bucketed, "avg", 1000L))
+      cases.foreach { case (name, df) =>
+        assert(countShuffles(df) == 0,
+          s"$name over the bucketed layout should be shuffle-free:\n" +
+            df.queryExecution.executedPlan)
+      }
+      // sanity: same ops over the flat frame DO shuffle
+      val flat = TSModel.samples(spark, "/root/testdata/sf0.001")
+      assert(countShuffles(graft.ts.Changepoint.cusum(flat, 0.5)) >= 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
