@@ -727,6 +727,12 @@ object SparkEntry {
         PQ.ivfAdcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
           m = 4, ksub = 8, iters = 2,
           coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4)),
+      // full IVFADC: codebooks quantize RESIDUALS v - coarse(v); a
+      // query's ADC tables become per-probed-list
+      "ann_ivfpq_residual_topk" -> ((s, dir) =>
+        PQ.ivfAdcResidualTopK(Similarity.loadEmbeddings(s, dir), annQueryIds,
+          k = 5, m = 4, ksub = 8, iters = 2,
+          coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4)),
       // SQL-surface route (GraftFunctions / SparkSessionExtensions):
       // the SAME compiled kernels invoked from spark.sql text — the
       // registered-function registry checked end-to-end against the
@@ -1799,6 +1805,9 @@ object SparkEntry {
       "pq_codes" -> PQ.codesSql(m = 4, d = 16, ksub = 8, iters = 2),
       "ann_pq_adc" -> PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
       "ann_ivfpq_topk" -> PQ.ivfAdcTopKSql(annQueryIds, 5,
+        m = 4, d = 16, ksub = 8, iters = 2,
+        coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+      "ann_ivfpq_residual_topk" -> PQ.ivfAdcResidualTopKSql(annQueryIds, 5,
         m = 4, d = 16, ksub = 8, iters = 2,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),

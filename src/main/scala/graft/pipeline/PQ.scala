@@ -266,6 +266,70 @@ object PQ {
     }, k)
   }
 
+  /**
+   * Full IVFADC (Jégou et al. 2011 §IV): like [[ivfAdcTopK]] but the
+   * codebooks quantize RESIDUALS `v − coarse(v)` — the vectors PQ
+   * actually compresses in production, since residuals concentrate
+   * near zero and the same `ksub` codewords buy much finer resolution
+   * than on raw vectors. Consequences, both handled here:
+   *
+   *  - encoding subtracts the assigned coarse centroid first — one
+   *    extra `zip_with`/`element_at` projection step, still
+   *    shuffle-free;
+   *  - a query's lookup tables become PER-PROBED-LIST (the query
+   *    residual differs per list): nProbe·m·ksub doubles per query,
+   *    still driver-trivial, and each probed list is scored with its
+   *    own table.
+   *
+   * Everything — coarse assignment, residuals, codebooks, codes,
+   * per-list tables, restricted ranking — is re-derived by the DuckDB
+   * oracle ([[ivfAdcResidualTopKSql]]).
+   */
+  def ivfAdcResidualTopK(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, ksub: Int, iters: Int,
+      coarse: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= coarse.length)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val c = corpus(embs).persist()
+    val (cb, enc, qvecs) = try {
+      val withCid = c.withColumn("cid",
+        graft.functions.NearestCentroid(col("v"), coarse))
+      val res = withCid.withColumn("v",
+        zip_with(col("v"), element_at(coarseLit, col("cid") + 1),
+          (a, b) => a - b)).persist()
+      try {
+        val cb = trainOn(res, m, ksub, iters)
+        val cols = col("vec_id") +:
+          ((0 until m).map(j => assignCol(j, cb.d, cb.cents(j)).as(s"c$j")) :+
+            col("cid"))
+        val enc = res.select(cols: _*).localCheckpoint()
+        val qvecs: Seq[(Long, Array[Double])] = c
+          .filter(col("vec_id").isInCollection(queryIds))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          .sortBy(_._1)
+        (cb, enc, qvecs)
+      } finally res.unpersist()
+    } finally c.unpersist()
+    rankAdc(qvecs.map { case (qid, q) =>
+      val probes = coarse.zipWithIndex.map { case (cv, ci) =>
+        var s = 0.0
+        var i = 0
+        val n = math.min(q.length, cv.length)
+        while (i < n) { s += q(i) * cv(i); i += 1 }
+        (s, ci)
+      }.sortBy { case (d, ci) => (-d, ci) }.take(nProbe).map(_._2)
+      // one scored branch per probed list, each with ITS residual table
+      probes.map { l =>
+        val qres = Array.tabulate(q.length)(i => q(i) - coarse(l)(i))
+        val adist = adcCol(cb, lookupTables(cb, qres))
+        enc.filter(col("cid") === l && col("vec_id") =!= qid)
+          .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+            adist.as("adist"))
+      }.reduce(_ unionByName _)
+    }, k)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle twins: re-derive codebooks (per-subspace Lloyd CTE
   // chains, the Clustering.kmeansCtes pattern in L2 form), codes and
@@ -427,6 +491,72 @@ object PQ {
        |  SELECT q.query_id, codes.vec_id AS neighbor_id, ${adistSum(m)} AS adist
        |  FROM qids q, codes, a, p, ${dFrom(m)}
        |  WHERE ${dPreds(m)}
+       |    AND a.vec_id = codes.vec_id
+       |    AND p.query_id = q.query_id AND p.ccid = a.ccid
+       |    AND codes.vec_id <> q.query_id
+       |$rankTail$k""".stripMargin
+  }
+
+  /** Oracle for [[ivfAdcResidualTopK]]: the codebook chains run over
+    * the RESIDUAL corpus (coarse assignment + elementwise subtract
+    * inlined as the corpus CTE), and the distance tables are
+    * per-(query, probed list) against the query's residual for that
+    * list. */
+  def ivfAdcResidualTopKSql(
+      queryIds: Seq[Long], k: Int,
+      m: Int, d: Int, ksub: Int, iters: Int,
+      coarse: Array[Array[Double]], nProbe: Int): String = {
+    val coarseRows = coarse.zipWithIndex.map { case (cv, ci) =>
+      s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    val residualCorpus =
+      s"""SELECT vec_id, list_transform(list_zip(rv, cv), x -> x[1] - x[2]) AS v FROM (
+         |    SELECT raw.vec_id, raw.rv, icc.cv,
+         |      row_number() OVER (PARTITION BY raw.vec_id
+         |        ORDER BY list_inner_product(raw.rv, icc.cv) DESC, icc.ccid ASC) AS rn
+         |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings) raw,
+         |         (VALUES
+         |       $coarseRows) icc(ccid, cv)
+         |  ) WHERE rn = 1""".stripMargin
+    val qIn = queryIds.mkString(",")
+    val dtabs = (0 until m).map { j =>
+      val lo = j * d + 1
+      val hi = j * d + d
+      s""", dtab$j AS (
+         |  SELECT q.vec_id AS query_id, p.ccid, c.cid,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform(list_zip(q.v, cc.cv), x -> x[1] - x[2])[$lo:$hi], c.c),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+         |  FROM raw q, p, cc, s${j}_c$iters c
+         |  WHERE p.query_id = q.vec_id AND cc.ccid = p.ccid AND q.vec_id IN ($qIn)
+         |)""".stripMargin
+    }.mkString
+    val dPredsR = (0 until m)
+      .map(j => s"d$j.query_id = q.query_id AND d$j.ccid = p.ccid AND d$j.cid = codes.c$j")
+      .mkString("\n    AND ")
+    s"""${pqCtes(m, d, ksub, iters, residualCorpus)}, raw AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cc(ccid, cv) AS (
+       |  SELECT * FROM (VALUES
+       |       $coarseRows)
+       |), a AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT raw.vec_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY raw.vec_id
+       |        ORDER BY list_inner_product(raw.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM raw, cc) WHERE rn = 1
+       |), qids(query_id) AS (
+       |  SELECT unnest([$qIn])
+       |), p AS (
+       |  SELECT query_id, ccid FROM (
+       |    SELECT q.vec_id AS query_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM raw q, cc WHERE q.vec_id IN ($qIn)) WHERE rn <= $nProbe
+       |)$dtabs, scored AS (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id, ${adistSum(m)} AS adist
+       |  FROM qids q, codes, a, p, ${dFrom(m)}
+       |  WHERE $dPredsR
        |    AND a.vec_id = codes.vec_id
        |    AND p.query_id = q.query_id AND p.ccid = a.ccid
        |    AND codes.vec_id <> q.query_id

@@ -143,6 +143,36 @@ class PQSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("residual ivfadc on pure clusters: adists exact to ulps, dups first") {
+    // point-mass clusters + ksub covering every distinct residual =>
+    // exact reconstruction, so every ADC distance equals the true
+    // ||q - x||^2 up to the ulps the residual subtract/re-add
+    // introduces (observed: 31.999999999999993 vs ...96 on a
+    // mathematical 32-tie — which is also why an id-tie-break ranking
+    // comparison would be wrong here: the float ties ARE perturbed)
+    val df = clustered(spread = 3, jitter = false).cache()
+    try {
+      val vecs = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toMap
+      val queryIds = Seq(0L, 7L, 23L)
+      val coarse = graft.pipeline.Similarity.syntheticCentroids(4, 8)
+      val rows = PQ.ivfAdcResidualTopK(df, queryIds, k = 5,
+        m = 2, ksub = 8, iters = 3, coarse, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == queryIds.size * 5)
+      rows.foreach { case (q, _, n, adist) =>
+        assert(math.abs(adist - l2sq(vecs(q), vecs(n))) < 1e-8,
+          s"adist for $q->$n not the true distance: $adist")
+      }
+      // the two exact duplicates of each query's prototype rank 1-2
+      queryIds.foreach { q =>
+        val top2 = rows.filter(_._1 == q).sortBy(_._2).take(2).map(_._3).toSet
+        val dups = vecs.keySet.filter(id => id != q && id % 8 == q % 8)
+        assert(top2 == dups, s"query $q top-2 $top2 != duplicates $dups")
+      }
+    } finally df.unpersist()
+  }
+
   test("encode plan: one projection, ZERO shuffles, no row blowup") {
     val df = clustered(spread = 2, jitter = false)
     val cb = PQ.train(df, m = 2, ksub = 4, iters = 1)
