@@ -933,6 +933,18 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_lttb($T0, $T31, ${2 * DAY})")
       }),
+      "ts_sql_tvf_cusum" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_cusum($T0, $T31, 0.8)")
+      }),
+      "ts_sql_tvf_asof" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31, ${3 * DAY})")
+      }),
 
       // as-of join (beyond-reference): align view_7 values onto
       // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
@@ -1929,6 +1941,10 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_cusum" -> Changepoint.cusumSql(0.8,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_asof" -> AsOf.asofJoinSql("view_3", "click_5",
+        toleranceMs = Some(3 * DAY), fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_cusum" -> Changepoint.cusumSql(0.6,

@@ -417,6 +417,28 @@ object GraftFunctions {
         if (args.length > 3) literalLong("ts_ewma", args(3), "span").toInt else 32,
         Some(literalLong("ts_ewma", args(0), "from")),
         Some(literalLong("ts_ewma", args(1), "to"))))
+    }),
+    // ts_cusum(from, to, threshold) — CUSUM change detection
+    (FunctionIdentifier("ts_cusum"), info("ts_cusum"), { args: Seq[Expression] =>
+      nargs("ts_cusum", Seq(3), args)
+      val spark = activeSession("ts_cusum")
+      GraftSessionBridge.logicalPlan(graft.ts.Changepoint.cusum(
+        spark.table(SamplesView),
+        literalDouble("ts_cusum", args(2), "threshold"),
+        Some(literalLong("ts_cusum", args(0), "from")),
+        Some(literalLong("ts_cusum", args(1), "to"))))
+    }),
+    // ts_asof('left', 'right', from, to[, tolerance_ms]) — as-of join
+    (FunctionIdentifier("ts_asof"), info("ts_asof"), { args: Seq[Expression] =>
+      nargs("ts_asof", Seq(4, 5), args)
+      val spark = activeSession("ts_asof")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.asofJoin(
+        spark.table(SamplesView),
+        literalString("ts_asof", args(0), "left series key"),
+        literalString("ts_asof", args(1), "right series key"),
+        if (args.length > 4) Some(literalLong("ts_asof", args(4), "tolerance_ms")) else None,
+        Some(literalLong("ts_asof", args(2), "from")),
+        Some(literalLong("ts_asof", args(3), "to"))))
     })
   )
 

@@ -157,6 +157,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql(s"SELECT * FROM ts_ewma($T0, $T31, 0.4, 8)")) ==
       sorted(graft.ts.Smoothing.ewma(samples, 0.4, 8, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_cusum($T0, $T31, 0.5)")) ==
+      sorted(graft.ts.Changepoint.cusum(samples, 0.5, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31)")) ==
+      sorted(graft.ts.AsOf.asofJoin(samples, "view_3", "click_5",
+        None, Some(T0), Some(T31))))
     // non-literal threshold is a loud error, not a silent default
     intercept[Exception](
       spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())
