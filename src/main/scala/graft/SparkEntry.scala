@@ -1155,6 +1155,22 @@ object SparkEntry {
       "ts_range_ewma" -> ((s, dir) =>
         Smoothing.ewma(monthSamples(s, dir), alpha = 0.3, span = 16,
           fromMs = Some(T0), toMs = Some(T31))),
+      // seasonal (hour-of-day) baseline profile + cohort anomaly:
+      // "anomalous vs this hour's usual", not vs global stats —
+      // profile shuffle bounded by series×24; anomaly is one shuffle
+      // by the finer (series, season) key
+      "ts_seasonal_profile" -> ((s, dir) =>
+        Seasonal.profile(monthSamples(s, dir), mode = "hod",
+          fromMs = Some(T0), toMs = Some(T31))),
+      // dow cohorts: dense enough at every fixture SF to clear the
+      // minN gate (hod cohorts at sf<=0.01 have <5 members/series and
+      // legally score nothing — a 0-row green is a weak check)
+      "ts_seasonal_anomaly" -> ((s, dir) =>
+        Seasonal.anomaly(monthSamples(s, dir), threshold = 2.0, mode = "dow",
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_seasonal_profile_dow" -> ((s, dir) =>
+        Seasonal.profile(monthSamples(s, dir), mode = "dow",
+          fromMs = Some(T0), toMs = Some(T31))),
       // CUSUM change detection: normalized cumulative deviation sum,
       // four analytic windows on one exchange by series
       "ts_range_cusum" -> ((s, dir) =>
@@ -1948,6 +1964,12 @@ object SparkEntry {
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_cusum" -> Changepoint.cusumSql(0.6,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_seasonal_profile" -> Seasonal.profileSql("hod",
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_seasonal_anomaly" -> Seasonal.anomalySql(2.0, "dow",
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_seasonal_profile_dow" -> Seasonal.profileSql("dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_anomaly_stream" -> StreamAnomaly.zscoreStreamSql(2.5,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -1,0 +1,127 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Seasonal (time-of-day / day-of-week) baselines and seasonal anomaly
+ * scoring — beyond-the-reference extension: the standard monitoring
+ * primitive for periodic series, where "is this value anomalous"
+ * means "versus this hour's usual behaviour", not versus the global
+ * series statistics ([[Anomaly.zscore]] flags every rush hour of a
+ * traffic series; this does not).
+ *
+ * The seasonal key is pure epoch arithmetic (`(ts div 3600000) mod
+ * 24` for hour-of-day, `(ts div 86400000 + 3) mod 7` for day-of-week
+ * — the +3 maps epoch day 0, a Thursday, to 3 under Monday = 0),
+ * identical in the DuckDB oracle and timezone-free by construction
+ * (the fixture model keeps everything in epoch ms).
+ *
+ * Plan shapes:
+ *  - [[profile]] is one map-side-combined hash agg by (series, key) —
+ *    shuffle volume bounded by series×24 (or ×7), independent of
+ *    sample count;
+ *  - [[anomaly]] scores each sample against its OWN (series, key)
+ *    cohort via unordered analytic windows — ONE shuffle, no
+ *    profile-join rescan, the same single-pass shape as
+ *    [[Anomaly.zscore]] just with the finer partition key.
+ */
+object Seasonal {
+
+  val HourMs: Long = 3600000L
+  val DayMs: Long = 86400000L
+
+  // floor-division + pmod in BOTH engines: epoch ms < 2^53 are exact
+  // doubles, and the non-negative modulo keeps pre-epoch timestamps
+  // consistent across engines (Spark % and SQL % are both
+  // remainder-of-dividend; pmod normalizes)
+  private def seasonKey(mode: String): Column = mode match {
+    case "hod" => pmod(floor(col("ts") / HourMs).cast("long"), lit(24L)).as("season")
+    case "dow" => pmod(floor(col("ts") / DayMs).cast("long") + 3L, lit(7L)).as("season")
+    case other => throw new IllegalArgumentException(
+      s"seasonal mode $other (expected hod|dow)")
+  }
+
+  private def seasonKeySql(mode: String): String = mode match {
+    case "hod" => s"(((CAST(floor(ts / $HourMs) AS BIGINT) % 24) + 24) % 24)"
+    case "dow" => s"((((CAST(floor(ts / $DayMs) AS BIGINT) + 3) % 7) + 7) % 7)"
+    case other => throw new IllegalArgumentException(
+      s"seasonal mode $other (expected hod|dow)")
+  }
+
+  /** `(series, season, n, mu, sigma)` per non-empty cohort. */
+  def profile(
+      samples: DataFrame, mode: String = "hod",
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    s.groupBy(col("series"), seasonKey(mode))
+      .agg(count(lit(1)).as("n"),
+        avg(col("value")).as("mu"),
+        stddev_pop(col("value")).as("sigma"))
+  }
+
+  def profileSql(
+      mode: String = "hod",
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series, ${seasonKeySql(mode)} AS season,
+       |  count(*) AS n, avg(value) AS mu, stddev_pop(value) AS sigma
+       |FROM f GROUP BY 1, 2""".stripMargin
+  }
+
+  /** `(series, ts, value, season, s_value)` for samples `threshold`
+    * cohort-sigmas from their cohort mean (cohorts need >= `minN`
+    * members and sigma > 0 to score). */
+  def anomaly(
+      samples: DataFrame, threshold: Double, mode: String = "hod",
+      minN: Long = 5L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = Window.partitionBy(col("series"), col("season"))
+    s.withColumn("season", seasonKey(mode))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_pop(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= minN && col("sigma") > 0)
+      .withColumn("s_value", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("s_value")) >= threshold)
+      .select(col("series"), col("ts"), col("value"), col("season"), col("s_value"))
+  }
+
+  def anomalySql(
+      threshold: Double, mode: String = "hod", minN: Long = 5L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT series, ts, value, ${seasonKeySql(mode)} AS season
+       |  FROM samples $where
+       |), scored AS (
+       |  SELECT series, ts, value, season,
+       |    avg(value)        OVER w AS mu,
+       |    stddev_pop(value) OVER w AS sigma,
+       |    count(*)          OVER w AS n
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY series, season)
+       |)
+       |SELECT series, ts, value, season, (value - mu) / sigma AS s_value
+       |FROM scored
+       |WHERE n >= $minN AND sigma > 0
+       |  AND abs((value - mu) / sigma) >= $threshold""".stripMargin
+  }
+}

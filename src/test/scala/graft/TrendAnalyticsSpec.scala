@@ -102,6 +102,48 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(shuffles(Histogram.valueHistogram(df, 0, 1, 10)) == 1)
   }
 
+  // ---- Seasonal ----
+
+  test("seasonal: rush-hour values are NOT anomalous vs their cohort") {
+    // hour 8 always ~100, hour 3 always ~1 over 8 days: a global
+    // zscore flags every hour-8 sample; the seasonal score flags none
+    val HOUR = 3600000L
+    val rows = (0 until 8).flatMap { day =>
+      Seq(
+        ("s", day * 24L * HOUR + 8 * HOUR, 100.0 + day % 2),
+        ("s", day * 24L * HOUR + 3 * HOUR, 1.0 + day % 2))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    assert(graft.ts.Seasonal.anomaly(df, threshold = 2.0).collect().isEmpty)
+    // but a planted hour-8 outage (value 0) IS seasonal-anomalous
+    val out = graft.ts.Seasonal
+      .anomaly(df.unionByName(Seq(("s", 8 * 24L * HOUR + 8 * HOUR, 0.0))
+        .toDF("series", "ts", "value")), threshold = 2.0)
+      .collect()
+    assert(out.map(r => (r.getLong(3), r.getDouble(2))).toSeq == Seq((8L, 0.0)))
+  }
+
+  test("seasonal profile: cohort keys and moments") {
+    val HOUR = 3600000L
+    val df = Seq(
+      ("s", 5 * HOUR, 2.0), ("s", 29 * HOUR, 4.0), // hour 5, two days
+      ("s", 6 * HOUR, 7.0))
+      .toDF("series", "ts", "value")
+    val prof = graft.ts.Seasonal.profile(df)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(prof(5L) == ((2L, 3.0)))
+    assert(prof(6L) == ((1L, 7.0)))
+  }
+
+  test("seasonal: dow key pins Monday=0 (epoch day 0 was a Thursday)") {
+    val DAY = 86400000L
+    val df = Seq(("s", 0L, 1.0), ("s", 4 * DAY, 1.0)).toDF("series", "ts", "value")
+    val ks = graft.ts.Seasonal.profile(df, mode = "dow")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    // 1970-01-01 was a Thursday -> 3; 1970-01-05 a Monday -> 0
+    assert(ks == Seq(0L, 3L))
+  }
+
   // ---- LTTB ----
 
   test("lttb: endpoints pinned, planted spike survives downsampling") {
