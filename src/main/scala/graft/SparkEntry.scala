@@ -1155,6 +1155,15 @@ object SparkEntry {
       "ts_range_ewma" -> ((s, dir) =>
         Smoothing.ewma(monthSamples(s, dir), alpha = 0.3, span = 16,
           fromMs = Some(T0), toMs = Some(T31))),
+      // rolling trailing-window p90 (exact interpolation over a
+      // span-bounded sorted frame) and per-series winsorization —
+      // both single-shuffle window shapes
+      "ts_rolling_quantile" -> ((s, dir) =>
+        Rolling.rollingQuantile(monthSamples(s, dir), q = 0.9, span = 20,
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_range_winsorize" -> ((s, dir) =>
+        Rolling.winsorize(monthSamples(s, dir), qLo = 0.05, qHi = 0.95,
+          fromMs = Some(T0), toMs = Some(T31))),
       // seasonal (hour-of-day) baseline profile + cohort anomaly:
       // "anomalous vs this hour's usual", not vs global stats —
       // profile shuffle bounded by series×24; anomaly is one shuffle
@@ -1964,6 +1973,10 @@ object SparkEntry {
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_cusum" -> Changepoint.cusumSql(0.6,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_rolling_quantile" -> Rolling.rollingQuantileSql(q = 0.9, span = 20,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_winsorize" -> Rolling.winsorizeSql(qLo = 0.05, qHi = 0.95,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_seasonal_profile" -> Seasonal.profileSql("hod",
         fromMs = Some(T0), toMs = Some(T31)),

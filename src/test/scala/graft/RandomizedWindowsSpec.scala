@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Anomaly, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Sessions, Sliding, Smoothing, Trend}
+import graft.ts.{Aggs, Anomaly, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Rolling, Seasonal, Sessions, Sliding, Smoothing, Trend}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -109,6 +109,20 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Changepoint.cusumSql(0.0, from, to, valuesCte(samples))
     }
+    case class Rq(name: String, samples: Seq[(String, Long, Double)],
+        q: Double, span: Int, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Rolling.rollingQuantileSql(q, span, from, to, valuesCte(samples))
+    }
+    case class Wz(name: String, samples: Seq[(String, Long, Double)],
+        qLo: Double, qHi: Double, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Rolling.winsorizeSql(qLo, qHi, from, to, valuesCte(samples))
+    }
+    // threshold 0 again (sigma>0 and count gates are exact in both
+    // engines; the score gate would not be)
+    case class Seas(name: String, samples: Seq[(String, Long, Double)],
+        mode: String, minN: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Seasonal.anomalySql(0.0, mode, minN, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 210).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -124,7 +138,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
       val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
-      iter % 13 match {
+      iter % 16 match {
         case 0 =>
           val hop = Seq(5L, 10L, 25L)(rnd.nextInt(3))
           val ratio = 1 + rnd.nextInt(4)
@@ -162,8 +176,21 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           Ew(f"ewma_$iter%03d", samples,
             Seq(0.2, 0.55, 1.0)(rnd.nextInt(3)), Seq(1, 4, 16)(rnd.nextInt(3)),
             from, to)
-        case _ =>
+        case 12 =>
           Cs(f"cusum_$iter%03d", samples, from, to)
+        case 13 =>
+          Rq(f"rq_$iter%03d", samples,
+            Seq(0.0, 0.5, 0.9, 1.0)(rnd.nextInt(4)), Seq(1, 4, 16)(rnd.nextInt(3)),
+            from, to)
+        case 14 =>
+          val lo = Seq(0.0, 0.1, 0.25)(rnd.nextInt(3))
+          Wz(f"wz_$iter%03d", samples, lo, lo + 0.5 + rnd.nextInt(3) * 0.08, from, to)
+        case _ =>
+          // ts stays < 1000 in this generator, so hod/dow cohorts are
+          // degenerate (single-key) — that still exercises the minN
+          // and sigma gates plus the key arithmetic on both engines
+          Seas(f"seas_$iter%03d", samples,
+            Seq("hod", "dow")(rnd.nextInt(2)), 1L + rnd.nextInt(4), from, to)
       }
     }
 
@@ -210,6 +237,9 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Lt    => Lttb.downsample(df, s.bucket, s.align, s.from, s.to)
         case s: Ew    => Smoothing.ewma(df, s.alpha, s.span, s.from, s.to)
         case s: Cs    => Changepoint.cusum(df, 0.0, s.from, s.to)
+        case s: Rq    => Rolling.rollingQuantile(df, s.q, s.span, s.from, s.to)
+        case s: Wz    => Rolling.winsorize(df, s.qLo, s.qHi, s.from, s.to)
+        case s: Seas  => Seasonal.anomaly(df, 0.0, s.mode, s.minN, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

@@ -102,6 +102,39 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(shuffles(Histogram.valueHistogram(df, 0, 1, 10)) == 1)
   }
 
+  // ---- Rolling ----
+
+  test("rolling quantile: hand-computed interpolation over the trailing frame") {
+    val df = Seq(("s", 0L, 4.0), ("s", 1L, 1.0), ("s", 2L, 3.0), ("s", 3L, 2.0))
+      .toDF("series", "ts", "value")
+    val got = graft.ts.Rolling.rollingQuantile(df, q = 0.5, span = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(0L) == 4.0)                    // window [4]
+    assert(got(1L) == 2.5)                    // [1,4] -> midpoint
+    assert(got(2L) == 3.0)                    // [1,3,4] -> median
+    assert(got(3L) == 2.0)                    // trailing 3 = [1,2,3]
+    // q extremes degenerate to window min/max
+    val mx = graft.ts.Rolling.rollingQuantile(df, q = 1.0, span = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(mx(3L) == 3.0)
+  }
+
+  test("winsorize: tails clip to the series percentiles, bulk unchanged") {
+    val df = (1L to 100L).map(t => ("s", t, t.toDouble)).toDF("series", "ts", "value")
+    val got = graft.ts.Rolling.winsorize(df, 0.10, 0.90)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // p10 of 1..100 = 10.9, p90 = 90.1 (rank interpolation)
+    assert(math.abs(got(1L) - 10.9) < 1e-9)
+    assert(math.abs(got(100L) - 90.1) < 1e-9)
+    assert(got(50L) == 50.0)
+  }
+
+  test("rolling/winsorize plans: ONE shuffle each") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    assert(shuffles(graft.ts.Rolling.rollingQuantile(df, 0.5, 4)) == 1)
+    assert(shuffles(graft.ts.Rolling.winsorize(df, 0.1, 0.9)) == 1)
+  }
+
   // ---- Seasonal ----
 
   test("seasonal: rush-hour values are NOT anomalous vs their cohort") {
