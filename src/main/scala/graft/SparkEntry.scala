@@ -945,6 +945,18 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31, ${3 * DAY})")
       }),
+      "ts_sql_tvf_seasonal" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_seasonal($T0, $T31, 'dow', 1.7)")
+      }),
+      "ts_sql_tvf_winsorize" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_winsorize($T0, $T31, 0.1, 0.9)")
+      }),
 
       // as-of join (beyond-reference): align view_7 values onto
       // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
@@ -1970,6 +1982,10 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_asof" -> AsOf.asofJoinSql("view_3", "click_5",
         toleranceMs = Some(3 * DAY), fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_winsorize" -> Rolling.winsorizeSql(0.1, 0.9,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_cusum" -> Changepoint.cusumSql(0.6,

@@ -439,6 +439,45 @@ object GraftFunctions {
         if (args.length > 4) Some(literalLong("ts_asof", args(4), "tolerance_ms")) else None,
         Some(literalLong("ts_asof", args(2), "from")),
         Some(literalLong("ts_asof", args(3), "to"))))
+    }),
+    // ts_seasonal(from, to, 'hod'|'dow'[, threshold]) — profile when
+    // no threshold is given, cohort anomaly otherwise
+    (FunctionIdentifier("ts_seasonal"), info("ts_seasonal"), { args: Seq[Expression] =>
+      nargs("ts_seasonal", Seq(3, 4), args)
+      val spark = activeSession("ts_seasonal")
+      val mode = literalString("ts_seasonal", args(2), "mode")
+      GraftSessionBridge.logicalPlan(
+        if (args.length > 3)
+          graft.ts.Seasonal.anomaly(spark.table(SamplesView),
+            literalDouble("ts_seasonal", args(3), "threshold"), mode,
+            fromMs = Some(literalLong("ts_seasonal", args(0), "from")),
+            toMs = Some(literalLong("ts_seasonal", args(1), "to")))
+        else
+          graft.ts.Seasonal.profile(spark.table(SamplesView), mode,
+            Some(literalLong("ts_seasonal", args(0), "from")),
+            Some(literalLong("ts_seasonal", args(1), "to"))))
+    }),
+    // ts_rolling_quantile(from, to, q, span)
+    (FunctionIdentifier("ts_rolling_quantile"), info("ts_rolling_quantile"), { args: Seq[Expression] =>
+      nargs("ts_rolling_quantile", Seq(4), args)
+      val spark = activeSession("ts_rolling_quantile")
+      GraftSessionBridge.logicalPlan(graft.ts.Rolling.rollingQuantile(
+        spark.table(SamplesView),
+        literalDouble("ts_rolling_quantile", args(2), "quantile"),
+        literalLong("ts_rolling_quantile", args(3), "span").toInt,
+        Some(literalLong("ts_rolling_quantile", args(0), "from")),
+        Some(literalLong("ts_rolling_quantile", args(1), "to"))))
+    }),
+    // ts_winsorize(from, to, q_lo, q_hi)
+    (FunctionIdentifier("ts_winsorize"), info("ts_winsorize"), { args: Seq[Expression] =>
+      nargs("ts_winsorize", Seq(4), args)
+      val spark = activeSession("ts_winsorize")
+      GraftSessionBridge.logicalPlan(graft.ts.Rolling.winsorize(
+        spark.table(SamplesView),
+        literalDouble("ts_winsorize", args(2), "q_lo"),
+        literalDouble("ts_winsorize", args(3), "q_hi"),
+        Some(literalLong("ts_winsorize", args(0), "from")),
+        Some(literalLong("ts_winsorize", args(1), "to"))))
     })
   )
 

@@ -164,6 +164,19 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(spark.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31)")) ==
       sorted(graft.ts.AsOf.asofJoin(samples, "view_3", "click_5",
         None, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_seasonal($T0, $T31, 'dow')")) ==
+      sorted(graft.ts.Seasonal.profile(samples, "dow", Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_seasonal($T0, $T31, 'dow', 1.5)")) ==
+      sorted(graft.ts.Seasonal.anomaly(samples, 1.5, "dow",
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_rolling_quantile($T0, $T31, 0.9, 10)")) ==
+      sorted(graft.ts.Rolling.rollingQuantile(samples, 0.9, 10, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_winsorize($T0, $T31, 0.1, 0.9)")) ==
+      sorted(graft.ts.Rolling.winsorize(samples, 0.1, 0.9, Some(T0), Some(T31))))
     // non-literal threshold is a loud error, not a silent default
     intercept[Exception](
       spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())
