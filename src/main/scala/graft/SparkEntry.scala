@@ -1205,6 +1205,12 @@ object SparkEntry {
       "ts_anomaly_stream" -> ((s, dir) =>
         StreamAnomaly.zscoreStreamOnce(s, monthSamples(s, dir),
           threshold = 2.5, fromMs = Some(T0), toMs = Some(T31))),
+      // streaming SEASONAL anomaly: per-(series, dow-cohort) prefix
+      // state — "this Monday vs previous Mondays", at arrival time
+      "ts_seasonal_stream" -> ((s, dir) =>
+        StreamAnomaly.seasonalStreamOnce(s, monthSamples(s, dir),
+          threshold = 2.0, mode = "dow",
+          fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -2001,6 +2007,8 @@ object SparkEntry {
       "ts_seasonal_profile_dow" -> Seasonal.profileSql("dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_anomaly_stream" -> StreamAnomaly.zscoreStreamSql(2.5,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_seasonal_stream" -> StreamAnomaly.seasonalStreamSql(2.0, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

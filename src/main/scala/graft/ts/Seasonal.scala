@@ -50,6 +50,14 @@ object Seasonal {
       s"seasonal mode $other (expected hod|dow)")
   }
 
+  /** Samples plus their season column (the streaming scorer stages
+    * this so the cohort key rides the stream). */
+  private[ts] def withSeason(samples: DataFrame, mode: String): DataFrame =
+    samples.withColumn("season", seasonKey(mode))
+
+  /** SQL twin of the key for external oracle builders. */
+  private[ts] def seasonKeySqlPublic(mode: String): String = seasonKeySql(mode)
+
   /** `(series, season, n, mu, sigma)` per non-empty cohort. */
   def profile(
       samples: DataFrame, mode: String = "hod",

@@ -111,6 +111,118 @@ object StreamAnomaly {
     runZscore(spark, srcStage, threshold)
   }
 
+  /**
+   * Streaming SEASONAL anomaly — the cohort-keyed variant: state is
+   * per (series, season) (season = [[Seasonal]]'s epoch-arithmetic
+   * hod/dow key, computed in the staging projection so the stream
+   * carries it), and each arrival is scored against its own cohort's
+   * prefix. "This Monday's value vs previous Mondays", live. The
+   * per-key state stays three doubles + a long; key cardinality is
+   * series×24 (or ×7).
+   */
+  def seasonalStreamOnce(
+      spark: SparkSession, samples: DataFrame, threshold: Double,
+      mode: String = "dow",
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val keyed = Seasonal.withSeason(s, mode)
+      .select(col("series"), col("ts"), col("value"), col("season"))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_sseas_src_").resolve("stage").toString
+    keyed.repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("season",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long, Double, Long)]
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Double, Long)],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, sum, sumsq) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val flagged = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Long, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v, _) =>
+            if (n >= MinPrefix) {
+              val mu = sum / n
+              val sigma = math.sqrt(math.max(sumsq / n - mu * mu, 0.0))
+              if (sigma > 0) {
+                val z = (v - mu) / sigma
+                if (math.abs(z) >= threshold)
+                  flagged += ((key._1, ts, v, key._2, z))
+              }
+            }
+            n += 1; sum += v; sumsq += v * v
+          }
+          state.update((n, sum, sumsq))
+          flagged.iterator
+      }
+      .toDF("series", "ts", "value", "season", "s_value")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_sseas_").resolve("out").toString
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
+  /** Oracle for [[seasonalStreamOnce]]: prefix stats as a cumulative
+    * window over the cohort. */
+  def seasonalStreamSql(
+      threshold: Double, mode: String = "dow",
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT series, ts, value, ${Seasonal.seasonKeySqlPublic(mode)} AS season
+       |  FROM samples $where
+       |), scored AS (
+       |  SELECT series, ts, value, season,
+       |    avg(value)        OVER w AS mu,
+       |    stddev_pop(value) OVER w AS sigma,
+       |    count(*)          OVER w AS n
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY series, season ORDER BY ts, value
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT series, ts, value, season, (value - mu) / sigma AS s_value
+       |FROM scored
+       |WHERE n >= $MinPrefix AND sigma > 0
+       |  AND abs((value - mu) / sigma) >= $threshold""".stripMargin
+  }
+
   /** Oracle: the prefix statistics as a cumulative window — the
     * streaming state fold and this closed form must agree row-for-row
     * (`sqrt(sumsq/n − μ²)` vs stddev_pop differ only in ulps, far

@@ -63,6 +63,46 @@ class StreamAnomalySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming seasonal == the cohort cumulative-window closed form") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    val got = StreamAnomaly.seasonalStreamOnce(spark, samples, 1.5, "dow",
+        Some(T0), Some(T31), nChunks = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series"), col("season")).orderBy(col("ts"), col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val DAY = 86400000L
+    val exp = samples.filter(!isnan(col("value")))
+      .filter(col("ts") >= T0 && col("ts") <= T31)
+      .withColumn("season", pmod(floor(col("ts") / DAY).cast("long") + 3L, lit(7L)))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sigma", stddev_pop(col("value")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= StreamAnomaly.MinPrefix && col("sigma") > 0)
+      .filter(abs((col("value") - col("mu")) / col("sigma")) >= 1.5)
+      .select(col("series"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming seasonal: a planted cohort spike fires only in its cohort") {
+    // Mondays ~5, Tuesdays ~50 for 8 weeks; a 50 on week 9's MONDAY is
+    // seasonal-anomalous even though it is a normal Tuesday value
+    val DAY = 86400000L
+    val mon0 = 4L * DAY // 1970-01-05, a Monday
+    val rows = (0 until 8).flatMap { wk =>
+      Seq(("s", mon0 + wk * 7L * DAY, 5.0 + wk % 2),
+        ("s", mon0 + wk * 7L * DAY + DAY, 50.0 + wk % 2))
+    } :+ (("s", mon0 + 8L * 7L * DAY, 50.0))
+    val out = StreamAnomaly.seasonalStreamOnce(
+      spark, rows.toDF("series", "ts", "value"), threshold = 3.0, mode = "dow",
+      nChunks = 4).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((mon0 + 56L * DAY, 0L)))
+  }
+
   test("cusum: a planted level shift peaks at the shift point") {
     // 20 samples at 0, then 20 at 10: S ramps to its max exactly at
     // the boundary and decays back to ~0 at the end
