@@ -1167,6 +1167,11 @@ object SparkEntry {
       "ts_range_ewma" -> ((s, dir) =>
         Smoothing.ewma(monthSamples(s, dir), alpha = 0.3, span = 16,
           fromMs = Some(T0), toMs = Some(T31))),
+      // per-series autocorrelation function at row-lags 1..7: maxLag
+      // lag windows on one exchange, every lag's corr in ONE hash agg
+      "ts_range_acf" -> ((s, dir) =>
+        Trend.acf(monthSamples(s, dir), maxLag = 7,
+          fromMs = Some(T0), toMs = Some(T31))),
       // rolling trailing-window p90 (exact interpolation over a
       // span-bounded sorted frame) and per-series winsorization —
       // both single-shuffle window shapes
@@ -1995,6 +2000,8 @@ object SparkEntry {
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_cusum" -> Changepoint.cusumSql(0.6,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_acf" -> Trend.acfSql(maxLag = 7,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_quantile" -> Rolling.rollingQuantileSql(q = 0.9, span = 20,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -44,6 +44,77 @@ object Trend {
       .withColumn("predicted", col("slope") * predictAtMs + col("intercept"))
   }
 
+  /**
+   * Per-series autocorrelation at row-lags 1..`maxLag` — the
+   * seasonality/persistence diagnostic (an ACF spike at lag 7 on
+   * daily buckets = weekly cycle). Row-lag (k samples back), the
+   * standard definition for regularly-bucketed series; irregular
+   * series should be bucketed or [[Resample]]d first.
+   *
+   * Plan: `maxLag` lag windows share ONE exchange+sort by series,
+   * then one hash agg computes every lag's Pearson `corr` in a single
+   * pass (corr's moments are associative — map-side combined).
+   * Degenerate lags (fewer than 2 overlapping pairs, or a constant
+   * overlap window) yield NULL corr and are dropped.
+   */
+  def acf(
+      samples: DataFrame, maxLag: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(maxLag >= 1, s"maxLag $maxLag must be >= 1")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts"), col("value"))
+    val lagged = (1 to maxLag).foldLeft(s) { (df, k) =>
+      df.withColumn(s"lag$k", lag(col("value"), k).over(w))
+    }
+    // Pearson from guarded moments instead of corr(): under ANSI mode
+    // Spark's corr THROWS Divide-by-zero on a zero-variance overlap
+    // (DuckDB's returns NULL); moments aggregate NULL-safely and the
+    // division is gated in the projection. x is masked to the PAIRED
+    // rows so its stddev matches the restriction corr applies.
+    val aggs = (1 to maxLag).flatMap { k =>
+      val x = when(col(s"lag$k").isNotNull, col("value"))
+      Seq(covar_pop(x, col(s"lag$k")).as(s"cov$k"),
+        stddev_pop(x).as(s"sx$k"),
+        stddev_pop(col(s"lag$k")).as(s"sy$k"))
+    }
+    val wide = lagged.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array((1 to maxLag).map(k =>
+      struct(lit(k).as("lag"),
+        when(col(s"sx$k") > 0 && col(s"sy$k") > 0,
+          col(s"cov$k") / (col(s"sx$k") * col(s"sy$k"))).as("acf_value"))): _*)).as("s")
+    wide.select(col("series"), stacked)
+      .select(col("series"), col("s.lag"), col("s.acf_value"))
+      .filter(col("acf_value").isNotNull && !isnan(col("acf_value")))
+  }
+
+  def acfSql(
+      maxLag: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val lagCols = (1 to maxLag).map(k =>
+      s"lag(value, $k) OVER (PARTITION BY series ORDER BY ts, value) AS lag$k")
+      .mkString(",\n    ")
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT series, $k AS lag, corr(value, lag$k) AS acf_value FROM lagged GROUP BY series")
+      .mkString("\nUNION ALL\n")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), lagged AS (
+       |  SELECT series, ts, value,
+       |    $lagCols
+       |  FROM f
+       |)
+       |SELECT * FROM ($unions)
+       |WHERE acf_value IS NOT NULL AND NOT isnan(acf_value)""".stripMargin
+  }
+
   def fitSql(
       predictAtMs: Long,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -102,6 +102,33 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(shuffles(Histogram.valueHistogram(df, 0, 1, 10)) == 1)
   }
 
+  // ---- ACF ----
+
+  test("acf: a period-2 series has acf(1) = -1 and acf(2) = +1") {
+    val df = (0L until 20L).map(t => ("s", t, (t % 2).toDouble))
+      .toDF("series", "ts", "value")
+    val got = graft.ts.Trend.acf(df, maxLag = 3)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
+    assert(math.abs(got(1) + 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(math.abs(got(3) + 1.0) < 1e-12)
+  }
+
+  test("acf: constant series and too-short overlaps emit nothing") {
+    val df = (Seq(("c", 0L, 5.0), ("c", 1L, 5.0), ("c", 2L, 5.0)) ++
+      Seq(("t", 0L, 1.0), ("t", 1L, 2.0)))
+      .toDF("series", "ts", "value")
+    val got = graft.ts.Trend.acf(df, maxLag = 2).collect()
+    // 'c' is zero-variance at every lag; 't' has a single pair at
+    // lag 1 (corr undefined) and none at lag 2
+    assert(got.isEmpty)
+  }
+
+  test("acf plan: one exchange (lag windows) + one agg pass") {
+    val df = Seq(("s", 0L, 0.0)).toDF("series", "ts", "value")
+    assert(shuffles(graft.ts.Trend.acf(df, 3)) <= 2)
+  }
+
   // ---- Rolling ----
 
   test("rolling quantile: hand-computed interpolation over the trailing frame") {
