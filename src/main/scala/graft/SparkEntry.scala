@@ -957,6 +957,30 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_winsorize($T0, $T31, 0.1, 0.9)")
       }),
+      "ts_sql_tvf_zscore" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_zscore($T0, $T31, 2.3)")
+      }),
+      "ts_sql_tvf_histogram" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_histogram($T0, $T31, 0.0, 150.0, 15)")
+      }),
+      "ts_sql_tvf_ewma" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ewma($T0, $T31, 0.25, 12)")
+      }),
+      "ts_sql_tvf_acf" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_acf($T0, $T31, 5)")
+      }),
 
       // as-of join (beyond-reference): align view_7 values onto
       // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
@@ -1996,6 +2020,15 @@ object SparkEntry {
       "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_winsorize" -> Rolling.winsorizeSql(0.1, 0.9,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_zscore" -> Anomaly.zscoreSql(2.3,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_histogram" -> Histogram.valueHistogramSql(
+        lo = 0.0, hi = 150.0, nbins = 15,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_ewma" -> Smoothing.ewmaSql(alpha = 0.25, span = 12,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_acf" -> Trend.acfSql(maxLag = 5,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ewma" -> Smoothing.ewmaSql(alpha = 0.3, span = 16,
         fromMs = Some(T0), toMs = Some(T31)),

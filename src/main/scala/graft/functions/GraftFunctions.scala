@@ -478,6 +478,16 @@ object GraftFunctions {
         literalDouble("ts_winsorize", args(3), "q_hi"),
         Some(literalLong("ts_winsorize", args(0), "from")),
         Some(literalLong("ts_winsorize", args(1), "to"))))
+    }),
+    // ts_acf(from, to, max_lag) — per-series autocorrelation
+    (FunctionIdentifier("ts_acf"), info("ts_acf"), { args: Seq[Expression] =>
+      nargs("ts_acf", Seq(3), args)
+      val spark = activeSession("ts_acf")
+      GraftSessionBridge.logicalPlan(graft.ts.Trend.acf(
+        spark.table(SamplesView),
+        literalLong("ts_acf", args(2), "max_lag").toInt,
+        Some(literalLong("ts_acf", args(0), "from")),
+        Some(literalLong("ts_acf", args(1), "to"))))
     })
   )
 
