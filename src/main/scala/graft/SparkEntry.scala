@@ -1240,6 +1240,12 @@ object SparkEntry {
         StreamAnomaly.seasonalStreamOnce(s, monthSamples(s, dir),
           threshold = 2.0, mode = "dow",
           fromMs = Some(T0), toMs = Some(T31))),
+      // streaming rolling median: bounded ring state per series; the
+      // time-ordered replay makes the stateful stream EQUAL the batch
+      // operator, whose SQL twin is the oracle (batch-duality)
+      "ts_rolling_stream" -> ((s, dir) =>
+        StreamAnomaly.rollingQuantileStreamOnce(s, monthSamples(s, dir),
+          q = 0.5, span = 10, fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -2049,6 +2055,8 @@ object SparkEntry {
       "ts_anomaly_stream" -> StreamAnomaly.zscoreStreamSql(2.5,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_seasonal_stream" -> StreamAnomaly.seasonalStreamSql(2.0, "dow",
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_rolling_stream" -> Rolling.rollingQuantileSql(q = 0.5, span = 10,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

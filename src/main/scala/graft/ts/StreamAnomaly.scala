@@ -223,6 +223,87 @@ object StreamAnomaly {
        |  AND abs((value - mu) / sigma) >= $threshold""".stripMargin
   }
 
+  /**
+   * Streaming rolling quantile — the online twin of
+   * [[Rolling.rollingQuantile]]: state per series is the trailing
+   * `span−1` values (a bounded ring, NOT the whole history), and each
+   * arrival emits the exact interpolated quantile of its trailing
+   * window. Replayed in time order this produces EXACTLY the batch
+   * operator's output, so the stateful stream is hash-checked against
+   * [[Rolling.rollingQuantileSql]] — the same batch-duality contract
+   * as the compaction family.
+   */
+  def rollingQuantileStreamOnce(
+      spark: SparkSession, samples: DataFrame, q: Double, span: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+    import spark.implicits._
+    require(q >= 0 && q <= 1 && span > 0)
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_srq_src_").resolve("stage").toString
+    s.select(col("series"), col("ts"), col("value"))
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[List[Double]]) =>
+          var ring = state.getOption.getOrElse(Nil) // newest first
+          val outRows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            ring = (v :: ring).take(span)
+            // exact interpolated quantile of the trailing window —
+            // the same arithmetic as the batch HOF expression
+            val sorted = ring.sorted.toArray
+            val r = q * (sorted.length - 1)
+            val lo = math.floor(r).toInt
+            val hi = math.min(lo + 1, sorted.length - 1)
+            val rq = sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo))
+            outRows += ((series, ts, v, rq))
+          }
+          state.update(ring)
+          outRows.iterator
+      }
+      .toDF("series", "ts", "value", "rq_value")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_srq_").resolve("out").toString
+    val qy = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Oracle: the prefix statistics as a cumulative window — the
     * streaming state fold and this closed form must agree row-for-row
     * (`sqrt(sumsq/n − μ²)` vs stddev_pop differ only in ulps, far

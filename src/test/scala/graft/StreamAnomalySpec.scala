@@ -103,6 +103,38 @@ class StreamAnomalySpec extends AnyFunSuite {
       Seq((mon0 + 56L * DAY, 0L)))
   }
 
+  test("streaming rolling quantile == the batch operator (batch-duality)") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    val got = StreamAnomaly.rollingQuantileStreamOnce(spark, samples,
+        q = 0.9, span = 7, Some(T0), Some(T31), nChunks = 5)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    val exp = graft.ts.Rolling.rollingQuantile(samples, 0.9, 7, Some(T0), Some(T31))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) < 1e-12, s"$k: $v vs ${exp(k)}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("streaming rolling quantile: ring state truncates across batches") {
+    // 6 values, span 3, 3 chunks of 2: the window at ts=5 must be the
+    // trailing [3,4,5] even though [0,1,2,3] arrived in earlier batches
+    val df = (0L until 6L).map(t => ("s", t, t.toDouble)).toDF("series", "ts", "value")
+    val got = StreamAnomaly.rollingQuantileStreamOnce(spark, df,
+        q = 1.0, span = 3, nChunks = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(5L) == 5.0)
+    // q=1 over trailing 3 = max of window; at ts=1 window is [0,1]
+    assert(got(1L) == 1.0)
+    val med = StreamAnomaly.rollingQuantileStreamOnce(spark, df,
+        q = 0.5, span = 3, nChunks = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(med(5L) == 4.0) // median of [3,4,5]
+    assert(med(1L) == 0.5) // interpolated median of [0,1]
+  }
+
   test("cusum: a planted level shift peaks at the shift point") {
     // 20 samples at 0, then 20 at 10: S ramps to its max exactly at
     // the boundary and decays back to ~0 at the end
