@@ -124,7 +124,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = Seasonal.anomalySql(0.0, mode, minN, from, to, valuesCte(samples))
     }
 
-    val combos: Seq[Combo] = (0 until 210).map { iter =>
+    val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
       val n = 1 + rnd.nextInt(40)
       val samples = (0 until n).map { _ =>
