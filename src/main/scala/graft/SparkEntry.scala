@@ -185,6 +185,10 @@ object SparkEntry {
         RangeQuery.range(one(s, dir, Some(T0), Some(T31)), RangeArgs(from = Some(T0), to = Some(T31),
           aggs = Seq("last"), bucketMs = 6 * HOUR, empty = true))
       }),
+      // ---- catalog surface (SURVEY §2.1 TS.CREATE/TS.ALTER) ----
+      // scripted create→alter→policy→createrule→deleterule lifecycle
+      // (reference: module.c:1216-1307, 1312-1464, parse_policies.c)
+      "ts_catalog_lifecycle" -> ((s, dir) => Catalog.lifecycle(s, dir)),
       // ---- multi-series surface (SURVEY §2.5/§2.7) ----
       // TS.QUERYINDEX (reference: module.c:299-337)
       "ts_queryindex" -> ((s, dir) =>
@@ -1420,6 +1424,7 @@ object SparkEntry {
         s"""SELECT series, bucket AS ts, twa_value FROM (
            |${Twa.sql(DAY, 0L, Some(T0), Some(T31), seriesPred(oneSeries),
                       Some("value >= 50.0 AND value <= 200.0"))})""".stripMargin,
+      "ts_catalog_lifecycle" -> Catalog.lifecycleSql(),
       "ts_queryindex" ->
         s"""WITH ${Multi.labelsCte}
            |SELECT series FROM series_labels

@@ -159,19 +159,30 @@ object CorpusPipeline {
   def contaminationBloom(
       docs: DataFrame, bench: DataFrame, minShared: Long = 5L,
       fpp: Double = 0.01): DataFrame = {
+    // persist: the bench shingle frame backs three actions (distinct
+    // count, Bloom construction, exact join) — without it the bench
+    // shingling recomputes per action, which is exactly the waste this
+    // variant exists to avoid
     val bs = Dedup.shingles(bench)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    val nBench = math.max(bs.count(), 1L)
-    val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
-    val pre = Dedup.shingles(docs)
-      .filter(graft.functions.BloomMightContain(col("shingle"), bloom))
-    // deliberately NOT broadcast: the whole point is that phase 2
-    // survives a bench side too big to broadcast (AQE may still
-    // choose broadcast when it happens to be small — fine)
-    pre.join(bs, Seq("shingle"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("shared_ngrams"))
-      .filter(col("shared_ngrams") >= minShared)
+      .persist()
+    try {
+      // distinct shingles sizes the filter; raw count oversizes it
+      // when benchmark items repeat shingles across docs
+      val nBench = math.max(
+        bs.select(col("shingle")).distinct().count(), 1L)
+      val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
+      val pre = Dedup.shingles(docs)
+        .filter(graft.functions.BloomMightContain(col("shingle"), bloom))
+      // deliberately NOT broadcast: the whole point is that phase 2
+      // survives a bench side too big to broadcast (AQE may still
+      // choose broadcast when it happens to be small — fine)
+      pre.join(bs, Seq("shingle"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .filter(col("shared_ngrams") >= minShared)
+        .localCheckpoint()
+    } finally bs.unpersist()
   }
 
   /** DuckDB twin: same shingle sets, relational join (`benchPred`

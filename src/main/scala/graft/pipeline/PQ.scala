@@ -236,6 +236,10 @@ object PQ {
       m: Int, ksub: Int, iters: Int,
       coarse: Array[Array[Double]], nProbe: Int): DataFrame = {
     require(nProbe > 0 && nProbe <= coarse.length)
+    // coarse centroids must match corpus dimension — a silent
+    // truncated dot product would quietly diverge from the oracle
+    require(coarse.forall(_.length == coarse.head.length),
+      "ragged coarse codebook")
     val c = corpus(embs).persist()
     val (cb, enc, qvecs) = try {
       val cb = trainOn(c, m, ksub, iters)
@@ -253,10 +257,11 @@ object PQ {
     rankAdc(qvecs.map { case (qid, q) =>
       // probe list: nProbe coarse ids by descending dot, ties low cid
       val probes = coarse.zipWithIndex.map { case (cv, ci) =>
+        require(cv.length == q.length,
+          s"coarse centroid dim ${cv.length} != query dim ${q.length}")
         var s = 0.0
         var i = 0
-        val n = math.min(q.length, cv.length)
-        while (i < n) { s += q(i) * cv(i); i += 1 }
+        while (i < q.length) { s += q(i) * cv(i); i += 1 }
         (s, ci)
       }.sortBy { case (d, ci) => (-d, ci) }.take(nProbe).map(_._2)
       val adist = adcCol(cb, lookupTables(cb, q))
@@ -290,6 +295,10 @@ object PQ {
       m: Int, ksub: Int, iters: Int,
       coarse: Array[Array[Double]], nProbe: Int): DataFrame = {
     require(nProbe > 0 && nProbe <= coarse.length)
+    // coarse centroids must match corpus dimension — a silent
+    // truncated dot product would quietly diverge from the oracle
+    require(coarse.forall(_.length == coarse.head.length),
+      "ragged coarse codebook")
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     val c = corpus(embs).persist()
     val (cb, enc, qvecs) = try {
@@ -313,10 +322,11 @@ object PQ {
     } finally c.unpersist()
     rankAdc(qvecs.map { case (qid, q) =>
       val probes = coarse.zipWithIndex.map { case (cv, ci) =>
+        require(cv.length == q.length,
+          s"coarse centroid dim ${cv.length} != query dim ${q.length}")
         var s = 0.0
         var i = 0
-        val n = math.min(q.length, cv.length)
-        while (i < n) { s += q(i) * cv(i); i += 1 }
+        while (i < q.length) { s += q(i) * cv(i); i += 1 }
         (s, ci)
       }.sortBy { case (d, ci) => (-d, ci) }.take(nProbe).map(_._2)
       // one scored branch per probed list, each with ITS residual table

@@ -38,7 +38,9 @@ object Smoothing {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+    // (ts, value) order — the family-wide determinism contract; ts
+    // alone leaves the ROWS frame nondeterministic on duplicate ts.
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
       .rowsBetween(-(span - 1).toLong, Window.currentRow)
     val decay = 1.0 - alpha
     val fold: Column = aggregate(
@@ -69,7 +71,7 @@ object Smoothing {
        |  SELECT * FROM samples $where
        |), rn AS (
        |  SELECT series, ts, value,
-       |    row_number() OVER (PARTITION BY series ORDER BY ts) AS rn
+       |    row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
        |  FROM f
        |)
        |SELECT a.series, a.ts, a.value,

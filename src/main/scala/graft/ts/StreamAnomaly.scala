@@ -32,6 +32,20 @@ object StreamAnomaly {
   /** minimum prior samples before a score is meaningful */
   val MinPrefix = 5
 
+  /** Read a foreachBatch parquet sink with a known schema. A run that
+    * flags zero rows writes no part files, so schema inference would
+    * throw — return an empty frame of the declared schema instead. */
+  private def readSink(
+      spark: SparkSession, sinkDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val d = new java.io.File(sinkDir)
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("part-"))
+    if (parts) spark.read.schema(schema).parquet(sinkDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
   private def runZscore(
       spark: SparkSession, srcStage: String, threshold: Double): DataFrame = {
     import spark.implicits._
@@ -51,21 +65,27 @@ object StreamAnomaly {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (series: String, rows: Iterator[(String, Long, Double)],
          state: GroupState[(Long, Double, Double)]) =>
-          var (n, sum, sumsq) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          // Welford state (n, mean, M2): exactly 0 variance on a
+          // constant prefix, matching the oracle's stddev_pop — the
+          // naive sumsq/n − μ² form can leave a tiny positive σ there
+          // and fire a spurious huge-z alert.
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
           val flagged = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double)]
           // batch-local sort: (ts, value) is the operator's total order
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
             if (n >= MinPrefix) {
-              val mu = sum / n
-              val sigma = math.sqrt(math.max(sumsq / n - mu * mu, 0.0))
+              val sigma = math.sqrt(math.max(m2 / n, 0.0))
               if (sigma > 0) {
-                val z = (v - mu) / sigma
+                val z = (v - mean) / sigma
                 if (math.abs(z) >= threshold) flagged += ((series, ts, v, z))
               }
             }
-            n += 1; sum += v; sumsq += v * v
+            n += 1
+            val delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
           }
-          state.update((n, sum, sumsq))
+          state.update((n, mean, m2))
           flagged.iterator
       }
       .toDF("series", "ts", "value", "z_value")
@@ -79,7 +99,7 @@ object StreamAnomaly {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkDir)
+    readSink(spark, sinkDir, out.schema)
   }
 
   /** One-shot replay of a samples frame in `nChunks` time-ordered
@@ -163,22 +183,25 @@ object StreamAnomaly {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (String, Long), rows: Iterator[(String, Long, Double, Long)],
          state: GroupState[(Long, Double, Double)]) =>
-          var (n, sum, sumsq) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          // Welford (n, mean, M2) — see runZscore for why not sumsq.
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
           val flagged = scala.collection.mutable.ArrayBuffer
             .empty[(String, Long, Double, Long, Double)]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v, _) =>
             if (n >= MinPrefix) {
-              val mu = sum / n
-              val sigma = math.sqrt(math.max(sumsq / n - mu * mu, 0.0))
+              val sigma = math.sqrt(math.max(m2 / n, 0.0))
               if (sigma > 0) {
-                val z = (v - mu) / sigma
+                val z = (v - mean) / sigma
                 if (math.abs(z) >= threshold)
                   flagged += ((key._1, ts, v, key._2, z))
               }
             }
-            n += 1; sum += v; sumsq += v * v
+            n += 1
+            val delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
           }
-          state.update((n, sum, sumsq))
+          state.update((n, mean, m2))
           flagged.iterator
       }
       .toDF("series", "ts", "value", "season", "s_value")
@@ -192,7 +215,7 @@ object StreamAnomaly {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkDir)
+    readSink(spark, sinkDir, out.schema)
   }
 
   /** Oracle for [[seasonalStreamOnce]]: prefix stats as a cumulative
@@ -301,7 +324,7 @@ object StreamAnomaly {
       .trigger(Trigger.AvailableNow())
       .start()
     qy.awaitTermination()
-    spark.read.parquet(sinkDir)
+    readSink(spark, sinkDir, out.schema)
   }
 
   /** Oracle: the prefix statistics as a cumulative window — the

@@ -43,7 +43,7 @@ object TSModel {
     * Any OTHER encoding throws at plan time — a new regeneration must
     * fail loudly, never misparse units (see FixtureSchemaSpec).
     */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ts] def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
