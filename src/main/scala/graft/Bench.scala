@@ -67,6 +67,11 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":$wu}"""
     println(json)
+    // A standalone summary line LAST (VERDICT r9 #5): the driver keeps
+    // only a 2000-char stdout tail, and with the 190+-entry per-query
+    // map ahead of it the totals were clipped out of BENCH_r08/r09.
+    // Totals-last means the tail always carries them.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"warmup":$wu}""")
     // ALSO persist the full JSON to a file (VERDICT r06 #3): the
     // driver's stdout tail capture truncates the per-query map for the
     // heaviest third of the suite (every ann_*/dedup_*/ts_compaction_*

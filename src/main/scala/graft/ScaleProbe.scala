@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, PQ, Text}
+import graft.pipeline.{Clustering, Dedup, PQ, StreamDedup, Text}
 import graft.ts.{Compaction, Ingest, Multi, RangeQuery, TSModel}
 
 /**
@@ -201,6 +201,31 @@ object ScaleProbe {
         m = 4, ksub = 8, iters = 2).count()
     }
 
+    // 6b. bounded-sample vs full-corpus training (r9 #2): full Lloyd
+    //     rescans the corpus `iters` times, so its wall time grows
+    //     linearly in N; the sampled variants draw one hash-ordered
+    //     TakeOrdered sample and train on that — their time must stay
+    //     FLAT as reps grows. Same k/m/iters as the bench queries.
+    val (_, tPqTrainFull) = timed { PQ.train(embWork, m = 4, ksub = 8, iters = 2) }
+    val (_, tPqTrainSampled) = timed {
+      PQ.trainSampled(embWork, m = 4, ksub = 8, iters = 2, sampleMax = 512)
+    }
+    val (_, tKmFull) = timed { Clustering.kmeansCentroids(embWork, k = 10, iters = 2) }
+    val (_, tKmSampled) = timed {
+      Clustering.kmeansCentroidsSampled(embWork, k = 10, iters = 2, sampleMax = 512)
+    }
+
+    // 7. streaming exact dedup under the RocksDB state store (r9 #3):
+    //    the replicas' disjoint token spaces make distinct fingerprints
+    //    scale exactly N×, so state-store cardinality (numRowsTotal,
+    //    reported from the final micro-batch's state operator) tracks
+    //    the corpus — the documented O(distinct docs) bound — while the
+    //    store itself lives on local disk, not executor heap.
+    val (nSDedup, tSDedup) = timed {
+      StreamDedup.documentsDedupOnce(spark, work, useRocksDb = true).count()
+    }
+    val (stateRows, stateBytes) = StreamDedup.lastStateMetrics.getOrElse((-1L, -1L))
+
     // 3. ts_mrange_groupby verbatim: label filter -> per-series daily
     //    avg -> cross-series sum reduce, over N× series
     val T0 = 1704067200000L
@@ -233,6 +258,10 @@ object ScaleProbe {
       s""""stream_ingest_sec":${s2(tIng)},"stream_ingest_rows":$nIng,""" +
       s""""pq_codes_sec":${s2(tPqCodes)},"pq_rows":$nCodes,""" +
       s""""pq_adc_sec":${s2(tPqAdc)},"pq_adc_rows":$nAdc,""" +
+      s""""pq_train_full_sec":${s2(tPqTrainFull)},"pq_train_sampled_sec":${s2(tPqTrainSampled)},""" +
+      s""""kmeans_full_sec":${s2(tKmFull)},"kmeans_sampled_sec":${s2(tKmSampled)},""" +
+      s""""stream_dedup_rocksdb_sec":${s2(tSDedup)},"stream_dedup_rows":$nSDedup,""" +
+      s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes,""" +
       s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
     spark.stop()
   }

@@ -985,6 +985,24 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_acf($T0, $T31, 5)")
       }),
+      "ts_sql_tvf_resample" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_resample($T0, $T31, ${8 * HOUR})")
+      }),
+      "ts_sql_tvf_corr" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_corr('click_3', 'view_3', $T0, $T31, ${2 * DAY})")
+      }),
+      "ts_sql_tvf_delta_rate" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_delta_rate($T0, $T31, ${12 * HOUR})")
+      }),
 
       // as-of join (beyond-reference): align view_7 values onto
       // click_7 timestamps; Spark union+window vs DuckDB's NATIVE
@@ -1018,6 +1036,17 @@ object SparkEntry {
       "ts_range_quantiles" -> ((s, dir) =>
         Quantiles.bucketQuantiles(monthSamples(s, dir),
           Seq(0.5, 0.9, 0.99), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+
+      // the declared hot-series APPROX escape hatches, exercised and
+      // rank-error-verified in-engine (tolerance differential — the
+      // oracle pins the exact key universe + the expected verdicts)
+      "ts_range_quantiles_approx" -> ((s, dir) =>
+        Quantiles.bucketQuantilesApproxChecked(monthSamples(s, dir),
+          q = 0.9, bucketMs = DAY, accuracy = 100,
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_range_mad_approx" -> ((s, dir) =>
+        Anomaly.madApproxChecked(monthSamples(s, dir), accuracy = 100,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // PromQL-style counter semantics (beyond-reference): per-bucket
@@ -2015,6 +2044,12 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_resample_linear" -> Resample.linearSql(stepMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_resample" -> Resample.linearSql(stepMs = 8 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_corr" -> AsOf.pearsonSql("click_3", "view_3",
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_delta_rate" -> Rates.deltaRateSql(bucketMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_mad" -> Anomaly.madSql(2.5,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_trend" -> Trend.fitSql(predictAtMs = T31 + 7 * DAY,
@@ -2077,6 +2112,10 @@ object SparkEntry {
       "ts_sql_tvf_trend" -> Trend.fitSql(predictAtMs = T31 + 14 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_lttb" -> Lttb.downsampleSql(bucketMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_quantiles_approx" -> Quantiles.bucketQuantilesApproxCheckedSql(
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_mad_approx" -> Anomaly.madApproxCheckedSql(
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -479,6 +479,44 @@ object GraftFunctions {
         Some(literalLong("ts_winsorize", args(0), "from")),
         Some(literalLong("ts_winsorize", args(1), "to"))))
     }),
+    // ts_resample(from, to, step_ms[, align_ms]) — linear interpolation
+    // onto the step grid (the Resample.linear operator's SQL form)
+    (FunctionIdentifier("ts_resample"), info("ts_resample"), { args: Seq[Expression] =>
+      nargs("ts_resample", Seq(3, 4), args)
+      val spark = activeSession("ts_resample")
+      GraftSessionBridge.logicalPlan(graft.ts.Resample.linear(
+        spark.table(SamplesView),
+        literalLong("ts_resample", args(2), "step_ms"),
+        if (args.length > 3) literalLong("ts_resample", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_resample", args(0), "from")),
+        Some(literalLong("ts_resample", args(1), "to"))))
+    }),
+    // ts_corr('a', 'b', from, to, bucket_ms[, align_ms]) —
+    // bucket-aligned Pearson correlation of two series
+    (FunctionIdentifier("ts_corr"), info("ts_corr"), { args: Seq[Expression] =>
+      nargs("ts_corr", Seq(5, 6), args)
+      val spark = activeSession("ts_corr")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.pearson(
+        spark.table(SamplesView),
+        literalString("ts_corr", args(0), "left series key"),
+        literalString("ts_corr", args(1), "right series key"),
+        literalLong("ts_corr", args(4), "bucket_ms"),
+        if (args.length > 5) literalLong("ts_corr", args(5), "align_ms") else 0L,
+        Some(literalLong("ts_corr", args(2), "from")),
+        Some(literalLong("ts_corr", args(3), "to"))))
+    }),
+    // ts_delta_rate(from, to, bucket_ms[, align_ms]) — alias of
+    // ts_rate under the operator's API name (deltaRate)
+    (FunctionIdentifier("ts_delta_rate"), info("ts_delta_rate"), { args: Seq[Expression] =>
+      nargs("ts_delta_rate", Seq(3, 4), args)
+      val spark = activeSession("ts_delta_rate")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.deltaRate(
+        spark.table(SamplesView),
+        literalLong("ts_delta_rate", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_delta_rate", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_delta_rate", args(0), "from")),
+        Some(literalLong("ts_delta_rate", args(1), "to"))))
+    }),
     // ts_acf(from, to, max_lag) — per-series autocorrelation
     (FunctionIdentifier("ts_acf"), info("ts_acf"), { args: Seq[Expression] =>
       nargs("ts_acf", Seq(3), args)

@@ -80,6 +80,40 @@ object Clustering {
     cents
   }
 
+  /**
+   * Bounded-sample training — the 100-TB path: the full-corpus Lloyd
+   * above is linear-per-iteration (`iters` corpus scans to learn k·dim
+   * doubles); here the `iters` refinements run on a hash-ordered
+   * `TakeOrdered` sample (map-side top-N, bounded at any corpus size —
+   * the [[Similarity.trainCentroids]] pattern), so training is ONE
+   * corpus pass regardless of `iters` and wall-time is flat in corpus
+   * size. Deterministic (hash order, then vec_id). Objective quality
+   * vs full-corpus training is guarded by SampledTrainingSpec.
+   */
+  def kmeansCentroidsSampled(
+      embs: DataFrame, k: Int = 10, iters: Int = 2,
+      sampleMax: Int = 4096): Array[Array[Double]] = {
+    require(sampleMax > 0)
+    val sample = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .sort(xxhash64(col("vec_id")), col("vec_id")).limit(sampleMax)
+      .localCheckpoint()
+    var cents = initCentroids(sample, k)
+    for (_ <- 0 until iters) cents = refine(sample, cents)
+    cents
+  }
+
+  /** Full-corpus assignment under sample-trained centroids — one
+    * compiled projection, no shuffle: the production composition
+    * (train on a sample, assign everything). */
+  def kmeansAssignSampled(
+      embs: DataFrame, k: Int = 10, iters: Int = 2,
+      sampleMax: Int = 4096): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", graft.functions.NearestCentroid(
+        col("v"), kmeansCentroidsSampled(embs, k, iters, sampleMax)))
+      .select(col("vec_id"), col("cid"))
+
   /** Cluster assignment after `iters` Lloyd refinements:
     * `(vec_id, cid)`. */
   def kmeansAssign(embs: DataFrame, k: Int = 10, iters: Int = 2): DataFrame =

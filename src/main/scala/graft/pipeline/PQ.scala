@@ -130,6 +130,36 @@ object PQ {
     try trainOn(c, m, ksub, iters) finally c.unpersist()
   }
 
+  /**
+   * Bounded-sample training — the 100-TB path (Jégou et al. train
+   * codebooks on a sample; m·ksub·d parameters never need the full
+   * corpus). The sample is drawn by hash order (`TakeOrdered` —
+   * map-side top-N, bounded memory at any corpus size, the
+   * [[Similarity.trainCentroids]] pattern), materialized once, and the
+   * `iters` Lloyd jobs scan only it: ONE corpus pass total instead of
+   * `iters`, training wall-time flat in corpus size. Deterministic
+   * (hash order, then vec_id). Codebook quality vs full-corpus
+   * training is guarded by the recall-floor differential in
+   * SampledTrainingSpec.
+   */
+  def trainSampled(
+      embs: DataFrame, m: Int, ksub: Int, iters: Int,
+      sampleMax: Int = 4096): Codebooks = {
+    require(sampleMax > 0)
+    val sample = corpus(embs)
+      .sort(xxhash64(col("vec_id")), col("vec_id")).limit(sampleMax)
+      .localCheckpoint()
+    trainOn(sample, m, ksub, iters)
+  }
+
+  /** [[codes]] with sample-trained codebooks: the corpus is scanned
+    * once for the sample draw and once for the encode projection —
+    * two passes total, independent of `iters`. */
+  def codesSampled(
+      embs: DataFrame, m: Int, ksub: Int, iters: Int,
+      sampleMax: Int = 4096): DataFrame =
+    encode(embs, trainSampled(embs, m, ksub, iters, sampleMax))
+
   private def encodeOn(c: DataFrame, cb: Codebooks): DataFrame = {
     val cols = col("vec_id") +: (0 until cb.m).map(j =>
       assignCol(j, cb.d, cb.cents(j)).as(s"c$j"))

@@ -28,6 +28,21 @@ object StreamDedup {
   private val stagedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp", StringType)))
 
+  /** The off-heap state store for corpus-cardinality state: exact
+    * dedup holds ~one entry per unique document, which on the default
+    * HDFS-backed (on-heap) provider is an executor-memory bound at
+    * 100 TB. RocksDB spills the map to local disk — a pure config
+    * swap, no operator change (the semantics are provider-independent,
+    * pinned by StreamDedupSpec's differential). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** `(numRowsTotal, memoryUsedBytes)` of the final micro-batch's
+    * state operator in the LAST one-shot run — scale evidence for the
+    * state-cardinality bound (read by ScaleProbe right after the run;
+    * one-shot harness, not concurrent). */
+  @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
+
   /** First-arrival winners per fingerprint over a staged file stream:
     * `(fp, doc_id)`. `srcStage` files replay one per micro-batch in
     * mtime order. State per fp = the min doc_id seen (a bare Long —
@@ -64,6 +79,10 @@ object StreamDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastStateMetrics = q.recentProgress.reverseIterator
+      .flatMap(_.stateOperators.headOption)
+      .map(so => (so.numRowsTotal, so.memoryUsedBytes))
+      .nextOption()
     spark.read.parquet(sinkDir)
   }
 
@@ -75,8 +94,13 @@ object StreamDedup {
    * is the batch canonical mapping and fully oracle-checkable).
    */
   def documentsDedupOnce(
-      spark: SparkSession, dir: String, nChunks: Int = 8): DataFrame =
+      spark: SparkSession, dir: String, nChunks: Int = 8,
+      useRocksDb: Boolean = false): DataFrame =
       graft.ts.Compaction.withStatePartitions(spark, 8) {
+      graft.ts.Compaction.withConf(spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        if (useRocksDb) RocksDbProvider
+        else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     val docs = Text.loadDocuments(spark, dir)
     val srcStage = java.nio.file.Files
       .createTempDirectory("graft_sdedup_src_").resolve("stage").toString
@@ -93,7 +117,7 @@ object StreamDedup {
       }
     }
     runDedup(spark, srcStage)
-  }
+  } }
 
   /** Oracle: ascending replay makes the streaming winner the global
     * min doc_id per fingerprint — [[Dedup.exact]]'s canonical id. */

@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,65 @@ object Anomaly {
       .withColumn("mad_score", lit(0.6745) * col("dev") / col("madv"))
       .filter(col("mad_score") >= threshold)
       .select(col("series"), col("ts"), col("value"), col("mad_score"))
+  }
+
+  /**
+   * The doc'd hot-series escape hatch for [[mad]], runnable AND
+   * verified: both medians via `percentile_approx` (bounded sketch
+   * memory per series instead of the full value multiset), with each
+   * sketch result's rank-error contract checked in-engine against the
+   * multiset it summarizes (element-of-set + rank within
+   * `±n/accuracy ±1` of the median rank). Emits one verdict row per
+   * series; the oracle recomputes the series universe exactly and
+   * expects TRUE — the tolerance-differential pattern of
+   * [[Quantiles.bucketQuantilesApproxChecked]].
+   */
+  def madApproxChecked(
+      samples: DataFrame, accuracy: Int = 1000,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(accuracy > 0)
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val eps = 1.0 / accuracy
+    def rankOk(cntLe: Column, cntLt: Column, inSet: Column, n: Column): Column =
+      inSet === 1 &&
+        cntLe >= lit(0.5 - eps) * n - 1 &&
+        cntLt <= lit(0.5 + eps) * n + 1
+    val med = s.groupBy(col("series"))
+      .agg(expr(s"percentile_approx(value, 0.5, $accuracy)").as("med"))
+    val dev = s.join(med, Seq("series"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val madv = dev.groupBy(col("series"))
+      .agg(expr(s"percentile_approx(dev, 0.5, $accuracy)").as("madv"))
+    dev.join(madv, Seq("series"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("le_m"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("lt_m"),
+        max(when(col("value") === col("med"), 1).otherwise(0)).as("in_m"),
+        sum(when(col("dev") <= col("madv"), 1L).otherwise(0L)).as("le_d"),
+        sum(when(col("dev") < col("madv"), 1L).otherwise(0L)).as("lt_d"),
+        max(when(col("dev") === col("madv"), 1).otherwise(0)).as("in_d"))
+      .select(col("series"), col("n"),
+        rankOk(col("le_m"), col("lt_m"), col("in_m"), col("n")).as("med_ok"),
+        rankOk(col("le_d"), col("lt_d"), col("in_d"), col("n")).as("mad_ok"))
+  }
+
+  /** Oracle twin of [[madApproxChecked]]: exact series universe +
+    * the expected verdicts. */
+  def madApproxCheckedSql(
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series, count(*) AS n, TRUE AS med_ok, TRUE AS mad_ok
+       |FROM f GROUP BY series""".stripMargin
   }
 
   def madSql(

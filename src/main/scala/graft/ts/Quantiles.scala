@@ -45,6 +45,65 @@ object Quantiles {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * The declared scale escape hatch, runnable AND verified: per-bucket
+   * `percentile_approx` (Greenwald–Khanna sketch, bounded memory per
+   * group regardless of bucket size — the hot-series path at 100 TB)
+   * with its rank-error contract CHECKED IN-ENGINE. The approx result
+   * must be an element of the bucket's multiset whose rank sits within
+   * `±n/accuracy (±1 slop)` of the target rank; the query emits the
+   * boolean verdict per bucket, so the DuckDB oracle (exact bucket
+   * recompute + literal TRUE) hash-fails if the sketch ever breaks its
+   * bound — a tolerance differential, not a bitwise one (approx vs
+   * exact can't bitwise-match by construction).
+   *
+   * Plan: one agg for (approx, n), one shuffle join back to the bucket
+   * rows, one agg for the rank counts — all keyed by (series, bucket).
+   */
+  def bucketQuantilesApproxChecked(
+      samples: DataFrame, q: Double, bucketMs: Long, accuracy: Int = 1000,
+      alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(q > 0 && q < 1 && accuracy > 0)
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val keyed = s.select(col("series"),
+      TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"),
+      col("value"))
+    val approx = keyed.groupBy(col("series"), col("bucket"))
+      .agg(expr(s"percentile_approx(value, $q, $accuracy)").as("apx"))
+    val eps = 1.0 / accuracy
+    keyed.join(approx, Seq("series", "bucket"))
+      .groupBy(col("series"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("apx"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("value") < col("apx"), 1L).otherwise(0L)).as("cnt_lt"),
+        max(when(col("value") === col("apx"), 1).otherwise(0)).as("in_set"))
+      .select(col("series"), col("bucket"), col("n"),
+        (col("in_set") === 1 &&
+          col("cnt_le") >= lit(q - eps) * col("n") - 1 &&
+          col("cnt_lt") <= lit(q + eps) * col("n") + 1).as("rank_ok"))
+  }
+
+  /** Oracle twin of [[bucketQuantilesApproxChecked]]: the exact bucket
+    * structure + the contract's expected verdict (TRUE everywhere). */
+  def bucketQuantilesApproxCheckedSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series, $bkt AS bucket, count(*) AS n, TRUE AS rank_ok
+       |FROM f GROUP BY series, $bkt""".stripMargin
+  }
+
   def bucketQuantilesSql(
       qs: Seq[Double], bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -46,6 +46,17 @@ object StreamAnomaly {
       spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Run `body` under the requested state-store provider (RocksDB =
+    * disk-backed state, the 100-TB configuration for corpus-cardinality
+    * or high-series-cardinality state; default = whatever the session
+    * has). Provider choice is semantics-free — pinned by
+    * StreamAnomalySpec's differential. */
+  private def withProvider[T](
+      spark: SparkSession, useRocksDb: Boolean)(body: => T): T =
+    Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
+      else spark.conf.get("spark.sql.streaming.stateStore.providerClass"))(body)
+
   private def runZscore(
       spark: SparkSession, srcStage: String, threshold: Double): DataFrame = {
     import spark.implicits._
@@ -109,8 +120,9 @@ object StreamAnomaly {
   def zscoreStreamOnce(
       spark: SparkSession, samples: DataFrame, threshold: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      nChunks: Int = 8): DataFrame =
+      nChunks: Int = 8, useRocksDb: Boolean = false): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
+      withProvider(spark, useRocksDb) {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
@@ -129,7 +141,7 @@ object StreamAnomaly {
       }
     }
     runZscore(spark, srcStage, threshold)
-  }
+  } }
 
   /**
    * Streaming SEASONAL anomaly — the cohort-keyed variant: state is
@@ -144,8 +156,9 @@ object StreamAnomaly {
       spark: SparkSession, samples: DataFrame, threshold: Double,
       mode: String = "dow",
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      nChunks: Int = 8): DataFrame =
+      nChunks: Int = 8, useRocksDb: Boolean = false): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
+      withProvider(spark, useRocksDb) {
     import spark.implicits._
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
@@ -216,7 +229,7 @@ object StreamAnomaly {
       .start()
     q.awaitTermination()
     readSink(spark, sinkDir, out.schema)
-  }
+  } }
 
   /** Oracle for [[seasonalStreamOnce]]: prefix stats as a cumulative
     * window over the cohort. */
@@ -259,8 +272,9 @@ object StreamAnomaly {
   def rollingQuantileStreamOnce(
       spark: SparkSession, samples: DataFrame, q: Double, span: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      nChunks: Int = 8): DataFrame =
+      nChunks: Int = 8, useRocksDb: Boolean = false): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
+      withProvider(spark, useRocksDb) {
     import spark.implicits._
     require(q >= 0 && q <= 1 && span > 0)
     var s = samples.filter(!isnan(col("value")))
@@ -325,7 +339,7 @@ object StreamAnomaly {
       .start()
     qy.awaitTermination()
     readSink(spark, sinkDir, out.schema)
-  }
+  } }
 
   /** Oracle: the prefix statistics as a cumulative window — the
     * streaming state fold and this closed form must agree row-for-row

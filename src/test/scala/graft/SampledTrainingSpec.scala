@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Clustering, PQ}
+
+/**
+ * Recall-floor differential for bounded-sample training (the 100-TB
+ * path): sample-trained PQ codebooks and k-means centroids must be
+ * nearly as good as full-corpus training on the fixture — measured as
+ * ADC recall@k against exact L2 ground truth (PQ) and as the spherical
+ * k-means objective (mean cosine to the assigned centroid). Both
+ * estimators are deterministic, so the floors are stable, not flaky.
+ */
+class SampledTrainingSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private val K = 10
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+  /** (vec_id -> vector), collected once: 500 × dim-64 at sf0.001. */
+  private lazy val vecs: Map[Long, Array[Double]] = embs
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Exact L2 top-K neighbor ids for `qid` (ties to low id — the ADC
+    * ranking contract). */
+  private def exactTopK(qid: Long): Set[Long] = {
+    val q = vecs(qid)
+    vecs.iterator.filter(_._1 != qid)
+      .map { case (id, v) => (l2sq(q, v), id) }
+      .toArray.sortBy { case (d, id) => (d, id) }
+      .take(K).map(_._2).toSet
+  }
+
+  private val queries = Seq(3L, 97L, 211L, 340L, 499L)
+
+  private def recallOf(adc: org.apache.spark.sql.DataFrame): Double = {
+    val got = adc.collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    queries.map { qid =>
+      val truth = exactTopK(qid)
+      (got.getOrElse(qid, Set.empty) & truth).size.toDouble / truth.size
+    }.sum / queries.size
+  }
+
+  test("PQ: sample-trained ADC recall@10 tracks full-train (parity differential)") {
+    // the fixture embeddings are near-isotropic, so ABSOLUTE PQ recall
+    // is modest by construction (quantization noise dominates); the
+    // contract under test is sampled-vs-full PARITY, with a sanity
+    // floor far above chance (random top-10 of 500 ~ 0.02)
+    val m = 16; val ksub = 16; val iters = 3
+    val full = PQ.adcTopK(embs, queries, K, m, ksub, iters)
+    // bounded sample (256 of 500) — genuinely sub-corpus at this SF
+    val cbS = PQ.trainSampled(embs, m, ksub, iters, sampleMax = 256)
+    val encS = PQ.encode(embs, cbS)
+    // score the sampled codebooks through the same exact-L2 GT lens:
+    // re-rank by ADC distance computed driver-side over the codes
+    val codes = encS.collect().map { r =>
+      (r.getLong(0), Array.tabulate(m)(j => r.getInt(j + 1)))
+    }
+    val rFull = recallOf(full)
+    val rSampled = {
+      val got = queries.map { qid =>
+        val q = vecs(qid)
+        val tables = Array.tabulate(m) { j =>
+          cbS.cents(j).map { c =>
+            var s = 0.0
+            var i = 0
+            while (i < cbS.d) {
+              val diff = q(j * cbS.d + i) - c(i); s += diff * diff; i += 1
+            }
+            s
+          }
+        }
+        val top = codes.filter(_._1 != qid)
+          .map { case (id, cs) =>
+            var s = 0.0
+            var j = 0
+            while (j < m) { s += tables(j)(cs(j)); j += 1 }
+            (s, id)
+          }.sortBy { case (d, id) => (d, id) }.take(K).map(_._2).toSet
+        val truth = exactTopK(qid)
+        (top & truth).size.toDouble / truth.size
+      }
+      got.sum / queries.size
+    }
+    info(f"recall@10 full=$rFull%.3f sampled=$rSampled%.3f")
+    assert(rSampled >= rFull - 0.2,
+      f"sampled-train recall $rSampled%.3f fell >0.2 below full-train $rFull%.3f")
+    assert(rSampled >= 0.2, f"sampled-train recall floor broken: $rSampled%.3f")
+  }
+
+  test("PQ: trainSampled is deterministic across runs") {
+    val a = PQ.trainSampled(embs, 4, 8, 2, sampleMax = 256)
+    val b = PQ.trainSampled(embs, 4, 8, 2, sampleMax = 256)
+    assert(a.cents.flatten.map(_.toSeq).toSeq == b.cents.flatten.map(_.toSeq).toSeq)
+  }
+
+  private def objective(cents: Array[Array[Double]]): Double = {
+    // spherical k-means objective: mean cosine(v, assigned centroid)
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }
+    vecs.values.map { v =>
+      val u = norm(v)
+      cents.map(c => u.zip(norm(c)).map { case (x, y) => x * y }.sum).max
+    }.sum / vecs.size
+  }
+
+  test("k-means: sample-trained objective within 5% of full-train") {
+    val full = Clustering.kmeansCentroids(embs, k = 10, iters = 2)
+    val sampled = Clustering.kmeansCentroidsSampled(embs, k = 10, iters = 2,
+      sampleMax = 256)
+    val oF = objective(full)
+    val oS = objective(sampled)
+    info(f"objective full=$oF%.4f sampled=$oS%.4f")
+    assert(oS >= oF * 0.95,
+      f"sampled objective $oS%.4f below 95%% of full $oF%.4f")
+    // the production composition runs end to end and covers the corpus
+    val asg = Clustering.kmeansAssignSampled(embs, k = 10, iters = 2,
+      sampleMax = 256)
+    assert(asg.count() == vecs.size)
+  }
+}

@@ -63,6 +63,36 @@ class StreamAnomalySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("RocksDB provider: zscore stream output identical to default provider") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    def run(rocks: Boolean) = StreamAnomaly.zscoreStreamOnce(spark, samples,
+        2.0, Some(T0), Some(T31), nChunks = 6, useRocksDb = rocks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(run(true) == run(false))
+  }
+
+  test("zero-flag runs return an empty typed frame, not a read error") {
+    // threshold high enough that nothing ever fires: the sink has no
+    // part files and the read must fall back to the declared schema
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    val out = StreamAnomaly.zscoreStreamOnce(spark, samples, 1e9)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("series", "ts", "value", "z_value"))
+  }
+
+  test("constant-prefix series: Welford sigma is exactly zero, no spurious alert") {
+    import spark.implicits._
+    // 10 identical values then a step: the prefix sigma at the step is
+    // exactly 0 under Welford, so NOTHING fires (the oracle's
+    // stddev_pop behavior); naive sumsq/n - mu*mu can leave sigma ~1e-9
+    // and fire with a huge z
+    val rows = ((1 to 10).map(i => ("c", i.toLong, 0.1)) :+ (("c", 11L, 0.2)))
+    val df = rows.toDF("series", "ts", "value").repartition(2)
+    val out = StreamAnomaly.zscoreStreamOnce(spark, df, 3.0, nChunks = 2)
+    assert(out.count() == 0)
+  }
+
   test("streaming seasonal == the cohort cumulative-window closed form") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)

@@ -15,6 +15,20 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("RocksDB state store: identical output, state metrics reported") {
+    // provider choice must be semantics-free — the 100-TB config swap
+    // (disk-backed state) produces the exact same canonical mapping
+    val rocks = StreamDedup.documentsDedupOnce(spark, sf, useRocksDb = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val (stateRows, _) = StreamDedup.lastStateMetrics
+      .getOrElse(fail("no state metrics captured"))
+    val want = Dedup.exact(Text.loadDocuments(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rocks == want)
+    // state cardinality = distinct fingerprints (the documented bound)
+    assert(stateRows == want.size)
+  }
+
   test("cross-batch duplicates are suppressed, not re-emitted") {
     // duplicate docs 0..4 at ids 10000.. — they land in the LAST
     // micro-batch (doc_id-range staging), several batches after their
