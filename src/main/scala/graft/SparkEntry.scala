@@ -852,6 +852,14 @@ object SparkEntry {
       // multimodal frame sampling: fixed-size frames, every 4th kept
       "mm_frame_sample" -> ((s, dir) =>
         Multimodal.frameSample(Multimodal.pack(Text.loadDocuments(s, dir)))),
+      // REAL image decode: synthesize lossless PNGs (pixels = doc md5
+      // digest), decode with the JDK's own codec (javax.imageio), and
+      // measure pixel stats the oracle re-derives from the digest
+      "mm_decode_real" -> ((s, dir) =>
+        Multimodal.decodeImages(Multimodal.packImages(Text.loadDocuments(s, dir)))),
+      // REAL resize: decode -> 2x NN upscale -> re-encode -> decode
+      "mm_resize_real" -> ((s, dir) =>
+        Multimodal.resizeImages(Multimodal.packImages(Text.loadDocuments(s, dir)), 2)),
 
       // streaming exact dedup: first-arrival-wins per content
       // fingerprint via flatMapGroupsWithState, 8 ordered micro-batches
@@ -2021,6 +2029,8 @@ object SparkEntry {
         Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),
       "mm_resize" -> Multimodal.resizeSql(),
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
+      "mm_decode_real" -> Multimodal.decodeImagesSql(),
+      "mm_resize_real" -> Multimodal.decodeImagesSql(scale = 2),
       "dedup_stream_exact" -> graft.pipeline.StreamDedup.documentsDedupOnceSql,
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),

@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing: media as opaque `BINARY` columns with
  * typed metadata, and batch feature extraction via `mapPartitions`.
  *
- * The decode step is a clearly-marked STUB (this container has no
- * image/audio codecs): [[fakeDecode]] derives deterministic
- * pseudo-features from raw bytes. Everything around it — schema,
- * binary packing, partition-batched extraction, feature vector shape —
- * is the real production plumbing: swap [[fakeDecode]] for a JNI/codec
- * call and nothing else changes. At 100 TB the media table is
- * partitioned by id range; extraction is one `mapPartitions` pass with
- * no shuffle at all.
+ * IMAGE decode is REAL (r10): the JDK ships PNG/JPEG codecs
+ * (javax.imageio, headless-safe), so [[packImages]]/[[decodeImages]]/
+ * [[resizeImages]] run a genuine encode → decode → transform →
+ * re-encode → decode chain, oracle-checked end to end (PNG is
+ * lossless and the synthesized pixels derive from doc digests the
+ * oracle can recompute). AUDIO/VIDEO codecs are genuinely absent from
+ * the container, so [[fakeDecode]] remains the clearly-marked stub
+ * for those modalities — deterministic pseudo-features from raw
+ * bytes; swap it for a codec call and nothing else changes. At 100 TB
+ * the media table is partitioned by id range; extraction is one
+ * `mapPartitions` pass with no shuffle at all.
  */
 object Multimodal {
 
@@ -147,6 +150,140 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("offset"),
         md5(col("frame")).as("frame_md5"))
   }
+
+  // ---- REAL image decode (r10): the carried "no codecs in this
+  // container" assumption was wrong for images — the JDK itself ships
+  // PNG/JPEG codecs (javax.imageio, headless-safe). The path below is
+  // a genuine encode → decode → measure chain, oracle-checkable
+  // because PNG is LOSSLESS: media is synthesized as a real PNG whose
+  // pixels derive deterministically from the document (md5 digest →
+  // 4×4 grayscale block), so the decoded pixel statistics are
+  // recomputable relationally by DuckDB from `documents` alone. Swap
+  // the synthesis for a crawl's real image bytes and decode/resize
+  // run unchanged. ----
+
+  /** Each doc's md5 digest (16 bytes) rendered as a REAL 4×4 grayscale
+    * PNG: `(media_id, media BINARY, meta)`. One mapPartitions pass —
+    * the encode twin of the decode below. */
+  def packImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, hex) =>
+          val img = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < 16) {
+            val g = Integer.parseInt(hex.substring(2 * p, 2 * p + 2), 16)
+            img.setRGB(p % 4, p / 4, (g << 16) | (g << 8) | g)
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("png").as("format"),
+          length(col("media")).as("n_bytes")).as("meta"))
+  }
+
+  private def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val out = new Array[Int](img.getWidth * img.getHeight)
+    var i = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        out(i) = img.getRGB(x, y) & 0xFF
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL decode: `ImageIO.read` each PNG and measure pixel
+    * statistics — `(media_id, width, height, mean_gray, min_gray,
+    * max_gray)`. Same zero-shuffle typed-mapPartitions shape as
+    * [[extractFeatures]]; the oracle re-derives every value from the
+    * md5 digest (lossless roundtrip). */
+  def decodeImages(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media $id is not a decodable image")
+          val px = grayPixels(img)
+          (id, img.getWidth, img.getHeight,
+            px.sum.toDouble / px.length, px.min, px.max)
+        }
+      }
+      .toDF("media_id", "width", "height", "mean_gray", "min_gray", "max_gray")
+  }
+
+  /** REAL resize: decode, integer nearest-neighbour upscale (each
+    * pixel becomes a `scale`×`scale` block — deterministic, no
+    * interpolation ambiguity), re-encode as PNG, decode AGAIN and
+    * measure — proving the full decode→transform→encode→decode chain.
+    * Block replication preserves mean/min/max exactly, so the oracle
+    * still recomputes every value from the digest. */
+  def resizeImages(packed: DataFrame, scale: Int = 2): DataFrame = {
+    require(scale >= 1)
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val big = new java.awt.image.BufferedImage(
+            w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h * scale) {
+            var x = 0
+            while (x < w * scale) {
+              big.setRGB(x, y, img.getRGB(x / scale, y / scale))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(big, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val px = grayPixels(back)
+          (id, back.getWidth, back.getHeight,
+            px.sum.toDouble / px.length, px.min, px.max)
+        }
+      }
+      .toDF("media_id", "width", "height", "mean_gray", "min_gray", "max_gray")
+  }
+
+  /** DuckDB twin of [[decodeImages]] ∘ [[packImages]] (and, with
+    * `scale`, of [[resizeImages]]): md5-hex pairs → byte values →
+    * pixel statistics. */
+  def decodeImagesSql(scale: Int = 1): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    16 * (strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1)
+       |      + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1) AS byte
+       |  FROM h, unnest(range(0, 16)) AS t(i)
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(${4 * scale} AS INT) AS width, CAST(${4 * scale} AS INT) AS height,
+       |  avg(byte) AS mean_gray,
+       |  CAST(min(byte) AS INT) AS min_gray, CAST(max(byte) AS INT) AS max_gray
+       |FROM b GROUP BY doc_id""".stripMargin
 
   def frameSampleSql(frameBytes: Int = 256, rate: Int = 4): String =
     s"""WITH f AS (

@@ -256,6 +256,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(Multimodal.pack(tiny)).isEmpty)
   }
 
+  test("real image decode: PNG roundtrip reproduces the digest pixels exactly") {
+    val packed = Multimodal.packImages(docs.limit(20))
+    // the media column holds REAL PNGs (magic bytes)
+    val png = packed.select(col("media")).head().getAs[Array[Byte]](0)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val dec = Multimodal.decodeImages(packed).collect()
+    assert(dec.length == 20)
+    dec.foreach { r =>
+      assert(r.getInt(1) == 4 && r.getInt(2) == 4)
+      assert(r.getDouble(3) >= r.getInt(4) && r.getDouble(3) <= r.getInt(5))
+    }
+    // 2x NN upscale preserves mean/min/max exactly (lossless + block
+    // replication), dimensions double
+    val res = Multimodal.resizeImages(packed, 2).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    dec.foreach { r =>
+      val (w, h, mean) = res(r.getLong(0))
+      assert(w == 8 && h == 8)
+      assert(math.abs(mean - r.getDouble(3)) < 1e-12)
+    }
+  }
+
   test("language id is deterministic and scores are consistent") {
     val r = Text.languageId(docs).collect()
     assert(r.nonEmpty)
