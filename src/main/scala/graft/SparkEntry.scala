@@ -860,6 +860,20 @@ object SparkEntry {
       // REAL resize: decode -> 2x NN upscale -> re-encode -> decode
       "mm_resize_real" -> ((s, dir) =>
         Multimodal.resizeImages(Multimodal.packImages(Text.loadDocuments(s, dir)), 2)),
+      // REAL audio decode: synthesize lossless WAVs (PCM samples = doc
+      // md5 digest), parse with the JDK's own codec
+      // (javax.sound.sampled) and measure amplitude stats
+      "mm_audio_decode_real" -> ((s, dir) =>
+        Multimodal.decodeAudio(Multimodal.packAudio(Text.loadDocuments(s, dir)))),
+      // REAL audio resample: decode -> decimate 2x -> re-encode at the
+      // halved rate -> decode again
+      "mm_audio_resample_real" -> ((s, dir) =>
+        Multimodal.resampleAudio(Multimodal.packAudio(Text.loadDocuments(s, dir)), 2)),
+      // REAL video keyframe sampling: length-prefixed PNG frame stream,
+      // every 2nd frame goes through a genuine ImageIO decode (dropped
+      // frames are byte-skipped, never decoded)
+      "mm_video_frames_real" -> ((s, dir) =>
+        Multimodal.sampleVideoFrames(Multimodal.packVideo(Text.loadDocuments(s, dir), 4), 2)),
 
       // streaming exact dedup: first-arrival-wins per content
       // fingerprint via flatMapGroupsWithState, 8 ordered micro-batches
@@ -2031,6 +2045,9 @@ object SparkEntry {
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_decode_real" -> Multimodal.decodeImagesSql(),
       "mm_resize_real" -> Multimodal.decodeImagesSql(scale = 2),
+      "mm_audio_decode_real" -> Multimodal.decodeAudioSql(),
+      "mm_audio_resample_real" -> Multimodal.decodeAudioSql(factor = 2),
+      "mm_video_frames_real" -> Multimodal.sampleVideoFramesSql(nFrames = 4, rate = 2),
       "dedup_stream_exact" -> graft.pipeline.StreamDedup.documentsDedupOnceSql,
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),

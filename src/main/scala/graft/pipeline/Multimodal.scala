@@ -295,4 +295,240 @@ object Multimodal {
        |       CAST(frame_idx * $frameBytes AS BIGINT) AS "offset",
        |       md5(substring(text, CAST(frame_idx * $frameBytes AS INT) + 1, $frameBytes)) AS frame_md5
        |FROM f WHERE frame_idx % $rate = 0""".stripMargin
+
+  // ---- REAL audio decode (r10): javax.sound.sampled also ships with
+  // the JDK — RIFF/WAVE PCM encode and parse need no external codec
+  // and are headless-safe. Same lossless-digest construction as the
+  // image path: each doc's md5 digest becomes 16 signed 16-bit PCM
+  // samples ((byte-128)*256) written as a REAL WAV file, so every
+  // decoded amplitude statistic is recomputable relationally by
+  // DuckDB from `documents` alone. Swap the synthesis for a crawl's
+  // real audio bytes and decode/resample run unchanged. ----
+
+  val audioRate = 8000f
+
+  private def pcm16Wav(samples: Array[Int], rate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Parse a WAV via the JDK codec and return its PCM samples (real
+    * header parse + format negotiation — not a byte-offset hack). */
+  private def wavSamples(bytes: Array[Byte]): (Array[Int], Float) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected audio format $fmt")
+    val raw = ais.readAllBytes()
+    (Array.tabulate(raw.length / 2)(i => (raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)),
+      fmt.getSampleRate)
+  }
+
+  /** Each doc's md5 digest rendered as a REAL 16-sample 8 kHz mono
+    * 16-bit WAV: `(media_id, media BINARY, meta)`. */
+  def packAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, hex) =>
+          val samples = Array.tabulate(16) { p =>
+            (Integer.parseInt(hex.substring(2 * p, 2 * p + 2), 16) - 128) * 256
+          }
+          (id, pcm16Wav(samples, audioRate))
+        }
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("wav").as("format"),
+          length(col("media")).as("n_bytes")).as("meta"))
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` each WAV and
+    * measure amplitude statistics — `(media_id, n_samples, sample_rate,
+    * mean_amp, min_amp, max_amp)`. Zero-shuffle typed mapPartitions;
+    * the oracle re-derives every value from the md5 digest (PCM is
+    * lossless). */
+  def decodeAudio(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (s, rate) = wavSamples(bytes)
+          (id, s.length.toLong, rate.toInt,
+            s.map(_.toLong).sum.toDouble / s.length, s.min, s.max)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate",
+        "mean_amp", "min_amp", "max_amp")
+  }
+
+  /** REAL audio resample: decode, decimate by `factor` (keep every
+    * `factor`-th sample — deterministic, no filter ambiguity),
+    * re-encode as a WAV at the reduced rate, decode AGAIN and measure —
+    * proving the full decode→transform→encode→decode chain, the audio
+    * twin of [[resizeImages]]. */
+  def resampleAudio(packed: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1)
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (s, rate) = wavSamples(bytes)
+          val dec = s.indices.collect { case i if i % factor == 0 => s(i) }.toArray
+          val (back, rate2) = wavSamples(pcm16Wav(dec, rate / factor))
+          (id, back.length.toLong, rate2.toInt,
+            back.map(_.toLong).sum.toDouble / back.length, back.min, back.max)
+        }
+      }
+      .toDF("media_id", "n_samples", "sample_rate",
+        "mean_amp", "min_amp", "max_amp")
+  }
+
+  /** DuckDB twin of [[decodeAudio]] ∘ [[packAudio]] (and, with
+    * `factor`, of [[resampleAudio]]): md5-hex pairs → signed PCM
+    * amplitudes → statistics over the kept samples. */
+  def decodeAudioSql(factor: Int = 1): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |), a AS (
+       |  SELECT doc_id,
+       |    (16 * (strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1)
+       |     + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1)
+       |     - 128) * 256 AS amp
+       |  FROM h, unnest(range(0, 16)) AS t(i) WHERE i % $factor = 0
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(${(15 / factor) + 1} AS BIGINT) AS n_samples,
+       |  CAST(${8000 / factor} AS INT) AS sample_rate,
+       |  avg(amp) AS mean_amp,
+       |  CAST(min(amp) AS INT) AS min_amp, CAST(max(amp) AS INT) AS max_amp
+       |FROM a GROUP BY doc_id""".stripMargin
+
+  // ---- REAL video frame decode (r10): no container demuxer ships
+  // with the JDK, so the container is synthetic — a length-prefixed
+  // concatenation of REAL PNG frames (frame f's pixels derive from
+  // md5(text || '#' || f)) — but every kept frame goes through a
+  // genuine ImageIO decode, which is the per-frame work that
+  // dominates at scale. Swap the splitter for a demuxer (MP4 boxes,
+  // MKV EBML) and the decode/stat path runs unchanged. ----
+
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+
+  private def pngFromDigest(digest: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 16) {
+      val g = digest(p) & 0xFF
+      img.setRGB(p % 4, p / 4, (g << 16) | (g << 8) | g)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Each doc rendered as a `nFrames`-frame "video": a length-prefixed
+    * stream of real 4×4 grayscale PNGs, frame f's pixels from
+    * md5(text + "#" + f). `(media_id, media BINARY, meta)`. */
+  def packVideo(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          var f = 0
+          while (f < nFrames) {
+            val png = pngFromDigest(md5Bytes(text + "#" + f))
+            out.writeInt(png.length)
+            out.write(png)
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(lit("vid").as("format"),
+          length(col("media")).as("n_bytes")).as("meta"))
+  }
+
+  /** REAL video keyframe sampling: walk the frame stream, SKIP the
+    * bytes of dropped frames (the demuxer economy that matters at
+    * scale — only every `rate`-th frame is decoded), run a genuine
+    * ImageIO decode on each kept frame and measure its pixels —
+    * `(media_id, frame_idx, width, height, mean_gray, min_gray,
+    * max_gray)`. One zero-shuffle mapPartitions pass. */
+  def sampleVideoFrames(packed: DataFrame, rate: Int = 2): DataFrame = {
+    require(rate >= 1)
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Double, Int, Int)]
+          var f = 0
+          while (in.available() > 0) {
+            val len = in.readInt()
+            if (f % rate == 0) {
+              val png = new Array[Byte](len)
+              in.readFully(png)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(png))
+              require(img != null, s"media $id frame $f is not decodable")
+              val px = grayPixels(img)
+              out += ((id, f, img.getWidth, img.getHeight,
+                px.sum.toDouble / px.length, px.min, px.max))
+            } else {
+              in.skipBytes(len)
+            }
+            f += 1
+          }
+          out
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height",
+        "mean_gray", "min_gray", "max_gray")
+  }
+
+  /** DuckDB twin of [[sampleVideoFrames]] ∘ [[packVideo]]: per-frame
+    * digest bytes → pixel statistics for the kept frames. */
+  def sampleVideoFramesSql(nFrames: Int = 4, rate: Int = 2): String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, f, md5(text || '#' || CAST(f AS VARCHAR)) AS h
+       |  FROM documents, unnest(range(0, $nFrames)) AS t(f)
+       |  WHERE f % $rate = 0
+       |), b AS (
+       |  SELECT doc_id, f,
+       |    16 * (strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1)
+       |      + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1) AS byte
+       |  FROM fr, unnest(range(0, 16)) AS t(i)
+       |)
+       |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       |  avg(byte) AS mean_gray,
+       |  CAST(min(byte) AS INT) AS min_gray, CAST(max(byte) AS INT) AS max_gray
+       |FROM b GROUP BY doc_id, f""".stripMargin
 }

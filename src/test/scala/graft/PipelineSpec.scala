@@ -278,6 +278,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("real audio decode: WAV roundtrip reproduces the digest samples exactly") {
+    val packed = Multimodal.packAudio(docs.limit(20))
+    // the media column holds REAL RIFF/WAVE files (magic bytes)
+    val wav = packed.select(col("media")).head().getAs[Array[Byte]](0)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val dec = Multimodal.decodeAudio(packed).collect()
+    assert(dec.length == 20)
+    dec.foreach { r =>
+      assert(r.getLong(1) == 16 && r.getInt(2) == 8000)
+      assert(r.getDouble(3) >= r.getInt(4) && r.getDouble(3) <= r.getInt(5))
+      // amplitudes are digest-derived: multiples of 256 in [-32768, 32512]
+      assert(r.getInt(4) % 256 == 0 && r.getInt(5) % 256 == 0)
+    }
+    // 2x decimation keeps 8 samples at 4 kHz, min/max within originals
+    val res = Multimodal.resampleAudio(packed, 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getInt(4), r.getInt(5)))).toMap
+    dec.foreach { r =>
+      val (n, rate, mn, mx) = res(r.getLong(0))
+      assert(n == 8 && rate == 4000)
+      assert(mn >= r.getInt(4) && mx <= r.getInt(5))
+    }
+  }
+
+  test("real video frame sampling: kept frames ImageIO-decode, dropped frames skipped") {
+    val packed = Multimodal.packVideo(docs.limit(10), nFrames = 4)
+    val frames = Multimodal.sampleVideoFrames(packed, rate = 2).collect()
+    // 10 docs x frames {0, 2}
+    assert(frames.length == 20)
+    frames.foreach { r =>
+      assert(r.getInt(1) % 2 == 0)
+      assert(r.getInt(2) == 4 && r.getInt(3) == 4)
+      assert(r.getDouble(4) >= r.getInt(5) && r.getDouble(4) <= r.getInt(6))
+    }
+    // rate=1 decodes every frame; frame stats differ across frames of
+    // the same doc (per-frame digests) — the splitter really advances
+    val all = Multimodal.sampleVideoFrames(packed, rate = 1).collect()
+    assert(all.length == 40)
+    val perDoc = all.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.map(_.getDouble(4)).distinct.length > 1))
+  }
+
   test("language id is deterministic and scores are consistent") {
     val r = Text.languageId(docs).collect()
     assert(r.nonEmpty)
