@@ -720,6 +720,13 @@ object SparkEntry {
       // are re-derived end-to-end by the DuckDB oracle.
       "pq_codes" -> ((s, dir) =>
         PQ.codes(Similarity.loadEmbeddings(s, dir), m = 4, ksub = 8, iters = 2)),
+      // the 100-TB training path as an oracle-checked query: codebooks
+      // learned on the md5-ordered bounded sample (one corpus pass
+      // total), encode over the full corpus; the oracle re-derives the
+      // draw + per-subspace Lloyd + encode chain in DuckDB
+      "pq_codes_sampled" -> ((s, dir) =>
+        PQ.codesSampled(Similarity.loadEmbeddings(s, dir),
+          m = 4, ksub = 8, iters = 2, sampleMax = 64)),
       "ann_pq_adc" -> ((s, dir) =>
         PQ.adcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
           m = 4, ksub = 8, iters = 2)),
@@ -896,6 +903,12 @@ object SparkEntry {
         Clustering.kmeansAssign(Similarity.loadEmbeddings(s, dir))),
       "cluster_kmeans_sizes" -> ((s, dir) =>
         Clustering.kmeansSizes(Similarity.loadEmbeddings(s, dir))),
+      // sample-trained Lloyd, full-corpus assignment — the production
+      // composition at 100 TB, hash-checked against the DuckDB replay
+      // of the same md5-ordered draw
+      "cluster_kmeans_assign_sampled" -> ((s, dir) =>
+        Clustering.kmeansAssignSampled(Similarity.loadEmbeddings(s, dir),
+          k = 10, iters = 2, sampleMax = 64)),
       // SemDeDup over the DISTRIBUTED k-means quantizer (composition:
       // Lloyd training -> NearestCentroid restriction -> cosine verify)
       "dedup_semantic_kmeans" -> ((s, dir) => {
@@ -1949,6 +1962,8 @@ object SparkEntry {
            |WHERE doc_id < 300 AND doc_id NOT IN (SELECT j FROM pairs)""".stripMargin,
       "ann_topk" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "pq_codes" -> PQ.codesSql(m = 4, d = 16, ksub = 8, iters = 2),
+      "pq_codes_sampled" ->
+        PQ.codesSampledSql(m = 4, d = 16, ksub = 8, iters = 2, sampleMax = 64),
       "ann_pq_adc" -> PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
       "ann_ivfpq_topk" -> PQ.ivfAdcTopKSql(annQueryIds, 5,
         m = 4, d = 16, ksub = 8, iters = 2,
@@ -2053,6 +2068,8 @@ object SparkEntry {
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),
       "cluster_kmeans_sizes" -> Clustering.kmeansSizesSql(),
+      "cluster_kmeans_assign_sampled" ->
+        Clustering.kmeansAssignSampledSql(k = 10, iters = 2, sampleMax = 64),
       "dedup_semantic_kmeans" -> Clustering.semanticPairsKmeansSql(0.4),
       "ts_range_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

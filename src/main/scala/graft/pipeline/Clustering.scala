@@ -87,8 +87,13 @@ object Clustering {
    * `TakeOrdered` sample (map-side top-N, bounded at any corpus size —
    * the [[Similarity.trainCentroids]] pattern), so training is ONE
    * corpus pass regardless of `iters` and wall-time is flat in corpus
-   * size. Deterministic (hash order, then vec_id). Objective quality
-   * vs full-corpus training is guarded by SampledTrainingSpec.
+   * size. Deterministic (hash order, then vec_id) — the hash is
+   * md5-of-decimal-id, which BOTH engines compute identically, so the
+   * DuckDB oracle re-derives the exact draw ([[kmeansAssignSampledSql]]
+   * replays sample → init → Lloyd → full-corpus assignment; xxhash64
+   * would be Spark-only and leave this path spec-checked, r9 review).
+   * Objective quality vs full-corpus training is guarded by
+   * SampledTrainingSpec.
    */
   def kmeansCentroidsSampled(
       embs: DataFrame, k: Int = 10, iters: Int = 2,
@@ -96,7 +101,7 @@ object Clustering {
     require(sampleMax > 0)
     val sample = embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .sort(xxhash64(col("vec_id")), col("vec_id")).limit(sampleMax)
+      .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleMax)
       .localCheckpoint()
     var cents = initCentroids(sample, k)
     for (_ <- 0 until iters) cents = refine(sample, cents)
@@ -134,32 +139,46 @@ object Clustering {
     s"list_transform($l, x -> x / greatest(sqrt(list_sum(list_transform($l, y -> y*y))), 0.000000000001))"
 
   /** The shared CTE chain: e, c0, then (a_i, m_i, l_i, c_i) per
-    * iteration, ending with the final assignment CTE `asg`. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+    * iteration, ending with the final assignment CTE `asg`. With
+    * `sampleMax` set, init and every Lloyd refinement read the
+    * md5-ordered `smp` draw ([[kmeansCentroidsSampled]]'s exact
+    * sample) while the final `asg` still covers the full corpus. */
+  private def kmeansCtes(
+      k: Int, iters: Int, sampleMax: Option[Int] = None): String = {
+    val t = if (sampleMax.isDefined) "smp" else "e"
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), c0 AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, ${normSql("v")} AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)
          |)""".stripMargin)
-    def assignCte(name: String, cents: String): String =
+    sampleMax.foreach { n =>
+      sb.append(
+        s""", smp AS (
+           |  SELECT vec_id, v FROM e
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, ${normSql("v")} AS c
+         |  FROM (SELECT vec_id, v FROM $t ORDER BY vec_id LIMIT $k)
+         |)""".stripMargin)
+    def assignCte(name: String, cents: String, src: String): String =
       s""", $name AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_inner_product(e.v, c.c) DESC, c.cid ASC) AS rn
-         |    FROM e, $cents c) WHERE rn = 1
+         |    FROM $src e, $cents c) WHERE rn = 1
          |)""".stripMargin
     for (i <- 1 to iters) {
       val prev = if (i == 1) "c0" else s"c${i - 1}"
-      sb.append(assignCte(s"a$i", prev))
+      sb.append(assignCte(s"a$i", prev, t))
       sb.append(
         s""", m$i AS (
            |  SELECT cid, ord, avg(val) AS m FROM (
            |    SELECT a.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS ord
-           |    FROM a$i a JOIN e ON a.vec_id = e.vec_id) GROUP BY cid, ord
+           |    FROM a$i a JOIN $t e ON a.vec_id = e.vec_id) GROUP BY cid, ord
            |), l$i AS (
            |  SELECT cid, list(m ORDER BY ord) AS l FROM m$i GROUP BY cid
            |), c$i AS (
@@ -167,12 +186,20 @@ object Clustering {
            |  FROM $prev p LEFT JOIN l$i u ON p.cid = u.cid
            |)""".stripMargin)
     }
-    sb.append(assignCte("asg", s"c$iters"))
+    sb.append(assignCte("asg", s"c$iters", "e"))
     sb.toString
   }
 
   def kmeansAssignSql(k: Int = 10, iters: Int = 2): String =
     s"""${kmeansCtes(k, iters)}
+       |SELECT vec_id, CAST(cid AS INT) AS cid FROM asg""".stripMargin
+
+  /** Oracle for [[kmeansAssignSampled]]: the sampled Lloyd chain —
+    * md5-ordered draw, init + refinements on the sample, assignment
+    * over the full corpus — re-derived entirely in DuckDB. */
+  def kmeansAssignSampledSql(
+      k: Int = 10, iters: Int = 2, sampleMax: Int = 4096): String =
+    s"""${kmeansCtes(k, iters, Some(sampleMax))}
        |SELECT vec_id, CAST(cid AS INT) AS cid FROM asg""".stripMargin
 
   def kmeansSizesSql(k: Int = 10, iters: Int = 2): String =

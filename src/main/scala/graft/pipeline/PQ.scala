@@ -138,16 +138,20 @@ object PQ {
    * [[Similarity.trainCentroids]] pattern), materialized once, and the
    * `iters` Lloyd jobs scan only it: ONE corpus pass total instead of
    * `iters`, training wall-time flat in corpus size. Deterministic
-   * (hash order, then vec_id). Codebook quality vs full-corpus
-   * training is guarded by the recall-floor differential in
-   * SampledTrainingSpec.
+   * (hash order, then vec_id) — the hash is md5-of-decimal-id, which
+   * BOTH engines compute identically, so the DuckDB oracle re-derives
+   * the exact draw ([[codesSampledSql]] replays sample → per-subspace
+   * Lloyd → full-corpus encode; xxhash64 would be Spark-only and
+   * leave this path spec-checked, r9 review). Codebook quality vs
+   * full-corpus training is guarded by the recall-floor differential
+   * in SampledTrainingSpec.
    */
   def trainSampled(
       embs: DataFrame, m: Int, ksub: Int, iters: Int,
       sampleMax: Int = 4096): Codebooks = {
     require(sampleMax > 0)
     val sample = corpus(embs)
-      .sort(xxhash64(col("vec_id")), col("vec_id")).limit(sampleMax)
+      .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleMax)
       .localCheckpoint()
     trainOn(sample, m, ksub, iters)
   }
@@ -382,35 +386,46 @@ object PQ {
     s"(list_inner_product($v, $c) - list_inner_product($c, $c)/2)"
 
   /** CTE chain for subspace j: `s{j}_e` (sliced corpus), `s{j}_c0` …
-    * `s{j}_c{iters}` (codebooks), `s{j}_asg` (final codes). */
-  private def subspaceCtes(j: Int, d: Int, ksub: Int, iters: Int): String = {
+    * `s{j}_c{iters}` (codebooks), `s{j}_asg` (final codes). With
+    * `sampled` set, init and every Lloyd refinement read the sliced
+    * md5-ordered draw `s{j}_t` ([[trainSampled]]'s exact sample) while
+    * the final `s{j}_asg` still encodes the full corpus. */
+  private def subspaceCtes(j: Int, d: Int, ksub: Int, iters: Int,
+      sampled: Boolean = false): String = {
     val lo = j * d + 1
     val hi = j * d + d
     val p = s"s$j"
+    val t = if (sampled) s"${p}_t" else s"${p}_e"
     val sb = new StringBuilder
     sb.append(
       s""", ${p}_e AS (
          |  SELECT vec_id, v[$lo:$hi] AS v FROM e
-         |), ${p}_c0 AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
-         |  FROM (SELECT vec_id, v FROM ${p}_e ORDER BY vec_id LIMIT $ksub)
          |)""".stripMargin)
-    def assign(name: String, cents: String): String =
+    if (sampled) sb.append(
+      s""", ${p}_t AS (
+         |  SELECT vec_id, v[$lo:$hi] AS v FROM smp
+         |)""".stripMargin)
+    sb.append(
+      s""", ${p}_c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM $t ORDER BY vec_id LIMIT $ksub)
+         |)""".stripMargin)
+    def assign(name: String, cents: String, src: String): String =
       s""", $name AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${scoreSql("e.v", "c.c")} DESC, c.cid ASC) AS rn
-         |    FROM ${p}_e e, $cents c) WHERE rn = 1
+         |    FROM $src e, $cents c) WHERE rn = 1
          |)""".stripMargin
     for (i <- 1 to iters) {
       val prev = if (i == 1) s"${p}_c0" else s"${p}_c${i - 1}"
-      sb.append(assign(s"${p}_a$i", prev))
+      sb.append(assign(s"${p}_a$i", prev, t))
       sb.append(
         s""", ${p}_m$i AS (
            |  SELECT cid, ord, avg(val) AS m FROM (
            |    SELECT a.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS ord
-           |    FROM ${p}_a$i a JOIN ${p}_e e ON a.vec_id = e.vec_id) GROUP BY cid, ord
+           |    FROM ${p}_a$i a JOIN $t e ON a.vec_id = e.vec_id) GROUP BY cid, ord
            |), ${p}_l$i AS (
            |  SELECT cid, list(m ORDER BY ord) AS l FROM ${p}_m$i GROUP BY cid
            |), ${p}_c$i AS (
@@ -418,7 +433,7 @@ object PQ {
            |  FROM $prev prev LEFT JOIN ${p}_l$i u ON prev.cid = u.cid
            |)""".stripMargin)
     }
-    sb.append(assign(s"${p}_asg", s"${p}_c$iters"))
+    sb.append(assign(s"${p}_asg", s"${p}_c$iters", s"${p}_e"))
     sb.toString
   }
 
@@ -429,13 +444,21 @@ object PQ {
 
   private def pqCtes(
       m: Int, d: Int, ksub: Int, iters: Int,
-      corpusSql: String): String = {
+      corpusSql: String, sampleMax: Option[Int] = None): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (
          |  $corpusSql
          |)""".stripMargin)
-    for (j <- 0 until m) sb.append(subspaceCtes(j, d, ksub, iters))
+    sampleMax.foreach { n =>
+      sb.append(
+        s""", smp AS (
+           |  SELECT vec_id, v FROM e
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n
+           |)""".stripMargin)
+    }
+    for (j <- 0 until m)
+      sb.append(subspaceCtes(j, d, ksub, iters, sampled = sampleMax.isDefined))
     val joins = (1 until m)
       .map(j => s"JOIN s${j}_asg s$j ON s$j.vec_id = s0.vec_id").mkString("\n  ")
     val codeCols = (0 until m).map(j => s"CAST(s$j.cid AS INT) AS c$j").mkString(", ")
@@ -451,6 +474,14 @@ object PQ {
   def codesSql(m: Int, d: Int, ksub: Int, iters: Int,
       corpusSql: String = DefaultCorpusSql): String =
     s"""${pqCtes(m, d, ksub, iters, corpusSql)}
+       |SELECT * FROM codes""".stripMargin
+
+  /** Oracle for [[codesSampled]]: the sampled training chain —
+    * md5-ordered draw, per-subspace Lloyd on the sample, encode over
+    * the full corpus — re-derived entirely in DuckDB. */
+  def codesSampledSql(m: Int, d: Int, ksub: Int, iters: Int,
+      sampleMax: Int, corpusSql: String = DefaultCorpusSql): String =
+    s"""${pqCtes(m, d, ksub, iters, corpusSql, Some(sampleMax))}
        |SELECT * FROM codes""".stripMargin
 
   /** Per-subspace distance-table CTEs: ‖q_j − c‖² via elementwise
