@@ -78,10 +78,33 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("multimodal extraction runs shuffle-free") {
-    for (q <- Seq("mm_features", "mm_resize", "mm_frame_sample")) {
+    for (q <- Seq("mm_features", "mm_resize", "mm_frame_sample",
+        "mm_decode_real", "mm_resize_real", "mm_audio_decode_real",
+        "mm_audio_resample_real", "mm_video_frames_real")) {
       val df = SparkEntry.queries(q)(spark, dir)
       assert(shuffles(df).isEmpty, s"$q should have no shuffle")
     }
+  }
+
+  test("sampled training: the draw is a map-side TakeOrdered, not a global sort") {
+    // the 100-TB contract of trainSampled/kmeansCentroidsSampled: the
+    // md5-ordered sample compiles to TakeOrderedAndProject (per-partition
+    // top-N + driver merge — bounded memory at any corpus size), never a
+    // sort-the-world Exchange
+    val embs = graft.pipeline.Similarity.loadEmbeddings(spark, dir)
+    val draw = embs
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+      .sort(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("vec_id").cast("string")),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(64)
+    val plan = physical(draw)
+    val hasTakeOrdered = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty
+    assert(hasTakeOrdered, s"expected TakeOrderedAndProject, got:\n$plan")
+    assert(shuffles(draw).isEmpty, "the draw must not shuffle full rows")
   }
 
   test("text analysis queries are single-pass map-side pipelines") {
