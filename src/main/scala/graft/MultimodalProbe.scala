@@ -38,8 +38,14 @@ object MultimodalProbe {
 
     val docs = Text.loadDocuments(spark, dir)
     val nDocs = docs.count()
-    // warm-up: session/codegen costs land here, not in the first row
-    run(Multimodal.decodeImages(Multimodal.packImages(docs.limit(100))))
+    // warm-up EVERY modality: session/codegen costs AND each codec
+    // family's first-use initialization (ImageIO plugin scan,
+    // javax.sound provider lookup) land here, not in whichever
+    // measurement runs that path first (r10 review)
+    val w = docs.limit(100)
+    run(Multimodal.decodeImages(Multimodal.packImages(w)))
+    run(Multimodal.decodeAudio(Multimodal.packAudio(w)))
+    run(Multimodal.sampleVideoFrames(Multimodal.packVideo(w, 4), 2))
 
     val (nImg, tImg) = timed {
       run(Multimodal.decodeImages(Multimodal.packImages(docs)))

@@ -203,9 +203,13 @@ object ScaleProbe {
 
     // 6b. bounded-sample vs full-corpus training (r9 #2): full Lloyd
     //     rescans the corpus `iters` times, so its wall time grows
-    //     linearly in N; the sampled variants draw one hash-ordered
-    //     TakeOrdered sample and train on that — their time must stay
-    //     FLAT as reps grows. Same k/m/iters as the bench queries.
+    //     ~(iters × N); the sampled variants pay exactly ONE corpus
+    //     pass (the hash-ordered TakeOrdered draw — linear with a
+    //     small constant, the irreducible look-at-the-data cost) plus
+    //     sample-bounded refinement, so their time must grow strictly
+    //     slower than full training as reps grows (r10 review: the
+    //     draw scan means "flat" was never the honest contract).
+    //     Same k/m/iters as the bench queries.
     val (_, tPqTrainFull) = timed { PQ.train(embWork, m = 4, ksub = 8, iters = 2) }
     val (_, tPqTrainSampled) = timed {
       PQ.trainSampled(embWork, m = 4, ksub = 8, iters = 2, sampleMax = 512)

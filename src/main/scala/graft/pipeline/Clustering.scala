@@ -86,23 +86,23 @@ object Clustering {
    * doubles); here the `iters` refinements run on a hash-ordered
    * `TakeOrdered` sample (map-side top-N, bounded at any corpus size —
    * the [[Similarity.trainCentroids]] pattern), so training is ONE
-   * corpus pass regardless of `iters` and wall-time is flat in corpus
-   * size. Deterministic (hash order, then vec_id) — the hash is
-   * md5-of-decimal-id, which BOTH engines compute identically, so the
-   * DuckDB oracle re-derives the exact draw ([[kmeansAssignSampledSql]]
-   * replays sample → init → Lloyd → full-corpus assignment; xxhash64
-   * would be Spark-only and leave this path spec-checked, r9 review).
-   * Objective quality vs full-corpus training is guarded by
-   * SampledTrainingSpec.
+   * corpus pass regardless of `iters` (the draw pass is the
+   * irreducible look-at-the-data cost; the Lloyd refinements are
+   * bounded by `sampleMax`). Deterministic — the draw is
+   * [[Sampling.hashOrderedSample]] (md5-of-decimal-id, which BOTH
+   * engines compute identically), so the DuckDB oracle re-derives it
+   * exactly ([[kmeansAssignSampledSql]] replays sample → init → Lloyd
+   * → full-corpus assignment; xxhash64 would be Spark-only and leave
+   * this path spec-checked, r9 review). Objective quality vs
+   * full-corpus training is guarded by SampledTrainingSpec.
    */
   def kmeansCentroidsSampled(
       embs: DataFrame, k: Int = 10, iters: Int = 2,
       sampleMax: Int = 4096): Array[Array[Double]] = {
-    require(sampleMax > 0)
-    val sample = embs
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleMax)
-      .localCheckpoint()
+    // LocalRelation, not localCheckpoint — see PQ.trainSampled
+    val sample = Sampling.hashOrderedSampleLocal(
+      embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      sampleMax)
     var cents = initCentroids(sample, k)
     for (_ <- 0 until iters) cents = refine(sample, cents)
     cents

@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a temp
+  // FILE in java.io.tmpdir — per-row create/delete I/O that dominates
+  // the actual decode of small images and breaks under a read-only
+  // tmpdir (r10 review). The object initializer runs once per JVM
+  // (driver AND each executor, since the mapPartitions closures call
+  // into this object), so every codec path below uses pure in-memory
+  // streams.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Pack text fixtures into the canonical media schema
     * `(media_id, media BINARY, meta STRUCT<format, n_bytes>)`. */
   def pack(docs: DataFrame): DataFrame =

@@ -137,10 +137,11 @@ object PQ {
    * map-side top-N, bounded memory at any corpus size, the
    * [[Similarity.trainCentroids]] pattern), materialized once, and the
    * `iters` Lloyd jobs scan only it: ONE corpus pass total instead of
-   * `iters`, training wall-time flat in corpus size. Deterministic
-   * (hash order, then vec_id) — the hash is md5-of-decimal-id, which
-   * BOTH engines compute identically, so the DuckDB oracle re-derives
-   * the exact draw ([[codesSampledSql]] replays sample → per-subspace
+   * `iters` (the draw pass is the irreducible look-at-the-data cost;
+   * everything after is bounded by `sampleMax`). Deterministic — the
+   * draw is [[Sampling.hashOrderedSample]] (md5-of-decimal-id, which
+   * BOTH engines compute identically), so the DuckDB oracle re-derives
+   * it exactly ([[codesSampledSql]] replays sample → per-subspace
    * Lloyd → full-corpus encode; xxhash64 would be Spark-only and
    * leave this path spec-checked, r9 review). Codebook quality vs
    * full-corpus training is guarded by the recall-floor differential
@@ -149,10 +150,12 @@ object PQ {
   def trainSampled(
       embs: DataFrame, m: Int, ksub: Int, iters: Int,
       sampleMax: Int = 4096): Codebooks = {
-    require(sampleMax > 0)
-    val sample = corpus(embs)
-      .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(sampleMax)
-      .localCheckpoint()
+    // LocalRelation, not localCheckpoint: the sibling train() unpersists
+    // its cached corpus in a finally, and a checkpointed sample would
+    // stay pinned in executor storage for the JVM's lifetime (r10
+    // review); the rows are bounded by sampleMax, so they live once on
+    // the driver instead
+    val sample = Sampling.hashOrderedSampleLocal(corpus(embs), sampleMax)
     trainOn(sample, m, ksub, iters)
   }
 

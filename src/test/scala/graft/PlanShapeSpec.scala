@@ -92,13 +92,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // top-N + driver merge — bounded memory at any corpus size), never a
     // sort-the-world Exchange
     val embs = graft.pipeline.Similarity.loadEmbeddings(spark, dir)
-    val draw = embs
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
-      .sort(org.apache.spark.sql.functions.md5(
-          org.apache.spark.sql.functions.col("vec_id").cast("string")),
-        org.apache.spark.sql.functions.col("vec_id"))
-      .limit(64)
+    // the PRODUCTION draw plan (not a hand-copy): trainers and this
+    // guard share Sampling.hashOrderedSample, so a change there is
+    // what gets shape-checked here
+    val draw = graft.pipeline.Sampling.hashOrderedSample(
+      embs.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v")),
+      64)
     val plan = physical(draw)
     val hasTakeOrdered = plan.collect {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
