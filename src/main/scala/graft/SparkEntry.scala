@@ -622,6 +622,30 @@ object SparkEntry {
       "pipeline_mix_temperature" -> ((s, dir) =>
         graft.pipeline.CorpusPipeline.mixByTemperature(
           Text.loadDocuments(s, dir), target = 300L)),
+      // document chunking: fixed 16-token windows, 4-token overlap —
+      // the sliding-splitter contract, zero-shuffle scan→explode plan
+      "pipeline_chunk_documents" -> ((s, dir) =>
+        graft.pipeline.Chunking.chunk(
+          Text.loadDocuments(s, dir), chunkTokens = 16, overlapTokens = 4)),
+      // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+      // log-likelihood ratio vs the English subset as target, keep the
+      // top 30% by weight (exact-percentile cut, round-9 tie collapse)
+      "pipeline_dsir_select" -> ((s, dir) =>
+        graft.pipeline.Dsir.select(
+          Text.loadDocuments(s, dir), targetPred = col("lang") === "en",
+          nBuckets = 64, keepFrac = 0.3)),
+      // linear quality classifier (fastText/CCNet-gate shape): 3
+      // deterministic full-batch GD steps of logistic regression on
+      // hashed unigram features; the oracle REPLAYS the optimization
+      // as unrolled CTEs and must land on the same weights / kept set
+      "pipeline_classifier_weights" -> ((s, dir) =>
+        graft.pipeline.QualityClassifier.train(
+          Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
+          nBuckets = 32, iters = 5, lr = 4.0)),
+      "pipeline_classifier_filter" -> ((s, dir) =>
+        graft.pipeline.QualityClassifier.scoreFilter(
+          Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
+          nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3)),
       // cluster-canonical dedup: connected components over the near-dup
       // pair graph (min reachable id), vs a transitive-closure oracle
       "dedup_cc_canonical" -> ((s, dir) => {
@@ -1233,6 +1257,25 @@ object SparkEntry {
             bucketMs = 365 * DAY))),
 
       // ---- round-10 analytics extensions (beyond-reference) ----
+      // Holt double-exponential smoothing: per-series sequential fold
+      // (one shuffle by series), recursive-CTE oracle, bit-identical
+      "ts_range_holt" -> ((s, dir) =>
+        Smoothing.holt(monthSamples(s, dir), sf = 0.4, tf = 0.3,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // PromQL topk/bottomk: per-bucket cross-series ranking — the
+      // WindowGroupLimit partial-top-k shape, shuffle O(buckets×k)
+      "ts_topk_series" -> ((s, dir) =>
+        TopK.topkSeries(monthSamples(s, dir), k = 5, agg = "avg",
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+      "ts_bottomk_series" -> ((s, dir) =>
+        TopK.topkSeries(monthSamples(s, dir), k = 3, agg = "sum",
+          bucketMs = 2 * DAY, bottom = true,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // SAX symbolization: PAA + per-series z-norm + 4-letter word —
+      // everything after the PAA agg bounded by series×buckets
+      "ts_sax_words" -> ((s, dir) =>
+        Sax.saxWords(monthSamples(s, dir), bucketMs = 2 * DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
       // robust MAD outliers: modified z-score, median-based — two
       // exact-percentile windows on ONE shuffle by series
       "ts_range_mad" -> ((s, dir) =>
@@ -2046,6 +2089,16 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.packSequencesSql(budgetTokens = 2048L, nShards = 8),
       "pipeline_mix_temperature" ->
         graft.pipeline.CorpusPipeline.mixByTemperatureSql(target = 300L),
+      "pipeline_chunk_documents" ->
+        graft.pipeline.Chunking.chunkSql(chunkTokens = 16, overlapTokens = 4),
+      "pipeline_dsir_select" ->
+        graft.pipeline.Dsir.selectSql("lang = 'en'", nBuckets = 64, keepFrac = 0.3),
+      "pipeline_classifier_weights" ->
+        graft.pipeline.QualityClassifier.trainSql("lang = 'en'",
+          nBuckets = 32, iters = 5, lr = 4.0),
+      "pipeline_classifier_filter" ->
+        graft.pipeline.QualityClassifier.scoreFilterSql("lang = 'en'",
+          nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_redact" -> Text.redactSql,
@@ -2093,6 +2146,15 @@ object SparkEntry {
       "ts_sql_tvf_corr" -> AsOf.pearsonSql("click_3", "view_3",
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_delta_rate" -> Rates.deltaRateSql(bucketMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_holt" -> Smoothing.holtSql(sf = 0.4, tf = 0.3,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_topk_series" -> TopK.topkSeriesSql(k = 5, agg = "avg",
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_bottomk_series" -> TopK.topkSeriesSql(k = 3, agg = "sum",
+        bucketMs = 2 * DAY, bottom = true,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sax_words" -> Sax.saxWordsSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_mad" -> Anomaly.madSql(2.5,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -81,4 +81,102 @@ object Smoothing {
        |  ON a.series = b.series AND b.rn <= a.rn AND b.rn > a.rn - $span
        |GROUP BY a.series, a.ts, a.value""".stripMargin
   }
+
+  /**
+   * Holt double-exponential smoothing (the PromQL `holt_winters`
+   * trend-aware variant): per series, in (ts, value) order,
+   *
+   *   s_1 = v_1,  b_1 = v_2 - v_1   (b_1 = 0 for a 1-sample series)
+   *   s_i = sf·v_i + (1-sf)·(s_{i-1} + b_{i-1})
+   *   b_i = tf·(s_i - s_{i-1}) + (1-tf)·b_{i-1}
+   *
+   * Unlike [[ewma]]'s weight sum this recurrence has no truncated
+   * window form (the trend term couples every prefix), so the
+   * SCALE-CORRECT expression is a per-series sequential fold:
+   * `array_sort(collect_list(...))` + ONE `aggregate` over the sorted
+   * array — a single shuffle by series, with the declared contract
+   * that one series' in-range samples fit an executor (the same
+   * contract as the exact-percentile windows; longer histories
+   * downsample first — compaction rules exist for exactly that).
+   * The fold's arithmetic is a fixed sequential order, so results are
+   * bit-identical across engines — the DuckDB oracle replays the
+   * recurrence with a recursive CTE and hash-matches without
+   * tolerance games (round-9 is applied on both sides only to keep
+   * the compare canonical).
+   */
+  def holt(
+      samples: DataFrame, sf: Double, tf: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(sf > 0 && sf < 1, s"sf $sf outside (0, 1)")
+    require(tf > 0 && tf < 1, s"tf $tf outside (0, 1)")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val folded = expr(
+      s"""aggregate(
+         |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+         |  named_struct(
+         |    'level', CAST(arr[0].value AS DOUBLE),
+         |    'trend', CAST(IF(size(arr) > 1,
+         |        arr[1].value - arr[0].value, 0.0D) AS DOUBLE),
+         |    'out', array(named_struct(
+         |      'ts', arr[0].ts,
+         |      'level', CAST(arr[0].value AS DOUBLE),
+         |      'trend', CAST(IF(size(arr) > 1,
+         |        arr[1].value - arr[0].value, 0.0D) AS DOUBLE)))),
+         |  (acc, x) -> named_struct(
+         |    'level', $sf * x.value + ${1 - sf} * (acc.level + acc.trend),
+         |    'trend', $tf * (($sf * x.value + ${1 - sf} * (acc.level + acc.trend))
+         |               - acc.level) + ${1 - tf} * acc.trend,
+         |    'out', acc.out || array(named_struct(
+         |      'ts', x.ts,
+         |      'level', $sf * x.value + ${1 - sf} * (acc.level + acc.trend),
+         |      'trend', $tf * (($sf * x.value + ${1 - sf} * (acc.level + acc.trend))
+         |                 - acc.level) + ${1 - tf} * acc.trend))),
+         |  acc -> acc.out)""".stripMargin)
+    s.groupBy(col("series"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("arr"))
+      .select(col("series"), explode(folded).as("h"))
+      .select(col("series"), col("h.ts").as("ts"),
+        round(col("h.level"), 9).as("hw_level"),
+        round(col("h.trend"), 9).as("hw_trend"))
+  }
+
+  /** Oracle twin: the recurrence as a recursive CTE over per-series
+    * row numbers — step-for-step the same arithmetic. */
+  def holtSql(
+      sf: Double, tf: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    // WITH RECURSIVE must lead the statement; samplesCte is itself a
+    // WITH, so splice RECURSIVE into its head.
+    val rec = cte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$rec, f AS (
+       |  SELECT * FROM samples $where
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |    row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM f
+       |), hw AS (
+       |  SELECT o1.series, o1.ts, o1.rn,
+       |    CAST(o1.value AS DOUBLE) AS level,
+       |    CAST(coalesce(o2.value - o1.value, 0.0) AS DOUBLE) AS trend
+       |  FROM ord o1 LEFT JOIN ord o2
+       |    ON o2.series = o1.series AND o2.rn = 2
+       |  WHERE o1.rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.ts, o.rn,
+       |    $sf * o.value + ${1 - sf} * (h.level + h.trend),
+       |    $tf * (($sf * o.value + ${1 - sf} * (h.level + h.trend)) - h.level)
+       |      + ${1 - tf} * h.trend
+       |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
+       |)
+       |SELECT series, ts, round(level, 9) AS hw_level,
+       |  round(trend, 9) AS hw_trend
+       |FROM hw""".stripMargin
+  }
 }
