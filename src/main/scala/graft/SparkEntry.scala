@@ -1026,6 +1026,24 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_zscore($T0, $T31, 2.3)")
       }),
+      "ts_sql_tvf_holt" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_holt($T0, $T31, 0.5, 0.2)")
+      }),
+      "ts_sql_tvf_topk" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_topk($T0, $T31, 4, 'max', ${2 * DAY})")
+      }),
+      "ts_sql_tvf_sax" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
+      }),
       "ts_sql_tvf_histogram" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2172,6 +2190,12 @@ object SparkEntry {
       "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_winsorize" -> Rolling.winsorizeSql(0.1, 0.9,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_holt" -> Smoothing.holtSql(sf = 0.5, tf = 0.2,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_topk" -> TopK.topkSeriesSql(k = 4, agg = "max",
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_sax" -> Sax.saxWordsSql(bucketMs = 3 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_zscore" -> Anomaly.zscoreSql(2.3,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -526,6 +526,42 @@ object GraftFunctions {
         literalLong("ts_acf", args(2), "max_lag").toInt,
         Some(literalLong("ts_acf", args(0), "from")),
         Some(literalLong("ts_acf", args(1), "to"))))
+    }),
+    // ts_holt(from, to, sf, tf) — Holt double-exponential smoothing
+    (FunctionIdentifier("ts_holt"), info("ts_holt"), { args: Seq[Expression] =>
+      nargs("ts_holt", Seq(4), args)
+      val spark = activeSession("ts_holt")
+      GraftSessionBridge.logicalPlan(graft.ts.Smoothing.holt(
+        spark.table(SamplesView),
+        literalDouble("ts_holt", args(2), "sf"),
+        literalDouble("ts_holt", args(3), "tf"),
+        Some(literalLong("ts_holt", args(0), "from")),
+        Some(literalLong("ts_holt", args(1), "to"))))
+    }),
+    // ts_topk(from, to, k, 'agg', bucket_ms[, 'bottom']) — per-bucket
+    // cross-series top-k (bottom-k with the 6th flag argument)
+    (FunctionIdentifier("ts_topk"), info("ts_topk"), { args: Seq[Expression] =>
+      nargs("ts_topk", Seq(5, 6), args)
+      val spark = activeSession("ts_topk")
+      GraftSessionBridge.logicalPlan(graft.ts.TopK.topkSeries(
+        spark.table(SamplesView),
+        literalLong("ts_topk", args(2), "k").toInt,
+        literalString("ts_topk", args(3), "agg"),
+        literalLong("ts_topk", args(4), "bucket_ms"),
+        bottom = args.length > 5 &&
+          literalString("ts_topk", args(5), "direction") == "bottom",
+        fromMs = Some(literalLong("ts_topk", args(0), "from")),
+        toMs = Some(literalLong("ts_topk", args(1), "to"))))
+    }),
+    // ts_sax(from, to, bucket_ms) — SAX word per series
+    (FunctionIdentifier("ts_sax"), info("ts_sax"), { args: Seq[Expression] =>
+      nargs("ts_sax", Seq(3), args)
+      val spark = activeSession("ts_sax")
+      GraftSessionBridge.logicalPlan(graft.ts.Sax.saxWords(
+        spark.table(SamplesView),
+        literalLong("ts_sax", args(2), "bucket_ms"),
+        fromMs = Some(literalLong("ts_sax", args(0), "from")),
+        toMs = Some(literalLong("ts_sax", args(1), "to"))))
     })
   )
 

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
  * map side BEFORE the rank exchange. Shuffle volume is therefore
  * O(buckets × k × partitions) worst-case, independent of series
  * cardinality — the scale-correct shape for "top 10 of 10 million
- * series". Ties: `rank` (not row_number) with a deterministic
- * (value, series) order — a tie ON the k boundary admits the whole
- * tie class in any engine, same contract as every percentile cut.
+ * series". Ties: `rank` over the aggregate value ALONE (round-9
+ * collapsed, so float-sum association noise can't split a tie across
+ * engines) — a tie ON the k boundary admits the whole tie class in
+ * any engine, the same contract as every percentile cut.
  */
 object TopK {
 
@@ -45,9 +46,8 @@ object TopK {
     val perSeries = s.groupBy(col("series"),
         TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
       .agg(round(aggCol, 9).as("agg_value"))
-    val ord = if (bottom) Seq(col("agg_value").asc, col("series").asc)
-              else Seq(col("agg_value").desc, col("series").asc)
-    val w = Window.partitionBy(col("bucket")).orderBy(ord: _*)
+    val ord = if (bottom) col("agg_value").asc else col("agg_value").desc
+    val w = Window.partitionBy(col("bucket")).orderBy(ord)
     perSeries.withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= k)
       .select(col("bucket"), col("series"), col("agg_value"), col("rnk"))
@@ -77,8 +77,7 @@ object TopK {
        |  FROM f GROUP BY series, $bkt
        |), ranked AS (
        |  SELECT bucket, series, agg_value,
-       |    rank() OVER (PARTITION BY bucket ORDER BY agg_value $dir, series ASC)
-       |      AS rnk
+       |    rank() OVER (PARTITION BY bucket ORDER BY agg_value $dir) AS rnk
        |  FROM per_series
        |)
        |SELECT bucket, series, agg_value, rnk FROM ranked WHERE rnk <= $k"""

@@ -177,6 +177,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql(s"SELECT * FROM ts_winsorize($T0, $T31, 0.1, 0.9)")) ==
       sorted(graft.ts.Rolling.winsorize(samples, 0.1, 0.9, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_holt($T0, $T31, 0.5, 0.2)")) ==
+      sorted(graft.ts.Smoothing.holt(samples, 0.5, 0.2, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_topk($T0, $T31, 3, 'avg', $DAY)")) ==
+      sorted(graft.ts.TopK.topkSeries(samples, 3, "avg", DAY,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_topk($T0, $T31, 3, 'avg', $DAY, 'bottom')")) ==
+      sorted(graft.ts.TopK.topkSeries(samples, 3, "avg", DAY, bottom = true,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_sax($T0, $T31, ${2 * DAY})")) ==
+      sorted(graft.ts.Sax.saxWords(samples, 2 * DAY, fromMs = Some(T0),
+        toMs = Some(T31))))
     // non-literal threshold is a loud error, not a silent default
     intercept[Exception](
       spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())

@@ -245,4 +245,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = physical(df).collect { case f: FileSourceScanExec => f }
     assert(scans.size == 1)
   }
+
+  test("chunking is a shuffle-free scan -> project -> generate") {
+    val df = SparkEntry.queries("pipeline_chunk_documents")(spark, dir)
+    assert(shuffles(df).isEmpty, "chunking must not shuffle")
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1)
+    // only doc_id and text leave the scan
+    assert(scans.head.metadata("ReadSchema").contains("doc_id"))
+    assert(!scans.head.metadata("ReadSchema").contains("lang"))
+  }
+
+  test("topk: rank<=k compiles to a WindowGroupLimit partial top-k") {
+    val df = SparkEntry.queries("ts_topk_series")(spark, dir)
+    val limits = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // Partial (map-side, before the bucket exchange) + Final — the
+    // shuffle carries at most k rows per bucket per input partition
+    assert(limits.size == 2, s"expected partial+final WindowGroupLimit, " +
+      s"got ${limits.size}")
+  }
+
+  test("holt: one shuffle by series, time bounds reach the scan") {
+    val df = SparkEntry.queries("ts_range_holt")(spark, dir)
+    assert(shuffles(df).size == 1, "holt is one collect_list agg by series")
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.map(_.metadata("PushedFilters")).mkString
+      .contains("GreaterThanOrEqual(ts,"))
+  }
 }

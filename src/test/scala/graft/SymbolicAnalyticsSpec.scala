@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{Sax, Smoothing, TopK}
+
+/** Round-10 TS additions: Holt double-exponential smoothing, PromQL
+  * topk/bottomk, SAX symbolization — hand-computed recurrences and
+  * planted-shape checks (cross-engine parity lives in the
+  * ts_range_holt / ts_topk_series / ts_bottomk_series / ts_sax_words
+  * oracle entries). */
+class SymbolicAnalyticsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("holt: hand-computed recurrence") {
+    val d = Seq(("k", 1000L, 10.0), ("k", 2000L, 12.0),
+      ("k", 3000L, 11.0), ("k", 4000L, 15.0)).toDF("series", "ts", "value")
+    val out = Smoothing.holt(d, sf = 0.5, tf = 0.5)
+      .orderBy("ts").as[(String, Long, Double, Double)].collect().toSeq
+    // s1=10, b1=2; s2=.5*12+.5*12=12, b2=.5*2+.5*2=2
+    // s3=.5*11+.5*14=12.5, b3=.5*.5+.5*2=1.25
+    // s4=.5*15+.5*13.75=14.375, b4=.5*1.875+.5*1.25=1.5625
+    assert(out == Seq(
+      ("k", 1000L, 10.0, 2.0), ("k", 2000L, 12.0, 2.0),
+      ("k", 3000L, 12.5, 1.25), ("k", 4000L, 14.375, 1.5625)))
+  }
+
+  test("holt: single-sample series gets trend 0; NaN samples drop") {
+    val d = Seq(("a", 1000L, 7.0), ("a", 2000L, Double.NaN),
+      ("b", 1000L, 3.0)).toDF("series", "ts", "value")
+    val out = Smoothing.holt(d, sf = 0.3, tf = 0.3)
+      .orderBy("series").as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 1000L, 7.0, 0.0), ("b", 1000L, 3.0, 0.0)))
+  }
+
+  test("topk: rank admits the whole tie class at the k boundary") {
+    val d = Seq(
+      ("s1", 0L, 9.0), ("s2", 0L, 5.0), ("s3", 0L, 5.0), ("s4", 0L, 1.0))
+      .toDF("series", "ts", "value")
+    val top = TopK.topkSeries(d, k = 2, agg = "avg", bucketMs = 1000L)
+      .orderBy("rnk", "series").as[(Long, String, Double, Int)].collect().toSeq
+    // s2 and s3 tie at rank 2 -> both kept
+    assert(top == Seq((0L, "s1", 9.0, 1), (0L, "s2", 5.0, 2), (0L, "s3", 5.0, 2)))
+    val bottom = TopK.topkSeries(d, k = 1, agg = "avg", bucketMs = 1000L,
+      bottom = true).as[(Long, String, Double, Int)].collect().toSeq
+    assert(bottom == Seq((0L, "s4", 1.0, 1)))
+  }
+
+  test("topk: per-bucket independence and aggregator selection") {
+    val d = Seq(
+      ("s1", 0L, 1.0), ("s1", 10L, 1.0),    // bucket 0: s1 count 2
+      ("s2", 20L, 5.0),                      // bucket 0: s2 count 1
+      ("s1", 1000L, 1.0), ("s2", 1000L, 2.0), ("s2", 1500L, 2.0))
+      .toDF("series", "ts", "value")
+    val out = TopK.topkSeries(d, k = 1, agg = "count", bucketMs = 1000L)
+      .orderBy("bucket").as[(Long, String, Double, Int)].collect().toSeq
+    assert(out == Seq((0L, "s1", 2.0, 1), (1000L, "s2", 2.0, 1)))
+  }
+
+  test("sax: ramp maps to sorted alphabet, constant series to all-c") {
+    val ramp = (0 until 8).map(i => ("r", i * 1000L, i.toDouble))
+    val const = (0 until 4).map(i => ("c", i * 1000L, 5.0))
+    val d = (ramp ++ const).toDF("series", "ts", "value")
+    val out = Sax.saxWords(d, bucketMs = 2000L)
+      .orderBy("series").as[(String, Long, String)].collect().toSeq
+    // ramp PAA = [0.5, 2.5, 4.5, 6.5], z = [-1.34, -0.45, 0.45, 1.34]
+    assert(out == Seq(("c", 2L, "cc"), ("r", 4L, "abcd")))
+  }
+
+  test("sax: word order follows bucket time, not value") {
+    // descending ramp must give the reversed word
+    val d = (0 until 8).map(i => ("r", i * 1000L, (7 - i).toDouble))
+      .toDF("series", "ts", "value")
+    val out = Sax.saxWords(d, bucketMs = 2000L)
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("r", 4L, "dcba")))
+  }
+}
