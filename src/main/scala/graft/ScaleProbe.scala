@@ -244,6 +244,40 @@ object ScaleProbe {
         groupByLabel = "type", reducer = "sum").count()
     }
 
+    // 8. round-10 data-selection operators over the N× docs corpus —
+    //    all bounded-model shapes: classifier = iters passes over a
+    //    persisted feature frame with nBuckets+1-row gradient aggs
+    //    (~linear in N, job-count fixed); DSIR = two corpus passes +
+    //    an nBuckets-row broadcast (~linear); chunking = one
+    //    zero-shuffle generate pass (~linear, I/O-bound).
+    val probeDocs = Text.loadDocuments(spark, work)
+    val (nClf, tClf) = timed {
+      graft.pipeline.QualityClassifier.scoreFilter(probeDocs,
+        col("lang") === "en", nBuckets = 32, iters = 5, lr = 4.0,
+        keepFrac = 0.3).count()
+    }
+    val (nDsirRows, tDsir) = timed {
+      graft.pipeline.Dsir.select(probeDocs, col("lang") === "en",
+        nBuckets = 64, keepFrac = 0.3).count()
+    }
+    val (nChunks, tChunk) = timed {
+      graft.pipeline.Chunking.chunk(probeDocs, 16, 4).count()
+    }
+    // 8b. holt over N× series (shifted-user replicas): one shuffle by
+    //     series, per-series fold cost fixed (same history depth)
+    val (nHolt, tHolt) = timed {
+      graft.ts.Smoothing.holt(TSModel.samples(spark, work), 0.4, 0.3,
+        Some(T0), Some(T31)).count()
+    }
+    // 8c. topk across N× series: the WindowGroupLimit shape — shuffle
+    //     volume bounded by buckets×k×partitions, so wall time must
+    //     grow sub-linearly in series count
+    val (nTopk, tTopk) = timed {
+      graft.ts.TopK.topkSeries(TSModel.samples(spark, work), k = 5,
+        agg = "avg", bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))
+        .count()
+    }
+
     // Locale.ROOT: the f interpolator renders decimal commas under
     // comma-decimal locales, producing invalid JSON
     def s2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -266,7 +300,12 @@ object ScaleProbe {
       s""""kmeans_full_sec":${s2(tKmFull)},"kmeans_sampled_sec":${s2(tKmSampled)},""" +
       s""""stream_dedup_rocksdb_sec":${s2(tSDedup)},"stream_dedup_rows":$nSDedup,""" +
       s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes,""" +
-      s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows}""")
+      s""""mrange_groupby_sec":${s2(tGroupby)},"groupby_rows":$nRows,""" +
+      s""""classifier_sec":${s2(tClf)},"classifier_kept":$nClf,""" +
+      s""""dsir_sec":${s2(tDsir)},"dsir_kept":$nDsirRows,""" +
+      s""""chunk_sec":${s2(tChunk)},"chunk_rows":$nChunks,""" +
+      s""""holt_sec":${s2(tHolt)},"holt_rows":$nHolt,""" +
+      s""""topk_sec":${s2(tTopk)},"topk_rows":$nTopk}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ts.{Aggs, Anomaly, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Rolling, Seasonal, Sessions, Sliding, Smoothing, Trend}
 import scala.util.Random
@@ -124,6 +125,29 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = Seasonal.anomalySql(0.0, mode, minN, from, to, valuesCte(samples))
     }
 
+    // round-10 additions (appended AFTER the 272 so their seeds stay
+    // stable): Holt (bit-exact recurrence), topk/bottomk (round-9
+    // value-tie classes), SAX (round-9 symbol boundaries). TopK's
+    // output is re-ordered to (series, bucket, ...) on both sides so
+    // the harness's (string, long) sort key applies.
+    case class Ho(name: String, samples: Seq[(String, Long, Double)],
+        sf: Double, tf: Double, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Smoothing.holtSql(sf, tf, from, to, valuesCte(samples))
+    }
+    case class Tk(name: String, samples: Seq[(String, Long, Double)],
+        k: Int, agg: String, bucket: Long, align: Long, bottom: Boolean,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        s"""SELECT series, bucket, agg_value, rnk FROM (
+           |${graft.ts.TopK.topkSeriesSql(k, agg, bucket, align, bottom,
+                from, to, valuesCte(samples))})""".stripMargin
+    }
+    case class Sx(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = graft.ts.Sax.saxWordsSql(bucket, align, from, to,
+        valuesCte(samples))
+    }
+
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
       val n = 1 + rnd.nextInt(40)
@@ -192,6 +216,31 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           Seas(f"seas_$iter%03d", samples,
             Seq("hod", "dow")(rnd.nextInt(2)), 1L + rnd.nextInt(4), from, to)
       }
+    } ++ (272 until 332).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
+      val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
+      iter % 3 match {
+        case 0 =>
+          Ho(f"holt_$iter%03d", samples,
+            Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)), Seq(0.1, 0.5, 0.9)(rnd.nextInt(3)),
+            from, to)
+        case 1 =>
+          Tk(f"topk_$iter%03d", samples, 1 + rnd.nextInt(3),
+            Seq("avg", "sum", "min", "max", "count")(rnd.nextInt(5)),
+            bucket, align, rnd.nextBoolean(), from, to)
+        case _ =>
+          Sx(f"sax_$iter%03d", samples, bucket, align, from, to)
+      }
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -219,6 +268,10 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       case "NaN" => Some(Double.NaN)
       case x     => Some(x.toDouble)
     }
+    // non-numeric columns (SAX words) compare by exact string equality
+    def colMatch(g: String, e: String): Boolean =
+      try closeEnough(numOpt(g), numOpt(e))
+      catch { case _: NumberFormatException => g == e }
 
     var checked = 0
     combos.foreach { c =>
@@ -240,6 +293,12 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Rq    => Rolling.rollingQuantile(df, s.q, s.span, s.from, s.to)
         case s: Wz    => Rolling.winsorize(df, s.qLo, s.qHi, s.from, s.to)
         case s: Seas  => Seasonal.anomaly(df, 0.0, s.mode, s.minN, s.from, s.to)
+        case s: Ho    => Smoothing.holt(df, s.sf, s.tf, s.from, s.to)
+        case s: Tk    =>
+          graft.ts.TopK.topkSeries(df, s.k, s.agg, s.bucket, s.align,
+            s.bottom, s.from, s.to)
+            .select(col("series"), col("bucket"), col("agg_value"), col("rnk"))
+        case s: Sx    => graft.ts.Sax.saxWords(df, s.bucket, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
@@ -254,7 +313,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         // every numeric column with relative tolerance (exact longs
         // pass trivially; all values < 2^53 so doubles are exact)
         g.drop(1).zip(e.drop(1)).zipWithIndex.foreach { case ((gv, ev), i) =>
-          assert(closeEnough(numOpt(gv), numOpt(ev)), s"col $i: $gv vs $ev\n$ctx")
+          assert(colMatch(gv, ev), s"col $i: $gv vs $ev\n$ctx")
         }
       }
       checked += got.size
