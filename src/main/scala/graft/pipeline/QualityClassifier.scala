@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
  * as chained CTEs and must land on the same weights and the same kept
  * set.
  *
- * Scale design: the feature frame is built once (explode →
- * one (doc_id, bucket) hash aggregation, ONE shuffle) and persisted;
- * each GD step is: score pass (broadcast nBuckets+1 weights as a
- * literal map — zero extra shuffle on the feats partitioning), then a
- * gradient aggregation whose output is nBuckets+1 rows, map-side
- * combined; nBuckets+1 doubles come to the driver per iteration
- * (the k-means/[[PQ]] refinement shape — the corpus never moves, the
- * model does). At 100 TB: `iters` passes over the feature frame, each
- * a scan + tiny-key agg; train on a bounded hash-sample via the same
+ * Scale design: the feature frame is built once (explode → ONE
+ * shuffle by doc_id → count-agg → per-doc packed sparse vector, one
+ * compact row per document) and persisted; each GD step is ONE scan
+ * of that frame: the w·x dot product is a higher-order fold over the
+ * packed array (broadcast nBuckets+1 weights as a literal map — no
+ * join, no window, no shuffle), then a gradient aggregation whose
+ * output is nBuckets+1 rows, map-side combined; nBuckets+1 doubles
+ * come to the driver per iteration (the k-means/[[PQ]] refinement
+ * shape — the corpus never moves, the model does). At 100 TB: `iters`
+ * passes over the packed frame (≈ one row per doc), each a scan +
+ * tiny-key agg; train on a bounded hash-sample via the same
  * [[Sampling.hashOrderedSample]] draw if even that is too much.
  */
 object QualityClassifier {
@@ -40,23 +42,78 @@ object QualityClassifier {
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
 
   /** `(doc_id, y, bucket, x)` — L1-normalized hashed counts + the bias
-    * row per document. */
+    * row per document. ONE shuffle: token rows and the synthetic bias
+    * row (n=1, bucket=-1, so cnt/n lands at exactly 1.0) repartition
+    * by doc_id once, then the count-agg and every later per-doc
+    * operation (the GD window-sums, the score agg) reuse that
+    * clustering with no further exchange. */
   private[pipeline] def features(docs: DataFrame, labelPred: Column,
       nBuckets: Int): DataFrame = {
     val toks = docs.select(
       col("doc_id"), labelPred.cast("double").as("y"),
       size(split(trim(col("text")), "\\s+")).cast("double").as("n"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-    val counts = toks
+    val pre = toks
       .select(col("doc_id"), col("y"), col("n"),
         bucketCol(col("tok"), nBuckets).as("bucket"))
+      .unionByName(docs.select(
+        col("doc_id"), labelPred.cast("double").as("y"),
+        lit(1.0).as("n"), lit(BIAS).as("bucket")))
+    pre
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("y"), col("n"), col("bucket"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("doc_id"), col("y"), col("bucket"),
         (col("cnt") / col("n")).as("x"))
-    val bias = docs.select(col("doc_id"), labelPred.cast("double").as("y"),
-      lit(BIAS).as("bucket"), lit(1.0).as("x"))
-    counts.unionByName(bias)
+  }
+
+  /** `(doc_id, y, feats)` — each document's sparse feature vector
+    * packed into ONE row as a bucket-sorted array<struct<bucket,x>>.
+    * Built on the [[features]] clustering (no extra shuffle for the
+    * collect_list) and persisted by the callers; sort_array pins the
+    * per-doc summation order, so the dot products below are
+    * bit-deterministic across runs and partitionings (buckets are
+    * unique within a doc). */
+  private def docFeatures(docs: DataFrame, labelPred: Column,
+      nBuckets: Int): DataFrame =
+    features(docs, labelPred, nBuckets)
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("x"))))
+        .as("feats"))
+
+  /** σ-input per doc: the sparse dot product w·x as a higher-order
+    * fold over the packed array — a pure projection, no window, no
+    * shuffle. */
+  private def dotW(wmap: Column): Column =
+    aggregate(col("feats"), lit(0.0), (acc, f) =>
+      acc + coalesce(element_at(wmap, f.getField("bucket")), lit(0.0))
+        * f.getField("x"))
+
+  /** The GD loop over an already-persisted packed feature frame. Per
+    * iteration ONE scan: the fold above scores each doc in place,
+    * residual × feature per exploded row, then the nBuckets+1-row
+    * map-side-combined gradient agg; nBuckets+1 doubles come to the
+    * driver per step. The r9 shape (groupBy doc_id + join back on
+    * doc_id) paid two extra shuffles of the feature frame per
+    * iteration for the same numbers. */
+  private def gdLoop(docFeats: DataFrame, n: Double, iters: Int,
+      lr: Double): Map[Long, Double] = {
+    val spark = docFeats.sparkSession
+    import spark.implicits._
+    // w as a driver-side map (nBuckets+1 doubles); buckets enter the
+    // model the first time a gradient row mentions them (w=0 before)
+    var w = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      val wmap = typedLit(w)
+      val grad = docFeats
+        .select((lit(1.0) / (lit(1.0) + exp(-dotW(wmap))) - col("y"))
+          .as("r"), explode(col("feats")).as("f"))
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg((sum(col("r") * col("f.x")) / n).as("g"))
+        .as[(Long, Double)].collect()
+      w = grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) - lr * g) }.toMap
+    }
+    w
   }
 
   /** K deterministic full-batch GD steps; returns the final
@@ -65,27 +122,12 @@ object QualityClassifier {
       iters: Int, lr: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = features(docs, labelPred, nBuckets).persist()
+    val feats = docFeatures(docs, labelPred, nBuckets).persist()
     try {
-      val n = docs.count().toDouble
-      // w as a driver-side map (nBuckets+1 doubles); buckets enter the
-      // model the first time a gradient row mentions them (w=0 before)
-      var w = Map.empty[Long, Double]
-      for (_ <- 1 to iters) {
-        val wmap = typedLit(w)
-        val scored = feats
-          .withColumn("ws", coalesce(element_at(wmap, col("bucket")), lit(0.0))
-            * col("x"))
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("ws")).as("s"))
-          .select(col("doc_id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
-        val grad = feats.join(scored, "doc_id")
-          .groupBy(col("bucket"))
-          .agg((sum(col("r") * col("x")) / n).as("g"))
-          .as[(Long, Double)].collect()
-        w = grad.map { case (b, g) => b -> (w.getOrElse(b, 0.0) - lr * g) }.toMap
-      }
+      // one packed row per doc: counting feats materializes the cache
+      // AND yields N — no separate corpus scan
+      val n = feats.count().toDouble
+      val w = gdLoop(feats, n, iters, lr)
       spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "weight")
         .select(col("bucket"), round(col("weight"), 9).as("weight"))
     } finally feats.unpersist()
@@ -96,18 +138,23 @@ object QualityClassifier {
     * calibration the short GD run doesn't reach; production quality
     * gates pick the threshold from a kept-volume target anyway).
     * `(doc_id, clf_score)`, round-9 boundary collapse, whole-tie-class
-    * at the cut. */
+    * at the cut. Features are built ONCE and shared between training
+    * and final scoring (the r9 shape rebuilt the tokenize→hash→agg
+    * chain from scratch to score); scores are localCheckpointed (one
+    * compact row per doc) so the feature cache can be released before
+    * the lazy threshold-filter result is consumed. */
   def scoreFilter(docs: DataFrame, labelPred: Column, nBuckets: Int,
       iters: Int, lr: Double, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, "keepFrac in (0,1)")
-    val wRows = train(docs, labelPred, nBuckets, iters, lr)
-    val w = wRows.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val wmap = typedLit(w)
-    val scores = features(docs, labelPred, nBuckets)
-      .withColumn("ws", coalesce(element_at(wmap, col("bucket")), lit(0.0))
-        * col("x"))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("ws")), 9).as("clf_score"))
+    val feats = docFeatures(docs, labelPred, nBuckets).persist()
+    val scores = try {
+      val n = feats.count().toDouble
+      val w = gdLoop(feats, n, iters, lr)
+      val wmap = typedLit(w)
+      feats
+        .select(col("doc_id"), round(dotW(wmap), 9).as("clf_score"))
+        .localCheckpoint()
+    } finally feats.unpersist()
     val thr = scores.agg(
       expr(s"percentile(clf_score, ${1 - keepFrac})").as("thr"))
     scores.crossJoin(broadcast(thr)).filter(col("clf_score") >= col("thr"))
