@@ -701,6 +701,11 @@ object SparkEntry {
       // unigram-LM negative log-likelihood: the perplexity-filter shape
       "text_unigram_logprob" -> ((s, dir) =>
         Text.unigramLogProb(Text.loadDocuments(s, dir))),
+      // interpolated bigram LM NLL (CCNet/KenLM perplexity-filter
+      // shape, order 2): word-order-aware quality signal; the oracle
+      // re-derives the whole model from the same corpus
+      "text_bigram_logprob" -> ((s, dir) =>
+        Text.bigramLogProb(Text.loadDocuments(s, dir), lambda = 0.7)),
       // per-domain URL counts: the domain-blocklist curation signal
       // (URL-bearing docs planted identically on both sides — the
       // synthetic fixture text has none, and 0 == 0 proves nothing)
@@ -2124,6 +2129,7 @@ object SparkEntry {
       "text_char_entropy" -> Text.charEntropySql(entropyPlantDocs),
       "text_domain_freq" -> Text.domainFrequencySql(20, domainPlantTexts),
       "text_unigram_logprob" -> Text.unigramLogProbSql,
+      "text_bigram_logprob" -> Text.bigramLogProbSql(lambda = 0.7),
       "dedup_span_ngrams" -> Dedup.duplicatedSpansSql(),
       "dedup_semantic_pairs" ->
         Similarity.semanticPairsSql(0.4, Similarity.syntheticCentroids(16, 64)),

@@ -318,6 +318,74 @@ object Text {
       |       count(*) AS n_tokens
       |FROM w JOIN f USING (w) CROSS JOIN t GROUP BY doc_id""".stripMargin
 
+  /**
+   * Interpolated bigram negative log-likelihood per document
+   * (bits/token) against the corpus' own bigram distribution — the
+   * CCNet/KenLM "perplexity filter" one model order up from
+   * [[unigramLogProb]]: each token is predicted from its predecessor
+   * (BOS sentinel for the first), with unigram interpolation so
+   * unseen-in-context mass never zeroes out:
+   *
+   *   p(w | prev) = λ · c(prev,w)/c(prev,·)  +  (1−λ) · c(w)/T
+   *   nll2_bits   = −mean(log2 p)  over the doc's positions
+   *
+   * Trained on the corpus being scored (every observed bigram has
+   * count ≥ 1, so p > 0 without further smoothing); docs whose word
+   * order is unlike the corpus (shuffled spam, boilerplate soup)
+   * score high even when their vocabulary looks normal — exactly the
+   * signal the unigram model cannot see.
+   *
+   * Scale shape: pair extraction is one window-lag per doc (shuffle
+   * by doc_id); the bigram table is ONE map-side-combined aggregation
+   * materialized once, from which context and unigram counts derive
+   * (vocab-bounded aggs, no second corpus pass); the score is a
+   * chain of word-keyed shuffle joins — deliberately NOT broadcasts
+   * (bigram vocabulary is corpus-sized, the tfIdf lesson) — and a
+   * final per-doc reduce. T is one driver scalar.
+   */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda $lambda outside (0, 1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = docs.select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        coalesce(lag(col("w"), 1).over(w), lit("<s>")).as("prev"), col("w"))
+    val big = pairs.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val ctx = big.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val uni = big.groupBy(col("w")).agg(sum(col("c2")).as("cw"))
+    val total = big.agg(sum(col("c2"))).head().getLong(0).toDouble
+    pairs.join(big, Seq("prev", "w")).join(ctx, Seq("prev")).join(uni, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg((-avg(log2(
+          lit(lambda) * col("c2") / col("c1") +
+          lit(1 - lambda) * col("cw") / total))).as("nll2_bits"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  def bigramLogProbSql(lambda: Double = 0.7): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w,
+       |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev,
+       |    w
+       |  FROM toks
+       |), big AS (SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY prev, w),
+       |ctx AS (SELECT prev, sum(c2) AS c1 FROM big GROUP BY prev),
+       |uni AS (SELECT w, sum(c2) AS cw FROM big GROUP BY w),
+       |t AS (SELECT CAST(sum(c2) AS DOUBLE) AS total FROM big)
+       |SELECT doc_id,
+       |  -avg(log2($lambda * c2 / c1 + ${1 - lambda} * cw / total)) AS nll2_bits,
+       |  count(*) AS n_tokens
+       |FROM pairs JOIN big USING (prev, w) JOIN ctx USING (prev)
+       |  JOIN uni USING (w) CROSS JOIN t
+       |GROUP BY doc_id""".stripMargin
+
   /** Per-domain URL frequency across the corpus: extract every URL
     * host, count by (lowercased) domain, top-k with a deterministic
     * tie-break — the domain-blocklist / source-mix curation signal.

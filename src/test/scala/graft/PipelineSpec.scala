@@ -403,4 +403,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(fallback == got1 && keepAll == got1)
   }
+
+  test("bigram LM: shuffled word order scores worse than natural order") {
+    // 20 identical fluent docs + 1 doc with the SAME words reversed:
+    // every unigram count matches, so only the bigram term can
+    // separate them — the fluent docs' bigrams occur 20×, the
+    // reversed doc's only once.
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val reversed = fluent.split(" ").reverse.mkString(" ")
+    val d = ((1L to 20L).map(i => (i, fluent)) :+ (99L, reversed))
+      .toDF("doc_id", "text")
+    val scores = Text.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(99L) > scores(1L) + 1.0,
+      s"reversed ${scores(99L)} should be >> fluent ${scores(1L)}")
+    // every position is predicted (BOS covers the first token)
+    val nTok = Text.bigramLogProb(d).filter(col("doc_id") === 1L)
+      .select("n_tokens").as[Long].head()
+    assert(nTok == 9L)
+  }
+
+  test("bigram LM: single-doc corpus scores its own bigrams near zero") {
+    // a one-doc corpus with all-distinct tokens: every context has
+    // exactly one continuation, so the bigram term is 1 and the score
+    // reduces to -log2(lambda + (1-lambda)/9) with 9 distinct tokens
+    val d = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val got = Text.bigramLogProb(d, lambda = 0.7)
+      .select("nll2_bits").as[Double].head()
+    val want = -(math.log(0.7 + 0.3 / 9.0) / math.log(2))
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+  }
 }
