@@ -759,6 +759,14 @@ object SparkEntry {
       "ann_pq_adc" -> ((s, dir) =>
         PQ.adcTopK(Similarity.loadEmbeddings(s, dir), annQueryIds, k = 5,
           m = 4, ksub = 8, iters = 2)),
+      // SQ8 scalar quantization (FAISS SQ8 shape): per-dim uint8 codes
+      // against corpus min/max bounds, search on the reconstructed
+      // vectors — single-pass training, zero-shuffle encode
+      "sq8_codes" -> ((s, dir) =>
+        graft.pipeline.SQ.codes(Similarity.loadEmbeddings(s, dir))),
+      "ann_sq8_topk" -> ((s, dir) =>
+        graft.pipeline.SQ.adcTopK(Similarity.loadEmbeddings(s, dir),
+          annQueryIds, k = 5)),
       // IVF + ADC composition (IVFADC minus residuals): coarse-list
       // pruning over the deterministic literal quantizer, ADC scoring
       // only the probed lists' codes — the pruning AND the compressed
@@ -2031,6 +2039,8 @@ object SparkEntry {
       "pq_codes_sampled" ->
         PQ.codesSampledSql(m = 4, d = 16, ksub = 8, iters = 2, sampleMax = 64),
       "ann_pq_adc" -> PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
+      "sq8_codes" -> graft.pipeline.SQ.codesSql,
+      "ann_sq8_topk" -> graft.pipeline.SQ.adcTopKSql(annQueryIds, 5),
       "ann_ivfpq_topk" -> PQ.ivfAdcTopKSql(annQueryIds, 5,
         m = 4, d = 16, ksub = 8, iters = 2,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),

@@ -190,4 +190,56 @@ class PQSpec extends AnyFunSuite {
     val df = clustered(spread = 1, jitter = false)
     intercept[IllegalArgumentException](PQ.train(df, m = 3, ksub = 2, iters = 1))
   }
+
+  // ---------------- SQ8 scalar quantization ----------------
+
+  test("sq8: codes stay in [0,255], extremes land on the rails, decode error is bounded") {
+    val df = clustered(spread = 8, jitter = true)
+    val b = graft.pipeline.SQ.trainBounds(df)
+    val codes = graft.pipeline.SQ.codes(df)
+    val mm = codes.agg(min(col("code")), max(col("code"))).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 255L,
+      s"corpus min/max must hit the rails, got $mm")
+    // max reconstruction error per dim is half a quantization step
+    val dims = df.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val dec = codes.join(dims, Seq("vec_id", "pos"))
+      .select(col("pos"), col("x"), col("code")).collect()
+    dec.foreach { r =>
+      val p = r.getInt(0); val x = r.getDouble(1); val c = r.getLong(2)
+      val step = (b.hi(p) - b.lo(p)) / 255.0
+      val rec = b.lo(p) + c * step
+      assert(math.abs(rec - x) <= step / 2 + 1e-12,
+        s"dim $p: |$rec - $x| > ${step / 2}")
+    }
+  }
+
+  test("sq8: constant dimension degenerates to code 0") {
+    val df = Seq(
+      (0L, Seq(1.0f, 7.5f, 0.0f)), (1L, Seq(2.0f, 7.5f, 1.0f)),
+      (2L, Seq(3.0f, 7.5f, 2.0f))).toDF("vec_id", "embedding")
+    val c1 = graft.pipeline.SQ.codes(df).filter(col("pos") === 1)
+      .select("code").as[Long].collect()
+    assert(c1.forall(_ == 0L), c1.toSeq)
+  }
+
+  test("sq8 top-k achieves high recall vs exact L2 on jittered clusters") {
+    val df = clustered(spread = 12, jitter = true)
+    val qids = Seq(0L, 17L, 35L)
+    val sq = graft.pipeline.SQ.adcTopK(df, qids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // exact L2 on raw vectors, same exclusion + tie rules
+    val raw = df.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    qids.foreach { q =>
+      val exact = raw.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(raw(q)).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d2) => (d2, id) }.take(5).map(_._1).toSet
+      val inter = sq(q).intersect(exact).size
+      assert(inter >= 4, s"query $q: recall@5 $inter/5 too low")
+    }
+  }
 }
