@@ -1045,6 +1045,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_holt($T0, $T31, 0.5, 0.2)")
       }),
+      "ts_sql_tvf_holt_winters" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_holt_winters($T0, $T31, 0.5, 0.3, 0.4, 24)")
+      }),
       "ts_sql_tvf_topk" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1292,6 +1298,13 @@ object SparkEntry {
       // (one shuffle by series), recursive-CTE oracle, bit-identical
       "ts_range_holt" -> ((s, dir) =>
         Smoothing.holt(monthSamples(s, dir), sf = 0.4, tf = 0.3,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // Holt-Winters additive: holt + an m-slot seasonal component,
+      // same per-series fold contract; the oracle's recursive CTE
+      // carries the seasonal state as a DOUBLE[] column
+      "ts_range_holt_winters" -> ((s, dir) =>
+        Smoothing.holtWinters(monthSamples(s, dir), alpha = 0.5,
+          beta = 0.3, gamma = 0.4, m = 24,
           fromMs = Some(T0), toMs = Some(T31))),
       // PromQL topk/bottomk: per-bucket cross-series ranking — the
       // WindowGroupLimit partial-top-k shape, shuffle O(buckets×k)
@@ -2183,6 +2196,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_holt" -> Smoothing.holtSql(sf = 0.4, tf = 0.3,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_holt_winters" -> Smoothing.holtWintersSql(alpha = 0.5,
+        beta = 0.3, gamma = 0.4, m = 24,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_topk_series" -> TopK.topkSeriesSql(k = 5, agg = "avg",
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_bottomk_series" -> TopK.topkSeriesSql(k = 3, agg = "sum",
@@ -2206,6 +2222,9 @@ object SparkEntry {
       "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_winsorize" -> Rolling.winsorizeSql(0.1, 0.9,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_holt_winters" -> Smoothing.holtWintersSql(alpha = 0.5,
+        beta = 0.3, gamma = 0.4, m = 24,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_holt" -> Smoothing.holtSql(sf = 0.5, tf = 0.2,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -538,6 +538,21 @@ object GraftFunctions {
         Some(literalLong("ts_holt", args(0), "from")),
         Some(literalLong("ts_holt", args(1), "to"))))
     }),
+    // ts_holt_winters(from, to, alpha, beta, gamma, m) — additive
+    // triple exponential smoothing (holt + m-slot seasonal state)
+    (FunctionIdentifier("ts_holt_winters"), info("ts_holt_winters"),
+      { args: Seq[Expression] =>
+      nargs("ts_holt_winters", Seq(6), args)
+      val spark = activeSession("ts_holt_winters")
+      GraftSessionBridge.logicalPlan(graft.ts.Smoothing.holtWinters(
+        spark.table(SamplesView),
+        literalDouble("ts_holt_winters", args(2), "alpha"),
+        literalDouble("ts_holt_winters", args(3), "beta"),
+        literalDouble("ts_holt_winters", args(4), "gamma"),
+        literalLong("ts_holt_winters", args(5), "m").toInt,
+        Some(literalLong("ts_holt_winters", args(0), "from")),
+        Some(literalLong("ts_holt_winters", args(1), "to"))))
+    }),
     // ts_topk(from, to, k, 'agg', bucket_ms[, 'bottom']) — per-bucket
     // cross-series top-k (bottom-k with the 6th flag argument)
     (FunctionIdentifier("ts_topk"), info("ts_topk"), { args: Seq[Expression] =>

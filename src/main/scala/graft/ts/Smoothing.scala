@@ -179,4 +179,117 @@ object Smoothing {
        |  round(trend, 9) AS hw_trend
        |FROM hw""".stripMargin
   }
+
+  /**
+   * Holt-Winters ADDITIVE triple exponential smoothing — [[holt]]
+   * plus a seasonal component of period `m` samples. Per series, in
+   * (ts, value) order with 1-based position p and seasonal slot
+   * si = (p−1) mod m:
+   *
+   *   L_p = α·(v_p − S[si]) + (1−α)·(L_{p−1} + T_{p−1})
+   *   T_p = β·(L_p − L_{p−1}) + (1−β)·T_{p−1}
+   *   S[si] ← γ·(v_p − L_p) + (1−γ)·S[si]
+   *
+   * Deterministic init (replayable, no heuristic pre-season fit):
+   * L_0 = v_1, T_0 = 0, S = 0⃗ — under which the general update leaves
+   * sample 1 at exactly (v_1, 0, 0), so EVERY sample takes the same
+   * recurrence step. Like [[holt]] this has no windowed form (level,
+   * trend and m seasonal slots couple every prefix), so the
+   * scale-correct expression is the same per-series sequential fold:
+   * one shuffle by series, state = 2 + m doubles, arithmetic in a
+   * fixed order — the DuckDB oracle replays it as a recursive CTE
+   * carrying the seasonal slots as a DOUBLE[] column and hash-matches.
+   */
+  def holtWinters(
+      samples: DataFrame, alpha: Double, beta: Double, gamma: Double,
+      m: Int, fromMs: Option[Long] = None,
+      toMs: Option[Long] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    require(beta > 0 && beta < 1, s"beta $beta outside (0, 1)")
+    require(gamma > 0 && gamma < 1, s"gamma $gamma outside (0, 1)")
+    require(m >= 1, s"season length $m must be >= 1")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    // SQL-lambda recurrence: L/S/SI have no let-binding, so the level
+    // expression repeats inside trend/season exactly like holt's does
+    val si = s"element_at(acc.seas, (acc.i % $m) + 1)"
+    val L = s"$alpha * (x.value - $si) + ${1 - alpha} * (acc.level + acc.trend)"
+    val T = s"$beta * (($L) - acc.level) + ${1 - beta} * acc.trend"
+    val S = s"$gamma * (x.value - ($L)) + ${1 - gamma} * $si"
+    val folded = expr(
+      s"""aggregate(
+         |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+         |  named_struct(
+         |    'level', CAST(arr[0].value AS DOUBLE),
+         |    'trend', CAST(0.0 AS DOUBLE),
+         |    'seas', array_repeat(CAST(0.0 AS DOUBLE), $m),
+         |    'i', 1,
+         |    'out', array(named_struct(
+         |      'ts', arr[0].ts,
+         |      'level', CAST(arr[0].value AS DOUBLE),
+         |      'trend', CAST(0.0 AS DOUBLE),
+         |      'season', CAST(0.0 AS DOUBLE)))),
+         |  (acc, x) -> named_struct(
+         |    'level', $L,
+         |    'trend', $T,
+         |    'seas', concat(
+         |      slice(acc.seas, 1, acc.i % $m),
+         |      array($S),
+         |      slice(acc.seas, (acc.i % $m) + 2, $m - (acc.i % $m) - 1)),
+         |    'i', acc.i + 1,
+         |    'out', acc.out || array(named_struct(
+         |      'ts', x.ts, 'level', $L, 'trend', $T, 'season', $S))),
+         |  acc -> acc.out)""".stripMargin)
+    s.groupBy(col("series"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("arr"))
+      .select(col("series"), explode(folded).as("h"))
+      .select(col("series"), col("h.ts").as("ts"),
+        round(col("h.level"), 9).as("hw_level"),
+        round(col("h.trend"), 9).as("hw_trend"),
+        round(col("h.season"), 9).as("hw_season"))
+  }
+
+  /** Oracle twin: the triple recurrence as a recursive CTE whose state
+    * row carries the m seasonal slots as a DOUBLE[]. */
+  def holtWintersSql(
+      alpha: Double, beta: Double, gamma: Double, m: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val rec = cte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
+    // sample at rn has 0-based seasonal slot si0 = (rn - 1) % m
+    val si = s"h.seas[CAST(((o.rn - 1) % $m) + 1 AS BIGINT)]"
+    val L = s"$alpha * (o.value - $si) + ${1 - alpha} * (h.level + h.trend)"
+    val T = s"$beta * (($L) - h.level) + ${1 - beta} * h.trend"
+    val S = s"$gamma * (o.value - ($L)) + ${1 - gamma} * $si"
+    s"""$rec, f AS (
+       |  SELECT * FROM samples $where
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |    row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM f
+       |), hw AS (
+       |  SELECT series, ts, rn,
+       |    CAST(value AS DOUBLE) AS level,
+       |    CAST(0.0 AS DOUBLE) AS trend,
+       |    CAST(0.0 AS DOUBLE) AS season,
+       |    CAST($zeros AS DOUBLE[]) AS seas
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.ts, o.rn,
+       |    $L, $T, $S,
+       |    list_slice(h.seas, 1, (o.rn - 1) % $m)
+       |      || [CAST($S AS DOUBLE)]
+       |      || list_slice(h.seas, ((o.rn - 1) % $m) + 2, $m)
+       |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
+       |)
+       |SELECT series, ts, round(level, 9) AS hw_level,
+       |  round(trend, 9) AS hw_trend, round(season, 9) AS hw_season
+       |FROM hw""".stripMargin
+  }
 }

@@ -181,6 +181,11 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(spark.sql(s"SELECT * FROM ts_holt($T0, $T31, 0.5, 0.2)")) ==
       sorted(graft.ts.Smoothing.holt(samples, 0.5, 0.2, Some(T0), Some(T31))))
     assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_holt_winters($T0, $T31, 0.5, 0.3, 0.4, 24)")) ==
+      sorted(graft.ts.Smoothing.holtWinters(samples, 0.5, 0.3, 0.4, 24,
+        Some(T0), Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_topk($T0, $T31, 3, 'avg', $DAY)")) ==
       sorted(graft.ts.TopK.topkSeries(samples, 3, "avg", DAY,
         fromMs = Some(T0), toMs = Some(T31))))

@@ -147,6 +147,14 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = graft.ts.Sax.saxWordsSql(bucket, align, from, to,
         valuesCte(samples))
     }
+    // appended after 332 (stable seeds): Holt-Winters — the recursive
+    // list-state oracle vs the seasonal-slot fold
+    case class Hw(name: String, samples: Seq[(String, Long, Double)],
+        a: Double, b: Double, g: Double, m: Int,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Smoothing.holtWintersSql(a, b, g, m, from, to,
+        valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -241,6 +249,20 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case _ =>
           Sx(f"sax_$iter%03d", samples, bucket, align, from, to)
       }
+    } ++ (332 until 356).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      Hw(f"hw_$iter%03d", samples,
+        Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)), Seq(0.1, 0.5, 0.9)(rnd.nextInt(3)),
+        Seq(0.3, 0.6)(rnd.nextInt(2)), 1 + rnd.nextInt(5), from, to)
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -299,6 +321,8 @@ class RandomizedWindowsSpec extends AnyFunSuite {
             s.bottom, s.from, s.to)
             .select(col("series"), col("bucket"), col("agg_value"), col("rnk"))
         case s: Sx    => graft.ts.Sax.saxWords(df, s.bucket, s.align, s.from, s.to)
+        case s: Hw    =>
+          Smoothing.holtWinters(df, s.a, s.b, s.g, s.m, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

@@ -34,6 +34,51 @@ class SymbolicAnalyticsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 1000L, 7.0, 0.0), ("b", 1000L, 3.0, 0.0)))
   }
 
+  test("holt-winters: constant series is an exact fixed point (level=c, trend=0, season=0)") {
+    val d = (1L to 12L).map(i => ("c", i * 1000L, 4.25))
+      .toDF("series", "ts", "value")
+    val out = Smoothing.holtWinters(d, 0.5, 0.3, 0.4, m = 4)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size == 12)
+    assert(out.forall { case (_, _, l, t, s) => l == 4.25 && t == 0.0 && s == 0.0 })
+  }
+
+  test("holt-winters: hand-computed recurrence with m=2") {
+    // v = 10, 20, 12 at alpha=.5 beta=.5 gamma=.5, m=2
+    // p1: L=10 T=0 S=0 (fixed-point init step), seas=[0,0]
+    // p2 (slot 1): L=.5*(20-0)+.5*(10+0)=15, T=.5*(15-10)+.5*0=2.5,
+    //              S=.5*(20-15)+.5*0=2.5, seas=[0,2.5]
+    // p3 (slot 0): L=.5*(12-0)+.5*(15+2.5)=14.75,
+    //              T=.5*(14.75-15)+.5*2.5=1.125,
+    //              S=.5*(12-14.75)+.5*0=-1.375
+    val d = Seq(("k", 1000L, 10.0), ("k", 2000L, 20.0), ("k", 3000L, 12.0))
+      .toDF("series", "ts", "value")
+    val out = Smoothing.holtWinters(d, 0.5, 0.5, 0.5, m = 2)
+      .orderBy("ts").as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("k", 1000L, 10.0, 0.0, 0.0),
+      ("k", 2000L, 15.0, 2.5, 2.5),
+      ("k", 3000L, 14.75, 1.125, -1.375)))
+  }
+
+  test("holt-winters: seasonal slots absorb a periodic signal") {
+    // strict period-4 signal: after convergence the level flattens and
+    // the 4 seasonal slots carry the oscillation
+    val cycle = Seq(0.0, 10.0, 0.0, -10.0)
+    val d = (0 until 40).map(i => ("p", i * 1000L, 100.0 + cycle(i % 4)))
+      .toDF("series", "ts", "value")
+    val out = Smoothing.holtWinters(d, 0.3, 0.1, 0.6, m = 4)
+      .orderBy("ts").as[(String, Long, Double, Double, Double)].collect()
+    val tail = out.takeRight(8)
+    // level near the mean, seasonal component near the cycle value
+    tail.zipWithIndex.foreach { case ((_, ts, l, _, s), _) =>
+      val i = (ts / 1000L).toInt
+      assert(math.abs(l - 100.0) < 3.0, s"level $l should hover near 100")
+      assert(math.abs(s - cycle(i % 4)) < 3.0,
+        s"slot ${i % 4}: season $s should approach ${cycle(i % 4)}")
+    }
+  }
+
   test("topk: rank admits the whole tie class at the k boundary") {
     val d = Seq(
       ("s1", 0L, 9.0), ("s2", 0L, 5.0), ("s3", 0L, 5.0), ("s4", 0L, 1.0))
