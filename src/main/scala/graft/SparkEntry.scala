@@ -245,6 +245,18 @@ object SparkEntry {
             Multi.parsePred("type!=")), // list match + CONTAINS
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = DAY),
           groupByLabel = "type", reducer = "sum")),
+      // streaming GROUPBY REDUCE: the same two-level reduction as a
+      // continuous stateful query over the staged event replay —
+      // update-mode log sink, merge-on-read; final state hash-matches
+      // the batch operator's oracle
+      "ts_mrange_groupby_stream" -> ((s, dir) =>
+        graft.ts.StreamGroupBy.mrangeGroupByStreamOnce(s, dir,
+          Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"),
+            Multi.parsePred("type!=")),
+          groupByLabel = "type", agg = "avg", reducer = "sum",
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgb_")
+            .resolve("log").toString)),
       // GROUPBY with a statistics-family reducer (std.p): reducer set =
       // the aggregator classes minus first/last/twa (reference:
       // query_language.c:825-841)
@@ -1601,6 +1613,19 @@ object SparkEntry {
            |  WHERE ts >= $T0 AND ts <= $T31 GROUP BY 1, 2
            |) SELECT series, bucket AS ts, max_value FROM agg WHERE max_value IS NOT NULL""".stripMargin,
       "ts_mrange_groupby" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31
+           |    AND "type" IN ('click','view','purchase','signup','error')
+           |  GROUP BY 1, 2
+           |) SELECT 'type=' || "type" AS series, bucket AS ts,
+           |         coalesce(sum(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      // streaming twin: the final merged sink must land on the exact
+      // same relation the batch operator computes
+      "ts_mrange_groupby_stream" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket, ${Aggs.sql("avg")}
            |  FROM samples JOIN series_labels USING (series)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{Aggs, Multi, StreamGroupBy, RangeQuery}
+
+/** Streaming MRANGE GROUPBY REDUCE: the continuous two-level reduction
+  * must converge to the batch operator's relation for any chunking of
+  * the arrival order (state partials are order-insensitive). The
+  * fixture-scale hash check lives in the ts_mrange_groupby_stream
+  * oracle entry, which shares the batch query's DuckDB oracle. */
+class StreamGroupBySpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def randomFrame(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val grp = s"g${rnd.nextInt(3)}"
+      val series = s"${grp}_s${rnd.nextInt(4)}"
+      (series, rnd.nextInt(10000).toLong, rnd.nextInt(1000) / 10.0)
+    }.toDF("series", "ts", "value")
+  }
+
+  private def labelsFor(samples: org.apache.spark.sql.DataFrame) =
+    samples.select(col("series")).distinct()
+      .select(col("series"),
+        map(lit("grp"), substring(col("series"), 1, 2)).as("labels"))
+
+  private def compare(agg: String, reducer: String, chunkCol: String,
+      seed: Int): Unit = {
+    val samples = randomFrame(seed, 300)
+    val labels = labelsFor(samples)
+    val preds = Seq(Multi.parsePred("grp=(g0,g1,g2)"))
+    val batch = Multi.mrangeGroupBy(samples, labels, preds,
+      RangeQuery.RangeArgs(from = Some(0L), to = Some(9000L),
+        aggs = Seq(agg), bucketMs = 1000L),
+      groupByLabel = "grp", reducer = reducer)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val s2g = labels.select(col("series"),
+      element_at(col("labels"), "grp").as("lv"))
+    val streamed = StreamGroupBy.mrangeGroupByStreamChunks(
+      spark, samples, s2g, "grp", agg, reducer, bucketMs = 1000L,
+      fromMs = Some(0L), toMs = Some(9000L), nChunks = 4,
+      chunkCol = col(chunkCol))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"[$agg/$reducer/$chunkCol] key sets differ: " +
+        s"only-stream=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (k, v) =>
+      val b = batch(k)
+      assert(math.abs(v - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"[$agg/$reducer/$chunkCol] $k: stream $v vs batch $b")
+    }
+  }
+
+  test("streaming groupby == batch for avg/sum, time-ordered chunks") {
+    compare("avg", "sum", "ts", seed = 1)
+  }
+
+  test("streaming groupby == batch for max/max, OUT-OF-ORDER chunks (by value)") {
+    compare("max", "max", "value", seed = 2)
+  }
+
+  test("streaming groupby == batch for count/sum and sum/avg, OOO (by series)") {
+    compare("count", "sum", "series", seed = 3)
+    compare("sum", "avg", "series", seed = 4)
+  }
+
+  test("unsupported aggregator/reducer rejected loudly, not silently wrong") {
+    val samples = randomFrame(5, 10)
+    val s2g = samples.select(col("series"), lit("g").as("lv")).distinct()
+    intercept[IllegalArgumentException] {
+      StreamGroupBy.mrangeGroupByStream(samples, s2g, "grp", "twa", "sum", 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamGroupBy.mrangeGroupByStream(samples, s2g, "grp", "avg", "std.p", 1000L)
+    }
+  }
+
+  test("series outside the group mapping are filtered, not misgrouped") {
+    val samples = Seq(
+      ("g0_a", 0L, 1.0), ("g0_b", 10L, 3.0), ("zz_x", 20L, 100.0))
+      .toDF("series", "ts", "value")
+    val s2g = Seq(("g0_a", "g0"), ("g0_b", "g0")).toDF("series", "lv")
+    val out = StreamGroupBy.mrangeGroupByStreamChunks(
+      spark, samples, s2g, "grp", "sum", "sum", bucketMs = 1000L, nChunks = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "grp=g0" && r.getLong(1) == 0L
+      && r.getDouble(2) == 4.0, r.toString)
+  }
+}
