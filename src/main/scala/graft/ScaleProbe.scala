@@ -278,6 +278,35 @@ object ScaleProbe {
         .count()
     }
 
+    // 9. round-10 additions. Bigram LM: one window-lag pass + one
+    //    bigram agg + word-keyed joins — the replica token spaces are
+    //    disjoint, so the bigram vocabulary ALSO grows N× (the honest
+    //    worst case for the shuffle joins; ~linear expected).
+    val (nBig, tBig) = timed {
+      graft.pipeline.Text.bigramLogProb(probeDocs).count()
+    }
+    // SQ8 over the N× embedding corpus: ONE bounds pass + zero-shuffle
+    //    encode + one scan per search — everything scan-shaped, so
+    //    time must track corpus size with no super-linear term.
+    val embProbe = spark.read.parquet(s"$work/embeddings.parquet")
+    val sqQids = Seq(0L, 97L, 194L)
+    val (nSq, tSq) = timed {
+      graft.pipeline.SQ.adcTopK(embProbe, sqQids, k = 5).count()
+    }
+    // Streaming groupby over the N× event replay: state is
+    //    O(groups × open buckets × member series); per-batch work is
+    //    O(batch + touched keys) — the one-shot includes the fixed
+    //    trigger overhead, so watch the marginal growth, not the base.
+    val (nSgb, tSgb) = timed {
+      graft.ts.StreamGroupBy.mrangeGroupByStreamOnce(spark, work,
+        Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"),
+          Multi.parsePred("type!=")),
+        groupByLabel = "type", agg = "avg", reducer = "sum",
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
+        sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbp_")
+          .resolve("log").toString).count()
+    }
+
     // Locale.ROOT: the f interpolator renders decimal commas under
     // comma-decimal locales, producing invalid JSON
     def s2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -305,7 +334,10 @@ object ScaleProbe {
       s""""dsir_sec":${s2(tDsir)},"dsir_kept":$nDsirRows,""" +
       s""""chunk_sec":${s2(tChunk)},"chunk_rows":$nChunks,""" +
       s""""holt_sec":${s2(tHolt)},"holt_rows":$nHolt,""" +
-      s""""topk_sec":${s2(tTopk)},"topk_rows":$nTopk}""")
+      s""""topk_sec":${s2(tTopk)},"topk_rows":$nTopk,""" +
+      s""""bigram_sec":${s2(tBig)},"bigram_rows":$nBig,""" +
+      s""""sq8_topk_sec":${s2(tSq)},"sq8_rows":$nSq,""" +
+      s""""stream_groupby_sec":${s2(tSgb)},"stream_groupby_rows":$nSgb}""")
     spark.stop()
   }
 }
