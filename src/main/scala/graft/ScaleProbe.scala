@@ -293,18 +293,21 @@ object ScaleProbe {
     val (nSq, tSq) = timed {
       graft.pipeline.SQ.adcTopK(embProbe, sqQids, k = 5).count()
     }
-    // Streaming groupby over the N× event replay: state is
+    // Streaming groupby over the N× event replay (4 staged chunks —
+    //    the replica's events.parquet is a directory, so the chunked
+    //    runner stages its own mtime-ordered files): state is
     //    O(groups × open buckets × member series); per-batch work is
     //    O(batch + touched keys) — the one-shot includes the fixed
     //    trigger overhead, so watch the marginal growth, not the base.
     val (nSgb, tSgb) = timed {
-      graft.ts.StreamGroupBy.mrangeGroupByStreamOnce(spark, work,
-        Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"),
-          Multi.parsePred("type!=")),
-        groupByLabel = "type", agg = "avg", reducer = "sum",
-        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
-        sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbp_")
-          .resolve("log").toString).count()
+      val labelsW = TSModel.labels(spark, work)
+      val s2g = labelsW.select(col("series"),
+        element_at(col("labels"), "type").as("lv"))
+        .filter(col("lv").isNotNull)
+      graft.ts.StreamGroupBy.mrangeGroupByStreamChunks(spark,
+        TSModel.samples(spark, work), s2g, groupByLabel = "type",
+        agg = "avg", reducer = "sum", bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31), nChunks = 4).count()
     }
 
     // Locale.ROOT: the f interpolator renders decimal commas under
