@@ -995,6 +995,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_rate($T0, $T31, $DAY)")
       }),
+      "ts_sql_tvf_resets" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_resets($T0, $T31, ${2 * DAY})")
+      }),
       "ts_sql_tvf_quantiles" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1164,6 +1170,11 @@ object SparkEntry {
           fromMs = Some(T0), toMs = Some(T31))),
       "ts_range_increase" -> ((s, dir) =>
         Rates.increase(monthSamples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // PromQL resets: per-bucket count of counter restarts (value
+      // drops vs predecessor) — completes the counter family
+      "ts_range_resets" -> ((s, dir) =>
+        Rates.resets(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // gap-based session windows (beyond-reference, the batch twin of
@@ -2294,6 +2305,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_resets" -> Rates.resetsSql(bucketMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
@@ -2310,6 +2323,8 @@ object SparkEntry {
       "ts_range_delta_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_increase" -> Rates.increaseSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_resets" -> Rates.resetsSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_session" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),

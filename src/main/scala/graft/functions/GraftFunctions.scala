@@ -340,6 +340,17 @@ object GraftFunctions {
         Some(literalLong("ts_increase", args(0), "from")),
         Some(literalLong("ts_increase", args(1), "to"))))
     }),
+    // ts_resets(from, to, bucket_ms[, align_ms]) — counter-reset count
+    (FunctionIdentifier("ts_resets"), info("ts_resets"), { args: Seq[Expression] =>
+      nargs("ts_resets", Seq(3, 4), args)
+      val spark = activeSession("ts_resets")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.resets(
+        spark.table(SamplesView),
+        literalLong("ts_resets", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_resets", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_resets", args(0), "from")),
+        Some(literalLong("ts_resets", args(1), "to"))))
+    }),
     // ts_quantiles(from, to, bucket_ms, 'q1,q2,...') — exact quantiles
     (FunctionIdentifier("ts_quantiles"), info("ts_quantiles"), { args: Seq[Expression] =>
       nargs("ts_quantiles", Seq(4, 5), args)

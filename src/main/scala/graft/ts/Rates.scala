@@ -112,4 +112,37 @@ object Rates {
        |  sum(CASE WHEN d > 0 THEN d ELSE 0.0 END) AS increase_value
        |FROM diffed GROUP BY series, $bkt""".stripMargin
   }
+
+  /** PromQL `resets`: per-bucket count of counter resets — positions
+    * where the value DROPS vs its predecessor (a monotone counter
+    * restarted). Same lag-window + bucket-agg shape as [[increase]]:
+    * one exchange by series, map-side-combined count. The first sample
+    * of a series has no predecessor and can't be a reset. */
+  def resets(
+      samples: DataFrame, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    val s = clean(samples, fromMs, toMs)
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
+    s.withColumn("d", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(sum(when(col("d") < 0, 1L).otherwise(0L)).as("resets_value"))
+  }
+
+  def resetsSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples ${rangeWhere(fromMs, toMs)}
+       |), diffed AS (
+       |  SELECT series, ts,
+       |    value - lag(value) OVER (PARTITION BY series ORDER BY ts, value) AS d
+       |  FROM f
+       |)
+       |SELECT series, $bkt AS bucket,
+       |  sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS resets_value
+       |FROM diffed GROUP BY series, $bkt""".stripMargin
+  }
 }

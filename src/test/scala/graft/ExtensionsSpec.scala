@@ -120,6 +120,9 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(spark.sql(s"SELECT * FROM ts_increase($T0, $T31, $DAY)")) ==
       sorted(graft.ts.Rates.increase(samples, DAY, 0L, Some(T0), Some(T31))))
     assert(
+      sorted(spark.sql(s"SELECT * FROM ts_resets($T0, $T31, $DAY)")) ==
+      sorted(graft.ts.Rates.resets(samples, DAY, 0L, Some(T0), Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_quantiles($T0, $T31, $DAY, '0.5, 0.99')")) ==
       sorted(graft.ts.Quantiles.bucketQuantiles(samples, Seq(0.5, 0.99), DAY, 0L, Some(T0), Some(T31))))
     // non-literal argument stays a loud analysis error

@@ -79,6 +79,20 @@ class SymbolicAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("resets: counts drops per bucket; first sample never a reset") {
+    // series c: 1,5,2(reset),4,0(reset) across two 1000ms buckets;
+    // series d starts HIGH then climbs — its first sample is not a drop
+    val d = Seq(
+      ("c", 0L, 1.0), ("c", 100L, 5.0), ("c", 200L, 2.0),
+      ("c", 1000L, 4.0), ("c", 1100L, 0.0),
+      ("d", 0L, 99.0), ("d", 1000L, 100.0))
+      .toDF("series", "ts", "value")
+    val out = graft.ts.Rates.resets(d, bucketMs = 1000L)
+      .orderBy("series", "bucket").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("c", 0L, 1L), ("c", 1000L, 1L), ("d", 0L, 0L), ("d", 1000L, 0L)))
+  }
+
   test("topk: rank admits the whole tie class at the k boundary") {
     val d = Seq(
       ("s1", 0L, 9.0), ("s2", 0L, 5.0), ("s3", 0L, 5.0), ("s4", 0L, 1.0))
