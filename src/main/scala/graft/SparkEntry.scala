@@ -265,6 +265,16 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("avg"), bucketMs = 2 * DAY),
           groupByLabel = "user", reducer = "std.p")),
+      // streaming twin of the std.p reducer: the widened composable
+      // partial set ((Σv, Σv², n) per series, reference accumulator
+      // compaction.c:461-553) run live; shares the batch oracle
+      "ts_mrange_groupby_std_stream" -> ((s, dir) =>
+        graft.ts.StreamGroupBy.mrangeGroupByStreamOnce(s, dir,
+          Seq(Multi.parsePred("type=(click,view,purchase)")),
+          groupByLabel = "user", agg = "avg", reducer = "std.p",
+          bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbs_")
+            .resolve("log").toString)),
       // GROUPBY over EMPTY-filled per-series buckets: the reference
       // fills each series' gaps FIRST (per-series AGGREGATION pipeline
       // incl. EMPTY, module.c:467-526), then reduces across series —
@@ -658,6 +668,12 @@ object SparkEntry {
         graft.pipeline.QualityClassifier.scoreFilter(
           Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
           nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3)),
+      // sampled-training escape hatch: same GD, md5-ordered bounded
+      // draw (the pq_codes_sampled pattern) — oracle replays the draw
+      "pipeline_classifier_sampled" -> ((s, dir) =>
+        graft.pipeline.QualityClassifier.trainSampled(
+          Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
+          nBuckets = 32, iters = 5, lr = 4.0, sampleMax = 300)),
       // cluster-canonical dedup: connected components over the near-dup
       // pair graph (min reachable id), vs a transitive-closure oracle
       "dedup_cc_canonical" -> ((s, dir) => {
@@ -1000,6 +1016,12 @@ object SparkEntry {
         TSModel.samples(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_resets($T0, $T31, ${2 * DAY})")
+      }),
+      "ts_sql_tvf_increase" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_increase($T0, $T31, ${2 * DAY})")
       }),
       "ts_sql_tvf_quantiles" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -1658,6 +1680,18 @@ object SparkEntry {
            |         coalesce(stddev_pop(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN series_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      // streaming twin shares the batch std.p oracle verbatim
+      "ts_mrange_groupby_std_stream" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket, ${Aggs.sql("avg")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31
+           |    AND "type" IN ('click','view','purchase')
+           |  GROUP BY 1, 2
+           |) SELECT 'user=' || "user" AS series, bucket AS ts,
+           |         coalesce(stddev_pop(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
       "ts_mrange_groupby_empty" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
@@ -2181,6 +2215,9 @@ object SparkEntry {
       "pipeline_classifier_filter" ->
         graft.pipeline.QualityClassifier.scoreFilterSql("lang = 'en'",
           nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3),
+      "pipeline_classifier_sampled" ->
+        graft.pipeline.QualityClassifier.trainSampledSql("lang = 'en'",
+          nBuckets = 32, iters = 5, lr = 4.0, sampleMax = 300),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_redact" -> Text.redactSql,
@@ -2306,6 +2343,8 @@ object SparkEntry {
       "ts_sql_tvf_rate" -> Rates.deltaRateSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_resets" -> Rates.resetsSql(bucketMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_increase" -> Rates.increaseSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_quantiles" -> Quantiles.bucketQuantilesSql(
         Seq(0.5, 0.9, 0.99), bucketMs = DAY,

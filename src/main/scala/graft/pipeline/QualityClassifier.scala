@@ -133,6 +133,21 @@ object QualityClassifier {
     } finally feats.unpersist()
   }
 
+  /** [[train]] on a bounded hash-ordered sample of the corpus — the
+    * declared 100-TB escape hatch when even `iters` one-scan GD passes
+    * over the full packed frame are too much. The draw is
+    * [[Sampling.hashOrderedSample]] (md5-of-decimal-doc_id, which both
+    * engines compute identically, so the oracle replays the exact
+    * sample); everything after the draw — feature build, persist, GD —
+    * is bounded by `sampleMax` rows. The sampled frame stays a plan
+    * (TakeOrderedAndProject), NOT a driver collect: document rows
+    * carry full text, and [[train]]'s persist already guarantees the
+    * draw runs once. */
+  def trainSampled(docs: DataFrame, labelPred: Column, nBuckets: Int,
+      iters: Int, lr: Double, sampleMax: Int): DataFrame =
+    train(Sampling.hashOrderedSample(docs, sampleMax, "doc_id"),
+      labelPred, nBuckets, iters, lr)
+
   /** Documents the trained model ranks in the top `keepFrac` by score
     * — the quota operating point (a raw σ(s) >= 0.5 cut depends on
     * calibration the short GD run doesn't reach; production quality
@@ -161,7 +176,8 @@ object QualityClassifier {
       .select(col("doc_id"), col("clf_score"))
   }
 
-  private def featsSql(labelWhere: String, nBuckets: Int): String =
+  private def featsSql(labelWhere: String, nBuckets: Int,
+      table: String = "documents"): String =
     s"""feats AS (
        |  SELECT doc_id, y, bucket, count(*) * 1.0 / any_value(n) AS x
        |  FROM (
@@ -169,12 +185,12 @@ object QualityClassifier {
        |      CASE WHEN $labelWhere THEN 1.0 ELSE 0.0 END AS y,
        |      len(regexp_split_to_array(trim(text), '\\s+')) AS n,
        |      ('0x' || substr(md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))), 1, 8))::BIGINT % $nBuckets AS bucket
-       |    FROM documents)
+       |    FROM $table)
        |  GROUP BY doc_id, y, bucket
        |  UNION ALL
        |  SELECT doc_id, CASE WHEN $labelWhere THEN 1.0 ELSE 0.0 END, -1, 1.0
-       |  FROM documents
-       |), nn AS (SELECT count(*) * 1.0 AS n FROM documents)""".stripMargin
+       |  FROM $table
+       |), nn AS (SELECT count(*) * 1.0 AS n FROM $table)""".stripMargin
 
   /** Unrolled-GD weight CTEs `w1..w$iters` over `feats`/`nn`. */
   private def gdSql(iters: Int, lr: Double): String = {
@@ -206,6 +222,16 @@ object QualityClassifier {
   def trainSql(labelWhere: String, nBuckets: Int, iters: Int,
       lr: Double): String =
     s"""WITH ${featsSql(labelWhere, nBuckets)}${gdSql(iters, lr)}
+       |SELECT bucket, round(wt, 9) AS weight FROM w$iters""".stripMargin
+
+  /** DuckDB twin of [[trainSampled]] — replays the md5-ordered draw
+    * end-to-end, then the same unrolled GD over the sampled rows. */
+  def trainSampledSql(labelWhere: String, nBuckets: Int, iters: Int,
+      lr: Double, sampleMax: Int): String =
+    s"""WITH sdocs AS (
+       |  SELECT * FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sampleMax
+       |), ${featsSql(labelWhere, nBuckets, "sdocs")}${gdSql(iters, lr)}
        |SELECT bucket, round(wt, 9) AS weight FROM w$iters""".stripMargin
 
   /** DuckDB twin of [[scoreFilter]]. */

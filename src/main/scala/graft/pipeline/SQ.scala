@@ -92,24 +92,30 @@ object SQ {
   /**
    * Top-k by L2 between each raw query vector and the reconstructed
    * corpus: `(query_id, neighbor_id, adist, rank)`. Queries are a
-   * bounded in-corpus id set, collected and broadcast as literals
-   * (the [[PQ.adcTopK]] contract); the corpus is scanned once, self
-   * excluded, ties to the lowest neighbor id.
+   * bounded in-corpus id set, collected and broadcast as a literal
+   * frame; the corpus is scanned ONCE — a single crossJoin against
+   * the broadcast queries (the [[Similarity.bruteForceTopK]] shape),
+   * not one branch per query. Self excluded, ties to the lowest
+   * neighbor id.
    */
   def adcTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val b = trainBounds(embs)
     val dec = encode(embs, b)
       .select(col("vec_id"), decodeCol(b, col("codes")).as("dec"))
     val qvecs = corpus(embs)
       .filter(col("vec_id").isInCollection(queryIds))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
-    val scored = qvecs.map { case (qid, q) =>
-      val diff = zip_with(col("dec"), typedLit(q.toSeq), (a, qx) => a - qx)
-      dec.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          graft.functions.VecDot(diff, diff).as("adist"))
-    }.reduce(_ unionByName _)
+    require(qvecs.nonEmpty,
+      s"SQ.adcTopK: none of the ${queryIds.size} query ids resolve in the corpus")
+    val qdf = qvecs.toDF("query_id", "qv")
+    val diff = zip_with(col("dec"), col("qv"), (a, qx) => a - qx)
+    val scored = dec.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VecDot(diff, diff).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -142,7 +142,7 @@ object Rates {
        |  FROM f
        |)
        |SELECT series, $bkt AS bucket,
-       |  sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS resets_value
+       |  CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS resets_value
        |FROM diffed GROUP BY series, $bkt""".stripMargin
   }
 }

@@ -92,15 +92,20 @@ object Smoothing {
    *
    * Unlike [[ewma]]'s weight sum this recurrence has no truncated
    * window form (the trend term couples every prefix), so the
-   * SCALE-CORRECT expression is a per-series sequential fold:
-   * `array_sort(collect_list(...))` + ONE `aggregate` over the sorted
-   * array — a single shuffle by series, with the declared contract
+   * SCALE-CORRECT expression is a per-series sequential scan: ONE
+   * shuffle by series (typed groupByKey), then an O(n) in-memory loop
+   * emitting every step's (level, trend) — with the declared contract
    * that one series' in-range samples fit an executor (the same
    * contract as the exact-percentile windows; longer histories
    * downsample first — compaction rules exist for exactly that).
-   * The fold's arithmetic is a fixed sequential order, so results are
-   * bit-identical across engines — the DuckDB oracle replays the
-   * recurrence with a recursive CTE and hash-matches without
+   * A typed scan, not a Catalyst `aggregate` fold: SQL lambdas can
+   * only APPEND per-step output to the accumulator array, which
+   * copies it every step — O(n²) per series — and no higher-order
+   * primitive does a stateful scan; the imperative loop is the honest
+   * O(n) shape (the [[graft.pipeline.Multimodal]] precedent). The
+   * loop's arithmetic is the recurrence in a fixed sequential order,
+   * so results are bit-identical across engines — the DuckDB oracle
+   * replays it with a recursive CTE and hash-matches without
    * tolerance games (round-9 is applied on both sides only to keep
    * the compare canonical).
    */
@@ -109,37 +114,40 @@ object Smoothing {
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
     require(sf > 0 && sf < 1, s"sf $sf outside (0, 1)")
     require(tf > 0 && tf < 1, s"tf $tf outside (0, 1)")
+    val spark = samples.sparkSession
+    import spark.implicits._
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val folded = expr(
-      s"""aggregate(
-         |  slice(arr, 2, greatest(size(arr) - 1, 0)),
-         |  named_struct(
-         |    'level', CAST(arr[0].value AS DOUBLE),
-         |    'trend', CAST(IF(size(arr) > 1,
-         |        arr[1].value - arr[0].value, 0.0D) AS DOUBLE),
-         |    'out', array(named_struct(
-         |      'ts', arr[0].ts,
-         |      'level', CAST(arr[0].value AS DOUBLE),
-         |      'trend', CAST(IF(size(arr) > 1,
-         |        arr[1].value - arr[0].value, 0.0D) AS DOUBLE)))),
-         |  (acc, x) -> named_struct(
-         |    'level', $sf * x.value + ${1 - sf} * (acc.level + acc.trend),
-         |    'trend', $tf * (($sf * x.value + ${1 - sf} * (acc.level + acc.trend))
-         |               - acc.level) + ${1 - tf} * acc.trend,
-         |    'out', acc.out || array(named_struct(
-         |      'ts', x.ts,
-         |      'level', $sf * x.value + ${1 - sf} * (acc.level + acc.trend),
-         |      'trend', $tf * (($sf * x.value + ${1 - sf} * (acc.level + acc.trend))
-         |                 - acc.level) + ${1 - tf} * acc.trend))),
-         |  acc -> acc.out)""".stripMargin)
-    s.groupBy(col("series"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("arr"))
-      .select(col("series"), explode(folded).as("h"))
-      .select(col("series"), col("h.ts").as("ts"),
-        round(col("h.level"), 9).as("hw_level"),
-        round(col("h.trend"), 9).as("hw_trend"))
+    val omsf = 1 - sf
+    val omtf = 1 - tf
+    s.select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (series, it) =>
+        // (ts, value) order — the family-wide determinism contract
+        val arr = it.map(r => (r._2, r._3)).toArray.sorted
+        val out = new Array[(String, Long, Double, Double)](arr.length)
+        if (arr.nonEmpty) {
+          var level = arr(0)._2
+          var trend = if (arr.length > 1) arr(1)._2 - arr(0)._2 else 0.0
+          out(0) = (series, arr(0)._1, level, trend)
+          var i = 1
+          while (i < arr.length) {
+            val nl = sf * arr(i)._2 + omsf * (level + trend)
+            val nt = tf * (nl - level) + omtf * trend
+            level = nl
+            trend = nt
+            out(i) = (series, arr(i)._1, level, trend)
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("series", "ts", "hw_level", "hw_trend")
+      .select(col("series"), col("ts"),
+        round(col("hw_level"), 9).as("hw_level"),
+        round(col("hw_trend"), 9).as("hw_trend"))
   }
 
   /** Oracle twin: the recurrence as a recursive CTE over per-series
@@ -195,7 +203,7 @@ object Smoothing {
    * sample 1 at exactly (v_1, 0, 0), so EVERY sample takes the same
    * recurrence step. Like [[holt]] this has no windowed form (level,
    * trend and m seasonal slots couple every prefix), so the
-   * scale-correct expression is the same per-series sequential fold:
+   * scale-correct expression is the same per-series O(n) typed scan:
    * one shuffle by series, state = 2 + m doubles, arithmetic in a
    * fixed order — the DuckDB oracle replays it as a recursive CTE
    * carrying the seasonal slots as a DOUBLE[] column and hash-matches.
@@ -208,46 +216,48 @@ object Smoothing {
     require(beta > 0 && beta < 1, s"beta $beta outside (0, 1)")
     require(gamma > 0 && gamma < 1, s"gamma $gamma outside (0, 1)")
     require(m >= 1, s"season length $m must be >= 1")
+    val spark = samples.sparkSession
+    import spark.implicits._
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    // SQL-lambda recurrence: L/S/SI have no let-binding, so the level
-    // expression repeats inside trend/season exactly like holt's does
-    val si = s"element_at(acc.seas, (acc.i % $m) + 1)"
-    val L = s"$alpha * (x.value - $si) + ${1 - alpha} * (acc.level + acc.trend)"
-    val T = s"$beta * (($L) - acc.level) + ${1 - beta} * acc.trend"
-    val S = s"$gamma * (x.value - ($L)) + ${1 - gamma} * $si"
-    val folded = expr(
-      s"""aggregate(
-         |  slice(arr, 2, greatest(size(arr) - 1, 0)),
-         |  named_struct(
-         |    'level', CAST(arr[0].value AS DOUBLE),
-         |    'trend', CAST(0.0 AS DOUBLE),
-         |    'seas', array_repeat(CAST(0.0 AS DOUBLE), $m),
-         |    'i', 1,
-         |    'out', array(named_struct(
-         |      'ts', arr[0].ts,
-         |      'level', CAST(arr[0].value AS DOUBLE),
-         |      'trend', CAST(0.0 AS DOUBLE),
-         |      'season', CAST(0.0 AS DOUBLE)))),
-         |  (acc, x) -> named_struct(
-         |    'level', $L,
-         |    'trend', $T,
-         |    'seas', concat(
-         |      slice(acc.seas, 1, acc.i % $m),
-         |      array($S),
-         |      slice(acc.seas, (acc.i % $m) + 2, $m - (acc.i % $m) - 1)),
-         |    'i', acc.i + 1,
-         |    'out', acc.out || array(named_struct(
-         |      'ts', x.ts, 'level', $L, 'trend', $T, 'season', $S))),
-         |  acc -> acc.out)""".stripMargin)
-    s.groupBy(col("series"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("arr"))
-      .select(col("series"), explode(folded).as("h"))
-      .select(col("series"), col("h.ts").as("ts"),
-        round(col("h.level"), 9).as("hw_level"),
-        round(col("h.trend"), 9).as("hw_trend"),
-        round(col("h.season"), 9).as("hw_season"))
+    val oma = 1 - alpha
+    val omb = 1 - beta
+    val omg = 1 - gamma
+    s.select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (series, it) =>
+        val arr = it.map(r => (r._2, r._3)).toArray.sorted
+        val out =
+          new Array[(String, Long, Double, Double, Double)](arr.length)
+        if (arr.nonEmpty) {
+          var level = arr(0)._2
+          var trend = 0.0
+          val seas = new Array[Double](m)
+          out(0) = (series, arr(0)._1, level, 0.0, 0.0)
+          var i = 1
+          while (i < arr.length) {
+            val v = arr(i)._2
+            val slot = i % m // sample at 1-based pos p: (p-1) mod m
+            val si = seas(slot)
+            val nl = alpha * (v - si) + oma * (level + trend)
+            val nt = beta * (nl - level) + omb * trend
+            val ns = gamma * (v - nl) + omg * si
+            level = nl
+            trend = nt
+            seas(slot) = ns
+            out(i) = (series, arr(i)._1, nl, nt, ns)
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("series", "ts", "hw_level", "hw_trend", "hw_season")
+      .select(col("series"), col("ts"),
+        round(col("hw_level"), 9).as("hw_level"),
+        round(col("hw_trend"), 9).as("hw_trend"),
+        round(col("hw_season"), 9).as("hw_season"))
   }
 
   /** Oracle twin: the triple recurrence as a recursive CTE whose state

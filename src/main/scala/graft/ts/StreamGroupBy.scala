@@ -24,12 +24,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * data, matching the reference's late-write recompute
  * (tsdb.c:621-668).
  *
- * Supported aggregator/reducer set: {sum, min, max, count, avg} both
- * levels — the partials-composable subset (first/last/twa need
- * arrival order or neighbours; std/var need a second moment — the
- * batch path covers them). Finite values only: a NaN-bearing history
- * is a batch-path concern (NaN enters reference storage only through
- * compaction fills).
+ * Supported aggregators: everything partials-composable — sum/min/
+ * max/count/avg plus std.p/std.s/var.p/var.s via the reference's own
+ * accumulator shape (Σv, Σv², n) (reference: compaction.c:461-553),
+ * range from (min, max), and first/last via (min-(ts,value),
+ * max-(ts,value)) pairs with the batch path's lexicographic struct
+ * tie-break (see [[Aggs]]). Only twa is rejected — it genuinely needs
+ * bucket neighbours. Reducers: the same set minus first/last (the
+ * batch reducer contract, reference: query_language.c:825-841).
+ * NaN samples are dropped at the stream head — the same
+ * `isValueValid` skip every batch aggregator applies — so a stray
+ * NaN can't poison a (group, bucket) state entry.
  *
  * Scale shape: the label filter and group mapping is a stream-static
  * BROADCAST join (the index is O(#series), the same assumption every
@@ -41,7 +46,67 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamGroupBy {
 
-  private val Supported = Set("sum", "min", "max", "count", "avg")
+  private val SupportedAggs = Set("sum", "min", "max", "count", "avg",
+    "range", "std.p", "std.s", "var.p", "var.s", "first", "last")
+  private val SupportedReducers = Set("sum", "min", "max", "count", "avg",
+    "range", "std.p", "std.s", "var.p", "var.s")
+
+  /** Per-series composable partial: (Σv, Σv², min, max, n,
+    * first-(ts,v), last-(ts,v)) — finalizes every supported
+    * aggregator. The (ts, v) pairs compare lexicographically, the
+    * batch path's min/max-over-struct(t,v) duplicate-ts tie-break. */
+  private type Partial =
+    (Double, Double, Double, Double, Long, Long, Double, Long, Double)
+
+  private val Zero: Partial = (0.0, 0.0, Double.PositiveInfinity,
+    Double.NegativeInfinity, 0L, Long.MaxValue, Double.PositiveInfinity,
+    Long.MinValue, Double.NegativeInfinity)
+
+  private def finalize(agg: String, p: Partial): Double = {
+    val (su, sq, mn, mx, n, _, fv, _, lv) = p
+    agg match {
+      case "sum"   => su
+      case "min"   => mn
+      case "max"   => mx
+      case "count" => n.toDouble
+      case "avg"   => su / n
+      case "range" => mx - mn
+      case "first" => fv
+      case "last"  => lv
+      case "var.p" => math.max(0.0, sq / n - (su / n) * (su / n))
+      case "var.s" =>
+        if (n == 1) 0.0
+        else math.max(0.0, (sq - su * su / n) / (n - 1))
+      case "std.p" => math.sqrt(math.max(0.0, sq / n - (su / n) * (su / n)))
+      case _ => // std.s
+        if (n == 1) 0.0
+        else math.sqrt(math.max(0.0, (sq - su * su / n) / (n - 1)))
+    }
+  }
+
+  /** Cross-series reduce over the finalized per-series values — all of
+    * them in hand per (group, bucket), so std/var use the stable
+    * two-pass central-moment form. */
+  private def reduce(reducer: String, finals: Array[Double]): Double = {
+    def m2 = { // Σ(f - mean)²
+      val mean = finals.sum / finals.length
+      finals.map(f => (f - mean) * (f - mean)).sum
+    }
+    reducer match {
+      case "sum"   => finals.sum
+      case "min"   => finals.min
+      case "max"   => finals.max
+      case "count" => finals.length.toDouble
+      case "avg"   => finals.sum / finals.length
+      case "range" => finals.max - finals.min
+      case "var.p" => m2 / finals.length
+      case "var.s" => if (finals.length == 1) 0.0 else m2 / (finals.length - 1)
+      case "std.p" => math.sqrt(m2 / finals.length)
+      case _ => // std.s
+        if (finals.length == 1) 0.0
+        else math.sqrt(m2 / (finals.length - 1))
+    }
+  }
 
   /** `(series="label=lv", ts=bucket, value=reduced)` updates, one row
     * per touched (group, bucket) per micro-batch. */
@@ -49,53 +114,41 @@ object StreamGroupBy {
       stream: DataFrame, seriesToGroup: DataFrame, groupByLabel: String,
       agg: String, reducer: String, bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
-    require(Supported.contains(agg),
-      s"streaming GROUPBY aggregator $agg not in $Supported (batch path covers the rest)")
-    require(Supported.contains(reducer),
-      s"streaming GROUPBY reducer $reducer not in $Supported (batch path covers the rest)")
+    require(SupportedAggs.contains(agg),
+      s"streaming GROUPBY aggregator $agg not in $SupportedAggs (twa needs bucket neighbours — batch path)")
+    require(SupportedReducers.contains(reducer),
+      s"streaming GROUPBY reducer $reducer not in $SupportedReducers (the batch reducer contract)")
     val spark = stream.sparkSession
     import spark.implicits._
-    var s = stream
+    var s = stream.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val keyed = s
       .join(broadcast(seriesToGroup), Seq("series"))
       .select(col("lv"),
         TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"),
-        col("series"), col("value"))
-      .as[(String, Long, String, Double)]
+        col("series"), col("ts"), col("value"))
+      .as[(String, Long, String, Long, Double)]
     keyed
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: (String, Long), rows: Iterator[(String, Long, String, Double)],
-         state: GroupState[Map[String, (Double, Double, Double, Long)]]) =>
-          var m = state.getOption.getOrElse(
-            Map.empty[String, (Double, Double, Double, Long)])
-          rows.foreach { case (_, _, series, v) =>
-            val (su, mn, mx, n) = m.getOrElse(series,
-              (0.0, Double.PositiveInfinity, Double.NegativeInfinity, 0L))
-            m = m.updated(series,
-              (su + v, math.min(mn, v), math.max(mx, v), n + 1))
+        (key: (String, Long), rows: Iterator[(String, Long, String, Long, Double)],
+         state: GroupState[Map[String, Partial]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Partial])
+          rows.foreach { case (_, _, series, ts, v) =>
+            val (su, sq, mn, mx, n, fts, fv, lts, lv) =
+              m.getOrElse(series, Zero)
+            val (nfts, nfv) =
+              if (ts < fts || (ts == fts && v < fv)) (ts, v) else (fts, fv)
+            val (nlts, nlv) =
+              if (ts > lts || (ts == lts && v > lv)) (ts, v) else (lts, lv)
+            m = m.updated(series, (su + v, sq + v * v,
+              math.min(mn, v), math.max(mx, v), n + 1, nfts, nfv, nlts, nlv))
           }
           state.update(m)
-          val finals = m.valuesIterator.map { case (su, mn, mx, n) =>
-            agg match {
-              case "sum"   => su
-              case "min"   => mn
-              case "max"   => mx
-              case "count" => n.toDouble
-              case _       => su / n
-            }
-          }.toArray
-          val red = reducer match {
-            case "sum"   => finals.sum
-            case "min"   => finals.min
-            case "max"   => finals.max
-            case "count" => finals.length.toDouble
-            case _       => finals.sum / finals.length
-          }
-          Iterator.single((key._1, key._2, red))
+          val finals = m.valuesIterator.map(p => finalize(agg, p)).toArray
+          Iterator.single((key._1, key._2, reduce(reducer, finals)))
       }
       .toDF("lv", "ts", "value")
       .select(concat(lit(s"$groupByLabel="), col("lv")).as("series"),

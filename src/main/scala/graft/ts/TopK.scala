@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
  * them; SURVEY §2.5).
  *
  * Plan: per-(series, bucket) aggregation (ONE partial/final hash agg),
- * then `rank() OVER (PARTITION BY bucket ORDER BY value, series)` with
- * a `rank <= k` filter — the exact pattern Spark's optimizer rewrites
+ * then `rank() OVER (PARTITION BY bucket ORDER BY agg_value)` — the
+ * aggregate value ALONE, no series tiebreak, so a tie class straddling
+ * the k boundary is admitted whole (a series tiebreak would turn
+ * rank() into dense per-row numbering and break that contract) — with
+ * a `rank <= k` filter, the exact pattern Spark's optimizer rewrites
  * into `WindowGroupLimit`, which keeps only k rows per bucket on the
  * map side BEFORE the rank exchange. Shuffle volume is therefore
  * O(buckets × k × partitions) worst-case, independent of series

@@ -267,6 +267,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"got ${limits.size}")
   }
 
+  test("sq8 adcTopK: ONE scan of embeddings (queries fold into one broadcast pass)") {
+    val df = SparkEntry.queries("ann_sq8_topk")(spark, dir)
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    // one corpus scan total: the query side is a collected literal
+    // frame, NOT another embeddings read per query (the r10 shape
+    // re-scanned the raw corpus once PER query id)
+    assert(scans.size == 1,
+      s"expected exactly 1 embeddings scan, got ${scans.size}")
+  }
+
   test("holt: one shuffle by series, time bounds reach the scan") {
     val df = SparkEntry.queries("ts_range_holt")(spark, dir)
     assert(shuffles(df).size == 1, "holt is one collect_list agg by series")

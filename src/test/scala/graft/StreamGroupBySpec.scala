@@ -68,6 +68,32 @@ class StreamGroupBySpec extends AnyFunSuite {
     compare("sum", "avg", "series", seed = 4)
   }
 
+  test("widened composable aggs: std/var via (Σv, Σv², n), OOO chunks") {
+    compare("std.p", "sum", "value", seed = 6)
+    compare("var.s", "max", "series", seed = 7)
+    compare("avg", "std.p", "value", seed = 8)
+    compare("sum", "var.p", "series", seed = 9)
+  }
+
+  test("widened composable aggs: first/last/range partial pairs, OOO chunks") {
+    compare("first", "sum", "value", seed = 10)
+    compare("last", "avg", "series", seed = 11)
+    compare("range", "min", "value", seed = 12)
+    compare("avg", "range", "series", seed = 13)
+  }
+
+  test("NaN samples are dropped at the stream head (the batch isValueValid skip)") {
+    val samples = Seq(
+      ("g0_a", 0L, 1.0), ("g0_a", 10L, Double.NaN), ("g0_b", 20L, 3.0))
+      .toDF("series", "ts", "value")
+    val s2g = Seq(("g0_a", "g0"), ("g0_b", "g0")).toDF("series", "lv")
+    val out = StreamGroupBy.mrangeGroupByStreamChunks(
+      spark, samples, s2g, "grp", "sum", "sum", bucketMs = 1000L, nChunks = 2)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 4.0, out.head.toString)
+  }
+
   test("unsupported aggregator/reducer rejected loudly, not silently wrong") {
     val samples = randomFrame(5, 10)
     val s2g = samples.select(col("series"), lit("g").as("lv")).distinct()
@@ -75,7 +101,7 @@ class StreamGroupBySpec extends AnyFunSuite {
       StreamGroupBy.mrangeGroupByStream(samples, s2g, "grp", "twa", "sum", 1000L)
     }
     intercept[IllegalArgumentException] {
-      StreamGroupBy.mrangeGroupByStream(samples, s2g, "grp", "avg", "std.p", 1000L)
+      StreamGroupBy.mrangeGroupByStream(samples, s2g, "grp", "avg", "first", 1000L)
     }
   }
 
