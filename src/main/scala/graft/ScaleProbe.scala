@@ -285,6 +285,34 @@ object ScaleProbe {
     val (nBig, tBig) = timed {
       graft.pipeline.Text.bigramLogProb(probeDocs).count()
     }
+    // 9b. bigram LM under a ZIPF token distribution (r10 #7): the
+    //    replica corpora above are near-uniform synthetic text, which
+    //    never stresses the ctx-join key; real corpora are zipfian —
+    //    the top context token (a stopword) carries ~1/ln(V) of ALL
+    //    bigram mass, the classic skewed-shuffle-key worst case. The
+    //    synthetic draw is log-uniform over ranks 1..V (p(r) ∝ 1/r,
+    //    zipf s≈1): rank = floor(V^u) with u md5-uniform per position,
+    //    deterministic across runs. Docs scale with reps (fixed V,
+    //    fixed doc length), so a straggler on the hot context key
+    //    would surface as super-linear growth here while the uniform
+    //    probe above stays linear; AQE skew-join split is the declared
+    //    handler, salting only if this row ever shows one.
+    val zipfDocs = {
+      val v = 20000 // vocabulary size
+      val len = 60  // tokens per doc
+      val n = nDocs // same corpus cardinality as the uniform probe
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(len)), i =>
+          concat(lit("z"), floor(pow(lit(v.toDouble),
+            // u in (0,1]: first 6 md5 hex chars of (doc_id, pos)
+            (conv(substring(md5(concat_ws("_", col("id"), i)), 1, 6), 16, 10)
+              .cast("double") + 1.0) / lit(16777216.0)))
+            .cast("long")))).as("text"))
+    }
+    val (nBigZipf, tBigZipf) = timed {
+      graft.pipeline.Text.bigramLogProb(zipfDocs).count()
+    }
+
     // SQ8 over the N× embedding corpus: ONE bounds pass + zero-shuffle
     //    encode + one scan per search — everything scan-shaped, so
     //    time must track corpus size with no super-linear term.
@@ -339,6 +367,7 @@ object ScaleProbe {
       s""""holt_sec":${s2(tHolt)},"holt_rows":$nHolt,""" +
       s""""topk_sec":${s2(tTopk)},"topk_rows":$nTopk,""" +
       s""""bigram_sec":${s2(tBig)},"bigram_rows":$nBig,""" +
+      s""""bigram_zipf_sec":${s2(tBigZipf)},"bigram_zipf_rows":$nBigZipf,""" +
       s""""sq8_topk_sec":${s2(tSq)},"sq8_rows":$nSq,""" +
       s""""stream_groupby_sec":${s2(tSgb)},"stream_groupby_rows":$nSgb}""")
     spark.stop()
