@@ -590,6 +590,15 @@ object SparkEntry {
         CorpusPipeline.contaminationBloom(docs, docs.filter(col("doc_id") < 3),
           minShared = 5L)
       }),
+      // graded contamination: per-doc FRACTION of distinct 5-gram
+      // shingles seen in the benchmark set (the GPT-3 appendix-C /
+      // Llama metric) — the number a pipeline thresholds, vs the
+      // boolean flag above
+      "pipeline_contamination_frac" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        CorpusPipeline.contaminationFraction(
+          docs, docs.filter(col("doc_id") < 3), n = 5)
+      }),
       // near-dup regime (cos >= 0.95): 4 x 16-bit bands keep random
       // collisions ~2e-4 of pairs, so candidate generation stays
       // sub-quadratic at any corpus size. The fixture has no true
@@ -808,6 +817,13 @@ object SparkEntry {
       "ann_ivfpq_residual_topk" -> ((s, dir) =>
         PQ.ivfAdcResidualTopK(Similarity.loadEmbeddings(s, dir), annQueryIds,
           k = 5, m = 4, ksub = 8, iters = 2,
+          coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4)),
+      // IVF-SQ8 (FAISS "IVF,SQ8"): coarse pruning + per-dimension
+      // SQ8 decode within the probed lists — one checkpointed
+      // (codes, cid) table, ONE scan for all queries
+      "ann_ivf_sq8_topk" -> ((s, dir) =>
+        graft.pipeline.SQ.ivfSq8TopK(Similarity.loadEmbeddings(s, dir),
+          annQueryIds, k = 5,
           coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4)),
       // SQL-surface route (GraftFunctions / SparkSessionExtensions):
       // the SAME compiled kernels invoked from spark.sql text — the
@@ -2090,6 +2106,8 @@ object SparkEntry {
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
       "pipeline_contamination" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
       "pipeline_contamination_bloom" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
+      "pipeline_contamination_frac" ->
+        CorpusPipeline.contaminationFractionSql("doc_id < 3", n = 5),
       // exact oracles for the full-table LSH paths — valid because the
       // fixture's true pair sets are all planted near-duplicates
       // (jac >= 0.889 / cos ~ 1), where banding recall is
@@ -2129,6 +2147,8 @@ object SparkEntry {
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_ivfpq_residual_topk" -> PQ.ivfAdcResidualTopKSql(annQueryIds, 5,
         m = 4, d = 16, ksub = 8, iters = 2,
+        coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+      "ann_ivf_sq8_topk" -> graft.pipeline.SQ.ivfSq8TopKSql(annQueryIds, 5,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
       "ts_sql_tvf_range" -> RangeQuery.rangeSql(

@@ -185,6 +185,51 @@ object CorpusPipeline {
     } finally bs.unpersist()
   }
 
+  /**
+   * Fractional contamination score — the graded variant of
+   * [[contamination]] (the GPT-3 appendix-C / Llama decontamination
+   * metric): for EVERY corpus document, the fraction of its distinct
+   * word n-grams that appear anywhere in the benchmark set. Boolean
+   * flags ([[contamination]]'s `>= minShared`) answer "is it dirty";
+   * the fraction answers "how dirty" — the number production
+   * pipelines threshold (e.g. drop > 0.8, keep-and-log > 0.1).
+   *
+   * Plan: benchmark shingles dedup to ONE broadcast set (O(eval
+   * items), the same bound as [[contamination]]); the corpus shingle
+   * stream LEFT-joins it map-side (no corpus shuffle for the match),
+   * then one count-agg by doc — matched and total counted in the same
+   * pass, so the whole operator is the shingle distinct + one doc-keyed
+   * agg. Docs shorter than n words have no shingles and are absent, as
+   * in every shingle-based operator here.
+   */
+  def contaminationFraction(
+      docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val ds = Dedup.shingles(docs, n)
+    val bs = Dedup.shingles(bench, n).select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    ds.join(broadcast(bs), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")).cast("double") / count(lit(1)))
+        .as("contamination_frac"))
+  }
+
+  /** DuckDB twin of [[contaminationFraction]]. */
+  def contaminationFractionSql(benchPred: String, n: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${Dedup.shingleListSql(n)})) AS shingle
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE $benchPred
+       |)
+       |SELECT s.doc_id,
+       |  count(b.shingle) * 1.0 / count(*) AS contamination_frac
+       |FROM sh s LEFT JOIN bench b USING (shingle)
+       |GROUP BY s.doc_id""".stripMargin
+
   /** DuckDB twin: same shingle sets, relational join (`benchPred`
     * selects the benchmark rows out of `documents`). */
   def contaminationSql(benchPred: String, minShared: Long = 5L): String =

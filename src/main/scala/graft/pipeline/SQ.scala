@@ -121,6 +121,66 @@ object SQ {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * IVF-SQ8 (the FAISS `IVF,SQ8` index): a coarse quantizer restricts
+   * each query to its `nProbe` highest-dot inverted lists, and the L2
+   * scoring decodes ONLY the probed lists' SQ8 codes — [[PQ.ivfAdcTopK]]'s
+   * pruning with [[adcTopK]]'s per-dimension reconstruction. The point
+   * on the index spectrum: SQ8's exact per-dim decode (no codebook
+   * training) with IVF's O(N·nProbe/|coarse|) search cost.
+   *
+   * Plan: ONE projection emits (codes, cid) and is checkpointed — the
+   * search scans 1 byte/dim codes + a scalar list id, never raw
+   * embeddings, and ALL queries ride ONE pass over it (broadcast
+   * literal query frame carrying each query's probe list; the
+   * [[adcTopK]] crossJoin shape, probed-list filter applied on the
+   * scan). At deployment the code table is written `partitionBy(cid)`
+   * and the probe filter becomes partition pruning, the
+   * [[Similarity.ivfIndexTopK]] discipline. Coarse assignment ties to
+   * the lowest cid; probe lists rank by dot, ties low — both
+   * re-derived by the DuckDB oracle, so the pruning is hash-checked.
+   */
+  def ivfSq8TopK(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      coarse: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= coarse.length)
+    require(coarse.forall(_.length == coarse.head.length),
+      "ragged coarse codebook")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val b = trainBounds(embs)
+    val enc = corpus(embs).select(col("vec_id"), codeCol(b).as("codes"),
+        graft.functions.NearestCentroid(col("v"), coarse).as("cid"))
+      .localCheckpoint()
+    val qvecs = corpus(embs)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    require(qvecs.nonEmpty,
+      s"SQ.ivfSq8TopK: none of the ${queryIds.size} query ids resolve in the corpus")
+    val qrows = qvecs.map { case (qid, q) =>
+      val probes = coarse.zipWithIndex.map { case (cv, ci) =>
+        require(cv.length == q.length,
+          s"coarse centroid dim ${cv.length} != query dim ${q.length}")
+        var s = 0.0
+        var i = 0
+        while (i < q.length) { s += q(i) * cv(i); i += 1 }
+        (s, ci)
+      }.sortBy { case (d, ci) => (-d, ci) }.take(nProbe).map(_._2).toSeq
+      (qid, q.toSeq, probes)
+    }
+    val qdf = qrows.toDF("query_id", "qv", "probes")
+    val diff = zip_with(decodeCol(b, col("codes")), col("qv"), (a, qx) => a - qx)
+    val scored = enc.crossJoin(broadcast(qdf))
+      .filter(array_contains(col("probes"), col("cid")) &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VecDot(diff, diff).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private val boundsCtes: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -141,6 +201,52 @@ object SQ {
   val codesSql: String =
     s"""$boundsCtes
        |SELECT vec_id, pos - 1 AS pos, code FROM c""".stripMargin
+
+  /** DuckDB twin of [[ivfSq8TopK]] — bounds, codes, decode, coarse
+    * assignment, probe lists and the restricted ranking all re-derived
+    * relationally from the same centroid literals. */
+  def ivfSq8TopKSql(
+      queryIds: Seq[Long], k: Int,
+      coarse: Array[Array[Double]], nProbe: Int): String = {
+    val coarseRows = coarse.zipWithIndex.map { case (cv, ci) =>
+      s"($ci, [${cv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    val qIn = queryIds.mkString(", ")
+    s"""$boundsCtes, d AS (
+       |  SELECT vec_id, pos, lo + code * (hi - lo) / 255.0 AS dx
+       |  FROM c JOIN b USING (pos)
+       |), cc(ccid, cv) AS (
+       |  SELECT * FROM (VALUES
+       |       $coarseRows)
+       |), a AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT e.vec_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(e.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM e, cc) WHERE rn = 1
+       |), p AS (
+       |  SELECT query_id, ccid FROM (
+       |    SELECT q.vec_id AS query_id, cc.ccid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_inner_product(q.v, cc.cv) DESC, cc.ccid ASC) AS rn
+       |    FROM e q, cc WHERE q.vec_id IN ($qIn)) WHERE rn <= $nProbe
+       |), qq AS (
+       |  SELECT vec_id, pos, x AS qx FROM u WHERE vec_id IN ($qIn)
+       |), s AS (
+       |  SELECT qq.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    sum((qx - dx) * (qx - dx)) AS adist
+       |  FROM qq
+       |  JOIN d ON qq.pos = d.pos AND d.vec_id <> qq.vec_id
+       |  JOIN a ON a.vec_id = d.vec_id
+       |  JOIN p ON p.query_id = qq.vec_id AND p.ccid = a.ccid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |  FROM s)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** DuckDB twin of [[adcTopK]]. */
   def adcTopKSql(queryIds: Seq[Long], k: Int): String =

@@ -223,6 +223,29 @@ class PQSpec extends AnyFunSuite {
     assert(c1.forall(_ == 0L), c1.toSeq)
   }
 
+  test("ivf-sq8: full probe == plain sq8 adc; partial probe only prunes") {
+    val df = clustered(spread = 4, jitter = true).cache()
+    try {
+      val coarse = graft.pipeline.Similarity.syntheticCentroids(4, 8)
+      val queryIds = Seq(2L, 19L)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3), r.getLong(1))
+      val full = graft.pipeline.SQ.ivfSq8TopK(df, queryIds, k = 5,
+        coarse, nProbe = 4).collect().map(key).toSet
+      val plain = graft.pipeline.SQ.adcTopK(df, queryIds, k = 5)
+        .collect().map(key).toSet
+      assert(full == plain)
+      val partial = graft.pipeline.SQ.ivfSq8TopK(df, queryIds, k = 5,
+        coarse, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullIds = graft.pipeline.SQ.ivfSq8TopK(df, queryIds, k = 40,
+        coarse, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(partial.subsetOf(fullIds))
+      assert(partial.nonEmpty)
+    } finally df.unpersist()
+  }
+
   test("sq8 top-k achieves high recall vs exact L2 on jittered clusters") {
     val df = clustered(spread = 12, jitter = true)
     val qids = Seq(0L, 17L, 35L)
