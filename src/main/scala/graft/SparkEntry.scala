@@ -968,6 +968,12 @@ object SparkEntry {
       // — must equal the batch canonical (min doc_id per fp)
       "dedup_stream_exact" -> ((s, dir) =>
         graft.pipeline.StreamDedup.documentsDedupOnce(s, dir)),
+      // online NEAR-dup admission gate: MinHash band-bucket collision
+      // against all previously-seen docs (rejected docs still poison
+      // their buckets); md5-based signature so the oracle replays the
+      // exact buckets — the gate decisions themselves are hash-checked
+      "dedup_stream_minhash_gate" -> ((s, dir) =>
+        graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir)),
 
       // CCNet/RefinedWeb-style boilerplate removal at fixed word-window
       // granularity: the repeated-segment vocabulary, and the corpus
@@ -2257,6 +2263,7 @@ object SparkEntry {
       "mm_audio_resample_real" -> Multimodal.decodeAudioSql(factor = 2),
       "mm_video_frames_real" -> Multimodal.sampleVideoFramesSql(nFrames = 4, rate = 2),
       "dedup_stream_exact" -> graft.pipeline.StreamDedup.documentsDedupOnceSql,
+      "dedup_stream_minhash_gate" -> graft.pipeline.StreamDedup.minhashGateSql(),
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

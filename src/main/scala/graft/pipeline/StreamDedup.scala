@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /**
  * Streaming exact deduplication over a document stream: the online
@@ -124,4 +124,163 @@ object StreamDedup {
   val documentsDedupOnceSql: String =
     s"""WITH fp AS (${Text.fingerprintSql})
        |SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Streaming MinHash-LSH near-dup gate
+  // ------------------------------------------------------------------
+
+  /** Per-doc MinHash band buckets `(doc_id, band, bucket)` with an
+    * md5-based signature (h_i = min over shingles of md5("i_" ++
+    * shingle), bucket = md5 of the band's h-concat) — md5 rather than
+    * the batch LSH's xxhash64 because BOTH engines compute it
+    * identically, so the DuckDB oracle replays the exact buckets and
+    * the GATE DECISIONS are hash-checked end-to-end (the batch LSH
+    * oracle checks against ground-truth Jaccard instead; this is the
+    * stronger check, bought at string-hash CPU cost). One shuffle: the
+    * shingle distinct; the signature agg reuses it, banding is a
+    * projection. */
+  private[graft] def bandBucketsMd5(
+      docs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val sh = Dedup.shingles(docs)
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"${i}_"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / bandRows
+    sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  private val gateSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bucket", StringType)))
+
+  /**
+   * Online near-dup admission gate — the production crawl-ingest
+   * shape: a document is ADMITTED iff none of its MinHash band
+   * buckets has been seen before (a bucket collision means an
+   * earlier doc is near-identical with LSH confidence; conservative
+   * first-arrival-wins, no verification pass — the online trade).
+   * A REJECTED doc still poisons its buckets for later arrivals
+   * (its near-dups should not slip in because their witness was
+   * itself rejected) — which is exactly what makes the rule
+   * order-replayable: doc d clashes iff ANY smaller-id doc shares a
+   * bucket, kept iff it clashes nowhere. State per (band, bucket) is
+   * ONE long (min doc_id seen) — O(distinct buckets), the same
+   * RocksDB-spillable bound as exact dedup, and collisions inside a
+   * micro-batch resolve against the batch min, so the outcome equals
+   * the ordered replay for any doc_id-ordered chunking.
+   *
+   * Emits `(doc_id, band, clash)` per band row into an append log;
+   * the read side folds to `(doc_id, n_clash, kept)`.
+   */
+  private def runGate(spark: SparkSession, srcStage: String): DataFrame = {
+    import spark.implicits._
+    val out = spark.readStream.schema(gateSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(Long, Int, String)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray
+          val batchMin = ids.min
+          val prior = state.getOption
+          state.update(math.min(batchMin, prior.getOrElse(Long.MaxValue)))
+          ids.iterator.map { d =>
+            val clash = prior.exists(_ < d) || batchMin < d
+            (d, key._1, if (clash) 1L else 0L)
+          }
+      }
+      .toDF("doc_id", "band", "clash")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_sgate_").resolve("out").toString
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("clash")).as("n_clash"))
+      .select(col("doc_id"), col("n_clash"),
+        (col("n_clash") === 0L).as("kept"))
+  }
+
+  /** One-shot doc_id-ordered replay of the documents fixture through
+    * the gate ([[documentsDedupOnce]]'s staging discipline). */
+  def documentsMinhashGateOnce(
+      spark: SparkSession, dir: String, nChunks: Int = 8,
+      numHashes: Int = 16, bandRows: Int = 4,
+      useRocksDb: Boolean = false): DataFrame =
+      graft.ts.Compaction.withStatePartitions(spark, 8) {
+      graft.ts.Compaction.withConf(spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        if (useRocksDb) RocksDbProvider
+        else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
+    val docs = Text.loadDocuments(spark, dir)
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_sgate_src_").resolve("stage").toString
+    bandBucketsMd5(docs, numHashes, bandRows)
+      .repartitionByRange(nChunks, col("doc_id"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    runGate(spark, srcStage)
+  } }
+
+  /** Oracle for the gate: replay signatures/buckets with the same md5
+    * chain, then doc d clashes in a band iff a smaller doc_id shares
+    * the bucket — the ordered-arrival rule, pure SQL (no recursion:
+    * rejected docs still poison buckets). */
+  def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4): String = {
+    val nBands = numHashes / bandRows
+    val sigCols = (0 until numHashes).map(i =>
+      s"min(md5('${i}_' || shingle)) AS h$i").mkString(",\n       ")
+    val bandRowsSql = (0 until nBands).map { b =>
+      val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${Dedup.shingleListSql(3)})) AS shingle
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id,
+       |       $sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandRowsSql
+       |), marked AS (
+       |  SELECT doc_id, band, bucket,
+       |    min(doc_id) OVER (PARTITION BY band, bucket) AS mn
+       |  FROM bands
+       |)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clash,
+       |  CAST(sum(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT) = 0 AS kept
+       |FROM marked GROUP BY doc_id""".stripMargin
+  }
 }
