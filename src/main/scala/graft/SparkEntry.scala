@@ -711,6 +711,10 @@ object SparkEntry {
       // corpus card: exact interpolated percentiles of token counts
       "text_corpus_stats" -> ((s, dir) =>
         Text.corpusStats(Text.loadDocuments(s, dir))),
+      // per-lang vocabulary via HLL++ sketch, contract verified
+      // in-engine (the approx-quantile escape-hatch pattern)
+      "text_vocab_approx" -> ((s, dir) =>
+        Text.vocabApproxChecked(Text.loadDocuments(s, dir))),
       // PII/URL redaction pass with byte-exact digests
       "text_redact" -> ((s, dir) => Text.redact(Text.loadDocuments(s, dir))),
       // Gopher-style repetition quality signals
@@ -2246,6 +2250,7 @@ object SparkEntry {
           nBuckets = 32, iters = 5, lr = 4.0, sampleMax = 300),
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
+      "text_vocab_approx" -> Text.vocabApproxCheckedSql,
       "text_redact" -> Text.redactSql,
       "text_repetition" -> Text.repetitionSql,
       "text_char_entropy" -> Text.charEntropySql(entropyPlantDocs),

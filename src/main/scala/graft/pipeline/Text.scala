@@ -249,6 +249,42 @@ object Text {
     * exact interpolated percentiles of per-doc token counts (Spark
     * `percentile` == DuckDB `quantile_cont`). One narrow aggregation —
     * the shape of every "corpus card" summary at any scale. */
+  /**
+   * Per-language vocabulary size with an HLL++ cardinality sketch —
+   * the 100-TB path for "how many distinct tokens does each slice
+   * have" (the exact `count(DISTINCT)` shuffles every distinct token;
+   * the sketch is a few KB per group, mergeable map-side, one pass).
+   * Like the approx-quantile escape hatches, the query VERIFIES the
+   * sketch's declared contract in-engine and emits the verdict next
+   * to the exact count: `|apx − exact| ≤ 4·rsd·exact` (HLL++'s rsd is
+   * a standard deviation; 4σ makes the check deterministic in
+   * practice), so the DuckDB oracle pins structure + verdict (TRUE
+   * everywhere) rather than sketch internals DuckDB cannot replay.
+   * At production scale you run ONLY the sketch agg; the exact twin
+   * here is the test-scale verification, the same trade
+   * [[graft.ts.Quantiles.bucketQuantilesApproxChecked]] makes.
+   */
+  def vocabApproxChecked(docs: DataFrame, rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 0.4, s"rsd $rsd outside HLL++'s supported range")
+    docs.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_vocab"),
+        approx_count_distinct(col("tok"), rsd).as("apx"))
+      .select(col("lang"), col("n_vocab"),
+        (abs(col("apx") - col("n_vocab")) <=
+          lit(4 * rsd) * col("n_vocab")).as("rsd_ok"))
+  }
+
+  /** Oracle twin of [[vocabApproxChecked]]: exact per-lang vocabulary
+    * + the contract's expected verdict. */
+  val vocabApproxCheckedSql: String =
+    """SELECT lang, count(DISTINCT tok) AS n_vocab, TRUE AS rsd_ok
+      |FROM (
+      |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents)
+      |GROUP BY lang""".stripMargin
+
   def corpusStats(docs: DataFrame): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
     docs.select(col("doc_id"), nTok.as("n_tokens"))

@@ -74,6 +74,16 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(out(3L), "disjoint doc admitted")
   }
 
+  test("minhash gate: kept set invariant to the chunk count (id-ordered replay)") {
+    // the gate's contract is doc_id-ordered arrival; HOW the ordered
+    // stream is cut into micro-batches must not change any decision
+    val a = StreamDedup.documentsMinhashGateOnce(spark, sf, nChunks = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val b = StreamDedup.documentsMinhashGateOnce(spark, sf, nChunks = 13)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(a == b)
+  }
+
   test("cross-batch duplicates are suppressed, not re-emitted") {
     // duplicate docs 0..4 at ids 10000.. — they land in the LAST
     // micro-batch (doc_id-range staging), several batches after their
