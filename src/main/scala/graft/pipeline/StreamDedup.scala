@@ -142,10 +142,28 @@ object StreamDedup {
   private[graft] def bandBucketsMd5(
       docs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
-    val sh = Dedup.shingles(docs)
-    val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"${i}_"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
+    // NOT Dedup.shingles: its per-doc distinct is a full shuffle of the
+    // shingle stream, and min() is idempotent over duplicates — the
+    // signature agg is the gate's ONLY shuffle
+    val sh = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3)," +
+          " i -> concat_ws(' ', slice(toks, i + 1, 3))) ELSE array() END"))
+        .as("shingle"))
+    // one md5 yields FOUR 32-bit (8-hex) minhash components — the
+    // standard slice-one-wide-hash trick — so the per-shingle hash
+    // cost is numHashes/4 md5 calls, pre-projected once so the 4
+    // substr mins share each call instead of re-hashing per agg
+    val nMd5 = numHashes / 4
+    val pre = sh.select(col("doc_id") +:
+      (0 until nMd5).map(g =>
+        md5(concat(lit(s"${g}_"), col("shingle"))).as(s"m$g")): _*)
+    val sigCols = (0 until numHashes).map { i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    val sig = pre.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val nBands = numHashes / bandRows
     sig.select(col("doc_id"), explode(array(
       (0 until nBands).map { b =>
@@ -254,7 +272,8 @@ object StreamDedup {
   def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4): String = {
     val nBands = numHashes / bandRows
     val sigCols = (0 until numHashes).map(i =>
-      s"min(md5('${i}_' || shingle)) AS h$i").mkString(",\n       ")
+      s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(",\n       ")
     val bandRowsSql = (0 until nBands).map { b =>
       val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i")
         .mkString(" || '|' || ")
