@@ -293,6 +293,16 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("min", "max"), bucketMs = 2 * DAY),
           groupByLabel = "type", reducer = "sum")),
+      // streaming twin of the N-aggregator lockstep reduce: every agg
+      // finalizes from the SAME per-series partials; shares the batch
+      // oracle
+      "ts_mrange_groupby_multi_stream" -> ((s, dir) =>
+        graft.ts.StreamGroupBy.mrangeGroupByStreamMultiOnce(s, dir,
+          Seq(Multi.parsePred("type=(click,view,purchase)")),
+          groupByLabel = "type", aggs = Seq("min", "max"), reducer = "sum",
+          bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbm_")
+            .resolve("log").toString)),
       // WITHLABELS/SELECTED_LABELS (reference: reply.c:219-272)
       "ts_mrange_withlabels" -> ((s, dir) => {
         val per = Multi.mrange(TSModel.samples(s, dir), TSModel.labels(s, dir),
@@ -1738,6 +1748,21 @@ object SparkEntry {
            |FROM filled JOIN series_labels USING (series)
            |GROUP BY 1, 2""".stripMargin,
       "ts_mrange_groupby_multi" ->
+        s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
+           |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket,
+           |         ${Aggs.sql("min")}, ${Aggs.sql("max")}
+           |  FROM samples JOIN series_labels USING (series)
+           |  WHERE ts >= $T0 AND ts <= $T31
+           |    AND "type" IN ('click','view','purchase')
+           |  GROUP BY 1, 2
+           |) SELECT 'type=' || "type" AS series, bucket AS ts,
+           |         coalesce(sum(min_value) FILTER (WHERE NOT isnan(min_value)), 'NaN'::DOUBLE) AS min_value,
+           |         coalesce(sum(max_value) FILTER (WHERE NOT isnan(max_value)), 'NaN'::DOUBLE) AS max_value
+           |  FROM per JOIN series_labels USING (series)
+           |  WHERE min_value IS NOT NULL OR max_value IS NOT NULL
+           |  GROUP BY 1, 2""".stripMargin,
+      // streaming twin shares the batch multi-agg oracle verbatim
+      "ts_mrange_groupby_multi_stream" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 2 * DAY)} AS bucket,
            |         ${Aggs.sql("min")}, ${Aggs.sql("max")}

@@ -108,14 +108,20 @@ object StreamGroupBy {
     }
   }
 
-  /** `(series="label=lv", ts=bucket, value=reduced)` updates, one row
-    * per touched (group, bucket) per micro-batch. */
-  def mrangeGroupByStream(
+  /** Multi-aggregator core: every aggregator in `aggs` finalizes from
+    * the SAME per-series partials and is reduced in lockstep (the
+    * batch contract — reply.c:291-358 replays N aggregators through
+    * the grouped path; [[Multi.mrangeGroupBy]] reduces all its value
+    * columns in one grouped pass). Emits
+    * `(series="label=lv", ts=bucket, value=array<double> per agg)`
+    * updates, one row per touched (group, bucket) per micro-batch. */
+  def mrangeGroupByStreamMulti(
       stream: DataFrame, seriesToGroup: DataFrame, groupByLabel: String,
-      agg: String, reducer: String, bucketMs: Long, alignMs: Long = 0L,
+      aggs: Seq[String], reducer: String, bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
-    require(SupportedAggs.contains(agg),
-      s"streaming GROUPBY aggregator $agg not in $SupportedAggs (twa needs bucket neighbours — batch path)")
+    require(aggs.nonEmpty, "at least one aggregator")
+    aggs.foreach(a => require(SupportedAggs.contains(a),
+      s"streaming GROUPBY aggregator $a not in $SupportedAggs (twa needs bucket neighbours — batch path)"))
     require(SupportedReducers.contains(reducer),
       s"streaming GROUPBY reducer $reducer not in $SupportedReducers (the batch reducer contract)")
     val spark = stream.sparkSession
@@ -147,13 +153,26 @@ object StreamGroupBy {
               math.min(mn, v), math.max(mx, v), n + 1, nfts, nfv, nlts, nlv))
           }
           state.update(m)
-          val finals = m.valuesIterator.map(p => finalize(agg, p)).toArray
-          Iterator.single((key._1, key._2, reduce(reducer, finals)))
+          val vals = aggs.map { a =>
+            val finals = m.valuesIterator.map(p => finalize(a, p)).toArray
+            reduce(reducer, finals)
+          }
+          Iterator.single((key._1, key._2, vals))
       }
       .toDF("lv", "ts", "value")
       .select(concat(lit(s"$groupByLabel="), col("lv")).as("series"),
         col("ts"), col("value"))
   }
+
+  /** Single-aggregator form: `(series, ts, value: double)`. */
+  def mrangeGroupByStream(
+      stream: DataFrame, seriesToGroup: DataFrame, groupByLabel: String,
+      agg: String, reducer: String, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame =
+    mrangeGroupByStreamMulti(stream, seriesToGroup, groupByLabel,
+      Seq(agg), reducer, bucketMs, alignMs, fromMs, toMs)
+      .select(col("series"), col("ts"),
+        element_at(col("value"), 1).as("value"))
 
   /**
    * One-shot replay against the events fixture (the shared staged
@@ -183,6 +202,34 @@ object StreamGroupBy {
           col("value").cast("double").as(Aggs.colName(agg)))
     }
 
+  /** Multi-aggregator one-shot replay ([[mrangeGroupByStreamOnce]]'s
+    * discipline); the log's array value rides [[Compaction.lastWriterWins]]
+    * unchanged (max over struct(batch_id, array) — lexicographic, only
+    * batch_id decides) and unpacks to one named column per
+    * aggregator, the batch operator's output shape. */
+  def mrangeGroupByStreamMultiOnce(
+      spark: SparkSession, dir: String, preds: Seq[Multi.LabelPred],
+      groupByLabel: String, aggs: Seq[String], reducer: String, bucketMs: Long,
+      fromMs: Option[Long], toMs: Option[Long], sinkDir: String): DataFrame =
+    Compaction.withStatePartitions(spark, 8) {
+      val labels = TSModel.labels(spark, dir)
+      val s2g = Multi.queryIndex(labels, preds)
+        .join(labels, Seq("series"))
+        .select(col("series"),
+          element_at(col("labels"), groupByLabel).as("lv"))
+        .filter(col("lv").isNotNull)
+      val streamed = mrangeGroupByStreamMulti(
+        Compaction.eventsStream(spark, dir), s2g, groupByLabel,
+        aggs, reducer, bucketMs, 0L, fromMs, toMs)
+      val log = Compaction.runToLogSink(streamed, "update", sinkDir)
+      Compaction.guardStreamedRange(log, TSModel.samples(spark, dir), bucketMs)
+      Compaction.lastWriterWins(log)
+        .select(col("series") +: col("ts") +:
+          aggs.zipWithIndex.map { case (a, i) =>
+            element_at(col("value"), i + 1).cast("double").as(Aggs.colName(a))
+          }: _*)
+    }
+
   /** Spec-facing chunked replay: stage an arbitrary samples frame as
     * `nChunks` mtime-ordered files (partitioned by `chunkCol` —
     * by something OTHER than ts to force out-of-order bucket
@@ -192,6 +239,18 @@ object StreamGroupBy {
   def mrangeGroupByStreamChunks(
       spark: SparkSession, samples: DataFrame, seriesToGroup: DataFrame,
       groupByLabel: String, agg: String, reducer: String, bucketMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 4,
+      chunkCol: org.apache.spark.sql.Column = col("ts")): DataFrame =
+    mrangeGroupByStreamChunksMulti(spark, samples, seriesToGroup,
+      groupByLabel, Seq(agg), reducer, bucketMs, fromMs, toMs,
+      nChunks, chunkCol)
+
+  /** Multi-aggregator chunked replay — the lockstep twin of
+    * [[Multi.mrangeGroupBy]] with N value columns. */
+  def mrangeGroupByStreamChunksMulti(
+      spark: SparkSession, samples: DataFrame, seriesToGroup: DataFrame,
+      groupByLabel: String, aggs: Seq[String], reducer: String, bucketMs: Long,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       nChunks: Int = 4,
       chunkCol: org.apache.spark.sql.Column = col("ts")): DataFrame =
@@ -212,13 +271,15 @@ object StreamGroupBy {
         col("series"), col("ts"), col("value")).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcStage)
-      val streamed = mrangeGroupByStream(stream, seriesToGroup,
-        groupByLabel, agg, reducer, bucketMs, 0L, fromMs, toMs)
+      val streamed = mrangeGroupByStreamMulti(stream, seriesToGroup,
+        groupByLabel, aggs, reducer, bucketMs, 0L, fromMs, toMs)
       val sinkDir = java.nio.file.Files
         .createTempDirectory("graft_sgb_snk_").resolve("log").toString
       val log = Compaction.runToLogSink(streamed, "update", sinkDir)
       Compaction.lastWriterWins(log)
-        .select(col("series"), col("ts"),
-          col("value").cast("double").as(Aggs.colName(agg)))
+        .select(col("series") +: col("ts") +:
+          aggs.zipWithIndex.map { case (a, i) =>
+            element_at(col("value"), i + 1).cast("double").as(Aggs.colName(a))
+          }: _*)
     }
 }

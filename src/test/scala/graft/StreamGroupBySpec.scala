@@ -82,6 +82,35 @@ class StreamGroupBySpec extends AnyFunSuite {
     compare("avg", "range", "series", seed = 13)
   }
 
+  test("multi-agg lockstep: N aggregators from the same partials == batch, OOO chunks") {
+    val samples = randomFrame(14, 300)
+    val labels = labelsFor(samples)
+    val preds = Seq(Multi.parsePred("grp=(g0,g1,g2)"))
+    val aggs = Seq("min", "max", "std.p")
+    val batch = Multi.mrangeGroupBy(samples, labels, preds,
+      RangeQuery.RangeArgs(from = Some(0L), to = Some(9000L),
+        aggs = aggs, bucketMs = 1000L),
+      groupByLabel = "grp", reducer = "sum")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val s2g = labels.select(col("series"),
+      element_at(col("labels"), "grp").as("lv"))
+    val streamed = StreamGroupBy.mrangeGroupByStreamChunksMulti(
+      spark, samples, s2g, "grp", aggs, "sum", bucketMs = 1000L,
+      fromMs = Some(0L), toMs = Some(9000L), nChunks = 4,
+      chunkCol = col("value"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (a, b, c)) =>
+      val (x, y, z) = batch(k)
+      Seq((a, x), (b, y), (c, z)).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+          s"$k: stream ($a,$b,$c) vs batch ($x,$y,$z)")
+      }
+    }
+  }
+
   test("NaN samples are dropped at the stream head (the batch isValueValid skip)") {
     val samples = Seq(
       ("g0_a", 0L, 1.0), ("g0_a", 10L, Double.NaN), ("g0_b", 20L, 3.0))
