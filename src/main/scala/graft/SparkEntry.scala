@@ -725,6 +725,10 @@ object SparkEntry {
       // in-engine (the approx-quantile escape-hatch pattern)
       "text_vocab_approx" -> ((s, dir) =>
         Text.vocabApproxChecked(Text.loadDocuments(s, dir))),
+      // heavy-hitter words with the Count-Min overestimate contract —
+      // the frequency sketch completing the Bloom/HLL/CMS trio
+      "text_heavy_hitters_approx" -> ((s, dir) =>
+        Text.heavyHittersApprox(Text.loadDocuments(s, dir))),
       // PII/URL redaction pass with byte-exact digests
       "text_redact" -> ((s, dir) => Text.redact(Text.loadDocuments(s, dir))),
       // Gopher-style repetition quality signals
@@ -2276,6 +2280,7 @@ object SparkEntry {
       "text_tfidf" -> Text.tfIdfSql(),
       "text_corpus_stats" -> Text.corpusStatsSql,
       "text_vocab_approx" -> Text.vocabApproxCheckedSql,
+      "text_heavy_hitters_approx" -> Text.heavyHittersApproxSql(),
       "text_redact" -> Text.redactSql,
       "text_repetition" -> Text.repetitionSql,
       "text_char_entropy" -> Text.charEntropySql(entropyPlantDocs),

@@ -285,6 +285,61 @@ object Text {
       |  FROM documents)
       |GROUP BY lang""".stripMargin
 
+  /**
+   * Heavy-hitter words with a Count-Min sketch check — the third
+   * sketch in the escape-hatch family (Bloom for membership in
+   * [[CorpusPipeline.contaminationBloom]], HLL++ for cardinality in
+   * [[vocabApproxChecked]], CMS here for FREQUENCY): at 100 TB the
+   * exact word-frequency table is vocabulary-sized, while the sketch
+   * is eps⁻¹·ln(1/δ) counters, mergeable map-side, ONE pass; heavy
+   * hitters are then read off the sketch for a candidate set.
+   * Test-scale verification: the exact top-k (count desc, word asc —
+   * deterministic row_number rule) is computed next to the sketch
+   * estimate of each winner, and the CMS contract — an OVERESTIMATE
+   * by at most eps·N (w.p. ≥ confidence; fixed seed ⇒ deterministic
+   * here) — is emitted as a verdict the oracle pins TRUE, alongside
+   * the exact counts it can replay.
+   */
+  def heavyHittersApprox(
+      docs: DataFrame, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    require(k > 0 && eps > 0 && confidence > 0 && confidence < 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val cms = toks.stat.countMinSketch("word", eps, confidence, 42)
+    val total = cms.totalCount()
+    val est = udf((w: String) => cms.estimateCount(w))
+    // top-k via sort+limit = TakeOrderedAndProject (per-partition
+    // top-k + driver merge, never a single-partition vocab sort); the
+    // row_number window then ranks only the k survivors. The UDF runs
+    // on k rows — the one place a driver-held sketch can be probed.
+    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exact").desc, col("word").asc)
+    top
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("e", est(col("word")))
+      .select(col("word"), col("n_exact"), col("rnk"),
+        (col("e") >= col("n_exact") &&
+          col("e") <= col("n_exact") + lit(math.ceil(eps * total).toLong))
+          .as("cms_ok"))
+  }
+
+  /** Oracle twin of [[heavyHittersApprox]]: exact top-k under the same
+    * deterministic tie rule + the contract's expected verdict. */
+  def heavyHittersApproxSql(k: Int = 20): String =
+    s"""SELECT word, n_exact, rnk, TRUE AS cms_ok FROM (
+       |  SELECT word, count(*) AS n_exact,
+       |    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rnk
+       |  FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents)
+       |  GROUP BY word)
+       |WHERE rnk <= $k""".stripMargin
+
   def corpusStats(docs: DataFrame): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("double")
     docs.select(col("doc_id"), nTok.as("n_tokens"))
