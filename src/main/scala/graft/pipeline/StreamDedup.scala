@@ -269,7 +269,8 @@ object StreamDedup {
     * chain, then doc d clashes in a band iff a smaller doc_id shares
     * the bucket — the ordered-arrival rule, pure SQL (no recursion:
     * rejected docs still poison buckets). */
-  def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4): String = {
+  def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4,
+      docsCte: Option[String] = None): String = {
     val nBands = numHashes / bandRows
     val sigCols = (0 until numHashes).map(i =>
       s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
@@ -279,9 +280,13 @@ object StreamDedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    val (head, src) = docsCte match {
+      case Some(cte) => (s"WITH $cte, toks AS (", "docs")
+      case None      => ("WITH toks AS (", "documents")
+    }
+    s"""$head
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-       |  FROM documents
+       |  FROM $src
        |), sh AS (
        |  SELECT doc_id,
        |    unnest(list_distinct(${Dedup.shingleListSql(3)})) AS shingle
