@@ -313,6 +313,15 @@ object ScaleProbe {
       graft.pipeline.Text.bigramLogProb(zipfDocs).count()
     }
 
+    // 9c. streaming minhash admission gate over the N× docs corpus:
+    //    state = one long per (band, bucket) — distinct buckets scale
+    //    ~linearly with distinct docs (disjoint replica token spaces),
+    //    per-batch work O(batch band rows); the signature build is the
+    //    only shuffle. Sub-linear wall expected (trigger floor).
+    val (nGate, tGate) = timed {
+      StreamDedup.documentsMinhashGateOnce(spark, work).count()
+    }
+
     // SQ8 over the N× embedding corpus: ONE bounds pass + zero-shuffle
     //    encode + one scan per search — everything scan-shaped, so
     //    time must track corpus size with no super-linear term.
@@ -368,6 +377,7 @@ object ScaleProbe {
       s""""topk_sec":${s2(tTopk)},"topk_rows":$nTopk,""" +
       s""""bigram_sec":${s2(tBig)},"bigram_rows":$nBig,""" +
       s""""bigram_zipf_sec":${s2(tBigZipf)},"bigram_zipf_rows":$nBigZipf,""" +
+      s""""minhash_gate_sec":${s2(tGate)},"minhash_gate_rows":$nGate,""" +
       s""""sq8_topk_sec":${s2(tSq)},"sq8_rows":$nSq,""" +
       s""""stream_groupby_sec":${s2(tSgb)},"stream_groupby_rows":$nSgb}""")
     spark.stop()
