@@ -19,6 +19,10 @@ object SparkEntry {
   private val oneSeries = "click_7"
   private def seriesPred(s: String) = Some(s"series = '$s'")
 
+  // the DTW pair set: six series present at every fixture SF
+  private val dtwSeries =
+    Seq("click_7", "click_17", "error_17", "purchase_41", "signup_78", "view_7")
+
   /** The fixture-month samples with the [T0, T31] bounds pushed into
     * the parquet scan in the column's NATIVE type (samplesPruned), so
     * row groups outside the window are skipped at the source. The
@@ -628,6 +632,10 @@ object SparkEntry {
       // corpus-level word frequency (classic distributed wordcount)
       "text_word_freq" -> ((s, dir) =>
         Text.wordFrequency(Text.loadDocuments(s, dir), k = 20)),
+      // Zipf slope over the top-100 words: corpus-health diagnostic
+      // (slope ~ -1 = natural text; ~0 = boilerplate flood)
+      "text_zipf_fit" -> ((s, dir) =>
+        Text.zipfFit(Text.loadDocuments(s, dir), topN = 100)),
       // the dedup end-product: corpus with near-dups removed (bounded
       // id range so the quadratic oracle can rebuild the same pair set)
       "dedup_corpus_keep" -> ((s, dir) => {
@@ -1063,6 +1071,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_increase($T0, $T31, ${2 * DAY})")
       }),
+      "ts_sql_tvf_irate" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_irate($T0, $T31, ${2 * DAY})")
+      }),
       "ts_sql_tvf_quantiles" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1194,6 +1208,12 @@ object SparkEntry {
       "ts_corr_pair" -> ((s, dir) =>
         AsOf.pearson(monthSamples(s, dir), "click_7", "view_7",
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // cross-correlation at bucket lags -7..7: pearson swept over
+      // lead/lag shifts — "does B follow A by N days"; one grid agg,
+      // broadcast lag frame, one corr per lag
+      "ts_range_ccf" -> ((s, dir) =>
+        AsOf.ccf(monthSamples(s, dir), "click_7", "view_7",
+          bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31))),
 
       // per-series z-score outliers (beyond-reference): one unordered
       // analytic window by series, single pass
@@ -1237,6 +1257,12 @@ object SparkEntry {
       // drops vs predecessor) — completes the counter family
       "ts_range_resets" -> ((s, dir) =>
         Rates.resets(monthSamples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // PromQL irate/idelta: the INSTANT rate family — only the last
+      // consecutive pair per bucket matters (spiky counters); argmax
+      // aggregate shares the lag window's exchange
+      "ts_range_irate" -> ((s, dir) =>
+        Rates.instant(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
 
       // gap-based session windows (beyond-reference, the batch twin of
@@ -1384,6 +1410,12 @@ object SparkEntry {
       "ts_range_holt" -> ((s, dir) =>
         Smoothing.holt(monthSamples(s, dir), sf = 0.4, tf = 0.3,
           fromMs = Some(T0), toMs = Some(T31))),
+      // Holt linear point forecast: 7 daily steps past each series'
+      // last sample off the final (level, trend) — same per-series
+      // O(n) scan as holt, output series x horizon
+      "ts_range_forecast" -> ((s, dir) =>
+        Smoothing.holtForecast(monthSamples(s, dir), sf = 0.4, tf = 0.3,
+          horizon = 7, stepMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
       // Holt-Winters additive: holt + an m-slot seasonal component,
       // same per-series fold contract; the oracle's recursive CTE
       // carries the seasonal state as a DOUBLE[] column
@@ -1466,6 +1498,23 @@ object SparkEntry {
       "ts_range_cusum" -> ((s, dir) =>
         Changepoint.cusum(monthSamples(s, dir), threshold = 0.6,
           fromMs = Some(T0), toMs = Some(T31))),
+      // classical additive seasonal-trend decomposition over daily
+      // buckets, weekly period: moving-average trend + zero-sum
+      // seasonal indices + remainder, one pass over raw samples
+      "ts_range_decompose" -> ((s, dir) =>
+        Seasonal.decompose(monthSamples(s, dir), bucketMs = DAY, period = 7,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // gap report: inter-arrival gaps > 2d per series (presence
+      // semantics — NaN samples still count as arrivals)
+      "ts_range_gaps" -> ((s, dir) =>
+        Sessions.gaps(monthSamples(s, dir), thresholdMs = 2 * DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // DTW distances between daily-profile pairs: per-pair O(n·m)
+      // typed DP (parallel ACROSS pairs); the oracle replays the DP
+      // as a recursive-CTE anti-diagonal wavefront
+      "ts_dtw_pair" -> ((s, dir) =>
+        Dtw.pairwise(monthSamples(s, dir), bucketMs = DAY,
+          seriesSet = dtwSeries, fromMs = Some(T0), toMs = Some(T31))),
       // STREAMING per-series anomaly scoring: prefix z-score via
       // flatMapGroupsWithState (constant state per series), replayed
       // in time-ordered micro-batches; the oracle re-derives the
@@ -1486,6 +1535,20 @@ object SparkEntry {
       "ts_rolling_stream" -> ((s, dir) =>
         StreamAnomaly.rollingQuantileStreamOnce(s, monthSamples(s, dir),
           q = 0.5, span = 10, fromMs = Some(T0), toMs = Some(T31))),
+      // streaming CUSUM drift detection: running sum of prefix-z
+      // terms (5 scalars of state per series); the oracle is the
+      // closed form — two stacked cumulative windows
+      "ts_cusum_stream" -> ((s, dir) =>
+        StreamAnomaly.cusumStreamOnce(s, monthSamples(s, dir),
+          threshold = 3.0, fromMs = Some(T0), toMs = Some(T31))),
+      // STREAMING session windows via Spark's NATIVE session_window
+      // stateful operator (both engines merge on diff <= gap); shares
+      // the batch sessionRange oracle — engine-managed session state
+      // must reproduce the closed-form lag/cumsum derivation
+      "ts_session_stream" -> ((s, dir) =>
+        StreamSessions.sessionStreamOnce(s, monthSamples(s, dir),
+          agg = "avg", gapMs = 12 * HOUR,
+          fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -2331,6 +2394,13 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_holt" -> Smoothing.holtSql(sf = 0.4, tf = 0.3,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_forecast" -> Smoothing.holtForecastSql(sf = 0.4, tf = 0.3,
+        horizon = 7, stepMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_ccf" -> AsOf.ccfSql("click_7", "view_7",
+        bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "text_zipf_fit" -> Text.zipfFitSql(topN = 100),
       "ts_range_holt_winters" -> Smoothing.holtWintersSql(alpha = 0.5,
         beta = 0.3, gamma = 0.4, m = 24,
         fromMs = Some(T0), toMs = Some(T31)),
@@ -2397,6 +2467,18 @@ object SparkEntry {
       "ts_seasonal_stream" -> StreamAnomaly.seasonalStreamSql(2.0, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_stream" -> Rolling.rollingQuantileSql(q = 0.5, span = 10,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_cusum_stream" -> StreamAnomaly.cusumStreamSql(3.0,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_decompose" -> Seasonal.decomposeSql(bucketMs = DAY, period = 7,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_gaps" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_dtw_pair" -> Dtw.pairwiseSql(bucketMs = DAY, seriesSet = dtwSeries,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_irate" -> Rates.instantSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),

@@ -340,6 +340,17 @@ object GraftFunctions {
         Some(literalLong("ts_increase", args(0), "from")),
         Some(literalLong("ts_increase", args(1), "to"))))
     }),
+    // ts_irate(from, to, bucket_ms[, align_ms]) — instant rate family
+    (FunctionIdentifier("ts_irate"), info("ts_irate"), { args: Seq[Expression] =>
+      nargs("ts_irate", Seq(3, 4), args)
+      val spark = activeSession("ts_irate")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.instant(
+        spark.table(SamplesView),
+        literalLong("ts_irate", args(2), "bucket_ms"),
+        if (args.length > 3) literalLong("ts_irate", args(3), "align_ms") else 0L,
+        Some(literalLong("ts_irate", args(0), "from")),
+        Some(literalLong("ts_irate", args(1), "to"))))
+    }),
     // ts_resets(from, to, bucket_ms[, align_ms]) — counter-reset count
     (FunctionIdentifier("ts_resets"), info("ts_resets"), { args: Seq[Expression] =>
       nargs("ts_resets", Seq(3, 4), args)

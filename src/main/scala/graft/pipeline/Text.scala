@@ -139,6 +139,58 @@ object Text {
        |GROUP BY word ORDER BY n DESC, word ASC LIMIT $k""".stripMargin
 
   /**
+   * Zipf fit — a corpus-health diagnostic for training-data curation:
+   * natural text follows `freq ∝ rank^s` with s ≈ −1; a slope far from
+   * −1 over the head of the distribution flags boilerplate floods
+   * (slope ≈ 0: the same templates repeated) or shredded/synthetic
+   * text. One row: OLS slope/intercept/R² of ln(freq) on ln(rank) over
+   * the top-`topN` words, plus the rank count actually fitted.
+   *
+   * Plan shape: word counts are ONE map-side-combined aggregation; the
+   * top-N head is a distributed TakeOrderedAndProject (per-partition
+   * top-N, merged — no global sort materializes the vocabulary);
+   * ranking and the regression run on that N-row frame, so the
+   * single-partition window is bounded by the QUERY's topN, not the
+   * corpus. regr_slope/regr_intercept/regr_r2 are the same
+   * least-squares aggregates in both engines.
+   */
+  def zipfFit(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 2, s"zipf fit needs topN >= 2, got $topN")
+    val head = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(topN)
+    val ranked = head.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word").asc)))
+    val y = log(col("n").cast("double"))
+    val x = log(col("rank").cast("double"))
+    ranked.agg(
+      regr_slope(y, x).as("zipf_slope"),
+      regr_intercept(y, x).as("zipf_intercept"),
+      regr_r2(y, x).as("zipf_r2"),
+      count(lit(1)).as("n_ranks"))
+  }
+
+  /** DuckDB twin of [[zipfFit]] — same head selection, same OLS. */
+  def zipfFitSql(topN: Int): String =
+    s"""WITH freqs AS (
+       |  SELECT word, count(*) AS n
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  GROUP BY word ORDER BY n DESC, word ASC LIMIT $topN
+       |), ranked AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+       |  FROM freqs
+       |)
+       |SELECT regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_slope,
+       |       regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_intercept,
+       |       regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_r2,
+       |       CAST(count(*) AS BIGINT) AS n_ranks
+       |FROM ranked""".stripMargin
+
+  /**
    * TF-IDF: the classic two-level text pipeline — per-(doc, term)
    * counts (one shuffle by (doc, term) with map-side combine), document
    * frequencies (one aggregate by term), and `tf * ln(N / df)`.

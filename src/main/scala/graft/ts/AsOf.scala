@@ -101,6 +101,92 @@ object AsOf {
       .agg(corr(col("va"), col("vb")).as("corr_value"))
   }
 
+  /**
+   * Cross-correlation function — [[pearson]] swept over bucket lags:
+   * one `(lag, n_pairs, ccf_value)` row per lag in [−maxLag, maxLag],
+   * where lag ℓ correlates A's bucket t with B's bucket t+ℓ ("does B
+   * follow A by ℓ buckets" peaks at positive ℓ). The lead/lag
+   * diagnostic behind "errors spike N minutes after deploys" —
+   * [[Trend.acf]]'s cross-series twin.
+   *
+   * Plan shape: the per-series bucket grids are derived once from a
+   * `series IN (a,b)` pushed scan (two grid branches reuse the shared
+   * aggregated grid, which is at most (range/bucket) rows per series —
+   * a QUERY-bounded frame, not a data-sized one); the lag sweep is a
+   * crossJoin of grid A against the 2·maxLag+1 literal lag frame
+   * (broadcast by construction) joined to grid B on the shifted
+   * bucket, then ONE corr aggregate per lag. Nothing in the plan
+   * scales with raw sample count except the initial bucket agg, which
+   * is a map-side-combined single pass.
+   *
+   * n_pairs counts the overlapping buckets so a spuriously-high corr
+   * over a thin overlap is visible to the caller; lags with fewer
+   * than 2 overlapping buckets emit NULL ccf (corr undefined).
+   */
+  def ccf(
+      samples: DataFrame, keyA: String, keyB: String,
+      bucketMs: Long, maxLag: Int, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(maxLag >= 0, s"maxLag $maxLag must be >= 0")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+      .filter(col("series").isin(keyA, keyB))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    val ga = grid.filter(col("series") === keyA)
+      .select(col("bucket"), col("v").as("va"))
+    val gb = grid.filter(col("series") === keyB)
+      .select(col("bucket").as("bucket_b"), col("v").as("vb"))
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    // Pearson from explicit moments via try_divide, not corr(): under
+    // ANSI mode both corr() and a plain `/` THROW on a zero divisor
+    // (n = 1 or a constant side); try_divide yields NULL there, which
+    // is exactly DuckDB corr's verdict on degenerate input. |cov| <=
+    // sd_a*sd_b, so a zero divisor is the only degenerate case.
+    val c = try_divide(covar_pop(col("va"), col("vb")),
+      stddev_pop(col("va")) * stddev_pop(col("vb")))
+    ga.crossJoin(broadcast(lags))
+      .join(gb, col("bucket_b") === col("bucket") + col("lag") * bucketMs)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), c.as("ccf_value"))
+  }
+
+  /** Oracle twin of [[ccf]] — the same grid/lag-shift/corr pipeline. */
+  def ccfSql(
+      keyA: String, keyB: String, bucketMs: Long, maxLag: Int,
+      alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)",
+      s"series IN ('$keyA', '$keyB')") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS v
+       |  FROM f GROUP BY series, $bkt
+       |), a AS (
+       |  SELECT bucket, v AS va FROM grid WHERE series = '$keyA'
+       |), b AS (
+       |  SELECT bucket AS bucket_b, v AS vb FROM grid WHERE series = '$keyB'
+       |), lags AS (
+       |  SELECT CAST(unnest(generate_series(-$maxLag, $maxLag)) AS BIGINT) AS lag
+       |)
+       |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       corr(va, vb) AS ccf_value
+       |FROM a CROSS JOIN lags
+       |JOIN b ON bucket_b = bucket + lag * $bucketMs
+       |GROUP BY lag""".stripMargin
+  }
+
   def pearsonSql(
       keyA: String, keyB: String, bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

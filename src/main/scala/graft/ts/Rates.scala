@@ -129,6 +129,75 @@ object Rates {
       .agg(sum(when(col("d") < 0, 1L).otherwise(0L)).as("resets_value"))
   }
 
+  /** PromQL `irate`/`idelta`: the INSTANT rate family — per bucket,
+    * only the LAST consecutive sample pair matters (the monitoring
+    * primitive for fast-moving counters, where a bucket-wide average
+    * smears spikes):
+    *
+    *  - `idelta_value`: last-pair value difference (gauge semantics,
+    *    may be negative);
+    *  - `irate_value`: per-second rate off the last pair with counter
+    *    RESET handling — a drop means the counter restarted, so the
+    *    growth since the reset is the current absolute level
+    *    (PromQL's extrapolation-free instant rule); NULL when the
+    *    pair is zero-width (identical timestamps).
+    *
+    * A pair belongs to the bucket of its LATER sample (the same
+    * attribution rule as [[increase]]/[[resets]]); a bucket holding
+    * only a series' first sample has no pair and emits no row.
+    *
+    * Plan shape: the lag window and the per-bucket argmax aggregate
+    * share ONE exchange by series (group keys ⊇ partition key — the
+    * [[Sessions]] shape); the argmax is `max(struct(ts, value, dt,
+    * d))`, lexicographic in BOTH engines, so an (unlikely) duplicate
+    * (ts, value) at the bucket tail still resolves identically. */
+  def instant(
+      samples: DataFrame, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    val s = clean(samples, fromMs, toMs)
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
+    val last = max(struct(
+      col("ts").as("t"), col("value").as("v"),
+      col("dt").as("dt"), col("d").as("d")))
+    s.withColumn("d", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(
+        last.getField("d").as("idelta_value"),
+        when(last.getField("dt") > 0,
+          when(last.getField("d") >= 0, last.getField("d"))
+            .otherwise(last.getField("v")) * 1000.0 / last.getField("dt"))
+          .as("irate_value"))
+  }
+
+  def instantSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples ${rangeWhere(fromMs, toMs)}
+       |), diffed AS (
+       |  SELECT series, ts, value,
+       |    value - lag(value) OVER w AS d,
+       |    ts    - lag(ts)    OVER w AS dt
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY series ORDER BY ts, value)
+       |), lastpair AS (
+       |  SELECT series, $bkt AS bucket,
+       |    max(struct_pack(t := ts, v := value, dt := dt, d := d)) AS s
+       |  FROM diffed WHERE d IS NOT NULL
+       |  GROUP BY series, $bkt
+       |)
+       |SELECT series, bucket, s.d AS idelta_value,
+       |  CASE WHEN s.dt > 0 THEN
+       |    (CASE WHEN s.d >= 0 THEN s.d ELSE s.v END) * 1000.0 / s.dt
+       |  END AS irate_value
+       |FROM lastpair""".stripMargin
+  }
+
   def resetsSql(
       bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -108,6 +108,99 @@ object Seasonal {
       .select(col("series"), col("ts"), col("value"), col("season"), col("s_value"))
   }
 
+  /** Classical additive seasonal-trend decomposition over the
+    * bucket-aggregated series (the textbook "decompose" every TS
+    * toolkit ships; STL's simpler ancestor — moving-average trend,
+    * cohort-mean seasonal indices normalized to sum zero, additive
+    * remainder):
+    *
+    *  1. regularize: per-(series, bucket) mean value — raw samples are
+    *     irregular, decomposition wants a regular grid;
+    *  2. trend: centered moving average over `period` CONSECUTIVE
+    *     observed buckets (ROWS frame ordered by bucket; `period` must
+    *     be odd so the window centers exactly). Edges (and any row
+    *     whose frame is not full) have NULL trend — the classical
+    *     convention, not an extrapolation;
+    *  3. seasonal: per-(series, phase) mean of the detrended values,
+    *     re-centered so each series' indices sum to zero over one
+    *     period (phase = bucket-index mod period);
+    *  4. remainder = value − trend − seasonal (NULL where trend is).
+    *
+    * Plan shape: ONE hash agg to the bucket grid, the trend window and
+    * the bucket frame share one exchange by series, the seasonal
+    * index table is a series×period-bounded agg re-attached by a
+    * broadcast-sized join, remainder is a projection. Nothing touches
+    * raw samples twice.
+    */
+  def decompose(
+      samples: DataFrame, bucketMs: Long, period: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"decompose period must be odd and >= 3, got $period")
+    val h = (period - 1) / 2
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
+      .agg(avg(col("value")).as("value"))
+      .withColumn("phase",
+        pmod(floor(col("bucket") / bucketMs).cast("long"), lit(period.toLong)))
+    val wMa = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-h, h)
+    val detr = grid
+      .withColumn("trend",
+        when(count(lit(1)).over(wMa) === period, avg(col("value")).over(wMa)))
+      .withColumn("detrended", col("value") - col("trend"))
+    val idx = detr.groupBy(col("series"), col("phase"))
+      .agg(avg(col("detrended")).as("sr"))
+      .withColumn("seasonal",
+        col("sr") - avg(col("sr")).over(Window.partitionBy(col("series"))))
+      .select(col("series"), col("phase"), col("seasonal"))
+    detr.join(idx, Seq("series", "phase"))
+      .withColumn("remainder", col("value") - col("trend") - col("seasonal"))
+      .select(col("series"), col("bucket"), col("phase"), col("value"),
+        col("trend"), col("seasonal"), col("remainder"))
+  }
+
+  def decomposeSql(
+      bucketMs: Long, period: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(period >= 3 && period % 2 == 1,
+      s"decompose period must be odd and >= 3, got $period")
+    val h = (period - 1) / 2
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs)
+    s"""$cte, grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS value,
+       |    ((CAST(floor($bkt / $bucketMs) AS BIGINT) % $period) + $period)
+       |      % $period AS phase
+       |  FROM samples $where
+       |  GROUP BY series, $bkt
+       |), detr AS (
+       |  SELECT series, bucket, phase, value,
+       |    CASE WHEN count(*) OVER w = $period THEN avg(value) OVER w END AS trend
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY series ORDER BY bucket
+       |    ROWS BETWEEN $h PRECEDING AND $h FOLLOWING)
+       |), idx AS (
+       |  SELECT series, phase,
+       |    avg(value - trend) AS sr
+       |  FROM detr GROUP BY series, phase
+       |), idx2 AS (
+       |  SELECT series, phase,
+       |    sr - avg(sr) OVER (PARTITION BY series) AS seasonal
+       |  FROM idx
+       |)
+       |SELECT d.series, d.bucket, d.phase, d.value, d.trend, i.seasonal,
+       |  d.value - d.trend - i.seasonal AS remainder
+       |FROM detr d JOIN idx2 i ON d.series = i.series AND d.phase = i.phase""".stripMargin
+  }
+
   def anomalySql(
       threshold: Double, mode: String = "hod", minN: Long = 5L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

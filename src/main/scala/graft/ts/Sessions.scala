@@ -52,6 +52,57 @@ object Sessions {
       .drop("sid")
   }
 
+  /**
+   * Gap report — the complement of session windows: one row per
+   * inter-arrival gap strictly longer than `thresholdMs`, i.e. the
+   * outage/ingest-stall surface an operator actually pages on.
+   * `(series, gap_start, gap_end, gap_ms)` where gap_start/gap_end are
+   * the bracketing sample timestamps.
+   *
+   * PRESENCE semantics: a NaN sample is still an arrival (the
+   * reference stores it; its value is unusable but its timestamp
+   * proves the pipe was alive), so unlike the value aggregators
+   * nothing is filtered here. Plan: one lag window by series — the
+   * same single exchange as [[sessionRange]], with a projection-level
+   * filter on top; zero joins, zero extra shuffles.
+   */
+  def gaps(
+      samples: DataFrame, thresholdMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(thresholdMs > 0, "gap threshold must be positive")
+    var s = samples
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"))
+    s.select(col("series"), col("ts"))
+      .distinct()  // duplicate timestamps are one arrival for gap purposes
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("ts") - col("prev_ts") > thresholdMs)
+      .select(col("series"), col("prev_ts").as("gap_start"),
+        col("ts").as("gap_end"),
+        (col("ts") - col("prev_ts")).as("gap_ms"))
+  }
+
+  /** DuckDB oracle twin of [[gaps]]. */
+  def gapsSql(
+      thresholdMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = if (bounds.nonEmpty) s"WHERE $bounds" else ""
+    s"""$cte, arrivals AS (
+       |  SELECT DISTINCT series, ts FROM samples $where
+       |), lagged AS (
+       |  SELECT series, ts,
+       |    lag(ts) OVER (PARTITION BY series ORDER BY ts) AS prev_ts
+       |  FROM arrivals
+       |)
+       |SELECT series, prev_ts AS gap_start, ts AS gap_end,
+       |       ts - prev_ts AS gap_ms
+       |FROM lagged WHERE ts - prev_ts > $thresholdMs""".stripMargin
+  }
+
   /** DuckDB oracle twin — the same lag/cumsum session assignment. */
   def sessionRangeSql(
       agg: String, gapMs: Long,

@@ -302,4 +302,105 @@ object Smoothing {
        |  round(trend, 9) AS hw_trend, round(season, 9) AS hw_season
        |FROM hw""".stripMargin
   }
+
+  /**
+   * Holt linear forecast — the POINT of fitting [[holt]]: project each
+   * series `horizon` steps past its last sample,
+   * `ŷ(last + h·step) = level_n + h·trend_n` (Holt's linear forecast
+   * function), emitting `(series, forecast_ts, step, forecast_value)`.
+   *
+   * Runs the identical recurrence as [[holt]] in the same per-series
+   * typed scan (one shuffle, O(n) per series, same
+   * series-fits-an-executor contract) but keeps only the FINAL
+   * (level, trend) and emits the `horizon` projected rows — output is
+   * series × horizon, independent of history length. The DuckDB
+   * oracle replays the recursion, takes the max-rn state row per
+   * series (QUALIFY) and cross-joins `generate_series(1, horizon)` —
+   * the same arithmetic in the same order, so the projections
+   * hash-match.
+   */
+  def holtForecast(
+      samples: DataFrame, sf: Double, tf: Double,
+      horizon: Int, stepMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(sf > 0 && sf < 1, s"sf $sf outside (0, 1)")
+    require(tf > 0 && tf < 1, s"tf $tf outside (0, 1)")
+    require(horizon >= 1, s"horizon $horizon must be >= 1")
+    require(stepMs > 0, s"step $stepMs must be positive")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val omsf = 1 - sf
+    val omtf = 1 - tf
+    s.select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (series, it) =>
+        val arr = it.map(r => (r._2, r._3)).toArray.sorted
+        if (arr.isEmpty) Iterator.empty
+        else {
+          var level = arr(0)._2
+          var trend = if (arr.length > 1) arr(1)._2 - arr(0)._2 else 0.0
+          var i = 1
+          while (i < arr.length) {
+            val nl = sf * arr(i)._2 + omsf * (level + trend)
+            val nt = tf * (nl - level) + omtf * trend
+            level = nl
+            trend = nt
+            i += 1
+          }
+          val lastTs = arr(arr.length - 1)._1
+          (1 to horizon).iterator.map { h =>
+            (series, lastTs + h * stepMs, h.toLong, level + h * trend)
+          }
+        }
+      }
+      .toDF("series", "forecast_ts", "step", "forecast_value")
+      .select(col("series"), col("forecast_ts"), col("step"),
+        round(col("forecast_value"), 9).as("forecast_value"))
+  }
+
+  /** Oracle twin of [[holtForecast]]: [[holtSql]]'s recursion UNROUNDED,
+    * final state row per series via QUALIFY, projected over
+    * `generate_series(1, horizon)`. */
+  def holtForecastSql(
+      sf: Double, tf: Double, horizon: Int, stepMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val rec = cte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$rec, f AS (
+       |  SELECT * FROM samples $where
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |    row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM f
+       |), hw AS (
+       |  SELECT o1.series, o1.ts, o1.rn,
+       |    CAST(o1.value AS DOUBLE) AS level,
+       |    CAST(coalesce(o2.value - o1.value, 0.0) AS DOUBLE) AS trend
+       |  FROM ord o1 LEFT JOIN ord o2
+       |    ON o2.series = o1.series AND o2.rn = 2
+       |  WHERE o1.rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.ts, o.rn,
+       |    $sf * o.value + ${1 - sf} * (h.level + h.trend),
+       |    $tf * (($sf * o.value + ${1 - sf} * (h.level + h.trend)) - h.level)
+       |      + ${1 - tf} * h.trend
+       |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
+       |), fin AS (
+       |  SELECT series, ts, level, trend FROM hw
+       |  QUALIFY rn = max(rn) OVER (PARTITION BY series)
+       |), steps AS (
+       |  SELECT CAST(unnest(generate_series(1, $horizon)) AS BIGINT) AS step
+       |)
+       |SELECT series, ts + step * $stepMs AS forecast_ts, step,
+       |  round(level + step * trend, 9) AS forecast_value
+       |FROM fin CROSS JOIN steps""".stripMargin
+  }
 }

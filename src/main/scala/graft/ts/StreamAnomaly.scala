@@ -341,6 +341,137 @@ object StreamAnomaly {
     readSink(spark, sinkDir, out.schema)
   } }
 
+  /**
+   * Streaming CUSUM change detection — the online twin of
+   * [[Changepoint.cusum]]: the batch statistic normalizes against the
+   * WHOLE series' μ/σ (unknowable online), so the streaming form uses
+   * the prefix statistics instead — each arrival contributes
+   * `(x − μ_prefix)/σ_prefix` to a running sum S, and |S| ≥ threshold
+   * flags a sustained drift (a mean shift makes every post-shift term
+   * push the same way; prefix-z alone only fires on single outliers).
+   * Contributions start once the prefix has [[MinPrefix]] samples and
+   * positive variance.
+   *
+   * State per series: the Welford triple + the running S — five
+   * scalars, constant in history. Each per-row term depends only on
+   * the row's prefix, so the whole fold has a closed form as TWO
+   * stacked cumulative windows (prefix stats, then a running sum of
+   * the derived terms) — [[cusumStreamSql]], hash-checked like the
+   * z-score scorer.
+   */
+  def cusumStreamOnce(
+      spark: SparkSession, samples: DataFrame, threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8, useRocksDb: Boolean = false): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+      withProvider(spark, useRocksDb) {
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_scusum_src_").resolve("stage").toString
+    s.select(col("series"), col("ts"), col("value"))
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Double, Double, Double)]) =>
+          // Welford (n, mean, M2) + the running normalized-deviation
+          // sum S — see runZscore for why Welford, not sumsq.
+          var (n, mean, m2, cs) = state.getOption.getOrElse((0L, 0.0, 0.0, 0.0))
+          val flagged = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Double, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            if (n >= MinPrefix) {
+              val sigma = math.sqrt(math.max(m2 / n, 0.0))
+              if (sigma > 0) {
+                cs += (v - mean) / sigma
+                if (math.abs(cs) >= threshold) flagged += ((series, ts, v, cs))
+              }
+            }
+            n += 1
+            val delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+          }
+          state.update((n, mean, m2, cs))
+          flagged.iterator
+      }
+      .toDF("series", "ts", "value", "cusum_score")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_scusum_").resolve("out").toString
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readSink(spark, sinkDir, out.schema)
+  } }
+
+  /** Oracle for [[cusumStreamOnce]]: prefix stats from one cumulative
+    * window, the running S as a second cumulative sum over the derived
+    * per-row terms (rows before MinPrefix / with zero prefix variance
+    * contribute 0 and never emit). */
+  def cusumStreamSql(
+      threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), prefixed AS (
+       |  SELECT series, ts, value,
+       |    avg(value)        OVER w AS mu,
+       |    stddev_pop(value) OVER w AS sigma,
+       |    count(*)          OVER w AS n
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY series ORDER BY ts, value
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), termed AS (
+       |  SELECT series, ts, value,
+       |    (n >= $MinPrefix AND sigma > 0) AS scored,
+       |    CASE WHEN n >= $MinPrefix AND sigma > 0
+       |         THEN (value - mu) / sigma ELSE 0.0 END AS term
+       |  FROM prefixed
+       |), summed AS (
+       |  SELECT series, ts, value, scored,
+       |    sum(term) OVER (PARTITION BY series ORDER BY ts, value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_score
+       |  FROM termed
+       |)
+       |SELECT series, ts, value, cusum_score FROM summed
+       |WHERE scored AND abs(cusum_score) >= $threshold""".stripMargin
+  }
+
   /** Oracle: the prefix statistics as a cumulative window — the
     * streaming state fold and this closed form must agree row-for-row
     * (`sqrt(sumsq/n − μ²)` vs stddev_pop differ only in ulps, far

@@ -1,0 +1,239 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{Dtw, Rates, Seasonal, Sessions}
+
+/** Round-11 TS additions: DTW pair distances, classical seasonal
+  * decomposition, gap report, instant-rate family — closed forms and
+  * a brute-force DTW reference (cross-engine parity lives in the
+  * ts_dtw_pair / ts_range_decompose / ts_range_gaps / ts_range_irate
+  * oracle entries plus the RandomizedWindowsSpec combos). */
+class ElasticAnalyticsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private val DAY = 86400000L
+
+  // ---- DTW ----------------------------------------------------------
+
+  /** Exponential-recursion reference DTW — obviously correct, usable
+    * only on tiny inputs; the rolling-row DP must agree exactly. */
+  private def dtwRef(a: Seq[Double], b: Seq[Double]): Double = {
+    def d(i: Int, j: Int): Double = {
+      val c = math.abs(a(i) - b(j))
+      if (i == 0 && j == 0) c
+      else if (i == 0) c + d(0, j - 1)
+      else if (j == 0) c + d(i - 1, 0)
+      else c + math.min(math.min(d(i - 1, j), d(i, j - 1)), d(i - 1, j - 1))
+    }
+    d(a.length - 1, b.length - 1)
+  }
+
+  test("dtw kernel: hand-computed 3x2 case") {
+    // a=[0,1,2], b=[0,2]: D32 = 0 + min(D22=1, D31=3, D21=1) = 1
+    assert(Dtw.dtw(Seq(0.0, 1.0, 2.0), Seq(0.0, 2.0)) == 1.0)
+  }
+
+  test("dtw kernel: identical profiles have distance 0; elasticity absorbs a shift") {
+    val p = Seq(3.0, 1.0, 4.0, 1.0, 5.0)
+    assert(Dtw.dtw(p, p) == 0.0)
+    // a shifted impulse costs 0 under DTW (Euclidean would pay 2)
+    assert(Dtw.dtw(Seq(0.0, 0.0, 1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0, 0.0)) == 0.0)
+    // degenerate lengths
+    assert(Dtw.dtw(Seq(2.0), Seq(5.0)) == 3.0)
+    assert(Dtw.dtw(Seq(2.0), Seq(1.0, 4.0)) == 1.0 + 2.0)
+  }
+
+  test("dtw kernel == exponential reference on random tiny profiles") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(7))(rnd.nextInt(20) / 2.0)
+      val b = Seq.fill(1 + rnd.nextInt(7))(rnd.nextInt(20) / 2.0)
+      assert(Dtw.dtw(a, b) == dtwRef(a, b), s"a=$a b=$b")
+    }
+  }
+
+  test("pairwise: unordered pairs over daily profiles, NaN dropped") {
+    // two identical-profile series + one offset one; NaN must not
+    // poison a bucket mean
+    val rows =
+      (0 until 4).map(i => ("a", i * DAY + 100, 10.0 + i)) ++
+      (0 until 4).map(i => ("b", i * DAY + 999, 10.0 + i)) ++
+      Seq(("b", 2 * DAY + 5, Double.NaN)) ++
+      (0 until 4).map(i => ("c", i * DAY + 50, 20.0 + i))
+    val out = Dtw.pairwise(rows.toDF("series", "ts", "value"),
+        bucketMs = DAY, seriesSet = Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) == 0.0)
+    // constant offset 10 over 4 aligned points: monotone path pays 10
+    // per diagonal step plus nothing extra = 40
+    assert(out(("a", "c")) == 40.0 && out(("b", "c")) == 40.0)
+  }
+
+  test("pairwise: series absent from the range produce no pairs rows") {
+    val rows = (0 until 3).map(i => ("a", i * DAY + 1, 1.0 * i))
+    val out = Dtw.pairwise(rows.toDF("series", "ts", "value"),
+      bucketMs = DAY, seriesSet = Seq("a", "zz"))
+    assert(out.count() == 0)
+  }
+
+  // ---- seasonal decomposition --------------------------------------
+
+  test("decompose recovers planted trend + zero-sum weekly seasonality exactly (interior)") {
+    // value = 10 + 0.5*day + s[day%7], sum(s) == 0 — the centered
+    // 7-bucket MA is exact on a line + zero-sum season, so interior
+    // trend/seasonal/remainder recover the construction
+    val s = Seq(3.0, -1.0, 2.0, -4.0, 1.0, 0.5, -1.5)
+    assert(math.abs(s.sum) < 1e-12)
+    val rows = (0 until 28).map(i => ("k", i * DAY + 7, 10.0 + 0.5 * i + s(i % 7)))
+    val out = Seasonal.decompose(rows.toDF("series", "ts", "value"),
+        bucketMs = DAY, period = 7)
+      .orderBy("bucket").collect()
+    assert(out.length == 28)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val trend = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      if (i < 3 || i > 24) assert(trend.isEmpty, s"edge row $i must have NULL trend")
+      else {
+        assert(math.abs(trend.get - (10.0 + 0.5 * i)) < 1e-9, s"row $i trend")
+        assert(math.abs(r.getDouble(6)) < 1e-9, s"row $i remainder")
+      }
+      assert(math.abs(r.getDouble(5) - s(i % 7)) < 1e-9, s"row $i seasonal")
+    }
+  }
+
+  test("decompose: seasonal indices sum to ~0 per series; even/short periods rejected") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 40).map(i => ("k", i * DAY + 1, rnd.nextDouble() * 50))
+    val out = Seasonal.decompose(rows.toDF("series", "ts", "value"),
+      bucketMs = DAY, period = 5).collect()
+    val byPhase = out.map(r => r.getLong(2) -> r.getDouble(5)).toMap
+    assert(byPhase.size == 5)
+    assert(math.abs(byPhase.values.sum) < 1e-9)
+    intercept[IllegalArgumentException](
+      Seasonal.decompose(rows.toDF("series", "ts", "value"), DAY, period = 4))
+    intercept[IllegalArgumentException](
+      Seasonal.decompose(rows.toDF("series", "ts", "value"), DAY, period = 1))
+  }
+
+  // ---- gap report ---------------------------------------------------
+
+  test("gaps: presence semantics — NaN arrivals close gaps, duplicates are one arrival") {
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 2.0),
+      ("a", 100L, Double.NaN),        // an arrival: splits the 10->200 gap
+      ("a", 200L, 3.0), ("a", 200L, 9.0), // duplicate ts: one arrival
+      ("b", 0L, 1.0), ("b", 500L, 1.0))
+    val out = Sessions.gaps(rows.toDF("series", "ts", "value"), thresholdMs = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("a", 10L, 100L, 90L), ("a", 100L, 200L, 100L),
+      ("b", 0L, 500L, 500L)))
+  }
+
+  // ---- instant rate -------------------------------------------------
+
+  test("irate/idelta: last pair per bucket; a reset uses the post-reset level") {
+    // bucket [0,100): pairs (1->3) d=+2 dt=10, (3->2) d=-1 dt=20 — the
+    // LAST pair wins: idelta=-1; reset => irate = 2 (level) / 20ms
+    // bucket [100,200): single pair d=+5 dt=70
+    val rows = Seq(
+      ("k", 10L, 1.0), ("k", 20L, 3.0), ("k", 40L, 2.0),
+      ("k", 110L, 7.0))
+    val out = Rates.instant(rows.toDF("series", "ts", "value"), bucketMs = 100)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (0L, -1.0, 2.0 * 1000.0 / 20.0),
+      (100L, 5.0, 5.0 * 1000.0 / 70.0)))
+  }
+
+  test("irate: a series' first sample emits no pair; zero-width pair rates NULL") {
+    val rows = Seq(("k", 5L, 1.0), ("z", 7L, 9.0), ("z", 7L, 11.0))
+    val out = Rates.instant(rows.toDF("series", "ts", "value"), bucketMs = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.isNullAt(3))).toSeq
+    // 'k' has one sample -> nothing; 'z' has an equal-ts pair: idelta
+    // = 2 by the (ts, value) order, irate NULL (dt = 0)
+    assert(out == Seq(("z", 2.0, true)))
+  }
+
+  // ---- cross-correlation ---------------------------------------------
+
+  test("ccf: a planted 2-bucket lead peaks at lag +2 with corr 1") {
+    // b(t) = a(t-2 buckets): correlating a[t] with b[t+lag] is perfect
+    // at lag = +2 ("b follows a by 2 days")
+    val base = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => ("a", i * DAY + 10, v) } ++
+      base.zipWithIndex.map { case (v, i) => ("b", (i + 2) * DAY + 20, v) }
+    val out = graft.ts.AsOf.ccf(rows.toDF("series", "ts", "value"),
+        "a", "b", bucketMs = DAY, maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == (-3L to 3L).toSet)
+    assert(out(2L)._1 == 8 && math.abs(out(2L)._2 - 1.0) < 1e-12)
+    // off-peak lags overlap fewer buckets and correlate imperfectly
+    assert(out(0L)._1 == 6 && math.abs(out(0L)._2) < 0.999)
+  }
+
+  test("ccf: degenerate overlaps yield NULL (not NaN), matching the oracle") {
+    // constant series: corr undefined at every lag -> NULL normalized
+    val rows =
+      (0 until 5).map(i => ("a", i * DAY + 1, 4.0)) ++
+      (0 until 5).map(i => ("b", i * DAY + 2, i * 1.0))
+    val out = graft.ts.AsOf.ccf(rows.toDF("series", "ts", "value"),
+        "a", "b", bucketMs = DAY, maxLag = 1).collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(2)))
+  }
+
+  // ---- holt forecast --------------------------------------------------
+
+  test("holtForecast: projections are last (level, trend) + h*trend on the daily grid") {
+    val rows = Seq(
+      ("k", 0L, 10.0), ("k", 100L, 12.0), ("k", 250L, 11.0), ("k", 400L, 15.0))
+    val fit = graft.ts.Smoothing.holt(rows.toDF("series", "ts", "value"),
+        sf = 0.4, tf = 0.3)
+      .orderBy("ts").collect()
+    val (lvl, tr) = (fit.last.getDouble(2), fit.last.getDouble(3))
+    val fc = graft.ts.Smoothing.holtForecast(rows.toDF("series", "ts", "value"),
+        sf = 0.4, tf = 0.3, horizon = 3, stepMs = 50L)
+      .orderBy("step").collect()
+    assert(fc.map(_.getLong(1)).toSeq == Seq(450L, 500L, 550L))
+    fc.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      // fit's level/trend are round(,9)-canonicalized; forecast folds
+      // the unrounded state, so compare within the rounding slack
+      assert(math.abs(r.getDouble(3) - (lvl + h * tr)) < 1e-6,
+        s"step $h: ${r.getDouble(3)} vs ${lvl + h * tr}")
+    }
+  }
+
+  test("holtForecast: a single-sample series projects a flat line (trend 0)") {
+    val rows = Seq(("solo", 100L, 42.0))
+    val fc = graft.ts.Smoothing.holtForecast(rows.toDF("series", "ts", "value"),
+        sf = 0.5, tf = 0.5, horizon = 2, stepMs = 10L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fc == Seq((110L, 1L, 42.0), (120L, 2L, 42.0)))
+  }
+
+  // ---- zipf fit --------------------------------------------------------
+
+  test("zipfFit: an exact freq = C/rank corpus fits slope -1, r2 1") {
+    // counts 12/rank for ranks 1..4: ln(n) = ln 12 - 1*ln(rank) exactly
+    val words = Seq("w1" -> 12, "w2" -> 6, "w3" -> 4, "w4" -> 3)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.pipeline.Text.zipfFit(docs, topN = 4).collect()(0)
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.log(12.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getLong(3) == 4L)
+  }
+
+  test("zipfFit: topN caps the head even when the vocabulary is larger") {
+    val docs = Seq((1L, "a a a b b c d e f g")).toDF("doc_id", "text")
+    val r = graft.pipeline.Text.zipfFit(docs, topN = 3).collect()(0)
+    assert(r.getLong(3) == 3L)
+  }
+}

@@ -155,6 +155,20 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = Smoothing.holtWintersSql(a, b, g, m, from, to,
         valuesCte(samples))
     }
+    // appended after 356 (stable seeds): instant-rate family, gap
+    // report, seasonal decomposition
+    case class Ir(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, align: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Rates.instantSql(bucket, align, from, to, valuesCte(samples))
+    }
+    case class Gp(name: String, samples: Seq[(String, Long, Double)],
+        thr: Long, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Sessions.gapsSql(thr, from, to, valuesCte(samples))
+    }
+    case class Dc(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, period: Int, from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Seasonal.decomposeSql(bucket, period, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -263,6 +277,26 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       Hw(f"hw_$iter%03d", samples,
         Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)), Seq(0.1, 0.5, 0.9)(rnd.nextInt(3)),
         Seq(0.3, 0.6)(rnd.nextInt(2)), 1 + rnd.nextInt(5), from, to)
+    } ++ (356 until 392).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
+      val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
+      iter % 3 match {
+        case 0 => Ir(f"irate_$iter%03d", samples, bucket, align, from, to)
+        case 1 => Gp(f"gaps_$iter%03d", samples,
+          Seq(5L, 20L, 100L)(rnd.nextInt(3)), from, to)
+        case _ => Dc(f"dcmp_$iter%03d", samples, bucket,
+          Seq(3, 5, 7)(rnd.nextInt(3)), from, to)
+      }
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -323,6 +357,9 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Sx    => graft.ts.Sax.saxWords(df, s.bucket, s.align, s.from, s.to)
         case s: Hw    =>
           Smoothing.holtWinters(df, s.a, s.b, s.g, s.m, s.from, s.to)
+        case s: Ir    => Rates.instant(df, s.bucket, s.align, s.from, s.to)
+        case s: Gp    => Sessions.gaps(df, s.thr, s.from, s.to)
+        case s: Dc    => Seasonal.decompose(df, s.bucket, s.period, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>

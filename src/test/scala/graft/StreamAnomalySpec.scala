@@ -63,6 +63,64 @@ class StreamAnomalySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming cusum == the stacked cumulative-window closed form on the fixture") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    val got = StreamAnomaly.cusumStreamOnce(spark, samples, 2.0,
+        Some(T0), Some(T31), nChunks = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // closed form: prefix stats, then a running sum over the derived
+    // per-row terms — the same two stacked windows as the oracle SQL
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts"), col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts"), col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exp = samples.filter(!isnan(col("value")))
+      .filter(col("ts") >= T0 && col("ts") <= T31)
+      .withColumn("mu", avg(col("value")).over(wPre))
+      .withColumn("sigma", stddev_pop(col("value")).over(wPre))
+      .withColumn("n", count(lit(1)).over(wPre))
+      .withColumn("scored",
+        col("n") >= StreamAnomaly.MinPrefix && col("sigma") > 0)
+      .withColumn("term",
+        when(col("scored"), (col("value") - col("mu")) / col("sigma"))
+          .otherwise(lit(0.0)))
+      .withColumn("cs", sum(col("term")).over(wCum))
+      .filter(col("scored") && abs(col("cs")) >= 2.0)
+      .select(col("series"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming cusum: a sustained level shift fires where a single outlier would not") {
+    import spark.implicits._
+    // quiet alternating prefix, then the mean steps up by 2 sigma-ish
+    // — each post-shift sample adds ~+2 to S, crossing threshold 6
+    // after ~3 shifted samples even though no single z exceeds ~3
+    val quiet = (0L until 12L).map(t => ("a", t, (t % 2).toDouble))
+    val shifted = (12L until 20L).map(t => ("a", t, (t % 2).toDouble + 1.5))
+    val df = (quiet ++ shifted).toDF("series", "ts", "value")
+    val out = StreamAnomaly.cusumStreamOnce(spark, df, threshold = 6.0, nChunks = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(out.nonEmpty)
+    // fires only after the shift, never in the quiet prefix
+    assert(out.forall(_._1 >= 12L))
+    // drift statistic keeps growing while the shift persists
+    assert(out.last._2 >= out.head._2)
+  }
+
+  test("RocksDB provider: cusum stream output identical to default provider") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    def run(rocks: Boolean) = StreamAnomaly.cusumStreamOnce(spark, samples,
+        2.0, Some(T0), Some(T31), nChunks = 6, useRocksDb = rocks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("RocksDB provider: zscore stream output identical to default provider") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
