@@ -347,6 +347,80 @@ object ScaleProbe {
         fromMs = Some(T0), toMs = Some(T31), nChunks = 4).count()
     }
 
+    // 10. round-11 additions over the N× replicas.
+    // DTW: the pair set is a QUERY literal (6 series -> 15 pairs at
+    //    every scale); the only corpus-sized stage is the one-pass
+    //    bucket-grid agg, so wall time must track the scan, with the
+    //    per-pair DP a constant term. Replica 0 keeps original series
+    //    names, so the probe series exist at every rep count.
+    val dtwSeries = Seq("click_7", "click_17", "error_17",
+      "purchase_41", "signup_78", "view_7")
+    val (nDtw, tDtw) = timed {
+      graft.ts.Dtw.pairwise(TSModel.samples(spark, work), DAY, dtwSeries,
+        Some(T0), Some(T31)).count()
+    }
+    // Seasonal decomposition over N× series: one grid agg + two
+    //    same-key windows + a per-(series,phase) index join — every
+    //    stage keyed by series, ~linear expected.
+    val (nDcmp, tDcmp) = timed {
+      graft.ts.Seasonal.decompose(TSModel.samples(spark, work), DAY, 7,
+        Some(T0), Some(T31)).count()
+    }
+    // Native session_window streaming over N× series: session state is
+    //    one open session per live series; per-batch work O(batch).
+    //    Sub-linear wall expected (trigger floor), state ~series count.
+    val (nSess, tSess) = timed {
+      graft.ts.StreamSessions.sessionStreamOnce(spark,
+        TSModel.samples(spark, work), "avg", 12 * 3600000L,
+        Some(T0), Some(T31), nChunks = 4).count()
+    }
+    // CCF: the scan is pushed to series IN (a,b) — wall time must stay
+    //    ~FLAT as the rest of the corpus grows N× (partition pruning /
+    //    row-group skip on the series filter; the lag sweep is a
+    //    query-sized crossJoin).
+    val (nCcf, tCcf) = timed {
+      graft.ts.AsOf.ccf(TSModel.samples(spark, work), "click_7", "view_7",
+        DAY, 7, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Holt forecast: the same one-pass scan as holt but emitting
+    //    series×horizon rows — the output-side O(n²) risk holt had is
+    //    structurally absent here; ~holt-equal wall expected.
+    val (nFc, tFc) = timed {
+      graft.ts.Smoothing.holtForecast(TSModel.samples(spark, work),
+        0.4, 0.3, horizon = 7, stepMs = DAY, Some(T0), Some(T31)).count()
+    }
+    // DTW nearest-profile search: the probe profile broadcasts onto
+    //    ALL N× series' profiles — candidate count grows N×, each DP
+    //    a constant; the top-k cut is a distributed TakeOrdered.
+    //    ~Linear in series expected, grid agg still the floor.
+    val (nDtwNear, tDtwNear) = timed {
+      graft.ts.Dtw.nearest(TSModel.samples(spark, work), DAY,
+        probe = "click_7", k = 10, Some(T0), Some(T31)).count()
+    }
+    // DTW nearest with envelope pruning: at N× series the LB fold
+    //    (codegen, no DP) should carry most of the corpus, with the
+    //    DP bill capped at survivors + k seeds.
+    val (nDtwPr, tDtwPr) = timed {
+      graft.ts.Dtw.nearestPruned(TSModel.samples(spark, work), DAY,
+        probe = "click_7", k = 10, Some(T0), Some(T31)).count()
+    }
+    val (pruneSurv, pruneCand) =
+      graft.ts.Dtw.lastPruneStats.getOrElse((-1L, -1L))
+    // Streaming gap detection over N× series: ONE long of state per
+    //    series; per-batch work O(batch). Sub-linear wall expected.
+    val (nGapsS, tGapsS) = timed {
+      graft.ts.StreamSessions.gapsStreamOnce(spark,
+        TSModel.samples(spark, work), 2 * DAY,
+        Some(T0), Some(T31), nChunks = 4).count()
+    }
+    // Zipf fit over the N× corpus: one map-side-combined wordcount +
+    //    a distributed top-N head + an N-row regression — the head is
+    //    query-bounded, so the wordcount scan is the whole cost.
+    //    Replica token spaces are disjoint => vocabulary grows N× too.
+    val (nZipf, tZipf) = timed {
+      Text.zipfFit(probeDocs, topN = 100).count()
+    }
+
     // Locale.ROOT: the f interpolator renders decimal commas under
     // comma-decimal locales, producing invalid JSON
     def s2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -379,7 +453,17 @@ object ScaleProbe {
       s""""bigram_zipf_sec":${s2(tBigZipf)},"bigram_zipf_rows":$nBigZipf,""" +
       s""""minhash_gate_sec":${s2(tGate)},"minhash_gate_rows":$nGate,""" +
       s""""sq8_topk_sec":${s2(tSq)},"sq8_rows":$nSq,""" +
-      s""""stream_groupby_sec":${s2(tSgb)},"stream_groupby_rows":$nSgb}""")
+      s""""stream_groupby_sec":${s2(tSgb)},"stream_groupby_rows":$nSgb,""" +
+      s""""dtw_sec":${s2(tDtw)},"dtw_rows":$nDtw,""" +
+      s""""decompose_sec":${s2(tDcmp)},"decompose_rows":$nDcmp,""" +
+      s""""session_stream_sec":${s2(tSess)},"session_stream_rows":$nSess,""" +
+      s""""dtw_nearest_sec":${s2(tDtwNear)},"dtw_nearest_rows":$nDtwNear,""" +
+      s""""dtw_pruned_sec":${s2(tDtwPr)},"dtw_pruned_rows":$nDtwPr,""" +
+      s""""dtw_pruned_survivors":$pruneSurv,"dtw_pruned_candidates":$pruneCand,""" +
+      s""""gaps_stream_sec":${s2(tGapsS)},"gaps_stream_rows":$nGapsS,""" +
+      s""""ccf_sec":${s2(tCcf)},"ccf_rows":$nCcf,""" +
+      s""""forecast_sec":${s2(tFc)},"forecast_rows":$nFc,""" +
+      s""""zipf_fit_sec":${s2(tZipf)},"zipf_fit_rows":$nZipf}""")
     spark.stop()
   }
 }

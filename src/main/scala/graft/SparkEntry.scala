@@ -1077,6 +1077,30 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_irate($T0, $T31, ${2 * DAY})")
       }),
+      "ts_sql_tvf_gaps" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_gaps($T0, $T31, ${3 * DAY})")
+      }),
+      "ts_sql_tvf_decompose" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_decompose($T0, $T31, $DAY, 5)")
+      }),
+      "ts_sql_tvf_forecast" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_forecast($T0, $T31, 0.5, 0.2, 5, ${12 * HOUR})")
+      }),
+      "ts_sql_tvf_ccf" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ccf('click_3', 'view_3', $T0, $T31, ${2 * DAY}, 5)")
+      }),
       "ts_sql_tvf_quantiles" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1515,6 +1539,19 @@ object SparkEntry {
       "ts_dtw_pair" -> ((s, dir) =>
         Dtw.pairwise(monthSamples(s, dir), bucketMs = DAY,
           seriesSet = dtwSeries, fromMs = Some(T0), toMs = Some(T31))),
+      // DTW as a SEARCH primitive: top-10 series most similar to the
+      // probe's daily profile (full-corpus grid agg, broadcast probe,
+      // distributed TakeOrdered cut on the (distance, series) order)
+      "ts_dtw_nearest" -> ((s, dir) =>
+        Dtw.nearest(monthSamples(s, dir), bucketMs = DAY,
+          probe = "click_7", k = 10, fromMs = Some(T0), toMs = Some(T31))),
+      // the SCALE path for DTW search: a sound global-envelope lower
+      // bound prunes candidates before the O(n*m) DP (seed k by LB,
+      // cut at their k-th exact distance) — result == brute force,
+      // hence the shared oracle
+      "ts_dtw_nearest_pruned" -> ((s, dir) =>
+        Dtw.nearestPruned(monthSamples(s, dir), bucketMs = DAY,
+          probe = "view_7", k = 8, fromMs = Some(T0), toMs = Some(T31))),
       // STREAMING per-series anomaly scoring: prefix z-score via
       // flatMapGroupsWithState (constant state per series), replayed
       // in time-ordered micro-batches; the oracle re-derives the
@@ -1549,6 +1586,12 @@ object SparkEntry {
         StreamSessions.sessionStreamOnce(s, monthSamples(s, dir),
           agg = "avg", gapMs = 12 * HOUR,
           fromMs = Some(T0), toMs = Some(T31))),
+      // STREAMING gap detection: the outage page fires when the pipe
+      // comes back — one long of state per series; oracle = the batch
+      // gap report (bracketed-gap duality)
+      "ts_gaps_stream" -> ((s, dir) =>
+        StreamSessions.gapsStreamOnce(s, monthSamples(s, dir),
+          thresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -2476,10 +2519,24 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_dtw_pair" -> Dtw.pairwiseSql(bucketMs = DAY, seriesSet = dtwSeries,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_dtw_nearest" -> Dtw.nearestSql(bucketMs = DAY,
+        probe = "click_7", k = 10, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_dtw_nearest_pruned" -> Dtw.nearestSql(bucketMs = DAY,
+        probe = "view_7", k = 8, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_irate" -> Rates.instantSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_gaps" -> Sessions.gapsSql(thresholdMs = 3 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_decompose" -> Seasonal.decomposeSql(bucketMs = DAY,
+        period = 5, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_forecast" -> Smoothing.holtForecastSql(sf = 0.5, tf = 0.2,
+        horizon = 5, stepMs = 12 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_ccf" -> AsOf.ccfSql("click_3", "view_3",
+        bucketMs = 2 * DAY, maxLag = 5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_session" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,

@@ -351,6 +351,53 @@ object GraftFunctions {
         Some(literalLong("ts_irate", args(0), "from")),
         Some(literalLong("ts_irate", args(1), "to"))))
     }),
+    // ts_gaps(from, to, threshold_ms) — inter-arrival gap report
+    (FunctionIdentifier("ts_gaps"), info("ts_gaps"), { args: Seq[Expression] =>
+      nargs("ts_gaps", Seq(3), args)
+      val spark = activeSession("ts_gaps")
+      GraftSessionBridge.logicalPlan(graft.ts.Sessions.gaps(
+        spark.table(SamplesView),
+        literalLong("ts_gaps", args(2), "threshold_ms"),
+        Some(literalLong("ts_gaps", args(0), "from")),
+        Some(literalLong("ts_gaps", args(1), "to"))))
+    }),
+    // ts_decompose(from, to, bucket_ms, period) — trend/seasonal/remainder
+    (FunctionIdentifier("ts_decompose"), info("ts_decompose"), { args: Seq[Expression] =>
+      nargs("ts_decompose", Seq(4), args)
+      val spark = activeSession("ts_decompose")
+      GraftSessionBridge.logicalPlan(graft.ts.Seasonal.decompose(
+        spark.table(SamplesView),
+        literalLong("ts_decompose", args(2), "bucket_ms"),
+        literalLong("ts_decompose", args(3), "period").toInt,
+        Some(literalLong("ts_decompose", args(0), "from")),
+        Some(literalLong("ts_decompose", args(1), "to"))))
+    }),
+    // ts_forecast(from, to, sf, tf, horizon, step_ms) — Holt projection
+    (FunctionIdentifier("ts_forecast"), info("ts_forecast"), { args: Seq[Expression] =>
+      nargs("ts_forecast", Seq(6), args)
+      val spark = activeSession("ts_forecast")
+      GraftSessionBridge.logicalPlan(graft.ts.Smoothing.holtForecast(
+        spark.table(SamplesView),
+        literalDouble("ts_forecast", args(2), "sf"),
+        literalDouble("ts_forecast", args(3), "tf"),
+        literalLong("ts_forecast", args(4), "horizon").toInt,
+        literalLong("ts_forecast", args(5), "step_ms"),
+        Some(literalLong("ts_forecast", args(0), "from")),
+        Some(literalLong("ts_forecast", args(1), "to"))))
+    }),
+    // ts_ccf('a', 'b', from, to, bucket_ms, max_lag) — cross-correlation
+    (FunctionIdentifier("ts_ccf"), info("ts_ccf"), { args: Seq[Expression] =>
+      nargs("ts_ccf", Seq(6), args)
+      val spark = activeSession("ts_ccf")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.ccf(
+        spark.table(SamplesView),
+        literalString("ts_ccf", args(0), "series a"),
+        literalString("ts_ccf", args(1), "series b"),
+        literalLong("ts_ccf", args(4), "bucket_ms"),
+        literalLong("ts_ccf", args(5), "max_lag").toInt,
+        fromMs = Some(literalLong("ts_ccf", args(2), "from")),
+        toMs = Some(literalLong("ts_ccf", args(3), "to"))))
+    }),
     // ts_resets(from, to, bucket_ms[, align_ms]) — counter-reset count
     (FunctionIdentifier("ts_resets"), info("ts_resets"), { args: Seq[Expression] =>
       nargs("ts_resets", Seq(3, 4), args)

@@ -93,6 +93,149 @@ object Dtw {
     prev(m - 1)
   }
 
+  /**
+   * Nearest-profile search — DTW as a SEARCH primitive, not just a
+   * pair metric: the `k` series whose bucket profiles are most
+   * similar to `probe`'s under DTW ("which metrics moved like THIS
+   * one, phase shifts allowed"), `(series, n, dtw_distance, rank)`.
+   *
+   * Plan shape: ONE full-corpus grid agg feeds the candidate profiles;
+   * the probe branch's `series = probe` filter pushes through the
+   * aggregate into its own PRUNED scan, and the single probe profile
+   * rides a broadcast crossJoin onto every candidate (the
+   * [[graft.pipeline.Similarity]] broadcast-query discipline). The DP
+   * runs per candidate (parallel across series), and the global top-k
+   * is a distributed TakeOrderedAndProject on (distance, series) — a
+   * total order, so the cut is deterministic. A probe absent from the
+   * range yields an empty result (both engines).
+   */
+  def nearest(
+      samples: DataFrame, bucketMs: Long, probe: String, k: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"nearest needs k >= 1, got $k")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    val arrs = grid.groupBy(col("series"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket").as("b"), col("v").as("v")))),
+        x => x.getField("v")).as("vals"))
+    val pa = arrs.filter(col("series") === probe).select(col("vals").as("pv"))
+    val scored = arrs.filter(col("series") =!= probe)
+      .crossJoin(broadcast(pa))
+      .as[(String, Seq[Double], Seq[Double])]
+      .map { case (sb, vals, pv) => (sb, vals.length.toLong, dtw(pv, vals)) }
+      .toDF("series", "n", "dtw_distance")
+    val topk = scored
+      .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
+    topk.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("dtw_distance").asc, col("series").asc)))
+  }
+
+  /**
+   * [[nearest]] with ENVELOPE PRUNING — the 100-TB search path: most
+   * candidates never pay the O(n·m) DP. The lower bound is the
+   * probe's global envelope [L, U] = [min(probe), max(probe)]:
+   *
+   *   LB(c) = Σ_i max(0, c_i − U, L − c_i)  ≤  DTW(probe, c)
+   *
+   * SOUND for UNCONSTRAINED DTW and for unequal lengths — every
+   * warping path visits every candidate column i at least once, and
+   * the cell it pays there costs |c_i − a_j| ≥ dist(c_i, [L, U]).
+   * (The classic LB_Keogh sliding envelope is only valid under a
+   * Sakoe-Chiba band; with no band the sound envelope is the global
+   * one.) Three passes over the CHECKPOINTED profile frame (bounded
+   * at series × buckets — the [[graft.pipeline.PQ]] discipline, so
+   * the raw-sample scan happens once):
+   *
+   *   1. LB per candidate — a codegen'd `aggregate` fold, no DP;
+   *   2. seed: exact DTW for the k lowest-LB candidates → τ = their
+   *      k-th smallest exact distance (an upper bound on the true
+   *      k-th best, so any candidate with LB > τ cannot place);
+   *   3. exact DTW only for survivors (LB ≤ τ), global top-k.
+   *
+   * Returns exactly [[nearest]]'s result (same oracle); prune
+   * effectiveness is reported by [[lastPruneStats]] (survivors vs
+   * candidates) and measured in ScaleProbe.
+   */
+  def nearestPruned(
+      samples: DataFrame, bucketMs: Long, probe: String, k: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"nearestPruned needs k >= 1, got $k")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val arrs = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+      .groupBy(col("series"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket").as("b"), col("v").as("v")))),
+        x => x.getField("v")).as("vals"))
+      .localCheckpoint()
+    val pv = arrs.filter(col("series") === probe)
+      .select(col("vals")).collect()
+    if (pv.isEmpty) {
+      // absent probe: empty result, the [[nearest]] contract
+      lastPruneStats = None
+      return emptyResult(spark)
+    }
+    val probeVals = pv(0).getSeq[Double](0)
+    val (lo, hi) = (probeVals.min, probeVals.max)
+    val cands = arrs.filter(col("series") =!= probe)
+    // pass 1: the envelope fold — pure codegen, no DP
+    val lbCol = aggregate(col("vals"), lit(0.0),
+      (acc, x) => acc + greatest(lit(0.0), x - hi, lit(lo) - x))
+    val withLb = cands.select(col("series"), col("vals"), lbCol.as("lb"))
+    def exact(df: DataFrame): DataFrame =
+      df.select(col("series"), col("vals"))
+        .as[(String, Seq[Double])]
+        .map { case (sb, vals) => (sb, vals.length.toLong, dtw(probeVals, vals)) }
+        .toDF("series", "n", "dtw_distance")
+    // pass 2: seed the cutoff from the k lowest-LB candidates
+    val seeds = withLb.orderBy(col("lb").asc, col("series").asc).limit(k)
+    val seedDists = exact(seeds).select(col("dtw_distance"))
+      .collect().map(_.getDouble(0)).sorted
+    if (seedDists.isEmpty) {
+      // probe is the only series in range
+      lastPruneStats = Some((0L, 0L))
+      return emptyResult(spark)
+    }
+    val tau = seedDists.last // k-th smallest among the seeds
+    // pass 3: DP only for survivors
+    val survivors = withLb.filter(col("lb") <= tau)
+    lastPruneStats = Some((survivors.count(), cands.count()))
+    val topk = exact(survivors)
+      .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
+    topk.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("dtw_distance").asc, col("series").asc)))
+  }
+
+  /** (survivors, candidates) of the last [[nearestPruned]] call on
+    * this JVM — probe/spec instrumentation, not part of the result. */
+  @volatile private[graft] var lastPruneStats: Option[(Long, Long)] = None
+
+  private def emptyResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dtw_distance",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+
   /** DuckDB oracle: the same distances via a recursive anti-diagonal
     * wavefront. Each recursion step carries diagonal k (`cur`) and
     * k−1 (`prev`) as lists ordered by i; cell lookups are guarded
@@ -105,9 +248,48 @@ object Dtw {
       cte: String = TSModel.samplesCte): String = {
     require(seriesSet.nonEmpty, "dtw needs a non-empty series set")
     val inList = seriesSet.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
+    dpSql(
+      extraWhere = Some(s"series IN ($inList)"),
+      pairsJoin = "FROM arrs a JOIN arrs b ON a.series < b.series",
+      finalSelect =
+        """SELECT sa AS series_a, sb AS series_b,
+          |       CAST(la AS BIGINT) AS n_a, CAST(lb AS BIGINT) AS n_b,
+          |       cur[1] AS dtw_distance
+          |FROM dp WHERE k = la + lb""".stripMargin,
+      bucketMs, fromMs, toMs, cte)
+  }
+
+  /** DuckDB twin of [[nearest]]: the probe row joins every other
+    * series through the same wavefront, then the ranked head. */
+  def nearestSql(
+      bucketMs: Long, probe: String, k: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val p = probe.replace("'", "''")
+    dpSql(
+      extraWhere = None,
+      pairsJoin =
+        s"FROM arrs a JOIN arrs b ON a.series = '$p' AND b.series <> '$p'",
+      finalSelect =
+        s"""SELECT series, n, dtw_distance, rank FROM (
+           |  SELECT sb AS series, CAST(lb AS BIGINT) AS n,
+           |         cur[1] AS dtw_distance,
+           |         row_number() OVER (ORDER BY cur[1] ASC, sb ASC) AS rank
+           |  FROM dp WHERE k = la + lb)
+           |WHERE rank <= $k""".stripMargin,
+      bucketMs, fromMs, toMs, cte)
+  }
+
+  /** Shared wavefront skeleton: samples filter → bucket grid → profile
+    * arrays → a caller-chosen `pairs` join → the recursive DP → a
+    * caller-chosen projection over the finished diagonals. */
+  private def dpSql(
+      extraWhere: Option[String], pairsJoin: String, finalSelect: String,
+      bucketMs: Long, fromMs: Option[Long], toMs: Option[Long],
+      cte: String): String = {
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
-    val where = (Seq("NOT isnan(value)", s"series IN ($inList)") ++
+    val where = (Seq("NOT isnan(value)") ++ extraWhere ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
     val bkt = TSModel.bucketStartSql("ts", bucketMs)
     // guarded 1-based list index: NULL outside [1, len(lst)]
@@ -131,7 +313,7 @@ object Dtw {
        |), pairs AS (
        |  SELECT a.series AS sa, b.series AS sb, a.vals AS va, b.vals AS vb,
        |         len(a.vals) AS la, len(b.vals) AS lb
-       |  FROM arrs a JOIN arrs b ON a.series < b.series
+       |  $pairsJoin
        |), dp AS (
        |  SELECT sa, sb, 2 AS k,
        |         [abs(va[1] - vb[1])] AS cur,
@@ -149,9 +331,6 @@ object Dtw {
        |    cur, va, vb, la, lb
        |  FROM dp WHERE k < la + lb
        |)
-       |SELECT sa AS series_a, sb AS series_b,
-       |       CAST(la AS BIGINT) AS n_a, CAST(lb AS BIGINT) AS n_b,
-       |       cur[1] AS dtw_distance
-       |FROM dp WHERE k = la + lb""".stripMargin
+       |$finalSelect""".stripMargin
   }
 }

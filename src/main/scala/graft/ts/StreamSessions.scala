@@ -131,6 +131,88 @@ object StreamSessions {
     res.filter(col("series") =!= Sentinel)
   } }
 
+  /**
+   * Streaming gap detection — the ONLINE twin of [[Sessions.gaps]]:
+   * an inter-arrival gap > `thresholdMs` is reported the moment the
+   * CLOSING sample arrives (the page fires when the pipe comes back —
+   * detecting a still-open outage needs a timeout clock, which the
+   * batch contract by construction doesn't have either: it only ever
+   * sees bracketed gaps). State per series is ONE long (last arrival
+   * ts); presence semantics as in batch — NaN arrivals count, a
+   * duplicate ts yields diff 0 which can never exceed a positive
+   * threshold, so no distinct pass is needed.
+   *
+   * Output `(series, gap_start, gap_end, gap_ms)` — identical to the
+   * batch operator, so [[Sessions.gapsSql]] is the shared oracle.
+   */
+  def gapsStreamOnce(
+      spark: SparkSession, samples: DataFrame, thresholdMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8, useRocksDb: Boolean = false): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+      withSessionProvider(spark, useRocksDb) {
+    require(thresholdMs > 0, "gap threshold must be positive")
+    import spark.implicits._
+    var s = samples
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_sgaps_src_").resolve("stage").toString
+    s.select(col("series"), col("ts"))
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length == nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val ordered = rows.map(_._2).toArray.sorted
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val gaps = Array.newBuilder[(String, Long, Long, Long)]
+          ordered.foreach { t =>
+            if (last != Long.MinValue && t - last > thresholdMs)
+              gaps += ((series, last, t, t - last))
+            if (t > last) last = t
+          }
+          if (last != Long.MinValue) state.update(last)
+          gaps.result().iterator
+      }
+      .toDF("series", "gap_start", "gap_end", "gap_ms")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_sgaps_").resolve("out").toString
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val parts = Option(new java.io.File(sinkDir).listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("part-"))
+    if (parts) spark.read.schema(out.schema).parquet(sinkDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
+  } }
+
   /** Session-window state lives in the session-window store; provider
     * choice is semantics-free, mirrored from [[StreamAnomaly]]. */
   private def withSessionProvider[T](

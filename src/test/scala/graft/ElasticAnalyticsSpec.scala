@@ -78,6 +78,77 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("nearest: ranks candidates by DTW to the probe; probe excluded; absent probe empty") {
+    // probe p; a == p (dist 0), b = p shifted (small), c = offset 10 (40)
+    val p = Seq(0.0, 0.0, 1.0, 0.0)
+    val rows =
+      p.zipWithIndex.map { case (v, i) => ("p", i * DAY + 1L, v) } ++
+      p.zipWithIndex.map { case (v, i) => ("a", i * DAY + 2L, v) } ++
+      Seq(0.0, 1.0, 0.0, 0.0).zipWithIndex.map { case (v, i) => ("b", i * DAY + 3L, v) } ++
+      p.zipWithIndex.map { case (v, i) => ("c", i * DAY + 4L, v + 10.0) }
+    val out = Dtw.nearest(rows.toDF("series", "ts", "value"),
+        bucketMs = DAY, probe = "p", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getInt(3))).toSeq
+    assert(out == Seq(("a", 0.0, 1), ("b", 0.0, 2)))   // shift is free under DTW
+    assert(Dtw.nearest(rows.toDF("series", "ts", "value"),
+      bucketMs = DAY, probe = "zz", k = 2).count() == 0)
+  }
+
+  test("nearestPruned == nearest, and the envelope bound actually prunes") {
+    // probe oscillates in [0, 2]; 3 close series + 12 far ones
+    // (offset 50): every far candidate's LB exceeds any close DTW,
+    // so the DP must only run on the close cluster + seeds
+    val rnd = new scala.util.Random(42L)
+    def mk(s: String, off: Double) =
+      (0 until 8).map(i => (s, i * DAY + 1L, off + rnd.nextInt(20) / 10.0))
+    val rows = mk("p", 0.0) ++
+      (1 to 3).flatMap(i => mk(s"near_$i", 0.0)) ++
+      (1 to 12).flatMap(i => mk(s"far_$i", 50.0))
+    val df = rows.toDF("series", "ts", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(_._4)
+    val exactRes = canon(Dtw.nearest(df, DAY, "p", k = 3))
+    val prunedRes = canon(Dtw.nearestPruned(df, DAY, "p", k = 3))
+    assert(prunedRes == exactRes)
+    assert(exactRes.map(_._1).toSet == Set("near_1", "near_2", "near_3"))
+    val (survivors, candidates) = Dtw.lastPruneStats.get
+    assert(candidates == 15L)
+    assert(survivors <= 3L, s"far cluster must be pruned, got $survivors")
+    // absent probe: empty, stats cleared
+    assert(Dtw.nearestPruned(df, DAY, "zz", k = 3).count() == 0)
+    assert(Dtw.lastPruneStats.isEmpty)
+  }
+
+  test("nearestPruned == nearest on the fixture month (no pruning assumptions)") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSeq.sortBy(_._4)
+    assert(
+      canon(Dtw.nearestPruned(samples, DAY, "click_7", 10, Some(T0), Some(T31))) ==
+      canon(Dtw.nearest(samples, DAY, "click_7", 10, Some(T0), Some(T31))))
+  }
+
+  test("nearest distances agree with pairwise on the same profiles") {
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq("p", "x", "y", "z").flatMap { s =>
+      (0 until 6).map(i => (s, i * DAY + 5L, rnd.nextInt(100) / 10.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    val near = Dtw.nearest(df, DAY, "p", k = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val pair = Dtw.pairwise(df, DAY, Seq("p", "x", "y", "z")).collect()
+      .filter(r => r.getString(0) == "p" || r.getString(1) == "p")
+      .map(r => (if (r.getString(0) == "p") r.getString(1) else r.getString(0))
+        -> r.getDouble(4)).toMap
+    assert(near == pair)
+  }
+
   // ---- seasonal decomposition --------------------------------------
 
   test("decompose recovers planted trend + zero-sum weekly seasonality exactly (interior)") {

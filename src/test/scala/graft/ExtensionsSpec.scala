@@ -206,6 +206,38 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM ts_mad($T0, $T31, rand())").collect())
   }
 
+  test("round-11 TVFs (irate/gaps/decompose/forecast/ccf) == Column API") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val DAY = 86400000L; val HOUR = 3600000L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_irate($T0, $T31, $DAY)")) ==
+      sorted(graft.ts.Rates.instant(samples, DAY, 0L, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_gaps($T0, $T31, ${2 * DAY})")) ==
+      sorted(graft.ts.Sessions.gaps(samples, 2 * DAY, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_decompose($T0, $T31, $DAY, 7)")) ==
+      sorted(graft.ts.Seasonal.decompose(samples, DAY, 7, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_forecast($T0, $T31, 0.4, 0.3, 7, $DAY)")) ==
+      sorted(graft.ts.Smoothing.holtForecast(samples, 0.4, 0.3, 7, DAY,
+        Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_ccf('click_7', 'view_7', $T0, $T31, $DAY, 7)")) ==
+      sorted(graft.ts.AsOf.ccf(samples, "click_7", "view_7", DAY, 7,
+        fromMs = Some(T0), toMs = Some(T31))))
+    // non-literal argument stays a loud analysis error
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM ts_gaps($T0, $T31, CAST(rand() AS BIGINT))").collect())
+  }
+
   test("ts_mrange TVF == Multi.mrange incl. label predicates") {
     GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)

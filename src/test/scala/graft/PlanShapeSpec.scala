@@ -284,4 +284,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.map(_.metadata("PushedFilters")).mkString
       .contains("GreaterThanOrEqual(ts,"))
   }
+
+  test("forecast: the same one-shuffle typed scan as holt (horizon adds no stage)") {
+    val df = SparkEntry.queries("ts_range_forecast")(spark, dir)
+    assert(shuffles(df).size == 1, "forecast is one shuffle by series")
+    assert(physical(df).collect { case f: FileSourceScanExec => f }.size == 1)
+  }
+
+  test("zipfFit: distributed top-N head (TakeOrderedAndProject), no global sort") {
+    val df = SparkEntry.queries("text_zipf_fit")(spark, dir)
+    val p = physical(df)
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "the vocabulary head must be a partial top-N, not a full sort")
+    assert(p.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .isEmpty, "no corpus-sized global sort in the zipf plan")
+  }
+
+  test("ccf: grid sides are query-bounded broadcasts; series+time reach the scan") {
+    val df = SparkEntry.queries("ts_range_ccf")(spark, dir)
+    val p = physical(df)
+    // lag sweep + grid join both broadcast (grids are range/bucket rows)
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.size == 2, "lag frame AND one grid side must broadcast")
+    val pushed = p.collect { case f: FileSourceScanExec => f }
+      .map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
+  }
 }

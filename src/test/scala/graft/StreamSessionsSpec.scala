@@ -56,6 +56,36 @@ class StreamSessionsSpec extends AnyFunSuite {
     assert(got == Seq(("s", 0L, 150L, 16L, 7.5)))
   }
 
+  test("gapsStream: gap reported at the closing arrival, cross-batch; duplicates inert") {
+    // series 'a': samples at 0,10 then silence until 500 (the gap
+    // spans several chunk boundaries), then 510; threshold 50
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 10L, 9.0), // dup ts: one arrival
+      ("a", 500L, 3.0), ("a", 510L, 4.0),
+      ("b", 5L, 1.0))
+    val df = rows.toDF("series", "ts", "value")
+    val got = StreamSessions.gapsStreamOnce(spark, df, thresholdMs = 50L,
+        nChunks = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(("a", 10L, 500L, 490L)))
+  }
+
+  test("gapsStream == batch gaps on the fixture month") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, sf)
+    def canonGaps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batch = canonGaps(Sessions.gaps(samples, thresholdMs = 2 * 86400000L,
+      fromMs = Some(T0), toMs = Some(T31)))
+    assert(batch.nonEmpty)
+    val stream = canonGaps(StreamSessions.gapsStreamOnce(spark, samples,
+      thresholdMs = 2 * 86400000L, fromMs = Some(T0), toMs = Some(T31),
+      nChunks = 6))
+    assert(stream == batch)
+  }
+
   test("streaming == batch on the fixture month, default and RocksDB providers") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
