@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ts.{Aggs, Anomaly, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Rolling, Seasonal, Sessions, Sliding, Smoothing, Trend}
+import graft.ts.{Aggs, Anomaly, AsOf, Changepoint, Histogram, Lttb, Quantiles, Rates, Resample, Rolling, Seasonal, Sessions, Sliding, Smoothing, Trend}
 import scala.util.Random
 
 /** Randomized differential for the round-9 window extensions (sliding
@@ -169,6 +169,19 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         bucket: Long, period: Int, from: Option[Long], to: Option[Long]) extends Combo {
       def sql: String = Seasonal.decomposeSql(bucket, period, from, to, valuesCte(samples))
     }
+    // appended after 392 (stable seeds): holt forecast, CCF
+    case class Fc(name: String, samples: Seq[(String, Long, Double)],
+        sf: Double, tf: Double, h: Int, step: Long,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = Smoothing.holtForecastSql(sf, tf, h, step, from, to,
+        valuesCte(samples))
+    }
+    case class Cf(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, maxLag: Int, align: Long,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = AsOf.ccfSql("s0", "s1", bucket, maxLag, align,
+        from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -297,6 +310,26 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case _ => Dc(f"dcmp_$iter%03d", samples, bucket,
           Seq(3, 5, 7)(rnd.nextInt(3)), from, to)
       }
+    } ++ (392 until 428).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      val bucket = Seq(7L, 25L, 100L)(rnd.nextInt(3))
+      val align = Seq(0L, 3L, -5L)(rnd.nextInt(3))
+      iter % 2 match {
+        case 0 => Fc(f"fcst_$iter%03d", samples,
+          Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)), Seq(0.1, 0.5, 0.9)(rnd.nextInt(3)),
+          1 + rnd.nextInt(6), Seq(5L, 20L, 100L)(rnd.nextInt(3)), from, to)
+        case _ => Cf(f"ccf_$iter%03d", samples, bucket,
+          rnd.nextInt(4), align, from, to)
+      }
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -360,6 +393,8 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Ir    => Rates.instant(df, s.bucket, s.align, s.from, s.to)
         case s: Gp    => Sessions.gaps(df, s.thr, s.from, s.to)
         case s: Dc    => Seasonal.decompose(df, s.bucket, s.period, s.from, s.to)
+        case s: Fc    => Smoothing.holtForecast(df, s.sf, s.tf, s.h, s.step, s.from, s.to)
+        case s: Cf    => AsOf.ccf(df, "s0", "s1", s.bucket, s.maxLag, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
