@@ -413,6 +413,17 @@ object ScaleProbe {
         TSModel.samples(spark, work), 2 * DAY,
         Some(T0), Some(T31), nChunks = 4).count()
     }
+    // Image perceptual-hash near-dup at the PRODUCTION grid (6 →
+    //    60-bit hash, 15-bit bands): candidate join keys stay
+    //    selective, so wall should track the decode scan ~linearly.
+    //    (The 4×4 fixture grid is demo-sized by design — its 6-bit
+    //    band space fills at corpus scale; this row is the setting
+    //    the operator documents for 100 TB.)
+    val (nPhash, tPhash) = timed {
+      graft.pipeline.Multimodal.imagePhashPairs(
+        graft.pipeline.Multimodal.packImages(probeDocs),
+        maxDist = 3, grid = 6).count()
+    }
     // Zipf fit over the N× corpus: one map-side-combined wordcount +
     //    a distributed top-N head + an N-row regression — the head is
     //    query-bounded, so the wordcount scan is the whole cost.
@@ -463,7 +474,8 @@ object ScaleProbe {
       s""""gaps_stream_sec":${s2(tGapsS)},"gaps_stream_rows":$nGapsS,""" +
       s""""ccf_sec":${s2(tCcf)},"ccf_rows":$nCcf,""" +
       s""""forecast_sec":${s2(tFc)},"forecast_rows":$nFc,""" +
-      s""""zipf_fit_sec":${s2(tZipf)},"zipf_fit_rows":$nZipf}""")
+      s""""zipf_fit_sec":${s2(tZipf)},"zipf_fit_rows":$nZipf,""" +
+      s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()
   }
 }

@@ -974,6 +974,12 @@ object SparkEntry {
       // REAL resize: decode -> 2x NN upscale -> re-encode -> decode
       "mm_resize_real" -> ((s, dir) =>
         Multimodal.resizeImages(Multimodal.packImages(Text.loadDocuments(s, dir)), 2)),
+      // image near-dup via perceptual dHash over the REAL decode:
+      // banded fingerprint join (never all-pairs); the oracle computes
+      // the QUADRATIC ground truth — two algorithms must agree
+      "mm_image_phash_pairs" -> ((s, dir) =>
+        Multimodal.imagePhashPairs(
+          Multimodal.packImages(Text.loadDocuments(s, dir)), maxDist = 3)),
       // REAL audio decode: synthesize lossless WAVs (PCM samples = doc
       // md5 digest), parse with the JDK's own codec
       // (javax.sound.sampled) and measure amplitude stats
@@ -2400,6 +2406,7 @@ object SparkEntry {
       "mm_frame_sample" -> Multimodal.frameSampleSql(),
       "mm_decode_real" -> Multimodal.decodeImagesSql(),
       "mm_resize_real" -> Multimodal.decodeImagesSql(scale = 2),
+      "mm_image_phash_pairs" -> Multimodal.imagePhashPairsSql(maxDist = 3),
       "mm_audio_decode_real" -> Multimodal.decodeAudioSql(),
       "mm_audio_resample_real" -> Multimodal.decodeAudioSql(factor = 2),
       "mm_video_frames_real" -> Multimodal.sampleVideoFramesSql(nFrames = 4, rate = 2),

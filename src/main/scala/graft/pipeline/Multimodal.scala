@@ -294,6 +294,150 @@ object Multimodal {
        |  CAST(min(byte) AS INT) AS min_gray, CAST(max(byte) AS INT) AS max_gray
        |FROM b GROUP BY doc_id""".stripMargin
 
+  /**
+   * Perceptual difference-hash (dHash) over a REAL image decode — the
+   * image twin of [[graft.pipeline.Dedup.simhashPairs]]: visually
+   * near-identical images land at small hamming distance, so image
+   * near-dup dedup becomes a fingerprint join instead of a pixel
+   * comparison. The image is nearest-neighbour-sampled onto a
+   * `grid`×`grid` gray grid (identity for the fixture's 4×4 PNGs at
+   * the default grid 4), then `2·g·(g−1)` bits of adjacent-pixel
+   * comparisons: rows y/x∈0..g−2 `px[y][x+1] > px[y][x]` at bit
+   * y·(g−1)+x; columns `px[y+1][x] > px[y][x]` at bit
+   * g·(g−1)+x·(g−1)+y. Gradients survive re-encode/resize; absolute
+   * levels (which plain hashing keys on) don't matter.
+   */
+  /** Hash width for a `grid`×`grid` dHash: row + column comparisons. */
+  def phashBits(grid: Int): Int = 2 * grid * (grid - 1)
+
+  def imagePhash(packed: DataFrame, grid: Int = 4): DataFrame = {
+    // grid 6 → 60 bits is the Long ceiling; grid 4 matches the
+    // fixture's 4×4 PNGs exactly (sampling = identity). Production
+    // corpora use the larger grid: the longer hash is what keeps the
+    // banded join keys selective at scale (see [[imagePhashPairs]]).
+    require(grid >= 2 && grid <= 6, s"grid $grid outside [2, 6]")
+    val g = grid
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](g * g)
+          var y = 0
+          while (y < g) {
+            var x = 0
+            while (x < g) {
+              px(y * g + x) = img.getRGB(x * w / g, y * h / g) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var bit = 0
+          y = 0
+          while (y < g) {
+            var x = 0
+            while (x < g - 1) {
+              if (px(y * g + x + 1) > px(y * g + x)) hash |= 1L << bit
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          var x = 0
+          while (x < g) {
+            var yy = 0
+            while (yy < g - 1) {
+              if (px((yy + 1) * g + x) > px(yy * g + x)) hash |= 1L << bit
+              bit += 1; yy += 1
+            }
+            x += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /**
+   * Image near-dup pairs by perceptual hash: `(i, j, hamming)` with
+   * `hamming <= maxDist`, banded-LSH shape — the hash splits into
+   * `maxDist + 1` equal bands, a pair within maxDist differs in at
+   * most maxDist bands so it SHARES at
+   * least one exact band (pigeonhole); candidates join on (band,
+   * value) and the exact bit_count verify filters them, which makes
+   * the banded result provably EQUAL to the quadratic ground truth —
+   * the DuckDB oracle computes that ground truth as an independent
+   * algorithm. One decode pass (checkpointed: one long per image),
+   * candidate join keyed by band value, never all-pairs.
+   */
+  def imagePhashPairs(
+      packed: DataFrame, maxDist: Int = 3, grid: Int = 4): DataFrame = {
+    val nBits = phashBits(grid)
+    val nBands = maxDist + 1
+    // bands must TILE the hash exactly or the pigeonhole recall
+    // guarantee silently breaks on the uncovered tail
+    require(maxDist >= 0 && nBits % nBands == 0,
+      s"maxDist $maxDist: $nBands bands must divide $nBits bits")
+    val bandBits = nBits / nBands
+    // SCALE NOTE: band-key selectivity is 2^bandBits. The fixture's
+    // 4×4 grid (24-bit hash, 6-bit bands = 64 values) is demo-sized —
+    // at corpus scale the band buckets fill and the candidate join
+    // degenerates toward quadratic. The production setting is the
+    // larger grid (grid 6 → 60-bit hash, 15-bit bands at maxDist 3),
+    // where random collisions stay rare; the 30× probe measures grid 6.
+    val ph = imagePhash(packed, grid).localCheckpoint()
+    val bands = ph.select(col("media_id"), col("phash"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(phash, $bandBits * band)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+    val a = bands.select(col("media_id").as("i"), col("phash").as("pi"),
+      col("band"), col("band_val"))
+    val b = bands.select(col("media_id").as("j"), col("phash").as("pj"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("pi"), col("pj")).distinct()
+      .withColumn("hamming",
+        bit_count(col("pi").bitwiseXOR(col("pj"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** DuckDB twin of [[imagePhashPairs]] ∘ [[packImages]]: the hash
+    * re-derived from the md5 digest bytes, pairs by the QUADRATIC
+    * ground-truth join — an independent algorithm that must agree
+    * with the banded plan exactly. */
+  def imagePhashPairsSql(maxDist: Int = 3): String = {
+    // px list is 1-based in DuckDB: px[y*4+x+1] is pixel (x, y)
+    val rowBits = for (y <- 0 until 4; x <- 0 until 3) yield
+      s"(CASE WHEN px[${y * 4 + x + 2}] > px[${y * 4 + x + 1}] " +
+        s"THEN ${1L << (y * 3 + x)} ELSE 0 END)"
+    val colBits = for (x <- 0 until 4; y <- 0 until 3) yield
+      s"(CASE WHEN px[${(y + 1) * 4 + x + 1}] > px[${y * 4 + x + 1}] " +
+        s"THEN ${1L << (12 + x * 3 + y)} ELSE 0 END)"
+    val hashExpr = (rowBits ++ colBits).mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |), b AS (
+       |  SELECT doc_id, i,
+       |    16 * (strpos('0123456789abcdef', substring(h, 2 * i + 1, 1)) - 1)
+       |      + (strpos('0123456789abcdef', substring(h, 2 * i + 2, 1)) - 1) AS byte
+       |  FROM h, unnest(range(0, 16)) AS t(i)
+       |), px AS (
+       |  SELECT doc_id, list(byte ORDER BY i) AS px FROM b GROUP BY doc_id
+       |), ph AS (
+       |  SELECT doc_id, CAST($hashExpr AS BIGINT) AS phash FROM px
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxDist""".stripMargin
+  }
+
   def frameSampleSql(frameBytes: Int = 256, rate: Int = 4): String =
     s"""WITH f AS (
        |  SELECT doc_id AS media_id, text,

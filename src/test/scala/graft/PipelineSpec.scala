@@ -278,6 +278,67 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("image dHash: identical images collide, a gradient flip moves few bits, resize-invariant") {
+    import spark.implicits._
+    def png(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = pixels(y * w + x)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Array(10, 20, 30, 40, 50, 60, 70, 80,
+      90, 100, 110, 120, 130, 140, 150, 160)
+    // one adjacent-pair order flip: px[1] <-> px[2]
+    val flip = base.clone(); flip(1) = 30; flip(2) = 20
+    // the SAME gradient at double brightness: identical dHash (the
+    // point of a perceptual hash — absolute levels don't matter)
+    val bright = base.map(v => (v * 3 / 2).min(255))
+    // 2x NN-upscaled copy of base: the 4x4 downsample grid recovers it
+    val big = Array.tabulate(64)(i => base((i / 8 / 2) * 4 + (i % 8) / 2))
+    val packed = Seq(
+      (1L, png(base, 4, 4)), (2L, png(base, 4, 4)), (3L, png(flip, 4, 4)),
+      (4L, png(bright, 4, 4)), (5L, png(big, 8, 8)))
+      .toDF("media_id", "media")
+    val ph = Multimodal.imagePhash(packed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) == ph(2L))
+    assert(ph(1L) == ph(4L), "brightness scaling must not change the dHash")
+    assert(ph(1L) == ph(5L), "NN 2x upscale must not change the dHash")
+    val d13 = java.lang.Long.bitCount(ph(1L) ^ ph(3L))
+    assert(d13 > 0 && d13 <= 3, s"single flip moved $d13 bits")
+    // banded pairs == quadratic ground truth on random packed images
+    val rnd = new scala.util.Random(7L)
+    val rand = (10L to 59L).map(i =>
+      (i, png(Array.fill(16)(rnd.nextInt(256)), 4, 4))).toDF("media_id", "media")
+    val banded = Multimodal.imagePhashPairs(rand, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = Multimodal.imagePhash(rand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quad = (for {
+      (i, pi) <- hashes; (j, pj) <- hashes if i < j
+      d = java.lang.Long.bitCount(pi ^ pj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(banded == quad)
+    // the production grid (6 -> 60-bit hash): banded == quadratic too
+    val banded6 = Multimodal.imagePhashPairs(rand, maxDist = 3, grid = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes6 = Multimodal.imagePhash(rand, grid = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quad6 = (for {
+      (i, pi) <- hashes6; (j, pj) <- hashes6 if i < j
+      d = java.lang.Long.bitCount(pi ^ pj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(banded6 == quad6)
+    // uneven band split rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.imagePhashPairs(rand, maxDist = 4))
+  }
+
   test("real audio decode: WAV roundtrip reproduces the digest samples exactly") {
     val packed = Multimodal.packAudio(docs.limit(20))
     // the media column holds REAL RIFF/WAVE files (magic bytes)
