@@ -1244,6 +1244,12 @@ object SparkEntry {
       "ts_range_ccf" -> ((s, dir) =>
         AsOf.ccf(monthSamples(s, dir), "click_7", "view_7",
           bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31))),
+      // rolling correlation over the trailing 7 aligned daily buckets:
+      // "are these two still moving together NOW" (canary primitive);
+      // five windowed moment sums on one query-bounded frame
+      "ts_rolling_corr" -> ((s, dir) =>
+        AsOf.rollingCorr(monthSamples(s, dir), "click_7", "error_17",
+          bucketMs = DAY, span = 7, fromMs = Some(T0), toMs = Some(T31))),
 
       // per-series z-score outliers (beyond-reference): one unordered
       // analytic window by series, single pass
@@ -2448,6 +2454,8 @@ object SparkEntry {
         horizon = 7, stepMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ccf" -> AsOf.ccfSql("click_7", "view_7",
         bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_rolling_corr" -> AsOf.rollingCorrSql("click_7", "error_17",
+        bucketMs = DAY, span = 7, fromMs = Some(T0), toMs = Some(T31)),
       "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "text_zipf_fit" -> Text.zipfFitSql(topN = 100),

@@ -187,6 +187,97 @@ object AsOf {
        |GROUP BY lag""".stripMargin
   }
 
+  /**
+   * Rolling correlation — [[pearson]] over a trailing window of the
+   * shared bucket grid: one row per grid bucket with the Pearson r of
+   * the last `span` ALIGNED buckets (current included), the
+   * canary/pairs-trading primitive ("are these two still moving
+   * together RIGHT NOW"). `n_window` counts the window's aligned
+   * buckets so a thin early window is visible; r is NULL while
+   * n < 2 or either side is constant (the [[ccf]] degenerate rule,
+   * matching DuckDB's corr).
+   *
+   * Plan shape: the aligned grid is ONE inner join of the two
+   * per-series bucket aggregates (each from a `series IN` pushed
+   * scan); the five moment sums share ONE window over the joined
+   * frame. The frame is range/bucket rows — a QUERY-bounded single
+   * partition (an empty PARTITION BY, same contract as the per-pair
+   * [[graft.ts.Trend.acf]] family), so no data-sized sort exists
+   * anywhere in the plan.
+   */
+  def rollingCorr(
+      samples: DataFrame, keyA: String, keyB: String,
+      bucketMs: Long, span: Int, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(span >= 2, s"rolling corr needs span >= 2, got $span")
+    var s = samples.filter(!isnan(col("value")))
+      .filter(col("series").isin(keyA, keyB))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    val ga = grid.filter(col("series") === keyA)
+      .select(col("bucket"), col("v").as("va"))
+    val gb = grid.filter(col("series") === keyB)
+      .select(col("bucket"), col("v").as("vb"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(-(span - 1).toLong, Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("va")).over(w)
+    val sy = sum(col("vb")).over(w)
+    val sxx = sum(col("va") * col("va")).over(w)
+    val syy = sum(col("vb") * col("vb")).over(w)
+    val sxy = sum(col("va") * col("vb")).over(w)
+    val r = try_divide(n * sxy - sx * sy,
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    ga.join(gb, Seq("bucket"))
+      .select(col("bucket"),
+        count(lit(1)).over(w).as("n_window"),
+        when(isnan(r), lit(null)).otherwise(r).as("corr_value"))
+  }
+
+  /** DuckDB twin of [[rollingCorr]] — the same five windowed moment
+    * sums (NOT corr() over a frame: its n=1/constant verdicts match
+    * the moments form anyway, but the explicit sums pin the exact
+    * arithmetic on both engines). */
+  def rollingCorrSql(
+      keyA: String, keyB: String, bucketMs: Long, span: Int,
+      alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)",
+      s"series IN ('$keyA', '$keyB')") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    val frame = s"OVER (ORDER BY bucket ROWS BETWEEN ${span - 1} PRECEDING AND CURRENT ROW)"
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS v
+       |  FROM f GROUP BY series, $bkt
+       |), j AS (
+       |  SELECT a.bucket, a.v AS va, b.v AS vb
+       |  FROM (SELECT bucket, v FROM grid WHERE series = '$keyA') a
+       |  JOIN (SELECT bucket, v FROM grid WHERE series = '$keyB') b USING (bucket)
+       |), m AS (
+       |  SELECT bucket,
+       |    CAST(count(*) $frame AS DOUBLE) AS n,
+       |    sum(va) $frame AS sx, sum(vb) $frame AS sy,
+       |    sum(va * va) $frame AS sxx, sum(vb * vb) $frame AS syy,
+       |    sum(va * vb) $frame AS sxy
+       |  FROM j
+       |)
+       |SELECT bucket, CAST(n AS BIGINT) AS n_window,
+       |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+       |    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+       |  END AS corr_value
+       |FROM m""".stripMargin
+  }
+
   def pearsonSql(
       keyA: String, keyB: String, bucketMs: Long, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -257,6 +257,31 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.forall(_.isNullAt(2)))
   }
 
+  test("rollingCorr: perfect linear windows hit ±1; constant side NULL; n_window ramps") {
+    // b = 2a + 1 over 6 aligned days: every trailing window is
+    // perfectly correlated; c is constant: degenerate -> NULL
+    val rows = (0 until 6).flatMap { i =>
+      Seq(("a", i * DAY + 1L, i * 1.0), ("b", i * DAY + 2L, 2.0 * i + 1.0),
+        ("c", i * DAY + 3L, 5.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    val ab = graft.ts.AsOf.rollingCorr(df, "a", "b", DAY, span = 3)
+      .orderBy("bucket").collect()
+    assert(ab.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L))
+    assert(ab.head.isNullAt(2))                       // n = 1: undefined
+    ab.drop(1).foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    // anti-correlated: negate one side
+    import org.apache.spark.sql.functions.{when => fWhen, col => fCol}
+    val neg = df.withColumn("value",
+      fWhen(fCol("series") === "b", -fCol("value")).otherwise(fCol("value")))
+    val abNeg = graft.ts.AsOf.rollingCorr(neg, "a", "b", DAY, span = 3)
+      .orderBy("bucket").collect().drop(1)
+    abNeg.foreach(r => assert(math.abs(r.getDouble(2) + 1.0) < 1e-12))
+    // constant side: every window NULL
+    val ac = graft.ts.AsOf.rollingCorr(df, "a", "c", DAY, span = 3).collect()
+    assert(ac.length == 6 && ac.forall(_.isNullAt(2)))
+  }
+
   // ---- holt forecast --------------------------------------------------
 
   test("holtForecast: projections are last (level, trend) + h*trend on the daily grid") {

@@ -182,6 +182,13 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = AsOf.ccfSql("s0", "s1", bucket, maxLag, align,
         from, to, valuesCte(samples))
     }
+    // appended after 428 (stable seeds): rolling correlation
+    case class Rc(name: String, samples: Seq[(String, Long, Double)],
+        bucket: Long, span: Int, align: Long,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String = AsOf.rollingCorrSql("s0", "s1", bucket, span, align,
+        from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -330,6 +337,18 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case _ => Cf(f"ccf_$iter%03d", samples, bucket,
           rnd.nextInt(4), align, from, to)
       }
+    } ++ (428 until 446).map { iter =>
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(2)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 10.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      Rc(f"rcorr_$iter%03d", samples, Seq(7L, 25L, 100L)(rnd.nextInt(3)),
+        2 + rnd.nextInt(4), Seq(0L, 3L, -5L)(rnd.nextInt(3)), from, to)
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -395,6 +414,7 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Dc    => Seasonal.decompose(df, s.bucket, s.period, s.from, s.to)
         case s: Fc    => Smoothing.holtForecast(df, s.sf, s.tf, s.h, s.step, s.from, s.to)
         case s: Cf    => AsOf.ccf(df, "s0", "s1", s.bucket, s.maxLag, s.align, s.from, s.to)
+        case s: Rc    => AsOf.rollingCorr(df, "s0", "s1", s.bucket, s.span, s.align, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
