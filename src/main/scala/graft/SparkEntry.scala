@@ -1470,6 +1470,12 @@ object SparkEntry {
           fromMs = Some(T0), toMs = Some(T31))),
       // SAX symbolization: PAA + per-series z-norm + 4-letter word —
       // everything after the PAA agg bounded by series×buckets
+      // fleet motif discovery: top-20 recurring 4-symbol SAX shapes
+      // across all series (overlapping occurrences + distinct-series
+      // support); m-gram explode stays series x buckets bounded
+      "ts_sax_motifs" -> ((s, dir) =>
+        Sax.motifs(monthSamples(s, dir), bucketMs = DAY, m = 4, k = 20,
+          fromMs = Some(T0), toMs = Some(T31))),
       "ts_sax_words" -> ((s, dir) =>
         Sax.saxWords(monthSamples(s, dir), bucketMs = 2 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
@@ -2466,6 +2472,8 @@ object SparkEntry {
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_bottomk_series" -> TopK.topkSeriesSql(k = 3, agg = "sum",
         bucketMs = 2 * DAY, bottom = true,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sax_motifs" -> Sax.motifsSql(bucketMs = DAY, m = 4, k = 20,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sax_words" -> Sax.saxWordsSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -95,4 +95,60 @@ object Sax {
        |  string_agg(sym, '' ORDER BY bucket) AS sax_word
        |FROM sym GROUP BY series""".stripMargin
   }
+
+  /**
+   * Motif discovery over the SAX vocabulary — the POINT of
+   * symbolizing (Lin/Keogh's motif-indexing use case): the top-k
+   * length-`m` symbol patterns by occurrence count across ALL series'
+   * words, `(motif, n_occurrences, n_series)`. "Which shapes does
+   * this fleet keep repeating" — a spike-then-recover 'dba' or a
+   * daily ramp 'abcd' surfacing across thousands of metrics is an
+   * operational fingerprint no per-series query can see.
+   *
+   * Occurrences overlap (standard motif counting); n_series counts
+   * how many distinct series exhibit the motif at least once, so a
+   * single pathological series can't masquerade as a fleet-wide
+   * pattern. Plan shape: the words frame is series-bounded; the
+   * m-gram explode emits ≤ buckets−m+1 rows per series (still
+   * series×buckets, independent of raw sample count); ONE
+   * map-side-combined motif agg; the k cut is a distributed
+   * TakeOrdered on the (count, n_series, motif) total order.
+   */
+  def motifs(
+      samples: DataFrame, bucketMs: Long, m: Int, k: Int,
+      alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(m >= 1, s"motif length $m must be >= 1")
+    require(k >= 1, s"top-k $k must be >= 1")
+    val words = saxWords(samples, bucketMs, alignMs, fromMs, toMs)
+    words.filter(length(col("sax_word")) >= m)
+      .select(col("series"), col("sax_word"),
+        explode(sequence(lit(1), length(col("sax_word")) - m + 1)).as("pos"))
+      .select(col("series"), expr(s"substring(sax_word, pos, $m)").as("motif"))
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("series")).as("n_series"))
+      .orderBy(col("n_occurrences").desc, col("n_series").desc,
+        col("motif").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[motifs]] — [[saxWordsSql]] as a subquery, the
+    * same overlapping m-gram explode and ranked head. */
+  def motifsSql(
+      bucketMs: Long, m: Int, k: Int, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String =
+    s"""WITH words AS (
+       |${saxWordsSql(bucketMs, alignMs, fromMs, toMs, cte)}
+       |), g AS (
+       |  SELECT series, substring(sax_word, CAST(i AS INT), $m) AS motif
+       |  FROM words, unnest(range(1, len(sax_word) - $m + 2)) AS t(i)
+       |  WHERE len(sax_word) >= $m
+       |)
+       |SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       CAST(count(DISTINCT series) AS BIGINT) AS n_series
+       |FROM g GROUP BY motif
+       |ORDER BY n_occurrences DESC, n_series DESC, motif ASC
+       |LIMIT $k""".stripMargin
 }

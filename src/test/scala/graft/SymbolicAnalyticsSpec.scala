@@ -135,4 +135,41 @@ class SymbolicAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, String)].collect().toSeq
     assert(out == Seq(("r", 4L, "dcba")))
   }
+
+  test("motifs: planted repeating shape dominates; n_series counts support") {
+    // two series share the sawtooth 'ad' (ramp up/down per 2 buckets);
+    // one series is a pure ramp contributing 'ab'/'bc'/'cd' once each
+    val saw = (0 until 8).map(i => (if (i % 2 == 0) 0.0 else 10.0))
+    val rows =
+      saw.zipWithIndex.map { case (v, i) => ("s1", i * 1000L, v) } ++
+      saw.zipWithIndex.map { case (v, i) => ("s2", i * 1000L, v) } ++
+      (0 until 4).map(i => ("ramp", i * 1000L, i.toDouble))
+    val out = Sax.motifs(rows.toDF("series", "ts", "value"),
+        bucketMs = 1000L, m = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // saw word per series: 'adadadad' (8 buckets) -> 'ad' x4, 'da' x3
+    assert(out.head == ("ad", 8L, 2L))
+    assert(out(1) == ("da", 6L, 2L))
+    assert(out(2)._2 == 1L) // every ramp bigram occurs once, one series
+  }
+
+  test("motifs == brute-force n-gram count over the words, random data") {
+    val rnd = new scala.util.Random(2026L)
+    val rows = (0 until 200).map { _ =>
+      (s"s${rnd.nextInt(6)}", rnd.nextInt(40) * 500L, rnd.nextInt(100) / 7.0)
+    }.distinct
+    val df = rows.toDF("series", "ts", "value")
+    val m = 3
+    val words = Sax.saxWords(df, bucketMs = 2000L)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    val brute = words.flatMap { case (s, w) =>
+      (0 to w.length - m).map(i => (w.substring(i, i + m), s))
+    }
+    val expTop = brute.groupBy(_._1)
+      .map { case (mo, occ) => (mo, occ.length.toLong, occ.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, -t._3, t._1)).take(5)
+    val got = Sax.motifs(df, bucketMs = 2000L, m = m, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expTop)
+  }
 }
