@@ -1452,6 +1452,12 @@ object SparkEntry {
       "ts_range_forecast" -> ((s, dir) =>
         Smoothing.holtForecast(monthSamples(s, dir), sf = 0.4, tf = 0.3,
           horizon = 7, stepMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // the seasonal forecast: Holt-Winters final (level, trend, m
+      // slots) projected h steps — ditto one scan, series x horizon out
+      "ts_range_hw_forecast" -> ((s, dir) =>
+        Smoothing.holtWintersForecast(monthSamples(s, dir), alpha = 0.5,
+          beta = 0.3, gamma = 0.4, m = 24, horizon = 6, stepMs = 12 * HOUR,
+          fromMs = Some(T0), toMs = Some(T31))),
       // Holt-Winters additive: holt + an m-slot seasonal component,
       // same per-series fold contract; the oracle's recursive CTE
       // carries the seasonal state as a DOUBLE[] column
@@ -2458,6 +2464,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_forecast" -> Smoothing.holtForecastSql(sf = 0.4, tf = 0.3,
         horizon = 7, stepMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_hw_forecast" -> Smoothing.holtWintersForecastSql(alpha = 0.5,
+        beta = 0.3, gamma = 0.4, m = 24, horizon = 6, stepMs = 12 * HOUR,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ccf" -> AsOf.ccfSql("click_7", "view_7",
         bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_corr" -> AsOf.rollingCorrSql("click_7", "error_17",

@@ -362,6 +362,116 @@ object Smoothing {
         round(col("forecast_value"), 9).as("forecast_value"))
   }
 
+  /**
+   * Holt-Winters additive forecast — [[holtForecast]] with the
+   * seasonal component: `ŷ(last + h·step) = L_n + h·T_n +
+   * S[(n + h − 1) mod m]` (the slot the h-th future sample would have
+   * taken under [[holtWinters]]' 0-based `i mod m` indexing). Same
+   * one-shuffle per-series typed scan; state = 2 + m doubles.
+   */
+  def holtWintersForecast(
+      samples: DataFrame, alpha: Double, beta: Double, gamma: Double,
+      m: Int, horizon: Int, stepMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    require(beta > 0 && beta < 1, s"beta $beta outside (0, 1)")
+    require(gamma > 0 && gamma < 1, s"gamma $gamma outside (0, 1)")
+    require(m >= 1, s"season length $m must be >= 1")
+    require(horizon >= 1, s"horizon $horizon must be >= 1")
+    require(stepMs > 0, s"step $stepMs must be positive")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val oma = 1 - alpha
+    val omb = 1 - beta
+    val omg = 1 - gamma
+    s.select(col("series"), col("ts"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (series, it) =>
+        val arr = it.map(r => (r._2, r._3)).toArray.sorted
+        if (arr.isEmpty) Iterator.empty
+        else {
+          var level = arr(0)._2
+          var trend = 0.0
+          val seas = new Array[Double](m)
+          var i = 1
+          while (i < arr.length) {
+            val v = arr(i)._2
+            val slot = i % m
+            val si = seas(slot)
+            val nl = alpha * (v - si) + oma * (level + trend)
+            val nt = beta * (nl - level) + omb * trend
+            seas(slot) = gamma * (v - nl) + omg * si
+            level = nl
+            trend = nt
+            i += 1
+          }
+          val lastTs = arr(arr.length - 1)._1
+          val n = arr.length
+          (1 to horizon).iterator.map { h =>
+            (series, lastTs + h * stepMs, h.toLong,
+              level + h * trend + seas((n + h - 1) % m))
+          }
+        }
+      }
+      .toDF("series", "forecast_ts", "step", "forecast_value")
+      .select(col("series"), col("forecast_ts"), col("step"),
+        round(col("forecast_value"), 9).as("forecast_value"))
+  }
+
+  /** Oracle twin of [[holtWintersForecast]]: the [[holtWintersSql]]
+    * recursion's final state row (QUALIFY max rn, seas as a DOUBLE[])
+    * projected over `generate_series(1, horizon)`. */
+  def holtWintersForecastSql(
+      alpha: Double, beta: Double, gamma: Double, m: Int,
+      horizon: Int, stepMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val rec = cte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
+    val si = s"h.seas[CAST(((o.rn - 1) % $m) + 1 AS BIGINT)]"
+    val L = s"$alpha * (o.value - $si) + ${1 - alpha} * (h.level + h.trend)"
+    val T = s"$beta * (($L) - h.level) + ${1 - beta} * h.trend"
+    val S = s"$gamma * (o.value - ($L)) + ${1 - gamma} * $si"
+    s"""$rec, f AS (
+       |  SELECT * FROM samples $where
+       |), ord AS (
+       |  SELECT series, ts, value,
+       |    row_number() OVER (PARTITION BY series ORDER BY ts, value) AS rn
+       |  FROM f
+       |), hw AS (
+       |  SELECT series, ts, rn,
+       |    CAST(value AS DOUBLE) AS level,
+       |    CAST(0.0 AS DOUBLE) AS trend,
+       |    CAST($zeros AS DOUBLE[]) AS seas
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.series, o.ts, o.rn,
+       |    $L, $T,
+       |    list_slice(h.seas, 1, (o.rn - 1) % $m)
+       |      || [CAST($S AS DOUBLE)]
+       |      || list_slice(h.seas, ((o.rn - 1) % $m) + 2, $m)
+       |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
+       |), fin AS (
+       |  SELECT series, ts, rn, level, trend, seas FROM hw
+       |  QUALIFY rn = max(rn) OVER (PARTITION BY series)
+       |), steps AS (
+       |  SELECT CAST(unnest(generate_series(1, $horizon)) AS BIGINT) AS step
+       |)
+       |SELECT series, ts + step * $stepMs AS forecast_ts, step,
+       |  round(level + step * trend
+       |    + seas[CAST(((rn + step - 1) % $m) + 1 AS BIGINT)], 9)
+       |    AS forecast_value
+       |FROM fin CROSS JOIN steps""".stripMargin
+  }
+
   /** Oracle twin of [[holtForecast]]: [[holtSql]]'s recursion UNROUNDED,
     * final state row per series via QUALIFY, projected over
     * `generate_series(1, horizon)`. */

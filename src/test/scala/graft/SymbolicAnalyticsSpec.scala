@@ -136,6 +136,41 @@ class SymbolicAnalyticsSpec extends AnyFunSuite {
     assert(out == Seq(("r", 4L, "dcba")))
   }
 
+  test("hw forecast: projection = final fit state + h*trend + the h-th future slot") {
+    val rows = Seq(("k", 0L, 10.0), ("k", 10L, 14.0), ("k", 20L, 9.0),
+      ("k", 30L, 15.0), ("k", 40L, 8.0)).toDF("series", "ts", "value")
+    val m = 2
+    val fit = Smoothing.holtWinters(rows, 0.5, 0.3, 0.4, m)
+      .orderBy("ts").collect()
+    val (lvl, tr) = (fit.last.getDouble(2), fit.last.getDouble(3))
+    // reconstruct the final seasonal slots: last write to each slot
+    // (sample i -> slot i % m; sample 0 never writes)
+    val slots = Array(fit(4).getDouble(4), fit(3).getDouble(4))
+    val fc = Smoothing.holtWintersForecast(rows, 0.5, 0.3, 0.4, m,
+        horizon = 3, stepMs = 5L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // n = 5: step h lands on slot (5 + h - 1) % 2 = h % 2... h=1 -> 1,
+    // h=2 -> 0, h=3 -> 1 (rounded fit state: compare with slack)
+    val exp = Seq(
+      (45L, 1L, lvl + 1 * tr + slots(1)),
+      (50L, 2L, lvl + 2 * tr + slots(0)),
+      (55L, 3L, lvl + 3 * tr + slots(1)))
+    fc.zip(exp).foreach { case ((gt, gs, gv), (et, es, ev)) =>
+      assert(gt == et && gs == es)
+      assert(math.abs(gv - ev) < 1e-6, s"step $gs: $gv vs $ev")
+    }
+  }
+
+  test("hw forecast: a single-sample series projects the flat init level") {
+    val rows = Seq(("solo", 7L, 3.5)).toDF("series", "ts", "value")
+    val fc = Smoothing.holtWintersForecast(rows, 0.5, 0.3, 0.4, m = 3,
+        horizon = 2, stepMs = 10L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(fc == Seq((17L, 3.5), (27L, 3.5)))
+  }
+
   test("motifs: planted repeating shape dominates; n_series counts support") {
     // two series share the sawtooth 'ad' (ramp up/down per 2 buckets);
     // one series is a pure ramp contributing 'ab'/'bc'/'cd' once each
