@@ -168,4 +168,49 @@ class RandomizedTvfSpec extends AnyFunSuite {
       assert(rows(spark.sql(sqlText)) == rows(api), s"combo $i: $sqlText")
     }
   }
+
+  test("round-11 window TVFs == Column API across 30 random combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val keys = samples.select(col("series")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rnd = new scala.util.Random(1111)
+    val buckets = Seq(6 * HOUR, DAY, 2 * DAY)
+    for (i <- 1 to 30) {
+      val from = T0 + rnd.nextInt(20) * DAY
+      val to = from + (2 + rnd.nextInt(11)) * DAY
+      val bucket = buckets(rnd.nextInt(buckets.size))
+      val (sqlText, api) = rnd.nextInt(5) match {
+        case 0 =>
+          val align = if (rnd.nextBoolean()) 0L else HOUR * (1 + rnd.nextInt(5))
+          (if (align == 0L) s"SELECT * FROM ts_irate($from, $to, $bucket)"
+           else s"SELECT * FROM ts_irate($from, $to, $bucket, $align)",
+            graft.ts.Rates.instant(samples, bucket, align, Some(from), Some(to)))
+        case 1 =>
+          val thr = Seq(DAY, 2 * DAY, 4 * DAY)(rnd.nextInt(3))
+          (s"SELECT * FROM ts_gaps($from, $to, $thr)",
+            graft.ts.Sessions.gaps(samples, thr, Some(from), Some(to)))
+        case 2 =>
+          val period = Seq(3, 5, 7)(rnd.nextInt(3))
+          (s"SELECT * FROM ts_decompose($from, $to, $bucket, $period)",
+            graft.ts.Seasonal.decompose(samples, bucket, period, Some(from), Some(to)))
+        case 3 =>
+          val (sf2, tf) = (Seq(0.3, 0.5)(rnd.nextInt(2)), Seq(0.2, 0.6)(rnd.nextInt(2)))
+          val h = 1 + rnd.nextInt(5)
+          (s"SELECT * FROM ts_forecast($from, $to, $sf2, $tf, $h, $bucket)",
+            graft.ts.Smoothing.holtForecast(samples, sf2, tf, h, bucket,
+              Some(from), Some(to)))
+        case _ =>
+          val a = keys(rnd.nextInt(keys.size))
+          val b = keys(rnd.nextInt(keys.size))
+          val lag = rnd.nextInt(5)
+          (s"SELECT * FROM ts_ccf('$a', '$b', $from, $to, $bucket, $lag)",
+            graft.ts.AsOf.ccf(samples, a, b, bucket, lag,
+              fromMs = Some(from), toMs = Some(to)))
+      }
+      assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
+        s"combo $i: $sqlText")
+    }
+  }
 }
