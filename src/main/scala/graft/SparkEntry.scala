@@ -1101,6 +1101,18 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_forecast($T0, $T31, 0.5, 0.2, 5, ${12 * HOUR})")
       }),
+      "ts_sql_tvf_dtw" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_dtw('${dtwSeries.mkString(" ")}', $T0, $T31, ${2 * DAY})")
+      }),
+      "ts_sql_tvf_dtw_nearest" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_dtw_nearest('view_3', $T0, $T31, ${2 * DAY}, 6)")
+      }),
       "ts_sql_tvf_ccf" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2569,6 +2581,10 @@ object SparkEntry {
         horizon = 5, stepMs = 12 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_ccf" -> AsOf.ccfSql("click_3", "view_3",
         bucketMs = 2 * DAY, maxLag = 5, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_dtw" -> Dtw.pairwiseSql(bucketMs = 2 * DAY,
+        seriesSet = dtwSeries, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_dtw_nearest" -> Dtw.nearestSql(bucketMs = 2 * DAY,
+        probe = "view_3", k = 6, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sliding" -> Sliding.slidingRangeSql("avg",
         windowMs = DAY, hopMs = 6 * HOUR, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_session" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,

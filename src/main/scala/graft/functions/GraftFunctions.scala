@@ -398,6 +398,30 @@ object GraftFunctions {
         fromMs = Some(literalLong("ts_ccf", args(2), "from")),
         toMs = Some(literalLong("ts_ccf", args(3), "to"))))
     }),
+    // ts_dtw('s1 s2 s3', from, to, bucket_ms) — DTW pair distances
+    (FunctionIdentifier("ts_dtw"), info("ts_dtw"), { args: Seq[Expression] =>
+      nargs("ts_dtw", Seq(4), args)
+      val spark = activeSession("ts_dtw")
+      val keys = literalString("ts_dtw", args(0), "series list")
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      GraftSessionBridge.logicalPlan(graft.ts.Dtw.pairwise(
+        spark.table(SamplesView),
+        literalLong("ts_dtw", args(3), "bucket_ms"), keys,
+        Some(literalLong("ts_dtw", args(1), "from")),
+        Some(literalLong("ts_dtw", args(2), "to"))))
+    }),
+    // ts_dtw_nearest('probe', from, to, bucket_ms, k) — profile search
+    (FunctionIdentifier("ts_dtw_nearest"), info("ts_dtw_nearest"), { args: Seq[Expression] =>
+      nargs("ts_dtw_nearest", Seq(5), args)
+      val spark = activeSession("ts_dtw_nearest")
+      GraftSessionBridge.logicalPlan(graft.ts.Dtw.nearest(
+        spark.table(SamplesView),
+        literalLong("ts_dtw_nearest", args(3), "bucket_ms"),
+        literalString("ts_dtw_nearest", args(0), "probe series"),
+        literalLong("ts_dtw_nearest", args(4), "k").toInt,
+        Some(literalLong("ts_dtw_nearest", args(1), "from")),
+        Some(literalLong("ts_dtw_nearest", args(2), "to"))))
+    }),
     // ts_resets(from, to, bucket_ms[, align_ms]) — counter-reset count
     (FunctionIdentifier("ts_resets"), info("ts_resets"), { args: Seq[Expression] =>
       nargs("ts_resets", Seq(3, 4), args)

@@ -233,6 +233,15 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM ts_ccf('click_7', 'view_7', $T0, $T31, $DAY, 7)")) ==
       sorted(graft.ts.AsOf.ccf(samples, "click_7", "view_7", DAY, 7,
         fromMs = Some(T0), toMs = Some(T31))))
+    val dtwSet = Seq("click_7", "view_7", "click_3")
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_dtw('${dtwSet.mkString(" ")}', $T0, $T31, $DAY)")) ==
+      sorted(graft.ts.Dtw.pairwise(samples, DAY, dtwSet, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_dtw_nearest('click_7', $T0, $T31, $DAY, 5)")) ==
+      sorted(graft.ts.Dtw.nearest(samples, DAY, "click_7", 5, Some(T0), Some(T31))))
     // non-literal argument stays a loud analysis error
     intercept[Exception](
       spark.sql(s"SELECT * FROM ts_gaps($T0, $T31, CAST(rand() AS BIGINT))").collect())
