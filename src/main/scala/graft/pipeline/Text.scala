@@ -166,10 +166,14 @@ object Text {
         .orderBy(col("n").desc, col("word").asc)))
     val y = log(col("n").cast("double"))
     val x = log(col("rank").cast("double"))
+    // round-9 on the OLS outputs (cross-engine convention): each is a
+    // quotient of stacked float reductions whose accumulation order the
+    // engines don't pin — unrounded values carry latent last-ulp hash
+    // risk against the oracle.
     ranked.agg(
-      regr_slope(y, x).as("zipf_slope"),
-      regr_intercept(y, x).as("zipf_intercept"),
-      regr_r2(y, x).as("zipf_r2"),
+      round(regr_slope(y, x), 9).as("zipf_slope"),
+      round(regr_intercept(y, x), 9).as("zipf_intercept"),
+      round(regr_r2(y, x), 9).as("zipf_r2"),
       count(lit(1)).as("n_ranks"))
   }
 
@@ -184,9 +188,9 @@ object Text {
        |  SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
        |  FROM freqs
        |)
-       |SELECT regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_slope,
-       |       regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_intercept,
-       |       regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_r2,
+       |SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 9) AS zipf_slope,
+       |       round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 9) AS zipf_intercept,
+       |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 9) AS zipf_r2,
        |       CAST(count(*) AS BIGINT) AS n_ranks
        |FROM ranked""".stripMargin
 

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
  */
 object AsOf {
 
+  // SQL string-literal escape ('' doubling) for interpolated series
+  // keys — same convention as Dtw's SQL builders.
+  private def q(s: String): String = s.replace("'", "''")
+
   /** `(ts, value, asof_value)` for every left-series sample; the
     * as-of match is NULL when nothing precedes (or the match is
     * older than `toleranceMs`). */
@@ -76,9 +80,9 @@ object AsOf {
     s"""$cte, f AS (
        |  SELECT * FROM samples $where
        |), l AS (
-       |  SELECT ts, value FROM f WHERE series = '$leftKey'
+       |  SELECT ts, value FROM f WHERE series = '${q(leftKey)}'
        |), r AS (
-       |  SELECT ts, value FROM f WHERE series = '$rightKey'
+       |  SELECT ts, value FROM f WHERE series = '${q(rightKey)}'
        |)
        |SELECT l.ts, l.value, $freshness AS asof_value
        |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts""".stripMargin
@@ -98,7 +102,7 @@ object AsOf {
         .groupBy(TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
         .agg(avg(col("value")).as(out))
     bucketed(keyA, "va").join(bucketed(keyB, "vb"), Seq("bucket"))
-      .agg(corr(col("va"), col("vb")).as("corr_value"))
+      .agg(round(corr(col("va"), col("vb")), 9).as("corr_value"))
   }
 
   /**
@@ -147,8 +151,11 @@ object AsOf {
     // (n = 1 or a constant side); try_divide yields NULL there, which
     // is exactly DuckDB corr's verdict on degenerate input. |cov| <=
     // sd_a*sd_b, so a zero divisor is the only degenerate case.
-    val c = try_divide(covar_pop(col("va"), col("vb")),
-      stddev_pop(col("va")) * stddev_pop(col("vb")))
+    // round-9 on the output (family convention): the quotient stacks
+    // three float reductions whose accumulation order differs between
+    // engines, so unrounded values carry latent last-ulp hash risk.
+    val c = round(try_divide(covar_pop(col("va"), col("vb")),
+      stddev_pop(col("va")) * stddev_pop(col("vb"))), 9)
     ga.crossJoin(broadcast(lags))
       .join(gb, col("bucket_b") === col("bucket") + col("lag") * bucketMs)
       .groupBy(col("lag"))
@@ -164,7 +171,7 @@ object AsOf {
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)",
-      s"series IN ('$keyA', '$keyB')") ++
+      s"series IN ('${q(keyA)}', '${q(keyB)}')") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil))
       .mkString("WHERE ", " AND ", "")
     val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
@@ -174,14 +181,16 @@ object AsOf {
        |  SELECT series, $bkt AS bucket, avg(value) AS v
        |  FROM f GROUP BY series, $bkt
        |), a AS (
-       |  SELECT bucket, v AS va FROM grid WHERE series = '$keyA'
+       |  SELECT bucket, v AS va FROM grid WHERE series = '${q(keyA)}'
        |), b AS (
-       |  SELECT bucket AS bucket_b, v AS vb FROM grid WHERE series = '$keyB'
+       |  SELECT bucket AS bucket_b, v AS vb FROM grid WHERE series = '${q(keyB)}'
        |), lags AS (
        |  SELECT CAST(unnest(generate_series(-$maxLag, $maxLag)) AS BIGINT) AS lag
        |)
        |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-       |       corr(va, vb) AS ccf_value
+       |       round(CASE WHEN stddev_pop(va) * stddev_pop(vb) > 0
+       |         THEN covar_pop(va, vb) / (stddev_pop(va) * stddev_pop(vb))
+       |       END, 9) AS ccf_value
        |FROM a CROSS JOIN lags
        |JOIN b ON bucket_b = bucket + lag * $bucketMs
        |GROUP BY lag""".stripMargin
@@ -234,7 +243,7 @@ object AsOf {
     ga.join(gb, Seq("bucket"))
       .select(col("bucket"),
         count(lit(1)).over(w).as("n_window"),
-        when(isnan(r), lit(null)).otherwise(r).as("corr_value"))
+        when(isnan(r), lit(null)).otherwise(round(r, 9)).as("corr_value"))
   }
 
   /** DuckDB twin of [[rollingCorr]] — the same five windowed moment
@@ -249,7 +258,7 @@ object AsOf {
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)",
-      s"series IN ('$keyA', '$keyB')") ++
+      s"series IN ('${q(keyA)}', '${q(keyB)}')") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil))
       .mkString("WHERE ", " AND ", "")
     val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
@@ -261,8 +270,8 @@ object AsOf {
        |  FROM f GROUP BY series, $bkt
        |), j AS (
        |  SELECT a.bucket, a.v AS va, b.v AS vb
-       |  FROM (SELECT bucket, v FROM grid WHERE series = '$keyA') a
-       |  JOIN (SELECT bucket, v FROM grid WHERE series = '$keyB') b USING (bucket)
+       |  FROM (SELECT bucket, v FROM grid WHERE series = '${q(keyA)}') a
+       |  JOIN (SELECT bucket, v FROM grid WHERE series = '${q(keyB)}') b USING (bucket)
        |), m AS (
        |  SELECT bucket,
        |    CAST(count(*) $frame AS DOUBLE) AS n,
@@ -272,9 +281,9 @@ object AsOf {
        |  FROM j
        |)
        |SELECT bucket, CAST(n AS BIGINT) AS n_window,
-       |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+       |  round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
        |    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-       |  END AS corr_value
+       |  END, 9) AS corr_value
        |FROM m""".stripMargin
   }
 
@@ -291,11 +300,11 @@ object AsOf {
        |  SELECT * FROM samples $where
        |), a AS (
        |  SELECT $bkt AS bucket, avg(value) AS va FROM f
-       |  WHERE series = '$keyA' GROUP BY 1
+       |  WHERE series = '${q(keyA)}' GROUP BY 1
        |), b AS (
        |  SELECT $bkt AS bucket, avg(value) AS vb FROM f
-       |  WHERE series = '$keyB' GROUP BY 1
+       |  WHERE series = '${q(keyB)}' GROUP BY 1
        |)
-       |SELECT corr(va, vb) AS corr_value FROM a JOIN b USING (bucket)""".stripMargin
+       |SELECT round(corr(va, vb), 9) AS corr_value FROM a JOIN b USING (bucket)""".stripMargin
   }
 }

@@ -157,10 +157,16 @@ object Seasonal {
       .withColumn("seasonal",
         col("sr") - avg(col("sr")).over(Window.partitionBy(col("series"))))
       .select(col("series"), col("phase"), col("seasonal"))
+    // round-9 on trend/seasonal/remainder (the family convention, as
+    // holt/holt-winters do): both legs stack >= 2 float reductions whose
+    // accumulation order Spark and DuckDB don't pin, so unrounded output
+    // hash-diverges in the last ulp (~1e-14) on large fixtures.
     detr.join(idx, Seq("series", "phase"))
       .withColumn("remainder", col("value") - col("trend") - col("seasonal"))
       .select(col("series"), col("bucket"), col("phase"), col("value"),
-        col("trend"), col("seasonal"), col("remainder"))
+        round(col("trend"), 9).as("trend"),
+        round(col("seasonal"), 9).as("seasonal"),
+        round(col("remainder"), 9).as("remainder"))
   }
 
   def decomposeSql(
@@ -196,8 +202,9 @@ object Seasonal {
        |    sr - avg(sr) OVER (PARTITION BY series) AS seasonal
        |  FROM idx
        |)
-       |SELECT d.series, d.bucket, d.phase, d.value, d.trend, i.seasonal,
-       |  d.value - d.trend - i.seasonal AS remainder
+       |SELECT d.series, d.bucket, d.phase, d.value,
+       |  round(d.trend, 9) AS trend, round(i.seasonal, 9) AS seasonal,
+       |  round(d.value - d.trend - i.seasonal, 9) AS remainder
        |FROM detr d JOIN idx2 i ON d.series = i.series AND d.phase = i.phase""".stripMargin
   }
 

@@ -42,6 +42,13 @@ object Trend {
         regr_intercept(col("value"), col("ts")).as("intercept"))
       .filter(col("slope").isNotNull)
       .withColumn("predicted", col("slope") * predictAtMs + col("intercept"))
+      // round-9 on the OLS outputs (cross-engine convention for stacked
+      // float reductions — see Seasonal.decompose); predicted is rounded
+      // from the UNROUNDED fit, mirrored in fitSql.
+      .select(col("series"), col("n_samples"),
+        round(col("slope"), 9).as("slope"),
+        round(col("intercept"), 9).as("intercept"),
+        round(col("predicted"), 9).as("predicted"))
   }
 
   /**
@@ -83,8 +90,8 @@ object Trend {
     val wide = lagged.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
     val stacked = explode(array((1 to maxLag).map(k =>
       struct(lit(k).as("lag"),
-        when(col(s"sx$k") > 0 && col(s"sy$k") > 0,
-          col(s"cov$k") / (col(s"sx$k") * col(s"sy$k"))).as("acf_value"))): _*)).as("s")
+        round(when(col(s"sx$k") > 0 && col(s"sy$k") > 0,
+          col(s"cov$k") / (col(s"sx$k") * col(s"sy$k"))), 9).as("acf_value"))): _*)).as("s")
     wide.select(col("series"), stacked)
       .select(col("series"), col("s.lag"), col("s.acf_value"))
       .filter(col("acf_value").isNotNull && !isnan(col("acf_value")))
@@ -102,7 +109,7 @@ object Trend {
       s"lag(value, $k) OVER (PARTITION BY series ORDER BY ts, value) AS lag$k")
       .mkString(",\n    ")
     val unions = (1 to maxLag).map(k =>
-      s"SELECT series, $k AS lag, corr(value, lag$k) AS acf_value FROM lagged GROUP BY series")
+      s"SELECT series, $k AS lag, round(corr(value, lag$k), 9) AS acf_value FROM lagged GROUP BY series")
       .mkString("\nUNION ALL\n")
     s"""$cte, f AS (
        |  SELECT * FROM samples $where
@@ -132,8 +139,9 @@ object Trend {
        |    regr_intercept(value, ts) AS intercept
        |  FROM f GROUP BY series
        |)
-       |SELECT series, n_samples, slope, intercept,
-       |  slope * $predictAtMs + intercept AS predicted
+       |SELECT series, n_samples, round(slope, 9) AS slope,
+       |  round(intercept, 9) AS intercept,
+       |  round(slope * $predictAtMs + intercept, 9) AS predicted
        |FROM fit WHERE slope IS NOT NULL""".stripMargin
   }
 }
