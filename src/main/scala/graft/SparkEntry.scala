@@ -279,6 +279,28 @@ object SparkEntry {
           bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
           sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbs_")
             .resolve("log").toString)),
+      // GROUPBY with per-series TWA aggregation: legal per the
+      // reference (twa is forbidden only as the cross-series REDUCER,
+      // query_language.c:825-841); round-9 output (stacked float
+      // reductions — trapezoid integral, then the reduce)
+      "ts_mrange_groupby_twa" -> ((s, dir) =>
+        Multi.mrangeGroupBy(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("type=(click,view,purchase)")),
+          RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("twa"), bucketMs = DAY),
+          groupByLabel = "type", reducer = "avg")
+          .select(col("series"), col("ts"),
+            round(col("twa_value"), 9).as("twa_value"))),
+      // streaming twin of per-series TWA: boundary-free partials per
+      // (series, bucket) in state, boundary interpolation + reduce at
+      // read time (the streaming-compaction TWA decomposition applied
+      // to GROUPBY); shares the batch oracle
+      "ts_mrange_groupby_twa_stream" -> ((s, dir) =>
+        graft.ts.StreamGroupBy.mrangeGroupByTwaStreamOnce(s, dir,
+          Seq(Multi.parsePred("type=(click,view,purchase)")),
+          groupByLabel = "type", reducer = "avg",
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
+          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbt_")
+            .resolve("log").toString)),
       // GROUPBY over EMPTY-filled per-series buckets: the reference
       // fills each series' gaps FIRST (per-series AGGREGATION pipeline
       // incl. EMPTY, module.c:467-526), then reduces across series —
@@ -1874,6 +1896,12 @@ object SparkEntry {
            |         coalesce(stddev_pop(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN series_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+      // per-series TWA then cross-series reduce: Twa.sql (the full
+      // boundary-interpolation oracle) as the per-series leg, the usual
+      // label-join reduce on top; round-9 both sides. Batch query and
+      // streaming twin share this verbatim.
+      "ts_mrange_groupby_twa" -> mrangeGroupByTwaOracle,
+      "ts_mrange_groupby_twa_stream" -> mrangeGroupByTwaOracle,
       "ts_mrange_groupby_empty" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
@@ -2830,6 +2858,25 @@ object SparkEntry {
        |  FROM step s JOIN ord o ON o.series = s.series AND o.rn = s.rn + 1
        |)
        |SELECT series, ts, value FROM step WHERE kept""".stripMargin
+  }
+
+  /** Shared oracle for the batch + streaming GROUPBY-with-per-series-TWA
+    * queries: [[Twa.sql]] (full boundary-interpolation semantics, range
+    * edges clipped, neighbours outside [from, to] visible) as the
+    * per-series leg, then the standard label-join reduce; round-9 on
+    * the output (trapezoid integral then reduce = stacked float
+    * reductions). */
+  private def mrangeGroupByTwaOracle: String = {
+    val matched =
+      """series IN (SELECT series FROM series_labels WHERE "type" IN ('click','view','purchase'))"""
+    s"""WITH ${Multi.labelsCte}, per AS (
+       |${Twa.sql(DAY, 0L, Some(T0), Some(T31), Some(matched),
+                  cte = s"${TSModel.samplesCte}, ${Multi.labelsCte}")}
+       |)
+       |SELECT 'type=' || "type" AS series, bucket AS ts,
+       |       round(coalesce(avg(twa_value) FILTER (WHERE NOT isnan(twa_value)), 'NaN'::DOUBLE), 9) AS twa_value
+       |FROM per JOIN series_labels USING (series)
+       |GROUP BY 1, 2""".stripMargin
   }
 
   private def emptySumOracle: String = {

@@ -41,14 +41,14 @@ object Trend {
         regr_slope(col("value"), col("ts")).as("slope"),
         regr_intercept(col("value"), col("ts")).as("intercept"))
       .filter(col("slope").isNotNull)
+      // NO round-9 here, deliberately: the OLS outputs are bit-stable
+      // across engines on this fixture, and the intercept's ~1e4
+      // magnitude puts the 9th decimal NEAR THE ULP, where Spark's
+      // exact-decimal HALF_UP and DuckDB's float-scaled round disagree
+      // on 40%+ of bit-identical inputs (measured r12) — rounding
+      // would INTRODUCE divergence. The round-9 convention applies to
+      // O(1)-magnitude outputs whose raw values actually diverge.
       .withColumn("predicted", col("slope") * predictAtMs + col("intercept"))
-      // round-9 on the OLS outputs (cross-engine convention for stacked
-      // float reductions — see Seasonal.decompose); predicted is rounded
-      // from the UNROUNDED fit, mirrored in fitSql.
-      .select(col("series"), col("n_samples"),
-        round(col("slope"), 9).as("slope"),
-        round(col("intercept"), 9).as("intercept"),
-        round(col("predicted"), 9).as("predicted"))
   }
 
   /**
@@ -139,9 +139,8 @@ object Trend {
        |    regr_intercept(value, ts) AS intercept
        |  FROM f GROUP BY series
        |)
-       |SELECT series, n_samples, round(slope, 9) AS slope,
-       |  round(intercept, 9) AS intercept,
-       |  round(slope * $predictAtMs + intercept, 9) AS predicted
+       |SELECT series, n_samples, slope, intercept,
+       |  slope * $predictAtMs + intercept AS predicted
        |FROM fit WHERE slope IS NOT NULL""".stripMargin
   }
 }

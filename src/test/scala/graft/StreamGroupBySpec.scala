@@ -134,6 +134,68 @@ class StreamGroupBySpec extends AnyFunSuite {
     }
   }
 
+  private def twaCompare(reducer: String, chunkCol: String, seed: Int,
+      fromMs: Option[Long], toMs: Option[Long]): Unit = {
+    // dedup (series, ts): the ingest model's dup-policy resolves
+    // duplicates before any reader; twa's interpolation divides by ts
+    // deltas, so duplicate timestamps are outside its defined domain
+    val samples = randomFrame(seed, 300)
+      .groupBy(col("series"), col("ts")).agg(max(col("value")).as("value"))
+    val labels = labelsFor(samples)
+    val preds = Seq(Multi.parsePred("grp=(g0,g1,g2)"))
+    val batch = Multi.mrangeGroupBy(samples, labels, preds,
+      RangeQuery.RangeArgs(from = fromMs, to = toMs,
+        aggs = Seq("twa"), bucketMs = 1000L),
+      groupByLabel = "grp", reducer = reducer)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val s2g = labels.select(col("series"),
+      element_at(col("labels"), "grp").as("lv"))
+    val streamed = StreamGroupBy.mrangeGroupByTwaStreamChunks(
+      spark, samples, s2g, "grp", reducer, bucketMs = 1000L,
+      fromMs = fromMs, toMs = toMs, nChunks = 4, chunkCol = col(chunkCol))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"[twa/$reducer/$chunkCol] key sets differ: " +
+        s"only-stream=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (k, v) =>
+      val b = batch(k)
+      assert(math.abs(v - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+        s"[twa/$reducer/$chunkCol] $k: stream $v vs batch $b")
+    }
+  }
+
+  test("per-series TWA aggregation == batch, time-ordered chunks, unbounded range") {
+    twaCompare("avg", "ts", seed = 21, fromMs = None, toMs = None)
+  }
+
+  test("per-series TWA == batch with RANGE-EDGE anchors (from/to mid-data), OOO chunks") {
+    // from/to cut mid-data: samples outside the range must still anchor
+    // the head/tail interpolation (Twa's direct-lookup contract), which
+    // the stream routes through the per-series anchor keys
+    twaCompare("avg", "value", seed = 22, fromMs = Some(1500L), toMs = Some(8200L))
+    twaCompare("sum", "series", seed = 23, fromMs = Some(1000L), toMs = Some(7999L))
+  }
+
+  test("per-series TWA == batch for statistics reducers, OOO chunks") {
+    twaCompare("std.p", "value", seed = 24, fromMs = Some(500L), toMs = Some(9000L))
+    twaCompare("max", "series", seed = 25, fromMs = None, toMs = Some(8000L))
+  }
+
+  test("twa-as-REDUCER still rejected loudly (the reference contract)") {
+    val samples = randomFrame(26, 10)
+    val s2g = samples.select(col("series"), lit("g").as("lv")).distinct()
+    intercept[IllegalArgumentException] {
+      StreamGroupBy.mrangeGroupByTwaResolve(
+        samples.withColumn("batch_id", lit(0L))
+          .withColumn("bucket", col("ts"))
+          .withColumn("first_ts", col("value")).withColumn("first_v", col("value"))
+          .withColumn("last_ts", col("value")).withColumn("last_v", col("value"))
+          .withColumn("interior", lit(0.0)),
+        s2g, "grp", "twa", 1000L)
+    }
+  }
+
   test("series outside the group mapping are filtered, not misgrouped") {
     val samples = Seq(
       ("g0_a", 0L, 1.0), ("g0_b", 10L, 3.0), ("zz_x", 20L, 100.0))
