@@ -1221,6 +1221,24 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
       }),
+      "ts_sql_tvf_motifs" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_motifs($T0, $T31, ${2 * DAY}, 3, 10)")
+      }),
+      "ts_sql_tvf_hw_forecast" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_hw_forecast($T0, $T31, 0.5, 0.3, 0.4, 24, 4, $DAY)")
+      }),
+      "ts_sql_tvf_rolling_corr" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_rolling_corr('click_3', 'view_3', $T0, $T31, ${2 * DAY}, 5)")
+      }),
       "ts_sql_tvf_histogram" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2552,6 +2570,13 @@ object SparkEntry {
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_sax" -> Sax.saxWordsSql(bucketMs = 3 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_motifs" -> Sax.motifsSql(bucketMs = 2 * DAY, m = 3, k = 10,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_hw_forecast" -> Smoothing.holtWintersForecastSql(
+        alpha = 0.5, beta = 0.3, gamma = 0.4, m = 24, horizon = 4,
+        stepMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_rolling_corr" -> AsOf.rollingCorrSql("click_3", "view_3",
+        bucketMs = 2 * DAY, span = 5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_zscore" -> Anomaly.zscoreSql(2.3,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_histogram" -> Histogram.valueHistogramSql(

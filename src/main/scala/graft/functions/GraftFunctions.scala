@@ -670,6 +670,51 @@ object GraftFunctions {
         literalLong("ts_sax", args(2), "bucket_ms"),
         fromMs = Some(literalLong("ts_sax", args(0), "from")),
         toMs = Some(literalLong("ts_sax", args(1), "to"))))
+    }),
+    // ts_motifs(from, to, bucket_ms, m, k) — top-k recurring SAX
+    // m-grams across the corpus
+    (FunctionIdentifier("ts_motifs"), info("ts_motifs"), { args: Seq[Expression] =>
+      nargs("ts_motifs", Seq(5), args)
+      val spark = activeSession("ts_motifs")
+      GraftSessionBridge.logicalPlan(graft.ts.Sax.motifs(
+        spark.table(SamplesView),
+        literalLong("ts_motifs", args(2), "bucket_ms"),
+        literalLong("ts_motifs", args(3), "m").toInt,
+        literalLong("ts_motifs", args(4), "k").toInt,
+        fromMs = Some(literalLong("ts_motifs", args(0), "from")),
+        toMs = Some(literalLong("ts_motifs", args(1), "to"))))
+    }),
+    // ts_hw_forecast(from, to, alpha, beta, gamma, m, horizon, step_ms)
+    // — Holt-Winters h-step projection past each series' last sample
+    (FunctionIdentifier("ts_hw_forecast"), info("ts_hw_forecast"),
+      { args: Seq[Expression] =>
+      nargs("ts_hw_forecast", Seq(8), args)
+      val spark = activeSession("ts_hw_forecast")
+      GraftSessionBridge.logicalPlan(graft.ts.Smoothing.holtWintersForecast(
+        spark.table(SamplesView),
+        literalDouble("ts_hw_forecast", args(2), "alpha"),
+        literalDouble("ts_hw_forecast", args(3), "beta"),
+        literalDouble("ts_hw_forecast", args(4), "gamma"),
+        literalLong("ts_hw_forecast", args(5), "m").toInt,
+        literalLong("ts_hw_forecast", args(6), "horizon").toInt,
+        literalLong("ts_hw_forecast", args(7), "step_ms"),
+        Some(literalLong("ts_hw_forecast", args(0), "from")),
+        Some(literalLong("ts_hw_forecast", args(1), "to"))))
+    }),
+    // ts_rolling_corr('a', 'b', from, to, bucket_ms, span) — trailing
+    // Pearson r over the two series' aligned bucket grid
+    (FunctionIdentifier("ts_rolling_corr"), info("ts_rolling_corr"),
+      { args: Seq[Expression] =>
+      nargs("ts_rolling_corr", Seq(6), args)
+      val spark = activeSession("ts_rolling_corr")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.rollingCorr(
+        spark.table(SamplesView),
+        literalString("ts_rolling_corr", args(0), "series a"),
+        literalString("ts_rolling_corr", args(1), "series b"),
+        literalLong("ts_rolling_corr", args(4), "bucket_ms"),
+        literalLong("ts_rolling_corr", args(5), "span").toInt,
+        fromMs = Some(literalLong("ts_rolling_corr", args(2), "from")),
+        toMs = Some(literalLong("ts_rolling_corr", args(3), "to"))))
     })
   )
 

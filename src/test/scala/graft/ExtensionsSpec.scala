@@ -247,6 +247,34 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM ts_gaps($T0, $T31, CAST(rand() AS BIGINT))").collect())
   }
 
+  test("round-12 parity TVFs (motifs/hw_forecast/rolling_corr) == Column API") {
+    GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val DAY = 86400000L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_motifs($T0, $T31, ${2 * DAY}, 3, 10)")) ==
+      sorted(graft.ts.Sax.motifs(samples, 2 * DAY, 3, 10,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_hw_forecast($T0, $T31, 0.5, 0.3, 0.4, 24, 4, $DAY)")) ==
+      sorted(graft.ts.Smoothing.holtWintersForecast(samples, 0.5, 0.3, 0.4,
+        24, 4, DAY, Some(T0), Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_rolling_corr('click_3', 'view_3', $T0, $T31, ${2 * DAY}, 5)")) ==
+      sorted(graft.ts.AsOf.rollingCorr(samples, "click_3", "view_3",
+        2 * DAY, 5, fromMs = Some(T0), toMs = Some(T31))))
+    // non-literal argument stays a loud analysis error
+    intercept[Exception](
+      spark.sql(
+        s"SELECT * FROM ts_motifs($T0, $T31, $DAY, CAST(rand() AS BIGINT), 5)").collect())
+  }
+
   test("ts_mrange TVF == Multi.mrange incl. label predicates") {
     GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)

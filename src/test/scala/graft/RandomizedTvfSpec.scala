@@ -181,7 +181,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
       val from = T0 + rnd.nextInt(20) * DAY
       val to = from + (2 + rnd.nextInt(11)) * DAY
       val bucket = buckets(rnd.nextInt(buckets.size))
-      val (sqlText, api) = rnd.nextInt(5) match {
+      val (sqlText, api) = rnd.nextInt(8) match {
         case 0 =>
           val align = if (rnd.nextBoolean()) 0L else HOUR * (1 + rnd.nextInt(5))
           (if (align == 0L) s"SELECT * FROM ts_irate($from, $to, $bucket)"
@@ -201,12 +201,32 @@ class RandomizedTvfSpec extends AnyFunSuite {
           (s"SELECT * FROM ts_forecast($from, $to, $sf2, $tf, $h, $bucket)",
             graft.ts.Smoothing.holtForecast(samples, sf2, tf, h, bucket,
               Some(from), Some(to)))
-        case _ =>
+        case 4 =>
           val a = keys(rnd.nextInt(keys.size))
           val b = keys(rnd.nextInt(keys.size))
           val lag = rnd.nextInt(5)
           (s"SELECT * FROM ts_ccf('$a', '$b', $from, $to, $bucket, $lag)",
             graft.ts.AsOf.ccf(samples, a, b, bucket, lag,
+              fromMs = Some(from), toMs = Some(to)))
+        case 5 =>
+          val (m, k) = (2 + rnd.nextInt(3), 3 + rnd.nextInt(8))
+          (s"SELECT * FROM ts_motifs($from, $to, $bucket, $m, $k)",
+            graft.ts.Sax.motifs(samples, bucket, m, k,
+              fromMs = Some(from), toMs = Some(to)))
+        case 6 =>
+          val (al, be, ga) = (Seq(0.3, 0.5)(rnd.nextInt(2)),
+            Seq(0.2, 0.4)(rnd.nextInt(2)), Seq(0.3, 0.6)(rnd.nextInt(2)))
+          val m = Seq(6, 12, 24)(rnd.nextInt(3))
+          val h = 1 + rnd.nextInt(4)
+          (s"SELECT * FROM ts_hw_forecast($from, $to, $al, $be, $ga, $m, $h, $bucket)",
+            graft.ts.Smoothing.holtWintersForecast(samples, al, be, ga, m, h,
+              bucket, Some(from), Some(to)))
+        case _ =>
+          val a = keys(rnd.nextInt(keys.size))
+          val b = keys(rnd.nextInt(keys.size))
+          val span = 2 + rnd.nextInt(6)
+          (s"SELECT * FROM ts_rolling_corr('$a', '$b', $from, $to, $bucket, $span)",
+            graft.ts.AsOf.rollingCorr(samples, a, b, bucket, span,
               fromMs = Some(from), toMs = Some(to)))
       }
       assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
