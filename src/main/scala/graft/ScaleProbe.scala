@@ -400,11 +400,23 @@ object ScaleProbe {
     // DTW nearest with envelope pruning: at N× series the LB fold
     //    (codegen, no DP) should carry most of the corpus, with the
     //    DP bill capped at survivors + k seeds.
-    val (nDtwPr, tDtwPr) = timed {
+    graft.ts.Dtw.collectPruneStats = true
+    val (nDtwPr, tDtwPr) = try timed {
       graft.ts.Dtw.nearestPruned(TSModel.samples(spark, work), DAY,
         probe = "click_7", k = 10, Some(T0), Some(T31)).count()
-    }
+    } finally graft.ts.Dtw.collectPruneStats = false
     val (pruneSurv, pruneCand) =
+      graft.ts.Dtw.lastPruneStats.getOrElse((-1L, -1L))
+    // BANDED DTW search with the LB_Keogh sliding envelope: the band
+    //    makes the per-position envelope sound, so at N× series the
+    //    prune rate should hold or improve vs the global envelope
+    //    (tighter bound wherever the probe trends).
+    graft.ts.Dtw.collectPruneStats = true
+    val (nDtwBand, tDtwBand) = try timed {
+      graft.ts.Dtw.nearestPrunedBanded(TSModel.samples(spark, work), DAY,
+        probe = "click_7", k = 10, band = 3, Some(T0), Some(T31)).count()
+    } finally graft.ts.Dtw.collectPruneStats = false
+    val (bandSurv, bandCand) =
       graft.ts.Dtw.lastPruneStats.getOrElse((-1L, -1L))
     // Streaming gap detection over N× series: ONE long of state per
     //    series; per-batch work O(batch). Sub-linear wall expected.
@@ -471,6 +483,8 @@ object ScaleProbe {
       s""""dtw_nearest_sec":${s2(tDtwNear)},"dtw_nearest_rows":$nDtwNear,""" +
       s""""dtw_pruned_sec":${s2(tDtwPr)},"dtw_pruned_rows":$nDtwPr,""" +
       s""""dtw_pruned_survivors":$pruneSurv,"dtw_pruned_candidates":$pruneCand,""" +
+      s""""dtw_banded_sec":${s2(tDtwBand)},"dtw_banded_rows":$nDtwBand,""" +
+      s""""dtw_banded_survivors":$bandSurv,"dtw_banded_candidates":$bandCand,""" +
       s""""gaps_stream_sec":${s2(tGapsS)},"gaps_stream_rows":$nGapsS,""" +
       s""""ccf_sec":${s2(tCcf)},"ccf_rows":$nCcf,""" +
       s""""forecast_sec":${s2(tFc)},"forecast_rows":$nFc,""" +

@@ -1628,6 +1628,15 @@ object SparkEntry {
       "ts_dtw_nearest_pruned" -> ((s, dir) =>
         Dtw.nearestPruned(monthSamples(s, dir), bucketMs = DAY,
           probe = "view_7", k = 8, fromMs = Some(T0), toMs = Some(T31))),
+      // Sakoe-Chiba BANDED search with the classic LB_Keogh sliding
+      // envelope (sound only under the band — the reason the
+      // unconstrained path above uses the global envelope); oracle =
+      // the same wavefront with the band guard + length-feasibility
+      // filter, so result == banded brute force
+      "ts_dtw_nearest_banded" -> ((s, dir) =>
+        Dtw.nearestPrunedBanded(monthSamples(s, dir), bucketMs = DAY,
+          probe = "click_7", k = 8, band = 3,
+          fromMs = Some(T0), toMs = Some(T31))),
       // STREAMING per-series anomaly scoring: prefix z-score via
       // flatMapGroupsWithState (constant state per series), replayed
       // in time-ordered micro-batches; the oracle re-derives the
@@ -2620,6 +2629,9 @@ object SparkEntry {
         probe = "click_7", k = 10, fromMs = Some(T0), toMs = Some(T31)),
       "ts_dtw_nearest_pruned" -> Dtw.nearestSql(bucketMs = DAY,
         probe = "view_7", k = 8, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_dtw_nearest_banded" -> Dtw.nearestBandedSql(bucketMs = DAY,
+        probe = "click_7", k = 8, band = 3,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,

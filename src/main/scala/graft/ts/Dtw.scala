@@ -93,6 +93,45 @@ object Dtw {
     prev(m - 1)
   }
 
+  /** Sakoe-Chiba BANDED DP: cells restricted to |i − j| <= band, the
+    * classic warping constraint that (a) keeps alignments physically
+    * plausible and (b) makes the sliding-envelope LB_Keogh lower bound
+    * SOUND (see [[nearestPrunedBanded]]). Requires
+    * `band >= |n − m|` — a narrower band admits no monotone path from
+    * (0,0) to (n−1,m−1); search callers filter such candidates out
+    * (their banded distance is +∞ by convention). Out-of-band cells
+    * carry +∞; in-band arithmetic is the identical op tree to [[dtw]]
+    * and to the oracle's band-guarded wavefront. */
+  private[graft] def dtwBanded(a: Seq[Double], b: Seq[Double], band: Int): Double = {
+    val n = a.length; val m = b.length
+    require(n > 0 && m > 0, "dtw over empty profile")
+    require(band >= math.abs(n - m),
+      s"band $band narrower than length gap ${math.abs(n - m)} — no warping path exists")
+    val INF = Double.PositiveInfinity
+    val prev = Array.fill(m)(INF)
+    val cur = Array.fill(m)(INF)
+    var i = 0
+    while (i < n) {
+      java.util.Arrays.fill(cur, INF)
+      val jLo = math.max(0, i - band)
+      val jHi = math.min(m - 1, i + band)
+      var j = jLo
+      while (j <= jHi) {
+        val c = math.abs(a(i) - b(j))
+        val best =
+          if (i == 0 && j == 0) 0.0
+          else if (i == 0) cur(j - 1)
+          else if (j == 0) prev(j)
+          else math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        cur(j) = c + best
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m)
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   /**
    * Nearest-profile search — DTW as a SEARCH primitive, not just a
    * pair metric: the `k` series whose bucket profiles are most
@@ -206,13 +245,18 @@ object Dtw {
       .collect().map(_.getDouble(0)).sorted
     if (seedDists.isEmpty) {
       // probe is the only series in range
-      lastPruneStats = Some((0L, 0L))
+      lastPruneStats = if (collectPruneStats) Some((0L, 0L)) else None
       return emptyResult(spark)
     }
     val tau = seedDists.last // k-th smallest among the seeds
     // pass 3: DP only for survivors
     val survivors = withLb.filter(col("lb") <= tau)
-    lastPruneStats = Some((survivors.count(), cands.count()))
+    // the two count() actions are probe/spec instrumentation — opt-in
+    // (collectPruneStats), so the production/TVF route splices a plan
+    // with no extra jobs over the checkpointed profile frame
+    lastPruneStats =
+      if (collectPruneStats) Some((survivors.count(), cands.count()))
+      else None
     val topk = exact(survivors)
       .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
     topk.withColumn("rank", row_number().over(
@@ -220,9 +264,156 @@ object Dtw {
         .orderBy(col("dtw_distance").asc, col("series").asc)))
   }
 
-  /** (survivors, candidates) of the last [[nearestPruned]] call on
-    * this JVM — probe/spec instrumentation, not part of the result. */
+  /**
+   * BANDED nearest-profile search, brute force: [[nearest]] under the
+   * Sakoe-Chiba constraint. Candidates whose profile length differs
+   * from the probe's by more than `band` are excluded (no warping path
+   * exists inside the band — banded distance +∞ by convention, and
+   * both engines apply the same length filter). The production path is
+   * [[nearestPrunedBanded]]; this is its equality oracle.
+   */
+  def nearestBanded(
+      samples: DataFrame, bucketMs: Long, probe: String, k: Int, band: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"nearestBanded needs k >= 1, got $k")
+    require(band >= 0, s"band $band must be >= 0")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val arrs = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+      .groupBy(col("series"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket").as("b"), col("v").as("v")))),
+        x => x.getField("v")).as("vals"))
+    val pa = arrs.filter(col("series") === probe).select(col("vals").as("pv"))
+    val scored = arrs.filter(col("series") =!= probe)
+      .crossJoin(broadcast(pa))
+      .filter(abs(size(col("vals")) - size(col("pv"))) <= band)
+      .as[(String, Seq[Double], Seq[Double])]
+      .map { case (sb, vals, pv) => (sb, vals.length.toLong, dtwBanded(pv, vals, band)) }
+      .toDF("series", "n", "dtw_distance")
+    val topk = scored
+      .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
+    topk.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("dtw_distance").asc, col("series").asc)))
+  }
+
+  /**
+   * [[nearestBanded]] with LB_Keogh sliding-envelope pruning — the
+   * production banded search: the band makes the CLASSIC per-position
+   * envelope sound (which the unconstrained path's global envelope in
+   * [[nearestPruned]] is the fallback for — see its scaladoc on why
+   * LB_Keogh needs a band):
+   *
+   *   U_j = max(probe[j−band .. j+band]),  L_j = min(·)   (clamped)
+   *   LB(c) = Σ_j max(0, c_j − U_j, L_j − c_j)  ≤  DTW_band(probe, c)
+   *
+   * Soundness under the band: every warping path visits every candidate
+   * column j at least once, paired with a probe index in
+   * [j−band, j+band] — the window [L_j, U_j] bounds — so the cell paid
+   * there costs at least dist(c_j, [L_j, U_j]). The envelope is tighter
+   * than the global one wherever the probe trends, which is what makes
+   * the banded path the 100-TB search shape.
+   *
+   * Same three-pass skeleton as [[nearestPruned]] (LB fold → k-seed
+   * cutoff τ → DP only for survivors), same opt-in
+   * [[collectPruneStats]]; returns exactly [[nearestBanded]]'s result.
+   */
+  def nearestPrunedBanded(
+      samples: DataFrame, bucketMs: Long, probe: String, k: Int, band: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"nearestPrunedBanded needs k >= 1, got $k")
+    require(band >= 0, s"band $band must be >= 0")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val arrs = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+      .groupBy(col("series"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket").as("b"), col("v").as("v")))),
+        x => x.getField("v")).as("vals"))
+      .localCheckpoint()
+    val pv = arrs.filter(col("series") === probe)
+      .select(col("vals")).collect()
+    if (pv.isEmpty) {
+      lastPruneStats = None
+      return emptyResult(spark)
+    }
+    val probeVals = pv(0).getSeq[Double](0)
+    val n = probeVals.length
+    // sliding envelope over [j−band, j+band] ∩ [0, n−1], extended to
+    // j < n + band (the longest admissible candidate; the window is
+    // never empty there since j − band <= n − 1)
+    val envLen = n + band
+    val upperEnv = Array.tabulate(envLen) { j =>
+      var mx = Double.NegativeInfinity
+      var t = math.max(0, j - band)
+      val hi = math.min(n - 1, j + band)
+      while (t <= hi) { mx = math.max(mx, probeVals(t)); t += 1 }
+      mx
+    }
+    val lowerEnv = Array.tabulate(envLen) { j =>
+      var mn = Double.PositiveInfinity
+      var t = math.max(0, j - band)
+      val hi = math.min(n - 1, j + band)
+      while (t <= hi) { mn = math.min(mn, probeVals(t)); t += 1 }
+      mn
+    }
+    val uLit = array(upperEnv.map(lit).toIndexedSeq: _*)
+    val lLit = array(lowerEnv.map(lit).toIndexedSeq: _*)
+    val cands = arrs.filter(col("series") =!= probe)
+      .filter(abs(size(col("vals")) - n) <= band)
+    // pass 1: the per-position envelope fold — pure codegen, no DP
+    val contribs = transform(col("vals"), (x, j) =>
+      greatest(lit(0.0), x - element_at(uLit, (j + 1).cast("int")),
+        element_at(lLit, (j + 1).cast("int")) - x))
+    val lbCol = aggregate(contribs, lit(0.0), (acc, x) => acc + x)
+    val withLb = cands.select(col("series"), col("vals"), lbCol.as("lb"))
+    def exact(df: DataFrame): DataFrame =
+      df.select(col("series"), col("vals"))
+        .as[(String, Seq[Double])]
+        .map { case (sb, vals) =>
+          (sb, vals.length.toLong, dtwBanded(probeVals, vals, band)) }
+        .toDF("series", "n", "dtw_distance")
+    // pass 2: seed the cutoff from the k lowest-LB candidates
+    val seeds = withLb.orderBy(col("lb").asc, col("series").asc).limit(k)
+    val seedDists = exact(seeds).select(col("dtw_distance"))
+      .collect().map(_.getDouble(0)).sorted
+    if (seedDists.isEmpty) {
+      lastPruneStats = if (collectPruneStats) Some((0L, 0L)) else None
+      return emptyResult(spark)
+    }
+    val tau = seedDists.last
+    // pass 3: DP only for survivors
+    val survivors = withLb.filter(col("lb") <= tau)
+    lastPruneStats =
+      if (collectPruneStats) Some((survivors.count(), cands.count()))
+      else None
+    val topk = exact(survivors)
+      .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
+    topk.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("dtw_distance").asc, col("series").asc)))
+  }
+
+  /** (survivors, candidates) of the last [[nearestPruned]] /
+    * [[nearestPrunedBanded]] call on this JVM — probe/spec
+    * instrumentation, not part of the result. Populated only while
+    * [[collectPruneStats]] is set (the counts are extra Spark jobs the
+    * production route must not pay). */
   @volatile private[graft] var lastPruneStats: Option[(Long, Long)] = None
+
+  /** Opt-in switch for the prune-rate counts (ScaleProbe / specs). */
+  @volatile private[graft] var collectPruneStats: Boolean = false
 
   private def emptyResult(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -280,13 +471,41 @@ object Dtw {
       bucketMs, fromMs, toMs, cte)
   }
 
+  /** DuckDB twin of [[nearestBanded]] / [[nearestPrunedBanded]]: the
+    * same wavefront with the Sakoe-Chiba guard — out-of-band cells pin
+    * to the 1e308 pseudo-∞ (the same sentinel the unbanded skeleton
+    * uses for out-of-range predecessors), and the pairs join applies
+    * the `|len(a) − len(b)| <= band` feasibility filter. */
+  def nearestBandedSql(
+      bucketMs: Long, probe: String, k: Int, band: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(band >= 0, s"band $band must be >= 0")
+    val p = probe.replace("'", "''")
+    dpSql(
+      extraWhere = None,
+      pairsJoin =
+        s"""FROM arrs a JOIN arrs b ON a.series = '$p' AND b.series <> '$p'
+           |    AND abs(len(a.vals) - len(b.vals)) <= $band""".stripMargin,
+      finalSelect =
+        s"""SELECT series, n, dtw_distance, rank FROM (
+           |  SELECT sb AS series, CAST(lb AS BIGINT) AS n,
+           |         cur[1] AS dtw_distance,
+           |         row_number() OVER (ORDER BY cur[1] ASC, sb ASC) AS rank
+           |  FROM dp WHERE k = la + lb)
+           |WHERE rank <= $k""".stripMargin,
+      bucketMs, fromMs, toMs, cte, band = Some(band))
+  }
+
   /** Shared wavefront skeleton: samples filter → bucket grid → profile
     * arrays → a caller-chosen `pairs` join → the recursive DP → a
-    * caller-chosen projection over the finished diagonals. */
+    * caller-chosen projection over the finished diagonals. `band`
+    * splices the Sakoe-Chiba cell guard (None = unconstrained,
+    * byte-identical to the original skeleton). */
   private def dpSql(
       extraWhere: Option[String], pairsJoin: String, finalSelect: String,
       bucketMs: Long, fromMs: Option[Long], toMs: Option[Long],
-      cte: String): String = {
+      cte: String, band: Option[Int] = None): String = {
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)") ++ extraWhere ++
@@ -300,6 +519,19 @@ object Dtw {
     val up = at("cur", ix("i - 1", "k"))
     val left = at("cur", ix("i", "k"))
     val diag = at("prev", ix("i - 1", "k - 1"))
+    // cell on diagonal k+1 pairs (i, k+1−i); the Sakoe-Chiba guard is
+    // |i − (k+1−i)| <= band, out-of-band cells pinned to pseudo-∞ so
+    // no path routes through them
+    val cellBody =
+      s"""abs(va[i] - vb[k + 1 - i]) +
+         |           least(coalesce($up, 1e308),
+         |                 coalesce($left, 1e308),
+         |                 coalesce($diag, 1e308))""".stripMargin
+    val cell = band match {
+      case Some(r) =>
+        s"CASE WHEN abs(2 * i - (k + 1)) <= $r THEN $cellBody ELSE 1e308 END"
+      case None => cellBody
+    }
     s"""WITH RECURSIVE g AS (
        |$cte SELECT * FROM samples
        |), f AS (
@@ -324,10 +556,7 @@ object Dtw {
        |  SELECT sa, sb, k + 1,
        |    list_transform(
        |      generate_series(greatest(1, k + 1 - lb), least(la, k)),
-       |      i -> abs(va[i] - vb[k + 1 - i]) +
-       |           least(coalesce($up, 1e308),
-       |                 coalesce($left, 1e308),
-       |                 coalesce($diag, 1e308))),
+       |      i -> $cell),
        |    cur, va, vb, la, lb
        |  FROM dp WHERE k < la + lb
        |)

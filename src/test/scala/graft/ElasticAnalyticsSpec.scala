@@ -111,7 +111,10 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
         (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
         .sortBy(_._4)
     val exactRes = canon(Dtw.nearest(df, DAY, "p", k = 3))
-    val prunedRes = canon(Dtw.nearestPruned(df, DAY, "p", k = 3))
+    Dtw.collectPruneStats = true
+    val prunedRes =
+      try canon(Dtw.nearestPruned(df, DAY, "p", k = 3))
+      finally Dtw.collectPruneStats = false
     assert(prunedRes == exactRes)
     assert(exactRes.map(_._1).toSet == Set("near_1", "near_2", "near_3"))
     val (survivors, candidates) = Dtw.lastPruneStats.get
@@ -120,6 +123,81 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     // absent probe: empty, stats cleared
     assert(Dtw.nearestPruned(df, DAY, "zz", k = 3).count() == 0)
     assert(Dtw.lastPruneStats.isEmpty)
+    // instrumentation is OPT-IN: the default path must not populate
+    // stats (and pays no extra count() jobs — PlanShapeSpec pins the
+    // job count)
+    assert(canon(Dtw.nearestPruned(df, DAY, "p", k = 3)) == exactRes)
+    assert(Dtw.lastPruneStats.isEmpty)
+  }
+
+  test("banded DP: wide band == unconstrained dtw; band clips the warp") {
+    val a = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val b = Seq(1.5, 4.0, 2.5, 7.0, 2.0)
+    // band >= n + m admits every path — must equal the unconstrained DP
+    assert(Dtw.dtwBanded(a, b, band = 10) == Dtw.dtw(a, b))
+    assert(Dtw.dtwBanded(a, b, band = 4) == Dtw.dtw(a, b)) // |i-j|<=4 covers 5x5
+    // a tight band can only RAISE the distance (fewer admissible paths)
+    val shifted = Seq(0.0, 1.0, 5.0, 2.0, 8.0) // a delayed one step
+    assert(Dtw.dtwBanded(a, shifted, band = 0) >= Dtw.dtw(a, shifted))
+    // infeasible band vs length gap rejected loudly
+    intercept[IllegalArgumentException](Dtw.dtwBanded(a, Seq(1.0), band = 2))
+  }
+
+  test("nearestPrunedBanded == nearestBanded, and LB_Keogh actually prunes") {
+    val rnd = new scala.util.Random(43L)
+    def mk(s: String, off: Double) =
+      (0 until 8).map(i => (s, i * DAY + 1L, off + rnd.nextInt(20) / 10.0))
+    val rows = mk("p", 0.0) ++
+      (1 to 3).flatMap(i => mk(s"near_$i", 0.0)) ++
+      (1 to 12).flatMap(i => mk(s"far_$i", 50.0))
+    val df = rows.toDF("series", "ts", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        .sortBy(_._4)
+    val brute = canon(Dtw.nearestBanded(df, DAY, "p", k = 3, band = 2))
+    Dtw.collectPruneStats = true
+    val pruned =
+      try canon(Dtw.nearestPrunedBanded(df, DAY, "p", k = 3, band = 2))
+      finally Dtw.collectPruneStats = false
+    assert(pruned == brute)
+    assert(brute.map(_._1).toSet == Set("near_1", "near_2", "near_3"))
+    val (survivors, candidates) = Dtw.lastPruneStats.get
+    assert(candidates == 15L)
+    assert(survivors <= 3L,
+      s"sliding envelope must prune the far cluster, got $survivors")
+    // absent probe: empty
+    assert(Dtw.nearestPrunedBanded(df, DAY, "zz", k = 3, band = 2).count() == 0)
+  }
+
+  test("banded search excludes candidates the band makes infeasible") {
+    // probe has 6 buckets; 'short' has 2 — |6-2| > band=2, so it must
+    // be excluded even though its values sit on the probe exactly
+    val rows =
+      (0 until 6).map(i => ("p", i * DAY + 1L, i.toDouble)) ++
+      (0 until 2).map(i => ("short", i * DAY + 1L, i.toDouble)) ++
+      (0 until 6).map(i => ("full", i * DAY + 1L, i + 1.0))
+    val df = rows.toDF("series", "ts", "value")
+    val brute = Dtw.nearestBanded(df, DAY, "p", k = 5, band = 2)
+      .collect().map(_.getString(0)).toSeq
+    val pruned = Dtw.nearestPrunedBanded(df, DAY, "p", k = 5, band = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(brute == Seq("full"), brute.toString)
+    assert(pruned == Seq("full"), pruned.toString)
+  }
+
+  test("nearestPrunedBanded == nearestBanded on the fixture month") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSeq.sortBy(_._4)
+    assert(
+      canon(Dtw.nearestPrunedBanded(samples, DAY, "click_7", 10, band = 3,
+        Some(T0), Some(T31))) ==
+      canon(Dtw.nearestBanded(samples, DAY, "click_7", 10, band = 3,
+        Some(T0), Some(T31))))
   }
 
   test("nearestPruned == nearest on the fixture month (no pruning assumptions)") {
@@ -321,9 +399,11 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
     val docs = Seq((1L, text)).toDF("doc_id", "text")
     val r = graft.pipeline.Text.zipfFit(docs, topN = 4).collect()(0)
-    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-12)
-    assert(math.abs(r.getDouble(1) - math.log(12.0)) < 1e-12)
-    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // 1e-9 tolerance: the outputs ship round-9 quantized (the
+    // cross-engine oracle convention), so sub-ulp exactness is gone
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - math.log(12.0)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
     assert(r.getLong(3) == 4L)
   }
 

@@ -312,4 +312,39 @@ class PlanShapeSpec extends AnyFunSuite {
       .map(_.metadata("PushedFilters")).mkString
     assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
   }
+
+  test("dtw nearestPruned: prune-rate counts are opt-in — the default path pays no extra jobs") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val T0 = 1704067200000L; val T31 = 1706745599999L; val DAY = 86400000L
+    val samples = graft.ts.TSModel.samples(spark, dir)
+    def countJobs(body: => Unit): Int = {
+      val n = new AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // listener events are async — settle before reading the counter
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val off = countJobs {
+      graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
+        Some(T0), Some(T31)).collect()
+    }
+    assert(graft.ts.Dtw.lastPruneStats.isEmpty,
+      "default path must not populate prune stats")
+    graft.ts.Dtw.collectPruneStats = true
+    val on = try countJobs {
+      graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
+        Some(T0), Some(T31)).collect()
+    } finally graft.ts.Dtw.collectPruneStats = false
+    assert(graft.ts.Dtw.lastPruneStats.nonEmpty)
+    // each count() action launches >= 1 job (2 under two-stage counts),
+    // so the default path must be strictly cheaper by >= 2 jobs
+    assert(on >= off + 2,
+      s"instrumented run must pay the count() jobs on top: off=$off on=$on")
+  }
 }
