@@ -436,6 +436,25 @@ object ScaleProbe {
         graft.pipeline.Multimodal.packImages(probeDocs),
         maxDist = 3, grid = 6).count()
     }
+    // Incremental admission of a FIXED-size new batch against state
+    //    materialized over the N× corpus: shingle/md5 CPU runs only on
+    //    the batch, the prior corpus is consulted via two key joins on
+    //    its O(fingerprints)/O(buckets) state tables — admit wall
+    //    should stay ~flat as the corpus grows (state-build time is
+    //    reported separately; it is the one-time bootstrap cost).
+    val admitStateDir = s"$work/admit_state"
+    val admitBatch = Text.loadDocuments(spark, base)
+      .limit(200)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" admitprobe")).as("text"))
+      .localCheckpoint()
+    val (_, tAdmitState) = timed {
+      graft.pipeline.IncrementalAdmit.writeState(spark, probeDocs, admitStateDir)
+    }
+    val (nAdmit, tAdmit) = timed {
+      graft.pipeline.IncrementalAdmit.admit(spark, admitBatch, admitStateDir)
+        .filter(col("kept")).count()
+    }
     // Zipf fit over the N× corpus: one map-side-combined wordcount +
     //    a distributed top-N head + an N-row regression — the head is
     //    query-bounded, so the wordcount scan is the whole cost.
@@ -489,6 +508,8 @@ object ScaleProbe {
       s""""ccf_sec":${s2(tCcf)},"ccf_rows":$nCcf,""" +
       s""""forecast_sec":${s2(tFc)},"forecast_rows":$nFc,""" +
       s""""zipf_fit_sec":${s2(tZipf)},"zipf_fit_rows":$nZipf,""" +
+      s""""admit_state_sec":${s2(tAdmitState)},"admit_sec":${s2(tAdmit)},""" +
+      s""""admit_kept":$nAdmit,""" +
       s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()
   }

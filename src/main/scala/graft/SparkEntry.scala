@@ -1029,6 +1029,21 @@ object SparkEntry {
       "dedup_stream_minhash_gate" -> ((s, dir) =>
         graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir)),
 
+      // incremental corpus admission: a NEW batch (doc_id >= 400)
+      // admitted against MATERIALIZED prior state (exact fingerprints
+      // + minhash band buckets from parquet — nothing recomputed over
+      // the old corpus); must equal the oracle's one-shot ordered
+      // replay over old ∪ new
+      "dedup_incremental_admit" -> ((s, dir) => {
+        val docs = graft.pipeline.Text.loadDocuments(s, dir)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_admit_").toString
+        graft.pipeline.IncrementalAdmit.writeState(
+          s, docs.filter(col("doc_id") < 400L), stateDir)
+        graft.pipeline.IncrementalAdmit.admit(
+          s, docs.filter(col("doc_id") >= 400L), stateDir)
+      }),
+
       // CCNet/RefinedWeb-style boilerplate removal at fixed word-window
       // granularity: the repeated-segment vocabulary, and the corpus
       // with those segments stripped (order-preserving reassembly)
@@ -2497,6 +2512,8 @@ object SparkEntry {
       "mm_video_frames_real" -> Multimodal.sampleVideoFramesSql(nFrames = 4, rate = 2),
       "dedup_stream_exact" -> graft.pipeline.StreamDedup.documentsDedupOnceSql,
       "dedup_stream_minhash_gate" -> graft.pipeline.StreamDedup.minhashGateSql(),
+      "dedup_incremental_admit" ->
+        graft.pipeline.IncrementalAdmit.admitSql(split = 400L),
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

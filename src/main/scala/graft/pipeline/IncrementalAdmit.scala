@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental corpus admission — the production crawl shape: admit a
+ * NEW batch of documents against a MATERIALIZED prior kept-set without
+ * recomputing anything over the old corpus. The prior state is two
+ * parquet tables (the batch analogue of [[StreamDedup]]'s gate state,
+ * same first-arrival-wins semantics):
+ *
+ *   - `fp/`      — `(fp, doc_id)`: min doc_id ever seen per exact
+ *     fingerprint ([[Text.fingerprint]]'s md5 of normalized text);
+ *   - `buckets/` — `(band, bucket, doc_id)`: min doc_id ever seen per
+ *     MinHash band bucket ([[StreamDedup.bandBucketsMd5]]'s
+ *     oracle-replayable md5 signatures). REJECTED docs poison their
+ *     buckets exactly as in the streaming gate — their near-dups must
+ *     not slip in because the witness was itself rejected — which is
+ *     what makes the verdicts pure functions of (doc_id order, text),
+ *     independent of batching.
+ *
+ * A new doc d is admitted iff no SEEN doc with smaller id shares its
+ * fingerprint (exact) or any band bucket (near-dup, LSH confidence):
+ * `kept = NOT exact_dup AND n_clash = 0`. "Seen" = prior state ∪ the
+ * new batch itself (in-batch collisions resolve against the batch min,
+ * the gate's rule) — so `admit(new, state(old))` equals the one-shot
+ * ordered replay over old ∪ new, which is exactly what the DuckDB
+ * oracle ([[admitSql]]) computes.
+ *
+ * Scale shape — the cost tracks the NEW batch, not the corpus:
+ * shingling/md5/minhash CPU runs ONLY on new docs; the prior state is
+ * consulted by two key joins (fp, (band, bucket)) whose left sides are
+ * batch-sized. The state tables are O(corpus fingerprints) /
+ * O(distinct buckets) rows of a few tens of bytes — at 100 TB they are
+ * written bucketed by their join key ([[graft.ts.TSModel.writeBucketed]]
+ * discipline) so the joins co-locate without shuffling the state; the
+ * fixture-scale probe measures the CPU claim (ScaleProbe: admit wall
+ * flat in corpus size for a fixed batch).
+ */
+object IncrementalAdmit {
+
+  /** `(fp, doc_id)` — min doc_id per exact fingerprint. */
+  def buildFpState(docs: DataFrame): DataFrame =
+    Text.fingerprint(docs)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** `(band, bucket, doc_id)` — min doc_id per MinHash band bucket
+    * (ALL seen docs, kept or not — the gate's poison rule). */
+  def buildBucketState(
+      docs: DataFrame, numHashes: Int = 16, bandRows: Int = 4): DataFrame =
+    StreamDedup.bandBucketsMd5(docs, numHashes, bandRows)
+      .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** One-time bootstrap: materialize the admission state for a prior
+    * corpus under `stateDir` (`fp/` + `buckets/`). */
+  def writeState(
+      spark: SparkSession, docs: DataFrame, stateDir: String,
+      numHashes: Int = 16, bandRows: Int = 4): Unit = {
+    buildFpState(docs).write.mode("overwrite").parquet(s"$stateDir/fp")
+    buildBucketState(docs, numHashes, bandRows)
+      .write.mode("overwrite").parquet(s"$stateDir/buckets")
+  }
+
+  /** Admission verdicts for `newDocs` against the state under
+    * `stateDir`: `(doc_id, exact_dup, n_clash, kept)` — one row per
+    * new doc, state left untouched (see [[updateState]]). */
+  def admit(
+      spark: SparkSession, newDocs: DataFrame, stateDir: String,
+      numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    val priorFp = spark.read.parquet(s"$stateDir/fp")
+      .select(col("fp"), col("doc_id").as("prior_mn"))
+    val priorBk = spark.read.parquet(s"$stateDir/buckets")
+      .select(col("band"), col("bucket"), col("doc_id").as("prior_mn"))
+    // the ordered rule: d clashes iff min over (prior state, batch)
+    // of its key < d — correct for any id interleaving, not just
+    // append-only id growth
+    def seenMin = least(coalesce(col("prior_mn"), lit(Long.MaxValue)),
+      col("batch_mn"))
+    val exact = Text.fingerprint(newDocs)
+      .withColumn("batch_mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(priorFp, Seq("fp"), "left")
+      .select(col("doc_id"), (seenMin < col("doc_id")).as("exact_dup"))
+    val clash = StreamDedup.bandBucketsMd5(newDocs, numHashes, bandRows)
+      .withColumn("batch_mn",
+        min(col("doc_id")).over(Window.partitionBy(col("band"), col("bucket"))))
+      .join(priorBk, Seq("band", "bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(seenMin < col("doc_id"), 1L).otherwise(0L)).as("n_clash"))
+    // left join from the fp side: a doc too short to shingle has no
+    // buckets — zero clashes by definition
+    exact.join(clash, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_clash"), lit(0L)).as("n_clash"),
+        (coalesce(col("n_clash"), lit(0L)) === 0L && !col("exact_dup")).as("kept"))
+  }
+
+  /** Fold the new batch's keys into the state (min per key) with the
+    * staged-sibling-swap rewrite ([[graft.ts.Compaction.compactLog]]'s
+    * discipline — Hadoop FS API, so it holds on object stores; the
+    * swap is not atomic for concurrent readers, which a deployment
+    * schedules around or replaces with a Delta/Iceberg MERGE). */
+  def updateState(
+      spark: SparkSession, newDocs: DataFrame, stateDir: String,
+      numHashes: Int = 16, bandRows: Int = 4): Unit = {
+    def fold(path: String, fresh: DataFrame, keys: Seq[String]): Unit = {
+      val merged = spark.read.parquet(path).unionByName(fresh)
+        .groupBy(keys.map(col): _*).agg(min(col("doc_id")).as("doc_id"))
+      val staged = new org.apache.hadoop.fs.Path(path + "__admitting")
+      merged.write.mode("overwrite").parquet(staged.toString)
+      val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      fs.delete(dst, true)
+      require(fs.rename(staged, dst), s"updateState: rename $staged -> $dst failed")
+    }
+    fold(s"$stateDir/fp", buildFpState(newDocs), Seq("fp"))
+    fold(s"$stateDir/buckets",
+      buildBucketState(newDocs, numHashes, bandRows), Seq("band", "bucket"))
+  }
+
+  /** DuckDB oracle: the one-shot ordered replay over old ∪ new (the
+    * full `documents` table) with the same md5 fingerprint and
+    * signature chains, verdicts filtered to the new batch
+    * (`doc_id >= split`). Admission against materialized prior state
+    * MUST equal this — that is the operator's whole contract. */
+  def admitSql(split: Long, numHashes: Int = 16, bandRows: Int = 4): String = {
+    require(numHashes % bandRows == 0 && numHashes % 4 == 0,
+      "numHashes must divide into bands and md5 slices")
+    val nBands = numHashes / bandRows
+    val sigCols = (0 until numHashes).map(i =>
+      s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(",\n       ")
+    val bandRowsSql = (0 until nBands).map { b =>
+      val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(${Dedup.shingleListSql(3)})) AS shingle
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id,
+       |       $sigCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandRowsSql
+       |), marked AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS mn
+       |  FROM bands
+       |), clash AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clash
+       |  FROM marked GROUP BY doc_id
+       |), fpm AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS fp_mn
+       |  FROM (${Text.fingerprintSql})
+       |)
+       |SELECT f.doc_id, f.fp_mn < f.doc_id AS exact_dup,
+       |  CAST(coalesce(c.n_clash, 0) AS BIGINT) AS n_clash,
+       |  (coalesce(c.n_clash, 0) = 0 AND NOT f.fp_mn < f.doc_id) AS kept
+       |FROM fpm f LEFT JOIN clash c USING (doc_id)
+       |WHERE f.doc_id >= $split""".stripMargin
+  }
+}

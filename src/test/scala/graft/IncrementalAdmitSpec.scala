@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{IncrementalAdmit, StreamDedup, Text}
+
+/** Incremental corpus admission: admitting a new batch against
+  * materialized prior state must equal the one-shot ordered replay
+  * over old ∪ new, for ANY split point and for CHAINS of batches with
+  * state folded between them — the batching-independence contract that
+  * makes the operator safe to run per-crawl. */
+class IncrementalAdmitSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs = Text.loadDocuments(spark, sf)
+
+  /** The whole-corpus ordered-replay verdicts restricted to ids >= split
+    * — the gate + exact rule computed directly (no state). */
+  private def replayVerdicts(split: Long): Map[Long, (Boolean, Long, Boolean)] = {
+    val bands = StreamDedup.bandBucketsMd5(docs, 16, 4)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val clash = bands
+      .withColumn("mn", min(col("doc_id")).over(wB))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("mn") < col("doc_id"), 1L).otherwise(0L)).as("n_clash"))
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Text.fingerprint(docs)
+      .withColumn("fp_mn", min(col("doc_id")).over(wF))
+      .join(clash, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("fp_mn") < col("doc_id")).as("exact_dup"),
+        coalesce(col("n_clash"), lit(0L)).as("n_clash"))
+      .filter(col("doc_id") >= split)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2),
+          !r.getBoolean(1) && r.getLong(2) == 0L)))
+      .toMap
+  }
+
+  private def admitVerdicts(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+  test("admit against materialized state == one-shot replay over old ∪ new") {
+    for (split <- Seq(100L, 400L)) {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_admit_spec_").toString
+      IncrementalAdmit.writeState(spark, docs.filter(col("doc_id") < split), stateDir)
+      val got = admitVerdicts(IncrementalAdmit.admit(
+        spark, docs.filter(col("doc_id") >= split), stateDir))
+      assert(got == replayVerdicts(split), s"split=$split")
+    }
+  }
+
+  test("chained batches with state folds == one big batch (batching independence)") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_chain_").toString
+    IncrementalAdmit.writeState(spark, docs.filter(col("doc_id") < 200L), stateDir)
+    // batch 1: [200, 350) — admit, then fold into state
+    val b1 = docs.filter(col("doc_id") >= 200L && col("doc_id") < 350L)
+    val got1 = admitVerdicts(IncrementalAdmit.admit(spark, b1, stateDir))
+    IncrementalAdmit.updateState(spark, b1, stateDir)
+    // batch 2: [350, 500) — against the folded state
+    val b2 = docs.filter(col("doc_id") >= 350L)
+    val got2 = admitVerdicts(IncrementalAdmit.admit(spark, b2, stateDir))
+    val want = replayVerdicts(200L)
+    assert(got1 == want.filter(_._1 < 350L))
+    assert(got2 == want.filter(_._1 >= 350L))
+  }
+
+  test("exact dup without near-dup state entry is still rejected; clean doc admitted") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (11L, "zeta eta theta iota kappa"),      // clean
+      (12L, "zz")                              // too short to shingle: no buckets
+    ).toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_tiny_").toString
+    IncrementalAdmit.writeState(spark, old, stateDir)
+    val got = admitVerdicts(IncrementalAdmit.admit(spark, nw, stateDir))
+    assert(got(10L)._1 && !got(10L)._3, got.toString)       // exact dup, rejected
+    assert(got(10L)._2 > 0L)                                // buckets clash too
+    assert(got(11L) == ((false, 0L, true)))                 // admitted
+    assert(got(12L) == ((false, 0L, true)))                 // bucket-less, admitted
+  }
+}
