@@ -754,11 +754,17 @@ object SparkEntry {
       // per-lang vocabulary via HLL++ sketch, contract verified
       // in-engine (the approx-quantile escape-hatch pattern)
       "text_vocab_approx" -> ((s, dir) =>
-        Text.vocabApproxChecked(Text.loadDocuments(s, dir))),
+        // deterministic columns only (see text_heavy_hitters_approx)
+        Text.vocabApproxChecked(Text.loadDocuments(s, dir))
+          .select(col("lang"), col("n_vocab"))),
       // heavy-hitter words with the Count-Min overestimate contract —
       // the frequency sketch completing the Bloom/HLL/CMS trio
       "text_heavy_hitters_approx" -> ((s, dir) =>
-        Text.heavyHittersApprox(Text.loadDocuments(s, dir))),
+        // deterministic columns only: the sketch verdict + margin are
+        // spec-asserted (PipelineSpec), so a probabilistic miss reads
+        // as a tolerance failure, never a hash mismatch
+        Text.heavyHittersApprox(Text.loadDocuments(s, dir))
+          .select(col("word"), col("n_exact"), col("rnk"))),
       // PII/URL redaction pass with byte-exact digests
       "text_redact" -> ((s, dir) => Text.redact(Text.loadDocuments(s, dir))),
       // Gopher-style repetition quality signals
@@ -1021,13 +1027,17 @@ object SparkEntry {
       // fingerprint via flatMapGroupsWithState, 8 ordered micro-batches
       // — must equal the batch canonical (min doc_id per fp)
       "dedup_stream_exact" -> ((s, dir) =>
-        graft.pipeline.StreamDedup.documentsDedupOnce(s, dir)),
+        // 4 chunks: the replay is chunking-independent (spec-pinned),
+        // so the extra triggers bought no coverage — only wall time
+        graft.pipeline.StreamDedup.documentsDedupOnce(s, dir, nChunks = 4)),
       // online NEAR-dup admission gate: MinHash band-bucket collision
       // against all previously-seen docs (rejected docs still poison
       // their buckets); md5-based signature so the oracle replays the
       // exact buckets — the gate decisions themselves are hash-checked
       "dedup_stream_minhash_gate" -> ((s, dir) =>
-        graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir)),
+        // 4 chunks (see dedup_stream_exact): same verdicts, half the
+        // AvailableNow trigger floor
+        graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir, nChunks = 4)),
 
       // incremental corpus admission: a NEW batch (doc_id >= 400)
       // admitted against MATERIALIZED prior state (exact fingerprints
@@ -1677,7 +1687,8 @@ object SparkEntry {
       // closed form — two stacked cumulative windows
       "ts_cusum_stream" -> ((s, dir) =>
         StreamAnomaly.cusumStreamOnce(s, monthSamples(s, dir),
-          threshold = 3.0, fromMs = Some(T0), toMs = Some(T31))),
+          threshold = 3.0, fromMs = Some(T0), toMs = Some(T31),
+          nChunks = 4)),
       // STREAMING session windows via Spark's NATIVE session_window
       // stateful operator (both engines merge on diff <= gap); shares
       // the batch sessionRange oracle — engine-managed session state
@@ -1685,13 +1696,14 @@ object SparkEntry {
       "ts_session_stream" -> ((s, dir) =>
         StreamSessions.sessionStreamOnce(s, monthSamples(s, dir),
           agg = "avg", gapMs = 12 * HOUR,
-          fromMs = Some(T0), toMs = Some(T31))),
+          fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
       // STREAMING gap detection: the outage page fires when the pipe
       // comes back — one long of state per series; oracle = the batch
       // gap report (bracketed-gap duality)
       "ts_gaps_stream" -> ((s, dir) =>
         StreamSessions.gapsStreamOnce(s, monthSamples(s, dir),
-          thresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31))),
+          thresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+          nChunks = 4)),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING

@@ -327,15 +327,24 @@ object Text {
       .groupBy(col("lang"))
       .agg(countDistinct(col("tok")).as("n_vocab"),
         approx_count_distinct(col("tok"), rsd).as("apx"))
+      // the relative error rides along as a NUMERIC column so a
+      // tolerance miss is diagnosable (ADVICE r11: a verdict-only
+      // column pinned TRUE by an oracle turns a legitimate 4-sigma
+      // miss into an opaque hash failure — the bound is asserted in
+      // PipelineSpec instead, and the hash-checked query carries only
+      // the deterministic columns)
       .select(col("lang"), col("n_vocab"),
+        (abs(col("apx") - col("n_vocab")) / col("n_vocab")).as("rsd_err"),
         (abs(col("apx") - col("n_vocab")) <=
           lit(4 * rsd) * col("n_vocab")).as("rsd_ok"))
   }
 
-  /** Oracle twin of [[vocabApproxChecked]]: exact per-lang vocabulary
-    * + the contract's expected verdict. */
+  /** Oracle twin of [[vocabApproxChecked]]'s DETERMINISTIC columns
+    * (the sketch verdict/margin are spec-asserted, not hash-checked —
+    * a probabilistic miss must read as a tolerance failure, not an
+    * engine mismatch). */
   val vocabApproxCheckedSql: String =
-    """SELECT lang, count(DISTINCT tok) AS n_vocab, TRUE AS rsd_ok
+    """SELECT lang, count(DISTINCT tok) AS n_vocab
       |FROM (
       |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
       |  FROM documents)
@@ -375,19 +384,25 @@ object Text {
       .orderBy(col("n_exact").desc, col("word").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_exact").desc, col("word").asc)
+    // cms_over = estimate − exact (the CMS overestimate, bounded by
+    // ceil(eps·N) w.p. >= confidence): numeric so a tolerance miss is
+    // diagnosable; the bound itself is asserted in PipelineSpec, and
+    // the hash-checked query carries only the deterministic columns
     top
       .withColumn("rnk", row_number().over(w))
       .withColumn("e", est(col("word")))
       .select(col("word"), col("n_exact"), col("rnk"),
+        (col("e") - col("n_exact")).as("cms_over"),
         (col("e") >= col("n_exact") &&
           col("e") <= col("n_exact") + lit(math.ceil(eps * total).toLong))
           .as("cms_ok"))
   }
 
-  /** Oracle twin of [[heavyHittersApprox]]: exact top-k under the same
-    * deterministic tie rule + the contract's expected verdict. */
+  /** Oracle twin of [[heavyHittersApprox]]'s DETERMINISTIC columns
+    * (exact top-k under the same tie rule; the sketch verdict/margin
+    * are spec-asserted, not hash-checked). */
   def heavyHittersApproxSql(k: Int = 20): String =
-    s"""SELECT word, n_exact, rnk, TRUE AS cms_ok FROM (
+    s"""SELECT word, n_exact, rnk FROM (
        |  SELECT word, count(*) AS n_exact,
        |    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rnk
        |  FROM (

@@ -494,4 +494,32 @@ class PipelineSpec extends AnyFunSuite {
     val want = -(math.log(0.7 + 0.3 / 9.0) / math.log(2))
     assert(math.abs(got - want) < 1e-9, s"got $got want $want")
   }
+
+  test("sketch tolerance bounds hold, with margins diagnosable on a miss") {
+    // the probabilistic verdicts live HERE, not in the hash-checked
+    // oracles (ADVICE r11): a legitimate 4-sigma/confidence miss on a
+    // future fixture fails THIS test with the numeric margin printed,
+    // instead of surfacing as an opaque engine-mismatch hash failure
+    val docs = Text.loadDocuments(spark, SparkTest.sf)
+    val hh = Text.heavyHittersApprox(docs)
+      .select("word", "n_exact", "cms_over", "cms_ok")
+      .collect()
+    assert(hh.nonEmpty)
+    hh.foreach { r =>
+      assert(r.getBoolean(3),
+        s"CMS bound miss on '${r.getString(0)}': exact=${r.getLong(1)} " +
+          s"over=${r.getLong(2)}")
+      assert(r.getLong(2) >= 0L,
+        s"CMS must OVERestimate: '${r.getString(0)}' over=${r.getLong(2)}")
+    }
+    val va = Text.vocabApproxChecked(docs)
+      .select("lang", "n_vocab", "rsd_err", "rsd_ok")
+      .collect()
+    assert(va.nonEmpty)
+    va.foreach { r =>
+      assert(r.getBoolean(3),
+        s"HLL bound miss on lang=${r.getString(0)}: n_vocab=${r.getLong(1)} " +
+          s"rel_err=${r.getDouble(2)} (bound ${4 * 0.05})")
+    }
+  }
 }
