@@ -443,10 +443,14 @@ object ScaleProbe {
     //    should stay ~flat as the corpus grows (state-build time is
     //    reported separately; it is the one-time bootstrap cost).
     val admitStateDir = s"$work/admit_state"
+    // every token suffixed => shingle space disjoint from the corpus:
+    // the batch is genuinely NOVEL, so the row measures the admit path
+    // end-to-end (state probed, mostly kept) instead of degenerating
+    // into an all-reject near-dup wall
     val admitBatch = Text.loadDocuments(spark, base)
       .limit(200)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
-        concat(col("text"), lit(" admitprobe")).as("text"))
+        regexp_replace(col("text"), "(\\S+)", "$1ap").as("text"))
       .localCheckpoint()
     val (_, tAdmitState) = timed {
       graft.pipeline.IncrementalAdmit.writeState(spark, probeDocs, admitStateDir)
