@@ -1246,6 +1246,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
       }),
+      "ts_sql_tvf_dtw_banded" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_dtw_nearest_banded('view_7', $T0, $T31, ${2 * DAY}, 5, 2)")
+      }),
       "ts_sql_tvf_motifs" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2660,6 +2666,9 @@ object SparkEntry {
         probe = "view_7", k = 8, fromMs = Some(T0), toMs = Some(T31)),
       "ts_dtw_nearest_banded" -> Dtw.nearestBandedSql(bucketMs = DAY,
         probe = "click_7", k = 8, band = 3,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_dtw_banded" -> Dtw.nearestBandedSql(bucketMs = 2 * DAY,
+        probe = "view_7", k = 5, band = 2,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),

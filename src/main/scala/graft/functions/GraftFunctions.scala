@@ -715,6 +715,24 @@ object GraftFunctions {
         literalLong("ts_rolling_corr", args(5), "span").toInt,
         fromMs = Some(literalLong("ts_rolling_corr", args(2), "from")),
         toMs = Some(literalLong("ts_rolling_corr", args(3), "to"))))
+    }),
+    // ts_dtw_nearest_banded('probe', from, to, bucket_ms, k, band) —
+    // Sakoe-Chiba banded profile search. Splices the PURE banded plan
+    // (nearestBanded): the LB_Keogh-pruned variant is driver-eager
+    // (envelope + seed-cutoff actions), which an analysis-time splice
+    // must not be — and its result is provably identical.
+    (FunctionIdentifier("ts_dtw_nearest_banded"), info("ts_dtw_nearest_banded"),
+      { args: Seq[Expression] =>
+      nargs("ts_dtw_nearest_banded", Seq(6), args)
+      val spark = activeSession("ts_dtw_nearest_banded")
+      GraftSessionBridge.logicalPlan(graft.ts.Dtw.nearestBanded(
+        spark.table(SamplesView),
+        literalLong("ts_dtw_nearest_banded", args(3), "bucket_ms"),
+        literalString("ts_dtw_nearest_banded", args(0), "probe series"),
+        literalLong("ts_dtw_nearest_banded", args(4), "k").toInt,
+        literalLong("ts_dtw_nearest_banded", args(5), "band").toInt,
+        Some(literalLong("ts_dtw_nearest_banded", args(1), "from")),
+        Some(literalLong("ts_dtw_nearest_banded", args(2), "to"))))
     })
   )
 

@@ -269,6 +269,13 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM ts_rolling_corr('click_3', 'view_3', $T0, $T31, ${2 * DAY}, 5)")) ==
       sorted(graft.ts.AsOf.rollingCorr(samples, "click_3", "view_3",
         2 * DAY, 5, fromMs = Some(T0), toMs = Some(T31))))
+    // banded DTW TVF splices the pure banded plan; it must also equal
+    // the driver-eager pruned path (the provable-equality contract)
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_dtw_nearest_banded('view_7', $T0, $T31, ${2 * DAY}, 5, 2)")) ==
+      sorted(graft.ts.Dtw.nearestPrunedBanded(samples, 2 * DAY, "view_7",
+        5, 2, Some(T0), Some(T31))))
     // non-literal argument stays a loud analysis error
     intercept[Exception](
       spark.sql(
