@@ -1675,19 +1675,21 @@ object SparkEntry {
       // hash-checked against a closed form
       "ts_anomaly_stream" -> ((s, dir) =>
         StreamAnomaly.zscoreStreamOnce(s, monthSamples(s, dir),
-          threshold = 2.5, fromMs = Some(T0), toMs = Some(T31))),
+          threshold = 2.5, fromMs = Some(T0), toMs = Some(T31),
+          nChunks = 4)),
       // streaming SEASONAL anomaly: per-(series, dow-cohort) prefix
       // state — "this Monday vs previous Mondays", at arrival time
       "ts_seasonal_stream" -> ((s, dir) =>
         StreamAnomaly.seasonalStreamOnce(s, monthSamples(s, dir),
           threshold = 2.0, mode = "dow",
-          fromMs = Some(T0), toMs = Some(T31))),
+          fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
       // streaming rolling median: bounded ring state per series; the
       // time-ordered replay makes the stateful stream EQUAL the batch
       // operator, whose SQL twin is the oracle (batch-duality)
       "ts_rolling_stream" -> ((s, dir) =>
         StreamAnomaly.rollingQuantileStreamOnce(s, monthSamples(s, dir),
-          q = 0.5, span = 10, fromMs = Some(T0), toMs = Some(T31))),
+          q = 0.5, span = 10, fromMs = Some(T0), toMs = Some(T31),
+          nChunks = 4)),
       // streaming CUSUM drift detection: running sum of prefix-z
       // terms (5 scalars of state per series); the oracle is the
       // closed form — two stacked cumulative windows
