@@ -186,6 +186,31 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(pruned == Seq("full"), pruned.toString)
   }
 
+  test("randomized banded search: pruned == brute across bands/k/lengths") {
+    for (seed <- 31 to 34) {
+      val rnd = new scala.util.Random(seed.toLong * 104729L)
+      // series of VARYING length (some outside band feasibility) and
+      // varying offset (some prunable, some not)
+      val rows = (0 until 12).flatMap { s =>
+        val len = 5 + rnd.nextInt(6) // 5..10 buckets
+        val off = rnd.nextInt(4) * 10.0
+        (0 until len).map(i =>
+          (s"s$s", i * DAY + 1L, off + rnd.nextInt(30) / 10.0))
+      } ++ (0 until 8).map(i => ("probe", i * DAY + 1L, rnd.nextInt(30) / 10.0))
+      val df = rows.toDF("series", "ts", "value")
+      val band = 1 + rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(5)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r =>
+          (r.getString(0), r.getLong(1),
+            math.rint(r.getDouble(2) * 1e9) / 1e9, r.getInt(3))).toSeq.sortBy(_._4)
+      assert(
+        canon(Dtw.nearestPrunedBanded(df, DAY, "probe", k, band)) ==
+        canon(Dtw.nearestBanded(df, DAY, "probe", k, band)),
+        s"seed=$seed band=$band k=$k")
+    }
+  }
+
   test("nearestPrunedBanded == nearestBanded on the fixture month") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)

@@ -69,6 +69,62 @@ class IncrementalAdmitSpec extends AnyFunSuite {
     assert(got2 == want.filter(_._1 >= 350L))
   }
 
+  test("randomized corpora: admit == replay across splits and signature shapes") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      // 60 docs: fresh random text, exact dups of earlier docs, and
+      // near-dups (one word changed) — the three admission classes
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until 60).foreach { i =>
+        val roll = rnd.nextInt(10)
+        val t =
+          if (i >= 5 && roll < 2) texts(rnd.nextInt(i)) // exact dup
+          else if (i >= 5 && roll < 4) {                // near dup
+            val base = texts(rnd.nextInt(i)).split(" ")
+            base.updated(rnd.nextInt(base.length),
+              words(rnd.nextInt(words.size))).mkString(" ")
+          } else (0 until 8 + rnd.nextInt(6))
+            .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+        texts += t
+      }
+      val all = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val split = 20L + rnd.nextInt(25)
+      val (nh, br) = Seq((16, 4), (8, 2), (12, 3))(rnd.nextInt(3))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_admit_rnd${seed}_").toString
+      IncrementalAdmit.writeState(spark,
+        all.filter(col("doc_id") < split), stateDir, nh, br)
+      val got = admitVerdicts(IncrementalAdmit.admit(spark,
+        all.filter(col("doc_id") >= split), stateDir, nh, br))
+      // replay: the same rule over the whole corpus, directly
+      val bands = StreamDedup.bandBucketsMd5(all, nh, br)
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      val clash = bands.withColumn("mn", min(col("doc_id")).over(wB))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("mn") < col("doc_id"), 1L).otherwise(0L)).as("n_clash"))
+      val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val want = Text.fingerprint(all)
+        .withColumn("fp_mn", min(col("doc_id")).over(wF))
+        .join(clash, Seq("doc_id"), "left")
+        .filter(col("doc_id") >= split)
+        .collect().map(r => r.getLong(0) -> {
+          val exactDup = r.getAs[Long]("fp_mn") < r.getLong(0)
+          val nc = Option(r.getAs[Any]("n_clash"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          (exactDup, nc, !exactDup && nc == 0L)
+        }).toMap
+      assert(got == want, s"seed=$seed split=$split nh=$nh br=$br")
+      // the randomized corpus must exercise all three classes at least
+      // once across seeds — guard against a degenerate generator
+      if (seed == 1) assert(got.values.exists(!_._3) && got.values.exists(_._3))
+    }
+  }
+
   test("exact dup without near-dup state entry is still rejected; clean doc admitted") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
