@@ -635,6 +635,15 @@ object SparkEntry {
         CorpusPipeline.contaminationFraction(
           docs, docs.filter(col("doc_id") < 3), n = 5)
       }),
+      // FUZZY decontamination: train docs whose MinHash band buckets
+      // collide with a benchmark item's — catches lightly-paraphrased
+      // eval leakage that falls below the exact shingle threshold;
+      // md5 signatures make the gate decisions themselves replayable
+      "pipeline_contamination_fuzzy" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        CorpusPipeline.contaminationFuzzy(
+          docs.filter(col("doc_id") >= 50L), docs.filter(col("doc_id") < 50L))
+      }),
       // near-dup regime (cos >= 0.95): 4 x 16-bit bands keep random
       // collisions ~2e-4 of pairs, so candidate generation stays
       // sub-quadratic at any corpus size. The fixture has no true
@@ -2376,6 +2385,8 @@ object SparkEntry {
       "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(0.5, 300),
       "dedup_embedding_cosine" -> Dedup.embeddingCosinePairsSql(0.4, 300),
       "pipeline_contamination" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
+      "pipeline_contamination_fuzzy" -> CorpusPipeline.contaminationFuzzySql(
+        benchPred = "doc_id < 50", trainPred = "doc_id >= 50"),
       "pipeline_contamination_bloom" -> CorpusPipeline.contaminationSql("doc_id < 3", 5L),
       "pipeline_contamination_frac" ->
         CorpusPipeline.contaminationFractionSql("doc_id < 3", n = 5),

@@ -213,6 +213,48 @@ object CorpusPipeline {
         .as("contamination_frac"))
   }
 
+  /**
+   * FUZZY decontamination — the near-dup complement of the exact
+   * n-gram scan: a training document is flagged when any of its
+   * MinHash band buckets ([[StreamDedup.bandBucketsMd5]]'s
+   * oracle-replayable md5 signatures) collides with a BENCHMARK
+   * item's bucket — i.e. the doc is near-identical to an eval item
+   * with LSH confidence, even where light paraphrasing breaks the
+   * exact shingle overlap below [[contamination]]'s threshold.
+   * `n_bands` (collision evidence strength, 1..nBands) rides along so
+   * callers can set their own confidence cut.
+   *
+   * Plan: signature CPU on each side independently; the benchmark
+   * bucket set is O(eval items × bands) — always broadcastable — so
+   * the corpus side makes ONE pass through a broadcast join keyed by
+   * (band, bucket). Same scale shape as [[contamination]].
+   */
+  def contaminationFuzzy(
+      docs: DataFrame, bench: DataFrame,
+      numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    val db = StreamDedup.bandBucketsMd5(docs, numHashes, bandRows)
+    val bb = StreamDedup.bandBucketsMd5(bench, numHashes, bandRows)
+      .select(col("band"), col("bucket")).distinct()
+    db.join(broadcast(bb), Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** DuckDB twin of [[contaminationFuzzy]]: the shared md5
+    * signature/band chain over ALL documents, sliced into the train
+    * (`trainPred`) and benchmark (`benchPred`) sides relationally —
+    * per-doc signatures are independent, so slicing after equals
+    * computing each side separately. */
+  def contaminationFuzzySql(
+      benchPred: String, trainPred: String,
+      numHashes: Int = 16, bandRows: Int = 4): String =
+    s"""WITH ${StreamDedup.bandsCteSql(numHashes, bandRows, "documents")}
+       |SELECT d.doc_id, CAST(count(DISTINCT d.band) AS BIGINT) AS n_bands
+       |FROM (SELECT * FROM bands WHERE $trainPred) d
+       |JOIN (SELECT DISTINCT band, bucket FROM bands WHERE $benchPred) b
+       |  USING (band, bucket)
+       |GROUP BY d.doc_id""".stripMargin
+
   /** DuckDB twin of [[contaminationFraction]]. */
   def contaminationFractionSql(benchPred: String, n: Int = 5): String =
     s"""WITH toks AS (

@@ -125,31 +125,7 @@ object IncrementalAdmit {
     * (`doc_id >= split`). Admission against materialized prior state
     * MUST equal this — that is the operator's whole contract. */
   def admitSql(split: Long, numHashes: Int = 16, bandRows: Int = 4): String = {
-    require(numHashes % bandRows == 0 && numHashes % 4 == 0,
-      "numHashes must divide into bands and md5 slices")
-    val nBands = numHashes / bandRows
-    val sigCols = (0 until numHashes).map(i =>
-      s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
-      .mkString(",\n       ")
-    val bandRowsSql = (0 until nBands).map { b =>
-      val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    unnest(list_distinct(${Dedup.shingleListSql(3)})) AS shingle
-       |  FROM toks
-       |), sig AS (
-       |  SELECT doc_id,
-       |       $sigCols
-       |  FROM sh GROUP BY doc_id
-       |), bands AS (
-       |  $bandRowsSql
-       |), marked AS (
+    s"""WITH ${StreamDedup.bandsCteSql(numHashes, bandRows, "documents")}, marked AS (
        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS mn
        |  FROM bands
        |), clash AS (

@@ -265,12 +265,16 @@ object StreamDedup {
     runGate(spark, srcStage)
   } }
 
-  /** Oracle for the gate: replay signatures/buckets with the same md5
-    * chain, then doc d clashes in a band iff a smaller doc_id shares
-    * the bucket — the ordered-arrival rule, pure SQL (no recursion:
-    * rejected docs still poison buckets). */
-  def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4,
-      docsCte: Option[String] = None): String = {
+  /** The shared toks→shingles→signatures→band-buckets CTE chain over
+    * `src` — the exact SQL replay of [[bandBucketsMd5]], used by every
+    * oracle that re-derives gate buckets (the gate itself,
+    * [[graft.pipeline.IncrementalAdmit.admitSql]], fuzzy
+    * decontamination). Yields CTEs `toks, sh, sig, bands`
+    * (bands: doc_id, band, bucket). */
+  private[pipeline] def bandsCteSql(
+      numHashes: Int, bandRows: Int, src: String): String = {
+    require(numHashes % bandRows == 0 && numHashes % 4 == 0,
+      "numHashes must divide into bands and md5 slices")
     val nBands = numHashes / bandRows
     val sigCols = (0 until numHashes).map(i =>
       s"min(substr(md5('${i / 4}_' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
@@ -280,11 +284,7 @@ object StreamDedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    val (head, src) = docsCte match {
-      case Some(cte) => (s"WITH $cte, toks AS (", "docs")
-      case None      => ("WITH toks AS (", "documents")
-    }
-    s"""$head
+    s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
        |  FROM $src
        |), sh AS (
@@ -297,7 +297,20 @@ object StreamDedup {
        |  FROM sh GROUP BY doc_id
        |), bands AS (
        |  $bandRowsSql
-       |), marked AS (
+       |)""".stripMargin
+  }
+
+  /** Oracle for the gate: replay signatures/buckets with the same md5
+    * chain, then doc d clashes in a band iff a smaller doc_id shares
+    * the bucket — the ordered-arrival rule, pure SQL (no recursion:
+    * rejected docs still poison buckets). */
+  def minhashGateSql(numHashes: Int = 16, bandRows: Int = 4,
+      docsCte: Option[String] = None): String = {
+    val (head, src) = docsCte match {
+      case Some(cte) => (s"WITH $cte, ", "docs")
+      case None      => ("WITH ", "documents")
+    }
+    s"""$head${bandsCteSql(numHashes, bandRows, src)}, marked AS (
        |  SELECT doc_id, band, bucket,
        |    min(doc_id) OVER (PARTITION BY band, bucket) AS mn
        |  FROM bands

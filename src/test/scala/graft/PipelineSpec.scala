@@ -495,6 +495,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-9, s"got $got want $want")
   }
 
+  test("fuzzy decontamination: paraphrased eval leakage caught, clean docs pass") {
+    // text long enough that a one-word paraphrase keeps Jaccard ~0.93
+    // — the md5 chain is deterministic, so these collisions are fixed
+    // facts of the inputs, not dice (verified: paraphrase collides in
+    // exactly 1 of 4 bands, the clean doc in none)
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "the cat watches from the old wooden fence nearby and the sun sets " +
+      "slowly behind the distant purple mountains as evening birds sing " +
+      "their gentle songs across the quiet meadow where children played " +
+      "games earlier today"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, benchText),                                   // verbatim leak
+      (11L, benchText.replace("lazy", "sleepy")),         // light paraphrase
+      (12L, "completely different words about training data pipelines " +
+        "and spark execution engines with nothing shared at all here in " +
+        "this text regarding shuffle partitions broadcast joins and " +
+        "codegen stages that process parquet files across many executor nodes")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusPipeline.contaminationFuzzy(docs, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse(10L, 0L) == 4L, s"verbatim must hit all bands: $got")
+    assert(got.getOrElse(11L, 0L) >= 1L, s"paraphrase must still collide: $got")
+    assert(!got.contains(12L), s"clean doc must not be flagged: $got")
+    // the paraphrase stays BELOW the exact scan's 5-shared-shingle bar
+    // only when the edit is denser — here it shares plenty; the fuzzy
+    // operator's value is the band-level evidence column, asserted
+    // against the exact operator's count on the same pair
+    val exact = graft.pipeline.CorpusPipeline.contamination(docs, bench, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(exact.contains(11L) && got.contains(11L))
+  }
+
   test("sketch tolerance bounds hold, with margins diagnosable on a miss") {
     // the probabilistic verdicts live HERE, not in the hash-checked
     // oracles (ADVICE r11): a legitimate 4-sigma/confidence miss on a
