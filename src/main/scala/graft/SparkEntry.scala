@@ -684,6 +684,11 @@ object SparkEntry {
       }),
       // deterministic data mixing: per-language keep rates + stable
       // train/val split from md5-prefix hashing (no RNG state)
+      // per-source quality cap (domain balancing): keep the best 10
+      // docs per source by alpha-ratio; compiles to WindowGroupLimit
+      // (partial top-cap before the shuffle)
+      "pipeline_source_cap" -> ((s, dir) =>
+        CorpusPipeline.sourceCap(Text.loadDocuments(s, dir), cap = 10)),
       "pipeline_stratified_sample" -> ((s, dir) =>
         graft.pipeline.CorpusPipeline.stratifiedSample(
           Text.loadDocuments(s, dir), Map("en" -> 0.8), defaultRate = 0.25)),
@@ -2501,6 +2506,8 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.filteredCorpusSql(Dedup.ngramJaccardPairsSql(0.5, 300)),
       "pipeline_stratified_sample" ->
         graft.pipeline.CorpusPipeline.stratifiedSampleSql(Map("en" -> 0.8), defaultRate = 0.25),
+      "pipeline_source_cap" ->
+        graft.pipeline.CorpusPipeline.sourceCapSql(cap = 10),
       "pipeline_quality_percentile" ->
         graft.pipeline.CorpusPipeline.qualityPercentileKeepSql(dropFrac = 0.25),
       "pipeline_pack_sequences" ->

@@ -69,6 +69,45 @@ object CorpusPipeline {
   }
 
   /**
+   * Per-source quality cap — the domain/source-balancing step of a
+   * corpus build (CCNet/RefinedWeb shape): keep at most `cap`
+   * documents per source, preferring the highest quality, so no
+   * single crawl domain floods the mix. Quality here is the
+   * alpha-ratio signal ([[Text.qualityMetrics]]' column — one
+   * integer-count division, bit-identical cross-engine); ties break
+   * on doc_id for a total order.
+   *
+   * Plan shape: ONE rank window per source with a `rnk <= cap` filter
+   * — Spark compiles this to WindowGroupLimit (per-partition partial
+   * top-cap BEFORE the shuffle, the [[graft.ts.TopK]] discipline), so
+   * shuffle volume is bounded at cap rows per source per task and no
+   * global sort of the corpus ever exists.
+   */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"source cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        Text.alphaRatioCol.as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+  }
+
+  /** DuckDB twin of [[sourceCap]] — same score, same rank rule. */
+  def sourceCapSql(cap: Int): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE) AS score
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT doc_id, source, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT doc_id, source, score, rnk FROM ranked WHERE rnk <= $cap""".stripMargin
+
+  /**
    * Deterministic stratified sampling + split assignment — the data
    * mixing step of a corpus build. Per-language keep rates are applied
    * via an md5-prefix threshold (`md5(doc_id)` prefix is uniform in

@@ -276,6 +276,18 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM ts_dtw_nearest_banded('view_7', $T0, $T31, ${2 * DAY}, 5, 2)")) ==
       sorted(graft.ts.Dtw.nearestPrunedBanded(samples, 2 * DAY, "view_7",
         5, 2, Some(T0), Some(T31))))
+    // GROUPBY with per-series TWA now rides the existing ts_mrange TVF
+    // route unchanged (the 7-arg form's agg is any RangeArgs agg)
+    val labels = TSModel.labels(spark, sf)
+    labels.createOrReplaceTempView(GraftFunctions.LabelsView)
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_mrange('type=(click,view)', $T0, $T31, 'twa', ${2 * DAY}, 'type', 'avg')")) ==
+      sorted(graft.ts.Multi.mrangeGroupBy(samples, labels,
+        Seq(graft.ts.Multi.parsePred("type=(click,view)")),
+        graft.ts.RangeQuery.RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("twa"), bucketMs = 2 * DAY),
+        groupByLabel = "type", reducer = "avg")))
     // non-literal argument stays a loud analysis error
     intercept[Exception](
       spark.sql(

@@ -313,6 +313,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
   }
 
+  test("source cap: rank<=cap compiles to a WindowGroupLimit partial top-cap") {
+    val df = SparkEntry.queries("pipeline_source_cap")(spark, dir)
+    val p = physical(df)
+    val wgl = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wgl.nonEmpty, "per-source cap must push a partial group limit:\n" + p)
+    assert(p.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .forall(_.global == false),
+      "no global sort — the cap is per-source, bounded per partition")
+  }
+
   test("dtw nearestPruned: prune-rate counts are opt-in — the default path pays no extra jobs") {
     import java.util.concurrent.atomic.AtomicInteger
     val T0 = 1704067200000L; val T31 = 1706745599999L; val DAY = 86400000L
