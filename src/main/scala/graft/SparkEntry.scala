@@ -1260,6 +1260,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
       }),
+      "ts_sql_tvf_matrix_profile" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_matrix_profile($T0, $T31, ${2 * DAY}, 5)")
+      }),
       "ts_sql_tvf_dtw_banded" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1579,6 +1585,13 @@ object SparkEntry {
       "ts_sax_motifs" -> ((s, dir) =>
         Sax.motifs(monthSamples(s, dir), bucketMs = DAY, m = 4, k = 20,
           fromMs = Some(T0), toMs = Some(T31))),
+      // matrix profile: per-window z-normalized nearest-neighbor
+      // distance over each series' daily profile — motifs are the
+      // minima, the discord is the maximum; exact distances next to
+      // SAX's symbolic counts
+      "ts_matrix_profile" -> ((s, dir) =>
+        graft.ts.MatrixProfile.profile(monthSamples(s, dir),
+          bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31))),
       "ts_sax_words" -> ((s, dir) =>
         Sax.saxWords(monthSamples(s, dir), bucketMs = 2 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
@@ -2606,6 +2619,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sax_motifs" -> Sax.motifsSql(bucketMs = DAY, m = 4, k = 20,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
+        bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sax_words" -> Sax.saxWordsSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_mad" -> Anomaly.madSql(2.5,
@@ -2690,6 +2705,8 @@ object SparkEntry {
       "ts_sql_tvf_dtw_banded" -> Dtw.nearestBandedSql(bucketMs = 2 * DAY,
         probe = "view_7", k = 5, band = 2,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
+        bucketMs = 2 * DAY, m = 5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,

@@ -716,6 +716,19 @@ object GraftFunctions {
         fromMs = Some(literalLong("ts_rolling_corr", args(2), "from")),
         toMs = Some(literalLong("ts_rolling_corr", args(3), "to"))))
     }),
+    // ts_matrix_profile(from, to, bucket_ms, m) — per-window
+    // z-normalized nearest-neighbor distance profile per series
+    (FunctionIdentifier("ts_matrix_profile"), info("ts_matrix_profile"),
+      { args: Seq[Expression] =>
+      nargs("ts_matrix_profile", Seq(4), args)
+      val spark = activeSession("ts_matrix_profile")
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.profile(
+        spark.table(SamplesView),
+        literalLong("ts_matrix_profile", args(2), "bucket_ms"),
+        literalLong("ts_matrix_profile", args(3), "m").toInt,
+        Some(literalLong("ts_matrix_profile", args(0), "from")),
+        Some(literalLong("ts_matrix_profile", args(1), "to"))))
+    }),
     // ts_dtw_nearest_banded('probe', from, to, bucket_ms, k, band) —
     // Sakoe-Chiba banded profile search. Splices the PURE banded plan
     // (nearestBanded): the LB_Keogh-pruned variant is driver-eager

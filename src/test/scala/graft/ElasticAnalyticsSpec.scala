@@ -130,6 +130,49 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(Dtw.lastPruneStats.isEmpty)
   }
 
+  test("matrix profile: planted motif pair scores ~0, discord is the maximum") {
+    // 16 buckets of a period-4 pattern with ONE spike at bucket 7 (a
+    // pattern trough): every window not touching the spike has an
+    // exact period-shifted partner (mp = 0, the motifs); the four
+    // windows containing the spike (4..7) match nothing (the discord
+    // must be one of them)
+    val pattern = Seq(1.0, 5.0, 2.0, 8.0)
+    val vals = (0 until 16).map(i => pattern(i % 4)).updated(6, 50.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i * DAY + 1L, v) }
+      .toDF("series", "ts", "value")
+    val mp = graft.ts.MatrixProfile.profile(df, DAY, m = 4)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(mp.size == 13)
+    val spikeWindows = (4 to 7).toSet
+    mp.foreach { case (i, (j, d)) =>
+      // exclusion zone first: never a neighbor closer than ceil(m/2)
+      assert(math.abs(i - j) >= 2, s"($i,$j)")
+      if (!spikeWindows(i))
+        assert(d <= 1e-9, s"periodic window $i must have an exact partner: $mp")
+      else
+        assert(d > 0.5, s"spike window $i must match nothing: $mp")
+    }
+    val discordIdx = mp.maxBy(_._2._2)._1
+    assert(spikeWindows.contains(discordIdx),
+      s"discord $discordIdx must contain the spike: $mp")
+  }
+
+  test("matrix profile: constant series and short series degrade cleanly") {
+    // constant series: every window pair has r=1 -> distance 0
+    val const = (0 until 10).map(i => ("c", i * DAY + 1L, 5.0))
+      .toDF("series", "ts", "value")
+    val mpC = graft.ts.MatrixProfile.profile(const, DAY, m = 4).collect()
+    assert(mpC.nonEmpty && mpC.forall(_.getDouble(3) == 0.0))
+    // series shorter than m: no windows, empty output (not an error)
+    val short = Seq(("x", 1L, 1.0), ("x", DAY + 1, 2.0)).toDF("series", "ts", "value")
+    assert(graft.ts.MatrixProfile.profile(short, DAY, m = 4).count() == 0)
+    // m=2 with exactly 3 buckets: windows 1,2 — |1-2| = 1 < ceil(2/2)=1?
+    // excl = 1, so |i-j| >= 1 admits the pair; both windows get a nn
+    val three = Seq(("y", 1L, 1.0), ("y", DAY + 1, 4.0), ("y", 2 * DAY + 1, 2.0))
+      .toDF("series", "ts", "value")
+    assert(graft.ts.MatrixProfile.profile(three, DAY, m = 2).count() == 2)
+  }
+
   test("banded DP: wide band == unconstrained dtw; band clips the warp") {
     val a = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
     val b = Seq(1.5, 4.0, 2.5, 7.0, 2.0)
