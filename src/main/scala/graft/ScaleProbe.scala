@@ -459,6 +459,21 @@ object ScaleProbe {
       graft.pipeline.IncrementalAdmit.admit(spark, admitBatch, admitStateDir)
         .filter(col("kept")).count()
     }
+    // Matrix profile over N× series: the self-join is quadratic ONLY
+    //    in the bounded per-series window count, linear in series —
+    //    ~linear wall expected (grid agg the floor).
+    val (nMp, tMp) = timed {
+      graft.ts.MatrixProfile.profile(TSModel.samples(spark, work),
+        DAY, m = 7, Some(T0), Some(T31)).count()
+    }
+    // Fuzzy decontamination at N× corpus vs a FIXED benchmark slice:
+    //    bench bucket set broadcast, corpus side one signature pass —
+    //    ~linear in docs expected (the md5 CPU term).
+    val (nFz, tFz) = timed {
+      graft.pipeline.CorpusPipeline.contaminationFuzzy(
+        probeDocs.filter(col("doc_id") >= 50L),
+        probeDocs.filter(col("doc_id") < 50L)).count()
+    }
     // Zipf fit over the N× corpus: one map-side-combined wordcount +
     //    a distributed top-N head + an N-row regression — the head is
     //    query-bounded, so the wordcount scan is the whole cost.
@@ -514,6 +529,8 @@ object ScaleProbe {
       s""""zipf_fit_sec":${s2(tZipf)},"zipf_fit_rows":$nZipf,""" +
       s""""admit_state_sec":${s2(tAdmitState)},"admit_sec":${s2(tAdmit)},""" +
       s""""admit_kept":$nAdmit,""" +
+      s""""matrix_profile_sec":${s2(tMp)},"matrix_profile_rows":$nMp,""" +
+      s""""fuzzy_decon_sec":${s2(tFz)},"fuzzy_decon_rows":$nFz,""" +
       s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()
   }
