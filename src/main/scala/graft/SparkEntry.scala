@@ -1260,6 +1260,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
       }),
+      "ts_sql_tvf_backtest" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_backtest($T0, $T31, ${T0 + 14 * DAY}, 0.4, 0.3, 5, ${2 * DAY})")
+      }),
       "ts_sql_tvf_matrix_profile" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1592,6 +1598,14 @@ object SparkEntry {
       "ts_matrix_profile" -> ((s, dir) =>
         graft.ts.MatrixProfile.profile(monthSamples(s, dir),
           bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31))),
+      // rolling-origin forecast backtest: fit holt on the first 21
+      // days, score 6 daily forecasts against the held-out actuals —
+      // the evaluation primitive that makes the forecast surface
+      // operable (threshold mae/rmse before trusting projections)
+      "ts_forecast_backtest" -> ((s, dir) =>
+        graft.ts.Backtest.holtBacktest(monthSamples(s, dir),
+          sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
       "ts_sax_words" -> ((s, dir) =>
         Sax.saxWords(monthSamples(s, dir), bucketMs = 2 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
@@ -2621,6 +2635,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_forecast_backtest" -> graft.ts.Backtest.holtBacktestSql(
+        sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sax_words" -> Sax.saxWordsSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_mad" -> Anomaly.madSql(2.5,
@@ -2707,6 +2724,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = 2 * DAY, m = 5, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_backtest" -> graft.ts.Backtest.holtBacktestSql(
+        sf = 0.4, tf = 0.3, splitMs = T0 + 14 * DAY, horizon = 5,
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,

@@ -716,6 +716,22 @@ object GraftFunctions {
         fromMs = Some(literalLong("ts_rolling_corr", args(2), "from")),
         toMs = Some(literalLong("ts_rolling_corr", args(3), "to"))))
     }),
+    // ts_backtest(from, to, split, sf, tf, horizon, bucket_ms) —
+    // rolling-origin holt forecast evaluation (per-series mae/rmse)
+    (FunctionIdentifier("ts_backtest"), info("ts_backtest"),
+      { args: Seq[Expression] =>
+      nargs("ts_backtest", Seq(7), args)
+      val spark = activeSession("ts_backtest")
+      GraftSessionBridge.logicalPlan(graft.ts.Backtest.holtBacktest(
+        spark.table(SamplesView),
+        literalDouble("ts_backtest", args(3), "sf"),
+        literalDouble("ts_backtest", args(4), "tf"),
+        literalLong("ts_backtest", args(2), "split"),
+        literalLong("ts_backtest", args(5), "horizon").toInt,
+        literalLong("ts_backtest", args(6), "bucket_ms"),
+        Some(literalLong("ts_backtest", args(0), "from")),
+        Some(literalLong("ts_backtest", args(1), "to"))))
+    }),
     // ts_matrix_profile(from, to, bucket_ms, m) — per-window
     // z-normalized nearest-neighbor distance profile per series
     (FunctionIdentifier("ts_matrix_profile"), info("ts_matrix_profile"),

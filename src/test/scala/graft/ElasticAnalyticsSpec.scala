@@ -130,6 +130,37 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(Dtw.lastPruneStats.isEmpty)
   }
 
+  test("forecast backtest: exact-linear series scores zero error, knife is bucket-clean") {
+    // holt is EXACT on a linear grid (level/trend lock onto the line
+    // from the first two points), so the backtest must report 0 error
+    val lin = (0 until 14).map(i => ("lin", i * DAY + 1L, 10.0 + 3.0 * i))
+      .toDF("series", "ts", "value")
+    val bt = graft.ts.Backtest.holtBacktest(lin, sf = 0.5, tf = 0.2,
+      splitMs = 7 * DAY, horizon = 4, bucketMs = DAY)
+      .collect()
+    assert(bt.length == 1)
+    val r = bt.head
+    assert(r.getLong(1) == 4L, s"4 forecast buckets exist in test: $r")
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0, r.toString)
+    // test gaps drop (n_eval reports coverage): remove 2 of the 4
+    // evaluated days
+    val gappy = lin.filter(!org.apache.spark.sql.functions.col("ts")
+      .isin(9 * DAY + 1L, 11 * DAY + 1L))
+    val bt2 = graft.ts.Backtest.holtBacktest(gappy, sf = 0.5, tf = 0.2,
+      splitMs = 7 * DAY, horizon = 4, bucketMs = DAY).collect().head
+    assert(bt2.getLong(1) == 2L, bt2.toString)
+    // the bucket containing the split belongs wholly to TRAIN: a knife
+    // mid-bucket must not shear it into partial averages
+    val bt3 = graft.ts.Backtest.holtBacktest(lin, sf = 0.5, tf = 0.2,
+      splitMs = 7 * DAY + 3600L, horizon = 4, bucketMs = DAY).collect().head
+    assert(bt3.getLong(1) == 4L && bt3.getDouble(2) == 0.0, bt3.toString)
+    // degenerate guards
+    intercept[IllegalArgumentException] {
+      graft.ts.Backtest.holtBacktest(lin, 0.5, 0.2,
+        splitMs = 20 * DAY, horizon = 2, bucketMs = DAY, toMs = Some(15 * DAY))
+    }
+  }
+
   test("matrix profile: planted motif pair scores ~0, discord is the maximum") {
     // 16 buckets of a period-4 pattern with ONE spike at bucket 7 (a
     // pattern trough): every window not touching the spike has an
