@@ -836,6 +836,16 @@ object SparkEntry {
       "ann_ivf_topk" -> ((s, dir) =>
         Similarity.ivfTopKQuantized(Similarity.loadEmbeddings(s, dir), annQueryIds,
           k = 5, Similarity.syntheticCentroids(16, 64), nProbe = 4)),
+      // ANN operability: recall@k of the probe-limited IVF path vs the
+      // brute-force ground truth — the approximation QUALITY itself as
+      // an oracle-checked query (both rankings re-derived relationally)
+      "ann_recall_ivf" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          Similarity.ivfTopKQuantized(embs, annQueryIds, k = 5,
+            Similarity.syntheticCentroids(16, 64), nProbe = 4),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
       // materialized IVF index (parquet partitionBy(cid)) probed with
       // nProbe == nCentroids: every inverted list read -> exactly brute
       // force, so the whole index round-trip hash-checks against the
@@ -2522,6 +2532,9 @@ object SparkEntry {
       "ann_ivf_full_probe" -> Similarity.bruteForceTopKSql(annQueryIds, 5),
       "ann_ivf_topk" ->
         Similarity.ivfTopKQuantizedSql(annQueryIds, 5,
+          Similarity.syntheticCentroids(16, 64), nProbe = 4),
+      "ann_recall_ivf" ->
+        Similarity.ivfRecallSql(annQueryIds, 5,
           Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),

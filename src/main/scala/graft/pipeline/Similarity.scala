@@ -133,6 +133,53 @@ object Similarity {
        |  FROM ranked WHERE rank <= $k""".stripMargin
 
   /**
+   * ANN recall@k — the evaluation primitive that makes the approximate
+   * search paths OPERABLE (the [[graft.ts.Backtest]] story for
+   * vectors): per query, the fraction of the TRUE top-k neighbors the
+   * approximate ranking recovered. `exact` and `approx` are any two
+   * rankings with (query_id, neighbor_id) columns (the shared output
+   * shape of [[bruteForceTopK]] / [[ivfTopKQuantized]] / the PQ and
+   * SQ8 adcTopK paths), so the same evaluator scores every index
+   * family against the same ground truth.
+   *
+   * recall = n_hit / k_eval is ONE integer-count division — bit-exact
+   * cross-engine, no rounding needed. Plan: one (query_id,
+   * neighbor_id)-keyed left join of two k·|queries|-bounded frames +
+   * one agg — trivially broadcastable at any corpus size (the frames
+   * scale with the QUERY set, not the corpus).
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("k_eval"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_eval")).as("recall"))
+
+  /** DuckDB twin of [[recallAtK]] over the IVF approximate path vs the
+    * brute-force ground truth — both rankings re-derived relationally
+    * from their own oracle builders, then the same hit join. */
+  def ivfRecallSql(
+      queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): String =
+    s"""WITH approx AS (
+       |${ivfTopKQuantizedSql(queryIds, k, centroids, nProbe)}
+       |), exact AS (
+       |${bruteForceTopKSql(queryIds, k)}
+       |), j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM exact e LEFT JOIN approx a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS k_eval,
+       |  CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
+
+  /**
    * Deterministic sample-based spherical k-means for the IVF coarse
    * quantizer. The sample is taken by hash order (`TakeOrdered` —
    * map-side top-N, bounded driver memory at any corpus size), seeded

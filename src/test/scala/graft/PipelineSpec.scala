@@ -93,6 +93,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall too low") // nProbe=4/16 clusters
   }
 
+  test("recallAtK: full probe scores 1.0; probe-limited reports the honest trade") {
+    val qids = Seq(0L, 97L)
+    val cents = Similarity.syntheticCentroids(16, 64)
+    val exact = Similarity.bruteForceTopK(embs, qids, 5)
+    // nProbe == nCentroids => every inverted list read => exact search
+    val rFull = Similarity.recallAtK(
+      Similarity.ivfTopKQuantized(embs, qids, 5, cents, nProbe = 16), exact)
+      .collect()
+    assert(rFull.length == 2)
+    rFull.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L && r.getDouble(3) == 1.0,
+        r.toString)
+    }
+    // a self-evaluation is trivially perfect
+    val rSelf = Similarity.recallAtK(exact, exact).collect()
+    assert(rSelf.forall(_.getDouble(3) == 1.0))
+    // probe-limited recall is a defined number in [0, 1], never a crash
+    val rLim = Similarity.recallAtK(
+      Similarity.ivfTopKQuantized(embs, qids, 5, cents, nProbe = 1), exact)
+      .collect()
+    assert(rLim.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("semantic pairs: hot-cluster cap linearizes a degenerate cluster") {
     // 1k near-identical vectors all assign to one centroid — uncapped
     // within-cluster verification would emit ~500k pairs; the chain
