@@ -188,6 +188,57 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
       s"discord $discordIdx must contain the spike: $mp")
   }
 
+  test("matrix profile == independent naive reference on random data") {
+    // the DuckDB oracle shares the moments formula; this reference
+    // z-normalizes EXPLICITLY and brute-forces the argmin — a
+    // formula-level bug (wrong identity, off-by-one window, broken
+    // exclusion zone) cannot hide in both
+    def naiveMp(vals: Array[Double], m: Int): Map[Int, (Int, Double)] = {
+      val excl = (m + 1) / 2
+      val n = vals.length - m + 1
+      def z(i: Int): Array[Double] = {
+        val w = vals.slice(i - 1, i - 1 + m)
+        val mu = w.sum / m
+        val sd = math.sqrt(w.map(x => (x - mu) * (x - mu)).sum / m)
+        if (sd == 0) Array.fill(m)(0.0) else w.map(x => (x - mu) / sd)
+      }
+      (1 to n).flatMap { i =>
+        val cands = (1 to n).filter(j => math.abs(i - j) >= excl).map { j =>
+          val (a, b) = (z(i), z(j))
+          val aConst = a.forall(_ == 0.0); val bConst = b.forall(_ == 0.0)
+          val d =
+            if (aConst && bConst) 0.0
+            else if (aConst || bConst) math.sqrt(2.0 * m)
+            else math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+          (math.rint(d * 1e9) / 1e9, j)
+        }
+        if (cands.isEmpty) None else Some(i -> cands.min.swap)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(77L)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val m = 2 + rnd.nextInt(3)
+      val vals = Array.fill(n)(rnd.nextInt(40) / 4.0)
+      val df = vals.zipWithIndex.map { case (v, i) => ("r", i * DAY + 1L, v) }
+        .toSeq.toDF("series", "ts", "value")
+      val got = graft.ts.MatrixProfile.profile(df, DAY, m)
+        .collect().map(r => r.getInt(1) -> ((r.getInt(2), r.getDouble(3)))).toMap
+      val want = naiveMp(vals, m)
+      assert(got.keySet == want.keySet, s"trial $trial n=$n m=$m")
+      got.foreach { case (i, (j, d)) =>
+        val (wj, wd) = want(i)
+        // distances must agree to float tolerance; the neighbor index
+        // must agree whenever the distance gap is decisive
+        assert(math.abs(d - wd) <= 1e-6, s"trial $trial i=$i: $d vs $wd")
+        if (j != wj) {
+          // tie at the rounded distance is the only legal divergence
+          assert(math.abs(d - wd) <= 1e-9, s"trial $trial i=$i: ($j,$d) vs ($wj,$wd)")
+        }
+      }
+    }
+  }
+
   test("matrix profile: constant series and short series degrade cleanly") {
     // constant series: every window pair has r=1 -> distance 0
     val const = (0 until 10).map(i => ("c", i * DAY + 1L, 5.0))

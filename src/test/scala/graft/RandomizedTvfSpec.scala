@@ -181,7 +181,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
       val from = T0 + rnd.nextInt(20) * DAY
       val to = from + (2 + rnd.nextInt(11)) * DAY
       val bucket = buckets(rnd.nextInt(buckets.size))
-      val (sqlText, api) = rnd.nextInt(8) match {
+      val (sqlText, api) = rnd.nextInt(11) match {
         case 0 =>
           val align = if (rnd.nextBoolean()) 0L else HOUR * (1 + rnd.nextInt(5))
           (if (align == 0L) s"SELECT * FROM ts_irate($from, $to, $bucket)"
@@ -221,13 +221,31 @@ class RandomizedTvfSpec extends AnyFunSuite {
           (s"SELECT * FROM ts_hw_forecast($from, $to, $al, $be, $ga, $m, $h, $bucket)",
             graft.ts.Smoothing.holtWintersForecast(samples, al, be, ga, m, h,
               bucket, Some(from), Some(to)))
-        case _ =>
+        case 7 =>
           val a = keys(rnd.nextInt(keys.size))
           val b = keys(rnd.nextInt(keys.size))
           val span = 2 + rnd.nextInt(6)
           (s"SELECT * FROM ts_rolling_corr('$a', '$b', $from, $to, $bucket, $span)",
             graft.ts.AsOf.rollingCorr(samples, a, b, bucket, span,
               fromMs = Some(from), toMs = Some(to)))
+        case 8 =>
+          val m = 2 + rnd.nextInt(4)
+          (s"SELECT * FROM ts_matrix_profile($from, $to, $bucket, $m)",
+            graft.ts.MatrixProfile.profile(samples, bucket, m,
+              Some(from), Some(to)))
+        case 9 =>
+          val probe = keys(rnd.nextInt(keys.size))
+          val (k, band) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(4))
+          (s"SELECT * FROM ts_dtw_nearest_banded('$probe', $from, $to, $bucket, $k, $band)",
+            graft.ts.Dtw.nearestBanded(samples, bucket, probe, k, band,
+              Some(from), Some(to)))
+        case _ =>
+          val split = from + (to - from) / 2
+          val (sf2, tf) = (Seq(0.3, 0.5)(rnd.nextInt(2)), Seq(0.2, 0.6)(rnd.nextInt(2)))
+          val h = 1 + rnd.nextInt(4)
+          (s"SELECT * FROM ts_backtest($from, $to, $split, $sf2, $tf, $h, $bucket)",
+            graft.ts.Backtest.holtBacktest(samples, sf2, tf, split, h, bucket,
+              Some(from), Some(to)))
       }
       assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
         s"combo $i: $sqlText")
