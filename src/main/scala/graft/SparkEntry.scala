@@ -1270,6 +1270,21 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_sax($T0, $T31, ${3 * DAY})")
       }),
+      // GROUPBY with per-series TWA through the SQL surface: the
+      // existing ts_mrange TVF 7-arg form takes any RangeArgs agg, so
+      // the round-12 capability needs no new function — this query
+      // pins the route end-to-end against the shared oracle
+      "ts_sql_tvf_mrange_groupby_twa" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        TSModel.labels(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+        s.sql(
+          s"""SELECT series, ts, round(twa_value, 9) AS twa_value
+             |FROM ts_mrange('type=(click,view,purchase)', $T0, $T31,
+             |               'twa', $DAY, 'type', 'avg')""".stripMargin)
+      }),
       "ts_sql_tvf_backtest" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2015,6 +2030,7 @@ object SparkEntry {
       // streaming twin share this verbatim.
       "ts_mrange_groupby_twa" -> mrangeGroupByTwaOracle,
       "ts_mrange_groupby_twa_stream" -> mrangeGroupByTwaOracle,
+      "ts_sql_tvf_mrange_groupby_twa" -> mrangeGroupByTwaOracle,
       "ts_mrange_groupby_empty" ->
         s"""${TSModel.samplesCte}, ${Multi.labelsCte}, agg AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", DAY)} AS bucket,
