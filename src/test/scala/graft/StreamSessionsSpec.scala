@@ -101,4 +101,23 @@ class StreamSessionsSpec extends AnyFunSuite {
       fromMs = Some(T0), toMs = Some(T31), nChunks = 6, useRocksDb = true))
     assert(rocks == batch)
   }
+
+  test("empty/near-empty in-range input degrades to an empty result, not an abort") {
+    // ADVICE r11: repartitionByRange on a tiny/empty frame legally
+    // emits fewer part files than nChunks — the staging guard must
+    // tolerate that (the batch twins return empty frames here)
+    import spark.implicits._
+    val samples = Seq(("s", 1L, 1.0), ("s", 2L, 2.0))
+      .toDF("series", "ts", "value")
+    // range excludes everything -> zero staged rows
+    assert(StreamSessions.sessionStreamOnce(spark, samples, "avg",
+      gapMs = 1000L, fromMs = Some(100L), toMs = Some(200L)).count() == 0)
+    assert(StreamSessions.gapsStreamOnce(spark, samples,
+      thresholdMs = 1000L, fromMs = Some(100L), toMs = Some(200L)).count() == 0)
+    // two rows against nChunks = 8: fewer part files than chunks
+    val two = StreamSessions.sessionStreamOnce(spark, samples, "avg",
+      gapMs = 1000L, nChunks = 8)
+      .collect()
+    assert(two.length == 1 && two.head.getLong(3) == 2L, two.toSeq.toString)
+  }
 }
