@@ -400,24 +400,24 @@ object ScaleProbe {
     // DTW nearest with envelope pruning: at N× series the LB fold
     //    (codegen, no DP) should carry most of the corpus, with the
     //    DP bill capped at survivors + k seeds.
-    graft.ts.Dtw.collectPruneStats = true
-    val (nDtwPr, tDtwPr) = try timed {
+    val pruneRef = new graft.ts.Dtw.PruneStatsRef((-1L, -1L))
+    val (nDtwPr, tDtwPr) = timed {
       graft.ts.Dtw.nearestPruned(TSModel.samples(spark, work), DAY,
-        probe = "click_7", k = 10, Some(T0), Some(T31)).count()
-    } finally graft.ts.Dtw.collectPruneStats = false
-    val (pruneSurv, pruneCand) =
-      graft.ts.Dtw.lastPruneStats.getOrElse((-1L, -1L))
+        probe = "click_7", k = 10, Some(T0), Some(T31),
+        pruneStats = Some(pruneRef)).count()
+    }
+    val (pruneSurv, pruneCand) = pruneRef.get
     // BANDED DTW search with the LB_Keogh sliding envelope: the band
     //    makes the per-position envelope sound, so at N× series the
     //    prune rate should hold or improve vs the global envelope
     //    (tighter bound wherever the probe trends).
-    graft.ts.Dtw.collectPruneStats = true
-    val (nDtwBand, tDtwBand) = try timed {
+    val bandRef = new graft.ts.Dtw.PruneStatsRef((-1L, -1L))
+    val (nDtwBand, tDtwBand) = timed {
       graft.ts.Dtw.nearestPrunedBanded(TSModel.samples(spark, work), DAY,
-        probe = "click_7", k = 10, band = 3, Some(T0), Some(T31)).count()
-    } finally graft.ts.Dtw.collectPruneStats = false
-    val (bandSurv, bandCand) =
-      graft.ts.Dtw.lastPruneStats.getOrElse((-1L, -1L))
+        probe = "click_7", k = 10, band = 3, Some(T0), Some(T31),
+        pruneStats = Some(bandRef)).count()
+    }
+    val (bandSurv, bandCand) = bandRef.get
     // Streaming gap detection over N× series: ONE long of state per
     //    series; per-batch work O(batch). Sub-linear wall expected.
     val (nGapsS, tGapsS) = timed {

@@ -74,7 +74,14 @@ object Backtest {
     // raw-ts split would shear the boundary bucket into two partial
     // averages neither engine computes. The raw fixture CTE is renamed
     // so `samples` can be the train slice holtForecastSql folds over
-    // (its nested WITH sees the outer grid lexically).
+    // (its nested WITH sees the outer grid lexically). The rename is
+    // string surgery on the first CTE's name — loudly reject any cte
+    // whose head isn't literally `WITH samples AS` (a silent miss
+    // would leave `raw` undefined and fail at SQL parse time with a
+    // far-from-the-cause error; ADVICE r12).
+    require(cte.startsWith("WITH samples AS"),
+      s"holtBacktestSql: cte must start with 'WITH samples AS' " +
+        s"(got '${cte.take(32)}…') — the train-slice splice renames that CTE")
     val raw = cte.replaceFirst("WITH samples AS", "WITH raw AS")
     val trainCte =
       s"""WITH samples AS (

@@ -200,12 +200,13 @@ object Dtw {
    *   3. exact DTW only for survivors (LB ≤ τ), global top-k.
    *
    * Returns exactly [[nearest]]'s result (same oracle); prune
-   * effectiveness is reported by [[lastPruneStats]] (survivors vs
-   * candidates) and measured in ScaleProbe.
+   * effectiveness is reported through the per-call `pruneStats` ref
+   * (survivors vs candidates) and measured in ScaleProbe.
    */
   def nearestPruned(
       samples: DataFrame, bucketMs: Long, probe: String, k: Int,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      pruneStats: Option[PruneStatsRef] = None): DataFrame = {
     require(k >= 1, s"nearestPruned needs k >= 1, got $k")
     val spark = samples.sparkSession
     import spark.implicits._
@@ -224,7 +225,7 @@ object Dtw {
       .select(col("vals")).collect()
     if (pv.isEmpty) {
       // absent probe: empty result, the [[nearest]] contract
-      lastPruneStats = None
+      pruneStats.foreach(_.set((0L, 0L)))
       return emptyResult(spark)
     }
     val probeVals = pv(0).getSeq[Double](0)
@@ -245,18 +246,16 @@ object Dtw {
       .collect().map(_.getDouble(0)).sorted
     if (seedDists.isEmpty) {
       // probe is the only series in range
-      lastPruneStats = if (collectPruneStats) Some((0L, 0L)) else None
+      pruneStats.foreach(_.set((0L, 0L)))
       return emptyResult(spark)
     }
     val tau = seedDists.last // k-th smallest among the seeds
     // pass 3: DP only for survivors
     val survivors = withLb.filter(col("lb") <= tau)
     // the two count() actions are probe/spec instrumentation — opt-in
-    // (collectPruneStats), so the production/TVF route splices a plan
-    // with no extra jobs over the checkpointed profile frame
-    lastPruneStats =
-      if (collectPruneStats) Some((survivors.count(), cands.count()))
-      else None
+    // per call (pruneStats ref), so the production/TVF route splices a
+    // plan with no extra jobs over the checkpointed profile frame
+    pruneStats.foreach(_.set((survivors.count(), cands.count())))
     val topk = exact(survivors)
       .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
     topk.withColumn("rank", row_number().over(
@@ -321,12 +320,13 @@ object Dtw {
    * the banded path the 100-TB search shape.
    *
    * Same three-pass skeleton as [[nearestPruned]] (LB fold → k-seed
-   * cutoff τ → DP only for survivors), same opt-in
-   * [[collectPruneStats]]; returns exactly [[nearestBanded]]'s result.
+   * cutoff τ → DP only for survivors), same per-call opt-in
+   * `pruneStats` ref; returns exactly [[nearestBanded]]'s result.
    */
   def nearestPrunedBanded(
       samples: DataFrame, bucketMs: Long, probe: String, k: Int, band: Int,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      pruneStats: Option[PruneStatsRef] = None): DataFrame = {
     require(k >= 1, s"nearestPrunedBanded needs k >= 1, got $k")
     require(band >= 0, s"band $band must be >= 0")
     val spark = samples.sparkSession
@@ -345,7 +345,7 @@ object Dtw {
     val pv = arrs.filter(col("series") === probe)
       .select(col("vals")).collect()
     if (pv.isEmpty) {
-      lastPruneStats = None
+      pruneStats.foreach(_.set((0L, 0L)))
       return emptyResult(spark)
     }
     val probeVals = pv(0).getSeq[Double](0)
@@ -389,15 +389,13 @@ object Dtw {
     val seedDists = exact(seeds).select(col("dtw_distance"))
       .collect().map(_.getDouble(0)).sorted
     if (seedDists.isEmpty) {
-      lastPruneStats = if (collectPruneStats) Some((0L, 0L)) else None
+      pruneStats.foreach(_.set((0L, 0L)))
       return emptyResult(spark)
     }
     val tau = seedDists.last
     // pass 3: DP only for survivors
     val survivors = withLb.filter(col("lb") <= tau)
-    lastPruneStats =
-      if (collectPruneStats) Some((survivors.count(), cands.count()))
-      else None
+    pruneStats.foreach(_.set((survivors.count(), cands.count())))
     val topk = exact(survivors)
       .orderBy(col("dtw_distance").asc, col("series").asc).limit(k)
     topk.withColumn("rank", row_number().over(
@@ -405,15 +403,14 @@ object Dtw {
         .orderBy(col("dtw_distance").asc, col("series").asc)))
   }
 
-  /** (survivors, candidates) of the last [[nearestPruned]] /
-    * [[nearestPrunedBanded]] call on this JVM — probe/spec
-    * instrumentation, not part of the result. Populated only while
-    * [[collectPruneStats]] is set (the counts are extra Spark jobs the
-    * production route must not pay). */
-  @volatile private[graft] var lastPruneStats: Option[(Long, Long)] = None
-
-  /** Opt-in switch for the prune-rate counts (ScaleProbe / specs). */
-  @volatile private[graft] var collectPruneStats: Boolean = false
+  /** Per-call opt-in sink for the (survivors, candidates) prune-rate
+    * counts of [[nearestPruned]] / [[nearestPrunedBanded]] —
+    * probe/spec instrumentation, not part of the result. Passing a
+    * ref pays two extra count() jobs over the checkpointed profile
+    * frame; the default (None) path launches none. A per-call ref
+    * (ADVICE r12) cannot be clobbered by a concurrent query on the
+    * same JVM the way the former global toggle could. */
+  type PruneStatsRef = java.util.concurrent.atomic.AtomicReference[(Long, Long)]
 
   private def emptyResult(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -36,4 +36,11 @@ object GraftSessionBridge {
   def applyInjectedTableFunctions(
       ext: SparkSessionExtensions, registry: TableFunctionRegistry): Unit =
     ext.registerTableFunctions(registry)
+
+  /** Block until the SparkListener event bus has drained — the
+    * deterministic settle a job-count spec needs (a fixed sleep
+    * under-reads on a loaded host, ADVICE r12). `listenerBus` is
+    * private[spark], hence the bridge. */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -111,23 +111,25 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
         (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
         .sortBy(_._4)
     val exactRes = canon(Dtw.nearest(df, DAY, "p", k = 3))
-    Dtw.collectPruneStats = true
+    val stats = new Dtw.PruneStatsRef(null)
     val prunedRes =
-      try canon(Dtw.nearestPruned(df, DAY, "p", k = 3))
-      finally Dtw.collectPruneStats = false
+      canon(Dtw.nearestPruned(df, DAY, "p", k = 3, pruneStats = Some(stats)))
     assert(prunedRes == exactRes)
     assert(exactRes.map(_._1).toSet == Set("near_1", "near_2", "near_3"))
-    val (survivors, candidates) = Dtw.lastPruneStats.get
+    val (survivors, candidates) = stats.get
     assert(candidates == 15L)
     assert(survivors <= 3L, s"far cluster must be pruned, got $survivors")
-    // absent probe: empty, stats cleared
-    assert(Dtw.nearestPruned(df, DAY, "zz", k = 3).count() == 0)
-    assert(Dtw.lastPruneStats.isEmpty)
-    // instrumentation is OPT-IN: the default path must not populate
-    // stats (and pays no extra count() jobs — PlanShapeSpec pins the
-    // job count)
+    // absent probe: empty, and an opted-in ref reports zero candidates
+    val absent = new Dtw.PruneStatsRef(null)
+    assert(Dtw.nearestPruned(df, DAY, "zz", k = 3,
+      pruneStats = Some(absent)).count() == 0)
+    assert(absent.get == ((0L, 0L)))
+    // instrumentation is OPT-IN per call: the default path leaves the
+    // ref untouched (and pays no extra count() jobs — PlanShapeSpec
+    // pins the job count)
+    val untouched = new Dtw.PruneStatsRef(null)
     assert(canon(Dtw.nearestPruned(df, DAY, "p", k = 3)) == exactRes)
-    assert(Dtw.lastPruneStats.isEmpty)
+    assert(untouched.get == null)
   }
 
   test("forecast backtest: exact-linear series scores zero error, knife is bucket-clean") {
@@ -281,13 +283,12 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
         (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
         .sortBy(_._4)
     val brute = canon(Dtw.nearestBanded(df, DAY, "p", k = 3, band = 2))
-    Dtw.collectPruneStats = true
-    val pruned =
-      try canon(Dtw.nearestPrunedBanded(df, DAY, "p", k = 3, band = 2))
-      finally Dtw.collectPruneStats = false
+    val stats = new Dtw.PruneStatsRef(null)
+    val pruned = canon(Dtw.nearestPrunedBanded(df, DAY, "p", k = 3, band = 2,
+      pruneStats = Some(stats)))
     assert(pruned == brute)
     assert(brute.map(_._1).toSet == Set("near_1", "near_2", "near_3"))
-    val (survivors, candidates) = Dtw.lastPruneStats.get
+    val (survivors, candidates) = stats.get
     assert(candidates == 15L)
     assert(survivors <= 3L,
       s"sliding envelope must prune the far cluster, got $survivors")

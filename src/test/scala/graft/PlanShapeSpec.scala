@@ -337,23 +337,26 @@ class PlanShapeSpec extends AnyFunSuite {
           n.incrementAndGet()
       }
       spark.sparkContext.addSparkListener(l)
-      // listener events are async — settle before reading the counter
-      try { body; Thread.sleep(500) }
+      // listener events are async — drain the bus before reading the
+      // counter (a fixed sleep under-reads on a loaded host, ADVICE r12)
+      try { body
+        org.apache.spark.sql.GraftSessionBridge.waitListenerBusEmpty(spark, 30000L) }
       finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
+    val untouched = new graft.ts.Dtw.PruneStatsRef(null)
     val off = countJobs {
       graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
         Some(T0), Some(T31)).collect()
     }
-    assert(graft.ts.Dtw.lastPruneStats.isEmpty,
+    assert(untouched.get == null,
       "default path must not populate prune stats")
-    graft.ts.Dtw.collectPruneStats = true
-    val on = try countJobs {
+    val stats = new graft.ts.Dtw.PruneStatsRef(null)
+    val on = countJobs {
       graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
-        Some(T0), Some(T31)).collect()
-    } finally graft.ts.Dtw.collectPruneStats = false
-    assert(graft.ts.Dtw.lastPruneStats.nonEmpty)
+        Some(T0), Some(T31), pruneStats = Some(stats)).collect()
+    }
+    assert(stats.get != null)
     // each count() action launches >= 1 job (2 under two-stage counts),
     // so the default path must be strictly cheaper by >= 2 jobs
     assert(on >= off + 2,
