@@ -1078,6 +1078,30 @@ object SparkEntry {
           s, docs.filter(col("doc_id") >= 400L), stateDir)
       }),
 
+      // the 3-batch admission CHAIN end-to-end (admit → state fold →
+      // admit → …) on the VERSIONED manifest layout — the production
+      // crawl loop as one oracle-checked query: the union of per-batch
+      // verdicts must equal the oracle's one-shot ordered replay at the
+      // first split, for this and any other batching (the spec's
+      // batching-independence contract, here held against DuckDB)
+      "dedup_incremental_chain" -> ((s, dir) => {
+        val docs = graft.pipeline.Text.loadDocuments(s, dir)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_admit_chain_q_").toString
+        graft.pipeline.IncrementalAdmit.writeStateVersioned(
+          s, docs.filter(col("doc_id") < 300L), stateDir)
+        val batches = Seq((300L, 370L), (370L, 440L), (440L, Long.MaxValue))
+        batches.zipWithIndex.map { case ((lo, hi), i) =>
+          val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          // verdicts pinned BEFORE the state fold mutates the manifest
+          val v = graft.pipeline.IncrementalAdmit.admit(s, b, stateDir)
+            .localCheckpoint()
+          if (i < batches.size - 1) // last fold has no next reader
+            graft.pipeline.IncrementalAdmit.updateState(s, b, stateDir)
+          v
+        }.reduce(_ unionByName _)
+      }),
+
       // CCNet/RefinedWeb-style boilerplate removal at fixed word-window
       // granularity: the repeated-segment vocabulary, and the corpus
       // with those segments stripped (order-preserving reassembly)
@@ -2608,6 +2632,8 @@ object SparkEntry {
       "dedup_stream_minhash_gate" -> graft.pipeline.StreamDedup.minhashGateSql(),
       "dedup_incremental_admit" ->
         graft.pipeline.IncrementalAdmit.admitSql(split = 400L),
+      "dedup_incremental_chain" ->
+        graft.pipeline.IncrementalAdmit.admitSql(split = 300L),
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

@@ -54,7 +54,8 @@ object IncrementalAdmit {
       .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_id"))
 
   /** One-time bootstrap: materialize the admission state for a prior
-    * corpus under `stateDir` (`fp/` + `buckets/`). */
+    * corpus under `stateDir` (`fp/` + `buckets/`, legacy flat layout —
+    * see [[writeStateVersioned]] for the concurrent-reader-safe one). */
   def writeState(
       spark: SparkSession, docs: DataFrame, stateDir: String,
       numHashes: Int = 16, bandRows: Int = 4): Unit = {
@@ -63,15 +64,80 @@ object IncrementalAdmit {
       .write.mode("overwrite").parquet(s"$stateDir/buckets")
   }
 
+  // ---- versioned-manifest layout ------------------------------------
+  // stateDir/MANIFEST        — a one-line pointer file holding N
+  // stateDir/v=N/fp          — the live state tables
+  // stateDir/v=N/buckets
+  // Updates write v=N+1 COMPLETELY, then flip MANIFEST with an atomic
+  // overwrite-rename (FileContext Rename.OVERWRITE — the pointer-flip
+  // object-store pattern; Spark's own streaming HDFSMetadataLog commits
+  // the same way). Readers resolve the pointer once per admit, so a
+  // reader racing an update sees the OLD state until the flip and a
+  // crash mid-update leaves the pointer — and therefore every reader —
+  // on the old version with only a dead v=N+1 directory to sweep. The
+  // previous version is retained one generation (a reader that resolved
+  // v=N−1 just before the flip may still be scanning it) and deleted on
+  // the NEXT update.
+
+  private val ManifestFile = "MANIFEST"
+
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The MANIFEST pointer's current version, None for the legacy flat
+    * layout (no manifest file). */
+  private[graft] def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
+    val mf = new org.apache.hadoop.fs.Path(s"$stateDir/$ManifestFile")
+    val fs = hadoopFs(spark, mf)
+    if (!fs.exists(mf)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(mf), java.nio.charset.StandardCharsets.UTF_8))
+      try Some(in.readLine().trim.toLong) finally in.close()
+    }
+  }
+
+  /** Root directory of the LIVE state tables: the manifest-pointed
+    * version dir when the versioned layout is in use, else `stateDir`
+    * itself (legacy). */
+  private def liveRoot(spark: SparkSession, stateDir: String): String =
+    currentVersion(spark, stateDir)
+      .map(v => s"$stateDir/v=$v").getOrElse(stateDir)
+
+  /** Atomically point MANIFEST at version `v` (write a temp sibling,
+    * overwrite-rename it into place). */
+  private[graft] def commitManifest(spark: SparkSession, stateDir: String, v: Long): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(s"$stateDir/$ManifestFile")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/$ManifestFile.tmp")
+    val fs = hadoopFs(spark, mf)
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(mf.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Bootstrap the VERSIONED admission state: tables under `v=1/`,
+    * then the manifest flip that makes them live. */
+  def writeStateVersioned(
+      spark: SparkSession, docs: DataFrame, stateDir: String,
+      numHashes: Int = 16, bandRows: Int = 4): Unit = {
+    writeState(spark, docs, s"$stateDir/v=1", numHashes, bandRows)
+    commitManifest(spark, stateDir, 1L)
+  }
+
   /** Admission verdicts for `newDocs` against the state under
-    * `stateDir`: `(doc_id, exact_dup, n_clash, kept)` — one row per
-    * new doc, state left untouched (see [[updateState]]). */
+    * `stateDir` (either layout): `(doc_id, exact_dup, n_clash, kept)`
+    * — one row per new doc, state left untouched (see
+    * [[updateState]]). */
   def admit(
       spark: SparkSession, newDocs: DataFrame, stateDir: String,
       numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
-    val priorFp = spark.read.parquet(s"$stateDir/fp")
+    val root = liveRoot(spark, stateDir)
+    val priorFp = spark.read.parquet(s"$root/fp")
       .select(col("fp"), col("doc_id").as("prior_mn"))
-    val priorBk = spark.read.parquet(s"$stateDir/buckets")
+    val priorBk = spark.read.parquet(s"$root/buckets")
       .select(col("band"), col("bucket"), col("doc_id").as("prior_mn"))
     // the ordered rule: d clashes iff min over (prior state, batch)
     // of its key < d — correct for any id interleaving, not just
@@ -96,27 +162,63 @@ object IncrementalAdmit {
         (coalesce(col("n_clash"), lit(0L)) === 0L && !col("exact_dup")).as("kept"))
   }
 
-  /** Fold the new batch's keys into the state (min per key) with the
-    * staged-sibling-swap rewrite ([[graft.ts.Compaction.compactLog]]'s
-    * discipline — Hadoop FS API, so it holds on object stores; the
-    * swap is not atomic for concurrent readers, which a deployment
-    * schedules around or replaces with a Delta/Iceberg MERGE). */
+  /** Fold the new batch's keys into the state (min per key).
+    *
+    * VERSIONED layout: write the merged tables completely under
+    * `v=N+1/`, flip the manifest pointer atomically, then drop `v=N−1`
+    * (one-generation grace for in-flight readers). Concurrent readers
+    * never see a half-swapped table, and a crash anywhere before the
+    * flip leaves the old version live.
+    *
+    * LEGACY flat layout: staged-sibling swap
+    * ([[graft.ts.Compaction.compactLog]]'s discipline — Hadoop FS API,
+    * so it holds on object stores). The old table is parked at
+    * `<path>__prev` for the swap instead of deleted first (ADVICE r12:
+    * delete-then-rename had a crash window with NO live table), so
+    * every crash point leaves a recoverable copy: staged-write failure
+    * keeps the live table; a crash between the two renames leaves
+    * `__prev` to restore by hand. Still not atomic for concurrent
+    * readers — that is what the versioned layout is for. */
   def updateState(
       spark: SparkSession, newDocs: DataFrame, stateDir: String,
       numHashes: Int = 16, bandRows: Int = 4): Unit = {
-    def fold(path: String, fresh: DataFrame, keys: Seq[String]): Unit = {
-      val merged = spark.read.parquet(path).unionByName(fresh)
+    def merged(cur: String, name: String, fresh: DataFrame, keys: Seq[String]): DataFrame =
+      spark.read.parquet(s"$cur/$name").unionByName(fresh)
         .groupBy(keys.map(col): _*).agg(min(col("doc_id")).as("doc_id"))
-      val staged = new org.apache.hadoop.fs.Path(path + "__admitting")
-      merged.write.mode("overwrite").parquet(staged.toString)
-      val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(path)
-      fs.delete(dst, true)
-      require(fs.rename(staged, dst), s"updateState: rename $staged -> $dst failed")
+    val freshFp = buildFpState(newDocs)
+    val freshBk = buildBucketState(newDocs, numHashes, bandRows)
+    currentVersion(spark, stateDir) match {
+      case Some(v) =>
+        val cur = s"$stateDir/v=$v"
+        val next = s"$stateDir/v=${v + 1}"
+        merged(cur, "fp", freshFp, Seq("fp"))
+          .write.mode("overwrite").parquet(s"$next/fp")
+        merged(cur, "buckets", freshBk, Seq("band", "bucket"))
+          .write.mode("overwrite").parquet(s"$next/buckets")
+        commitManifest(spark, stateDir, v + 1)
+        val prev = new org.apache.hadoop.fs.Path(s"$stateDir/v=${v - 1}")
+        val fs = hadoopFs(spark, prev)
+        if (fs.exists(prev)) fs.delete(prev, true)
+      case None =>
+        def swap(path: String, fresh: DataFrame, keys: Seq[String]): Unit = {
+          val staged = new org.apache.hadoop.fs.Path(path + "__admitting")
+          merged(stateDir, path.substring(path.lastIndexOf('/') + 1), fresh, keys)
+            .write.mode("overwrite").parquet(staged.toString)
+          val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val dst = new org.apache.hadoop.fs.Path(path)
+          val bak = new org.apache.hadoop.fs.Path(path + "__prev")
+          fs.delete(bak, true)
+          require(fs.rename(dst, bak), s"updateState: park $dst -> $bak failed")
+          if (!fs.rename(staged, dst)) {
+            fs.rename(bak, dst) // restore — the fold never destroys state
+            throw new IllegalStateException(
+              s"updateState: rename $staged -> $dst failed; old state restored")
+          }
+          fs.delete(bak, true)
+        }
+        swap(s"$stateDir/fp", freshFp, Seq("fp"))
+        swap(s"$stateDir/buckets", freshBk, Seq("band", "bucket"))
     }
-    fold(s"$stateDir/fp", buildFpState(newDocs), Seq("fp"))
-    fold(s"$stateDir/buckets",
-      buildBucketState(newDocs, numHashes, bandRows), Seq("band", "bucket"))
   }
 
   /** DuckDB oracle: the one-shot ordered replay over old ∪ new (the

@@ -125,6 +125,54 @@ class IncrementalAdmitSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned layout: bootstrap + admit == replay; chain folds flip the manifest") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_v_").toString
+    IncrementalAdmit.writeStateVersioned(spark, docs.filter(col("doc_id") < 200L), stateDir)
+    assert(IncrementalAdmit.currentVersion(spark, stateDir) == Some(1L))
+    val want = replayVerdicts(200L)
+    val b1 = docs.filter(col("doc_id") >= 200L && col("doc_id") < 350L)
+    assert(admitVerdicts(IncrementalAdmit.admit(spark, b1, stateDir))
+      == want.filter(_._1 < 350L))
+    IncrementalAdmit.updateState(spark, b1, stateDir)
+    assert(IncrementalAdmit.currentVersion(spark, stateDir) == Some(2L))
+    val b2 = docs.filter(col("doc_id") >= 350L)
+    assert(admitVerdicts(IncrementalAdmit.admit(spark, b2, stateDir))
+      == want.filter(_._1 >= 350L))
+    // one-generation grace: v=1 survives the flip to v=2 (an in-flight
+    // reader may still be scanning it) and is swept by the NEXT update
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v=1")))
+    IncrementalAdmit.updateState(spark, b2, stateDir)
+    assert(IncrementalAdmit.currentVersion(spark, stateDir) == Some(3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v=2")))
+  }
+
+  test("versioned layout: a staged-but-unflipped version is invisible until the manifest flip") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_race_").toString
+    IncrementalAdmit.writeStateVersioned(spark, docs.filter(col("doc_id") < 300L), stateDir)
+    val batch = docs.filter(col("doc_id") >= 300L && col("doc_id") < 400L)
+    val beforeRace = admitVerdicts(IncrementalAdmit.admit(spark, batch, stateDir))
+    assert(beforeRace.values.exists(_._3), "fixture batch must admit something")
+    // simulate the writer mid-update: a COMPLETE v=2 whose every batch
+    // fingerprint has a far-smaller witness (doc_id − 10^6), staged on
+    // disk but NOT yet flipped — a reader racing the update must keep
+    // resolving v=1 and return identical verdicts
+    val poisoned = docs.filter(col("doc_id") < 400L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("text"))
+    IncrementalAdmit.writeState(spark, poisoned, s"$stateDir/v=2")
+    assert(admitVerdicts(IncrementalAdmit.admit(spark, batch, stateDir)) == beforeRace,
+      "reader saw a staged version before the manifest flip")
+    // the flip publishes it: now every batch doc has a smaller witness
+    IncrementalAdmit.commitManifest(spark, stateDir, 2L)
+    val afterFlip = admitVerdicts(IncrementalAdmit.admit(spark, batch, stateDir))
+    assert(afterFlip.values.forall(v => v._1 && !v._3),
+      "post-flip admit must see the new witnesses")
+  }
+
   test("exact dup without near-dup state entry is still rejected; clean doc admitted") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
