@@ -466,6 +466,24 @@ object ScaleProbe {
       graft.ts.MatrixProfile.profile(TSModel.samples(spark, work),
         DAY, m = 7, Some(T0), Some(T31)).count()
     }
+    // STOMP at the same length (apples-to-apples vs the pairs row),
+    //    then BOTH paths at 4× the profile length (6h buckets → ~124
+    //    windows/series): pairs pays 16× join rows × O(m) dots, STOMP
+    //    16× O(1) cells in place — the gap the long-profile path
+    //    exists for. maxWindows raised explicitly on the pairs run
+    //    (the default cap is for unguarded callers, not the probe).
+    val (nMpStomp, tMpStomp) = timed {
+      graft.ts.MatrixProfile.profileStomp(TSModel.samples(spark, work),
+        DAY, m = 7, Some(T0), Some(T31)).count()
+    }
+    val (nMp4, tMp4) = timed {
+      graft.ts.MatrixProfile.profile(TSModel.samples(spark, work),
+        DAY / 4, m = 7, Some(T0), Some(T31), maxWindows = 4096).count()
+    }
+    val (nMp4Stomp, tMp4Stomp) = timed {
+      graft.ts.MatrixProfile.profileStomp(TSModel.samples(spark, work),
+        DAY / 4, m = 7, Some(T0), Some(T31)).count()
+    }
     // Fuzzy decontamination at N× corpus vs a FIXED benchmark slice:
     //    bench bucket set broadcast, corpus side one signature pass —
     //    ~linear in docs expected (the md5 CPU term).
@@ -530,6 +548,9 @@ object ScaleProbe {
       s""""admit_state_sec":${s2(tAdmitState)},"admit_sec":${s2(tAdmit)},""" +
       s""""admit_kept":$nAdmit,""" +
       s""""matrix_profile_sec":${s2(tMp)},"matrix_profile_rows":$nMp,""" +
+      s""""matrix_profile_stomp_sec":${s2(tMpStomp)},"matrix_profile_stomp_rows":$nMpStomp,""" +
+      s""""mp_len4_pairs_sec":${s2(tMp4)},"mp_len4_pairs_rows":$nMp4,""" +
+      s""""mp_len4_stomp_sec":${s2(tMp4Stomp)},"mp_len4_stomp_rows":$nMp4Stomp,""" +
       s""""fuzzy_decon_sec":${s2(tFz)},"fuzzy_decon_rows":$nFz,""" +
       s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()

@@ -1321,6 +1321,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_matrix_profile($T0, $T31, ${2 * DAY}, 5)")
       }),
+      "ts_sql_tvf_matrix_profile_stomp" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_matrix_profile_stomp($T0, $T31, ${2 * DAY}, 4)")
+      }),
       "ts_sql_tvf_dtw_banded" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1647,6 +1653,14 @@ object SparkEntry {
       "ts_matrix_profile" -> ((s, dir) =>
         graft.ts.MatrixProfile.profile(monthSamples(s, dir),
           bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31))),
+      // the STOMP long-profile path (rolling-dot recurrence, O(1) per
+      // cell, no w²-row join): same distances as the pairs path by
+      // construction — the identical DuckDB oracle derivation checks
+      // the recurrence itself, at distinct parameters (m=4) so the two
+      // routes cannot mask each other
+      "ts_matrix_profile_stomp" -> ((s, dir) =>
+        graft.ts.MatrixProfile.profileStomp(monthSamples(s, dir),
+          bucketMs = DAY, m = 4, fromMs = Some(T0), toMs = Some(T31))),
       // rolling-origin forecast backtest: fit holt on the first 21
       // days, score 6 daily forecasts against the held-out actuals —
       // the evaluation primitive that makes the forecast surface
@@ -2690,6 +2704,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_matrix_profile_stomp" -> graft.ts.MatrixProfile.profileSql(
+        bucketMs = DAY, m = 4, fromMs = Some(T0), toMs = Some(T31)),
       "ts_forecast_backtest" -> graft.ts.Backtest.holtBacktestSql(
         sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
@@ -2777,6 +2793,8 @@ object SparkEntry {
       "ts_sql_tvf_dtw_banded" -> Dtw.nearestBandedSql(bucketMs = 2 * DAY,
         probe = "view_7", k = 5, band = 2,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_matrix_profile_stomp" -> graft.ts.MatrixProfile.profileSql(
+        bucketMs = 2 * DAY, m = 4, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = 2 * DAY, m = 5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_backtest" -> graft.ts.Backtest.holtBacktestSql(

