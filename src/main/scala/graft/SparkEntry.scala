@@ -1315,6 +1315,13 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_backtest($T0, $T31, ${T0 + 14 * DAY}, 0.4, 0.3, 5, ${2 * DAY})")
       }),
+      "ts_sql_tvf_backtest_rolling" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_backtest_rolling($T0, $T31, " +
+          s"'${T0 + 12 * DAY},${T0 + 20 * DAY}', 0.4, 0.3, 4, ${2 * DAY})")
+      }),
       "ts_sql_tvf_matrix_profile" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1669,6 +1676,15 @@ object SparkEntry {
         graft.ts.Backtest.holtBacktest(monthSamples(s, dir),
           sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // MULTI-origin sweep (the k=1 query above is its special case):
+      // three fit origins, per-(series, origin) rows + a pooled
+      // per-series row (origin NULL) over all scored forecasts —
+      // ROLLUP minus the grand total on both engines
+      "ts_forecast_backtest_rolling" -> ((s, dir) =>
+        graft.ts.Backtest.holtBacktestRolling(monthSamples(s, dir),
+          sf = 0.5, tf = 0.2,
+          origins = Seq(T0 + 14 * DAY, T0 + 18 * DAY, T0 + 22 * DAY),
+          horizon = 5, bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
       "ts_sax_words" -> ((s, dir) =>
         Sax.saxWords(monthSamples(s, dir), bucketMs = 2 * DAY,
           fromMs = Some(T0), toMs = Some(T31))),
@@ -2709,6 +2725,10 @@ object SparkEntry {
       "ts_forecast_backtest" -> graft.ts.Backtest.holtBacktestSql(
         sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_forecast_backtest_rolling" -> graft.ts.Backtest.holtBacktestRollingSql(
+        sf = 0.5, tf = 0.2,
+        origins = Seq(T0 + 14 * DAY, T0 + 18 * DAY, T0 + 22 * DAY),
+        horizon = 5, bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sax_words" -> Sax.saxWordsSql(bucketMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_mad" -> Anomaly.madSql(2.5,
@@ -2800,6 +2820,9 @@ object SparkEntry {
       "ts_sql_tvf_backtest" -> graft.ts.Backtest.holtBacktestSql(
         sf = 0.4, tf = 0.3, splitMs = T0 + 14 * DAY, horizon = 5,
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_backtest_rolling" -> graft.ts.Backtest.holtBacktestRollingSql(
+        sf = 0.4, tf = 0.3, origins = Seq(T0 + 12 * DAY, T0 + 20 * DAY),
+        horizon = 4, bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,

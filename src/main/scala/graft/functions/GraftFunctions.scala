@@ -732,6 +732,25 @@ object GraftFunctions {
         Some(literalLong("ts_backtest", args(0), "from")),
         Some(literalLong("ts_backtest", args(1), "to"))))
     }),
+    // ts_backtest_rolling(from, to, 'o1,o2,...', sf, tf, horizon,
+    // bucket_ms) — multi-origin sweep: per (series, origin) + the
+    // pooled per-series row (origin NULL)
+    (FunctionIdentifier("ts_backtest_rolling"), info("ts_backtest_rolling"),
+      { args: Seq[Expression] =>
+      nargs("ts_backtest_rolling", Seq(7), args)
+      val origins = literalString("ts_backtest_rolling", args(2), "origin list")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val spark = activeSession("ts_backtest_rolling")
+      GraftSessionBridge.logicalPlan(graft.ts.Backtest.holtBacktestRolling(
+        spark.table(SamplesView),
+        literalDouble("ts_backtest_rolling", args(3), "sf"),
+        literalDouble("ts_backtest_rolling", args(4), "tf"),
+        origins,
+        literalLong("ts_backtest_rolling", args(5), "horizon").toInt,
+        literalLong("ts_backtest_rolling", args(6), "bucket_ms"),
+        Some(literalLong("ts_backtest_rolling", args(0), "from")),
+        Some(literalLong("ts_backtest_rolling", args(1), "to"))))
+    }),
     // ts_matrix_profile(from, to, bucket_ms, m) — per-window
     // z-normalized nearest-neighbor distance profile per series
     (FunctionIdentifier("ts_matrix_profile"), info("ts_matrix_profile"),

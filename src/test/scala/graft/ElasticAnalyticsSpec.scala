@@ -163,6 +163,45 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-origin backtest: per-origin rows == single-origin backtests, pooled row pools") {
+    val rnd = new scala.util.Random(1234L)
+    val rows = Seq("a", "b").flatMap { s =>
+      (0 until 20).map(i => (s, i * DAY + 1L, 10.0 + rnd.nextInt(100) / 10.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    val origins = Seq(10 * DAY, 14 * DAY)
+    val got = graft.ts.Backtest.holtBacktestRolling(df, sf = 0.5, tf = 0.2,
+      origins, horizon = 4, bucketMs = DAY)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // per-origin slices equal the k=1 operator exactly
+    for (o <- origins) {
+      val single = graft.ts.Backtest.holtBacktest(df, sf = 0.5, tf = 0.2,
+        splitMs = o, horizon = 4, bucketMs = DAY)
+        .collect()
+        .map(r => (r.getString(0), Some(o), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      assert(got.filter(_._2 == Some(o)).toSet == single, s"origin $o")
+    }
+    // the pooled row (origin NULL): n_eval sums the per-origin counts,
+    // mae is a weighted mean of the per-origin maes (so it lies inside
+    // their hull) — the exact cross-engine check is the oracle's job
+    for (s <- Seq("a", "b")) {
+      val perOrigin = got.filter(g => g._1 == s && g._2.isDefined)
+      val pooled = got.find(g => g._1 == s && g._2.isEmpty).get
+      assert(pooled._3 == perOrigin.map(_._3).sum, s"series $s n_eval")
+      val maes = perOrigin.map(_._4)
+      assert(pooled._4 >= maes.min - 1e-9 && pooled._4 <= maes.max + 1e-9,
+        s"series $s pooled mae ${pooled._4} outside ${maes.mkString(",")}")
+    }
+    // duplicate origins are a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      graft.ts.Backtest.holtBacktestRolling(df, 0.5, 0.2,
+        Seq(10 * DAY, 10 * DAY), 4, DAY)
+    }
+  }
+
   test("matrix profile: planted motif pair scores ~0, discord is the maximum") {
     // 16 buckets of a period-4 pattern with ONE spike at bucket 7 (a
     // pattern trough): every window not touching the spike has an
