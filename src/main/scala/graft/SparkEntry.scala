@@ -1322,6 +1322,55 @@ object SparkEntry {
         s.sql(s"SELECT * FROM ts_backtest_rolling($T0, $T31, " +
           s"'${T0 + 12 * DAY},${T0 + 20 * DAY}', 0.4, 0.3, 4, ${2 * DAY})")
       }),
+
+      // ---- round-13: the corpus-pipeline half of the engine through
+      // the SQL surface (the ts_* family's TVF discipline — distinct
+      // parameters from the Column-API twins so routes cannot mask
+      // each other; ExtensionsSpec pins TVF == API and the plan shape)
+      "pipeline_sql_tvf_source_cap" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_source_cap(7)")
+      }),
+      "pipeline_sql_tvf_contamination" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_contamination('doc_id < 4', 4)")
+      }),
+      "pipeline_sql_tvf_contamination_frac" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_contamination_frac('doc_id < 4', 4)")
+      }),
+      "pipeline_sql_tvf_contamination_fuzzy" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_contamination_fuzzy('doc_id < 40', 'doc_id >= 40')")
+      }),
+      "pipeline_sql_tvf_ann_recall" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.loadEmbeddings(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
+        s.sql(s"SELECT * FROM ann_recall('${annQueryIds.mkString(" ")}', 5, 16, 3)")
+      }),
+      // incremental admission through SQL: the documents VIEW is the
+      // new batch; prior state (versioned layout) is bootstrapped
+      // driver-side, then the TVF consults it by two key joins
+      "pipeline_sql_tvf_admit" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Text.loadDocuments(s, dir)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_admit_tvf_").toString
+        graft.pipeline.IncrementalAdmit.writeStateVersioned(
+          s, docs.filter(col("doc_id") < 350L), stateDir)
+        docs.filter(col("doc_id") >= 350L)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql(s"SELECT * FROM corpus_admit('$stateDir')")
+      }),
       "ts_sql_tvf_matrix_profile" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2664,6 +2713,20 @@ object SparkEntry {
         graft.pipeline.IncrementalAdmit.admitSql(split = 400L),
       "dedup_incremental_chain" ->
         graft.pipeline.IncrementalAdmit.admitSql(split = 300L),
+      "pipeline_sql_tvf_source_cap" ->
+        graft.pipeline.CorpusPipeline.sourceCapSql(cap = 7),
+      "pipeline_sql_tvf_contamination" ->
+        graft.pipeline.CorpusPipeline.contaminationSql("doc_id < 4", minShared = 4L),
+      "pipeline_sql_tvf_contamination_frac" ->
+        graft.pipeline.CorpusPipeline.contaminationFractionSql("doc_id < 4", n = 4),
+      "pipeline_sql_tvf_contamination_fuzzy" ->
+        graft.pipeline.CorpusPipeline.contaminationFuzzySql(
+          "doc_id < 40", "doc_id >= 40"),
+      "pipeline_sql_tvf_ann_recall" ->
+        Similarity.ivfRecallSql(annQueryIds, 5,
+          Similarity.syntheticCentroids(16, 64), nProbe = 3),
+      "pipeline_sql_tvf_admit" ->
+        graft.pipeline.IncrementalAdmit.admitSql(split = 350L),
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

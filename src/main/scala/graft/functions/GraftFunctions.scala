@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.TableFunctionBuilder
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /**
@@ -123,9 +123,18 @@ object GraftFunctions {
   // literals (they select the plan, not row values).
   // -----------------------------------------------------------------
 
-  /** The samples / labels views the TVFs read. */
+  /** The samples / labels views the ts_* TVFs read. */
   val SamplesView = "graft_samples"
   val LabelsView = "graft_labels"
+
+  /** The corpus views the pipeline TVFs read: `graft_documents`
+    * (doc_id BIGINT, text STRING[, source, lang, …]) and
+    * `graft_embeddings` (vec_id BIGINT, embedding ARRAY<FLOAT/DOUBLE>).
+    * Same contract as the samples views: a missing view is a loud
+    * analysis error; every argument is a literal (it selects the
+    * plan, not row values). */
+  val DocumentsView = "graft_documents"
+  val EmbeddingsView = "graft_embeddings"
 
   private def literalString(fn: String, e: Expression, what: String): String = {
     require(e.foldable, s"$fn: $what must be a literal string")
@@ -777,6 +786,97 @@ object GraftFunctions {
         literalLong("ts_matrix_profile_stomp", args(3), "m").toInt,
         Some(literalLong("ts_matrix_profile_stomp", args(0), "from")),
         Some(literalLong("ts_matrix_profile_stomp", args(1), "to"))))
+    }),
+    // ---- corpus-pipeline TVFs (round 13): the LLM-data half of the
+    // engine becomes SQL-reachable like the ts_* family. Bench/eval
+    // predicates arrive as SQL predicate strings over the documents
+    // view — the same contract the DuckDB oracles already use. ----
+    // corpus_source_cap(cap) — per-source quality cap (domain
+    // balancing); the plan must keep compiling to WindowGroupLimit
+    // through the SQL route (ExtensionsSpec pins it)
+    (FunctionIdentifier("corpus_source_cap"), info("corpus_source_cap"),
+      { args: Seq[Expression] =>
+      nargs("corpus_source_cap", Seq(1), args)
+      val spark = activeSession("corpus_source_cap")
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.sourceCap(
+        spark.table(DocumentsView),
+        literalLong("corpus_source_cap", args(0), "cap").toInt))
+    }),
+    // corpus_contamination('bench_pred'[, min_shared]) — exact n-gram
+    // decontamination: the benchmark side is the documents-view rows
+    // matching the SQL predicate, the train side is the whole view
+    (FunctionIdentifier("corpus_contamination"), info("corpus_contamination"),
+      { args: Seq[Expression] =>
+      nargs("corpus_contamination", Seq(1, 2), args)
+      val spark = activeSession("corpus_contamination")
+      val docs = spark.table(DocumentsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.contamination(
+        docs,
+        docs.filter(expr(literalString("corpus_contamination", args(0), "bench predicate"))),
+        if (args.length > 1) literalLong("corpus_contamination", args(1), "min_shared") else 5L))
+    }),
+    // corpus_contamination_frac('bench_pred'[, n]) — the graded
+    // (fraction-of-shingles) variant
+    (FunctionIdentifier("corpus_contamination_frac"), info("corpus_contamination_frac"),
+      { args: Seq[Expression] =>
+      nargs("corpus_contamination_frac", Seq(1, 2), args)
+      val spark = activeSession("corpus_contamination_frac")
+      val docs = spark.table(DocumentsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.contaminationFraction(
+        docs,
+        docs.filter(expr(literalString("corpus_contamination_frac", args(0), "bench predicate"))),
+        if (args.length > 1) literalLong("corpus_contamination_frac", args(1), "n").toInt else 5))
+    }),
+    // corpus_contamination_fuzzy('bench_pred', 'train_pred'
+    //                            [, num_hashes, band_rows]) — MinHash
+    // band-bucket collision decontamination (paraphrased leakage)
+    (FunctionIdentifier("corpus_contamination_fuzzy"), info("corpus_contamination_fuzzy"),
+      { args: Seq[Expression] =>
+      nargs("corpus_contamination_fuzzy", Seq(2, 4), args)
+      val spark = activeSession("corpus_contamination_fuzzy")
+      val docs = spark.table(DocumentsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.contaminationFuzzy(
+        docs.filter(expr(literalString("corpus_contamination_fuzzy", args(1), "train predicate"))),
+        docs.filter(expr(literalString("corpus_contamination_fuzzy", args(0), "bench predicate"))),
+        if (args.length > 2) literalLong("corpus_contamination_fuzzy", args(2), "num_hashes").toInt else 16,
+        if (args.length > 3) literalLong("corpus_contamination_fuzzy", args(3), "band_rows").toInt else 4))
+    }),
+    // ann_recall('q1 q2 ...', k, n_centroids, n_probe[, dim]) —
+    // recall@k of the probe-limited IVF path (deterministic synthetic
+    // quantizer) vs brute-force ground truth over the embeddings view.
+    // Splices the PLAN-ONLY ivfTopKQuantizedLazy: an analysis-time
+    // builder must not run driver actions (the banded-DTW discipline),
+    // and the lazy probe ranking is provably the eager one.
+    (FunctionIdentifier("ann_recall"), info("ann_recall"),
+      { args: Seq[Expression] =>
+      nargs("ann_recall", Seq(4, 5), args)
+      val spark = activeSession("ann_recall")
+      val qids = literalString("ann_recall", args(0), "query id list")
+        .split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
+      require(qids.nonEmpty, "ann_recall: at least one query id is required")
+      val k = literalLong("ann_recall", args(1), "k").toInt
+      val nc = literalLong("ann_recall", args(2), "n_centroids").toInt
+      val np = literalLong("ann_recall", args(3), "n_probe").toInt
+      val dim = if (args.length > 4) literalLong("ann_recall", args(4), "dim").toInt else 64
+      val embs = spark.table(EmbeddingsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.Similarity.recallAtK(
+        graft.pipeline.Similarity.ivfTopKQuantizedLazy(embs, qids, k,
+          graft.pipeline.Similarity.syntheticCentroids(nc, dim), np),
+        graft.pipeline.Similarity.bruteForceTopK(embs, qids, k)))
+    }),
+    // corpus_admit('state_dir'[, num_hashes, band_rows]) — incremental
+    // corpus admission: the documents VIEW is the new batch, verdicts
+    // against the materialized state under state_dir (either layout;
+    // the versioned manifest resolves per query)
+    (FunctionIdentifier("corpus_admit"), info("corpus_admit"),
+      { args: Seq[Expression] =>
+      nargs("corpus_admit", Seq(1, 3), args)
+      val spark = activeSession("corpus_admit")
+      GraftSessionBridge.logicalPlan(graft.pipeline.IncrementalAdmit.admit(
+        spark, spark.table(DocumentsView),
+        literalString("corpus_admit", args(0), "state_dir"),
+        if (args.length > 1) literalLong("corpus_admit", args(1), "num_hashes").toInt else 16,
+        if (args.length > 2) literalLong("corpus_admit", args(2), "band_rows").toInt else 4))
     }),
     // ts_dtw_nearest_banded('probe', from, to, bucket_ms, k, band) —
     // Sakoe-Chiba banded profile search. Splices the PURE banded plan

@@ -346,6 +346,50 @@ object Similarity {
        |  FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /**
+   * PLAN-ONLY [[ivfTopKQuantized]] — identical results, zero driver
+   * actions: the probe lists are derived relationally (query rows ×
+   * a broadcast centroid-literal frame, ranked by the same
+   * argmax-dot/lowest-cid rule [[probeDf]] applies on the driver), so
+   * the whole operator is one logical plan. This is the variant the
+   * `ann_recall` SQL TVF splices — an analysis-time table-function
+   * builder must not run jobs (the [[graft.ts.Dtw]] banded-TVF
+   * discipline). Equality with the eager path is spec-pinned; the
+   * centroid frame is |centroids| rows and the rank window partitions
+   * by query over a |queries|×|centroids| frame — driver-free AND
+   * bounded.
+   */
+  def ivfTopKQuantizedLazy(
+      embs: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val assign = corpus.withColumn("cid",
+      graft.functions.NearestCentroid(col("v"), centroids))
+    scoreProbes(assign,
+      probeDfLazy(corpus, centroids, queryIds, nProbe), k)
+  }
+
+  /** Relational twin of [[probeDf]]: same dots (VecDot's ascending
+    * fold == the driver loop), same (−dot, cid) tie order. */
+  private def probeDfLazy(
+      corpus: DataFrame, centroids: Array[Array[Double]],
+      queryIds: Seq[Long], nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (cv, ci) => (ci, cv.toSeq) }.toSeq.toDF("cid", "cv")
+    corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(dot(col("qv"), col("cv")).desc, col("cid").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("qv"), col("qnorm"))
+  }
+
   /** Probe lists: query vectors are a bounded set — collect them and
     * rank centroids on the driver (|q| x nCentroids dot products). */
   private def probeDf(

@@ -396,8 +396,78 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!registry.functionExists(FunctionIdentifier("ts_range")))
     GraftSessionBridge.applyInjectedTableFunctions(ext, registry)
     for (name <- Seq("ts_range", "ts_mrange", "ts_get", "ts_mget",
-        "ts_queryindex", "ts_querylabels", "ts_info", "ts_nrange"))
+        "ts_queryindex", "ts_querylabels", "ts_info", "ts_nrange",
+        "corpus_source_cap", "corpus_contamination", "corpus_contamination_frac",
+        "corpus_contamination_fuzzy", "ann_recall", "corpus_admit"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
+  }
+
+  test("corpus-pipeline TVFs == Column API; source cap keeps WindowGroupLimit through SQL") {
+    GraftFunctions.register(spark)
+    val docs = graft.pipeline.Text.loadDocuments(spark, sf)
+    docs.createOrReplaceTempView(GraftFunctions.DocumentsView)
+    val embs = graft.pipeline.Similarity.loadEmbeddings(spark, sf)
+    embs.createOrReplaceTempView(GraftFunctions.EmbeddingsView)
+    import org.apache.spark.sql.functions.{col, expr}
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    // source cap: result parity AND the plan-shape contract — the
+    // partial top-cap (WindowGroupLimit, before the shuffle) must
+    // survive the SQL route exactly as pushdown had to for ts_range
+    val capSql = spark.sql("SELECT * FROM corpus_source_cap(5)")
+    assert(sorted(capSql) ==
+      sorted(graft.pipeline.CorpusPipeline.sourceCap(docs, cap = 5)))
+    val capPlan = capSql.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    assert(capPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.size == 2, "source cap through SQL must keep the partial+final " +
+      "group limit:\n" + capPlan)
+    // exact + graded + fuzzy decontamination
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_contamination('doc_id < 3', 5)")) ==
+      sorted(graft.pipeline.CorpusPipeline.contamination(
+        docs, docs.filter(expr("doc_id < 3")), minShared = 5L)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_contamination_frac('doc_id < 3', 5)")) ==
+      sorted(graft.pipeline.CorpusPipeline.contaminationFraction(
+        docs, docs.filter(expr("doc_id < 3")), n = 5)))
+    assert(
+      sorted(spark.sql(
+        "SELECT * FROM corpus_contamination_fuzzy('doc_id < 50', 'doc_id >= 50')")) ==
+      sorted(graft.pipeline.CorpusPipeline.contaminationFuzzy(
+        docs.filter(expr("doc_id >= 50")), docs.filter(expr("doc_id < 50")))))
+    // ann_recall splices the PLAN-ONLY ivf variant; it must equal the
+    // recall of the driver-eager probe path (the provable-equality
+    // contract the banded-DTW TVF set)
+    val qids = Seq(0L, 97L, 194L)
+    val cents = graft.pipeline.Similarity.syntheticCentroids(16, 64)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ann_recall('${qids.mkString(" ")}', 5, 16, 4)")) ==
+      sorted(graft.pipeline.Similarity.recallAtK(
+        graft.pipeline.Similarity.ivfTopKQuantized(embs, qids, 5, cents, 4),
+        graft.pipeline.Similarity.bruteForceTopK(embs, qids, 5))))
+    // the lazy ivf itself == the eager one (full ranking, not just recall)
+    assert(
+      sorted(graft.pipeline.Similarity.ivfTopKQuantizedLazy(embs, qids, 5, cents, 4)) ==
+      sorted(graft.pipeline.Similarity.ivfTopKQuantized(embs, qids, 5, cents, 4)))
+    // corpus_admit: the view is the new batch; verdicts == the API call
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_ext_").toString
+    graft.pipeline.IncrementalAdmit.writeStateVersioned(
+      spark, docs.filter(col("doc_id") < 250L), stateDir)
+    val batch = docs.filter(col("doc_id") >= 250L)
+    batch.createOrReplaceTempView(GraftFunctions.DocumentsView)
+    assert(
+      sorted(spark.sql(s"SELECT * FROM corpus_admit('$stateDir')")) ==
+      sorted(graft.pipeline.IncrementalAdmit.admit(spark, batch, stateDir)))
+    docs.createOrReplaceTempView(GraftFunctions.DocumentsView) // restore
+    // non-literal argument stays a loud analysis error
+    intercept[Exception](
+      spark.sql("SELECT * FROM corpus_source_cap(CAST(rand() AS INT))").collect())
   }
 
   test("VecNormRule rewrites sqrt(vec_dot(x,x)) to vec_norm(x)") {
