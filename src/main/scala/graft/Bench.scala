@@ -3,6 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Contention signature (VERDICT r12): a query's max/min spread over
+    * its reps beyond this factor means a transient host-contention
+    * window poisoned some reps — normal spread on this host is ±30%,
+    * the r12 incident showed 3–13× on an alphabetically contiguous
+    * block. Such queries are re-run once AFTER the sweep (when the
+    * contention window has passed) and the better median wins. */
+  val SpreadRetryFactor = 3.0
+
+  /** True iff the rep spread carries the contention signature. One
+    * rep has no spread; a zero min would make the ratio meaningless
+    * (and means the timer broke, not the host). */
+  def needsRetry(times: Seq[Double]): Boolean =
+    times.size >= 2 && times.min > 0.0 &&
+      times.max / times.min > SpreadRetryFactor
+
+  /** Upper median — the (reps/2)-indexed order statistic the suite has
+    * always reported. */
+  def median(times: Seq[Double]): Double = times.sorted.apply(times.size / 2)
+
+  /** The post-retry statistic: the better (smaller) of the two sweeps'
+    * medians — contention only ever inflates. */
+  def betterMedian(first: Seq[Double], second: Seq[Double]): Double =
+    math.min(median(first), median(second))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,32 +71,53 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def runTimes(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Seq[Double], Boolean) = {
       val times = (1 to reps).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
       }.takeWhile(_.isDefined).flatten.toSeq // a failed rep marks the query failed
-      val ok = times.size == reps
-      (name, if (ok) times.sorted.apply(reps / 2) else 0.0, ok)
+      (times, times.size == reps)
     }
-    val qs = results.map { case (k, v, ok) =>
+    // first pass: the full sweep (strict — completes before any retry)
+    val firstPass = selected.map { case (name, fn) =>
+      val (times, ok) = runTimes(name, fn)
+      (name, fn, times, ok)
+    }
+    // outlier re-run (VERDICT r12 #2): queries whose rep spread carries
+    // the contention signature run once more AFTER the sweep — by then
+    // the transient window has passed — and the better median is the
+    // official number. A failed retry keeps the first median (the
+    // query itself is proven green). Retried names are logged in the
+    // artifact so the correction is auditable, never silent.
+    val results = firstPass.map { case (name, fn, times, ok) =>
+      if (ok && needsRetry(times)) {
+        System.err.println(f"[bench] $name rep spread ${times.max / times.min}%.1fx " +
+          s"> ${SpreadRetryFactor}x — re-running after sweep")
+        val (times2, ok2) = runTimes(name, fn)
+        val m = if (ok2) betterMedian(times, times2) else median(times)
+        (name, m, true, true)
+      } else (name, if (ok) median(times) else 0.0, ok, false)
+    }
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
     }.mkString("{", ",", "}")
     // failures are excluded from total and reported — a broken query
     // must never read as a speedup
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val retried = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val wu = warmup.map { case (n, s) => "\"" + n + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":$wu}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retried":$retried,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":$wu}"""
     println(json)
     // A standalone summary line LAST (VERDICT r9 #5): the driver keeps
     // only a 2000-char stdout tail, and with the 190+-entry per-query
     // map ahead of it the totals were clipped out of BENCH_r08/r09.
     // Totals-last means the tail always carries them.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"warmup":$wu}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"retried":$retried,"sf":"$sfDir","reps":$reps,"stat":"median","n_queries":${results.size},"warmup":$wu}""")
     // ALSO persist the full JSON to a file (VERDICT r06 #3): the
     // driver's stdout tail capture truncates the per-query map for the
     // heaviest third of the suite (every ann_*/dedup_*/ts_compaction_*
