@@ -1051,17 +1051,19 @@ object SparkEntry {
       // fingerprint via flatMapGroupsWithState, 8 ordered micro-batches
       // — must equal the batch canonical (min doc_id per fp)
       "dedup_stream_exact" -> ((s, dir) =>
-        // 4 chunks: the replay is chunking-independent (spec-pinned),
-        // so the extra triggers bought no coverage — only wall time
-        graft.pipeline.StreamDedup.documentsDedupOnce(s, dir, nChunks = 4)),
+        // 2 chunks: the replay is chunking-independent (spec-pinned at
+        // higher counts), so extra triggers buy no coverage — only the
+        // AvailableNow per-batch floor; 2 still exercises cross-batch
+        // state (batch 2 consults batch 1's)
+        graft.pipeline.StreamDedup.documentsDedupOnce(s, dir, nChunks = 2)),
       // online NEAR-dup admission gate: MinHash band-bucket collision
       // against all previously-seen docs (rejected docs still poison
       // their buckets); md5-based signature so the oracle replays the
       // exact buckets — the gate decisions themselves are hash-checked
       "dedup_stream_minhash_gate" -> ((s, dir) =>
-        // 4 chunks (see dedup_stream_exact): same verdicts, half the
+        // 2 chunks (see dedup_stream_exact): same verdicts, minimal
         // AvailableNow trigger floor
-        graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir, nChunks = 4)),
+        graft.pipeline.StreamDedup.documentsMinhashGateOnce(s, dir, nChunks = 2)),
 
       // incremental corpus admission: a NEW batch (doc_id >= 400)
       // admitted against MATERIALIZED prior state (exact fingerprints
@@ -1845,27 +1847,27 @@ object SparkEntry {
       "ts_anomaly_stream" -> ((s, dir) =>
         StreamAnomaly.zscoreStreamOnce(s, monthSamples(s, dir),
           threshold = 2.5, fromMs = Some(T0), toMs = Some(T31),
-          nChunks = 4)),
+          nChunks = 2)),
       // streaming SEASONAL anomaly: per-(series, dow-cohort) prefix
       // state — "this Monday vs previous Mondays", at arrival time
       "ts_seasonal_stream" -> ((s, dir) =>
         StreamAnomaly.seasonalStreamOnce(s, monthSamples(s, dir),
           threshold = 2.0, mode = "dow",
-          fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
+          fromMs = Some(T0), toMs = Some(T31), nChunks = 2)),
       // streaming rolling median: bounded ring state per series; the
       // time-ordered replay makes the stateful stream EQUAL the batch
       // operator, whose SQL twin is the oracle (batch-duality)
       "ts_rolling_stream" -> ((s, dir) =>
         StreamAnomaly.rollingQuantileStreamOnce(s, monthSamples(s, dir),
           q = 0.5, span = 10, fromMs = Some(T0), toMs = Some(T31),
-          nChunks = 4)),
+          nChunks = 2)),
       // streaming CUSUM drift detection: running sum of prefix-z
       // terms (5 scalars of state per series); the oracle is the
       // closed form — two stacked cumulative windows
       "ts_cusum_stream" -> ((s, dir) =>
         StreamAnomaly.cusumStreamOnce(s, monthSamples(s, dir),
           threshold = 3.0, fromMs = Some(T0), toMs = Some(T31),
-          nChunks = 4)),
+          nChunks = 2)),
       // STREAMING session windows via Spark's NATIVE session_window
       // stateful operator (both engines merge on diff <= gap); shares
       // the batch sessionRange oracle — engine-managed session state
@@ -1873,14 +1875,14 @@ object SparkEntry {
       "ts_session_stream" -> ((s, dir) =>
         StreamSessions.sessionStreamOnce(s, monthSamples(s, dir),
           agg = "avg", gapMs = 12 * HOUR,
-          fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
+          fromMs = Some(T0), toMs = Some(T31), nChunks = 2)),
       // STREAMING gap detection: the outage page fires when the pipe
       // comes back — one long of state per series; oracle = the batch
       // gap report (bracketed-gap duality)
       "ts_gaps_stream" -> ((s, dir) =>
         StreamSessions.gapsStreamOnce(s, monthSamples(s, dir),
           thresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
-          nChunks = 4)),
+          nChunks = 2)),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
