@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
  * discipline) so the joins co-locate without shuffling the state; the
  * fixture-scale probe measures the CPU claim (ScaleProbe: admit wall
  * flat in corpus size for a fixed batch).
+ *
+ * Two state layouts: the legacy flat one (`stateDir/fp`,
+ * `stateDir/buckets` — updates swap tables in place, not atomic for
+ * concurrent readers) and the VERSIONED one ([[writeStateVersioned]]:
+ * `stateDir/v=N` + a MANIFEST pointer flipped atomically), under which
+ * a reader racing an update always sees a complete state generation.
+ * [[admit]] and [[updateState]] accept either.
  */
 object IncrementalAdmit {
 
