@@ -1359,6 +1359,78 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
         s.sql(s"SELECT * FROM ann_recall('${annQueryIds.mkString(" ")}', 5, 16, 3)")
       }),
+      // the no-arg projection gates compose with outer SQL predicates —
+      // the filter lands ON TOP of the spliced plan, proving the TVF
+      // result is a first-class relation (and keeping the rows distinct
+      // from the API twins')
+      "pipeline_sql_tvf_langid" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_langid() WHERE doc_id < 450")
+      }),
+      "pipeline_sql_tvf_quality" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_text_quality() WHERE doc_id >= 50")
+      }),
+      "pipeline_sql_tvf_tokens" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_tokens() WHERE doc_id % 2 = 0")
+      }),
+      "pipeline_sql_tvf_stratified" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_stratified_sample('en=0.5', 0.3)")
+      }),
+      "pipeline_sql_tvf_pack" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_pack_sequences(1024, 4)")
+      }),
+      "pipeline_sql_tvf_chunk" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_chunk(24, 8)")
+      }),
+      "pipeline_sql_tvf_dedup_pairs" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_dedup_pairs(0.6, 250)")
+      }),
+      "pipeline_sql_tvf_dsir" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_dsir('lang = ''en''', 32, 0.4)")
+      }),
+      // splices the PLAN-ONLY percentile gate (scalar subqueries, no
+      // driver heads) — the oracle is the same relational derivation
+      "pipeline_sql_tvf_quality_percentile" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_quality_percentile(0.4)")
+      }),
+      "pipeline_sql_tvf_ann_topk" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.loadEmbeddings(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
+        s.sql("SELECT * FROM ann_topk('0 194 388', 4)")
+      }),
+      "pipeline_sql_tvf_ann_ivf" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.loadEmbeddings(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
+        s.sql("SELECT * FROM ann_ivf_topk('97 291 485', 4, 16, 2)")
+      }),
       // incremental admission through SQL: the documents VIEW is the
       // new batch; prior state (versioned layout) is bootstrapped
       // driver-side, then the TVF consults it by two key joins
@@ -2729,6 +2801,30 @@ object SparkEntry {
           Similarity.syntheticCentroids(16, 64), nProbe = 3),
       "pipeline_sql_tvf_admit" ->
         graft.pipeline.IncrementalAdmit.admitSql(split = 350L),
+      "pipeline_sql_tvf_langid" ->
+        s"SELECT * FROM (${Text.languageIdSql}) WHERE doc_id < 450",
+      "pipeline_sql_tvf_quality" ->
+        s"SELECT * FROM (${Text.qualityMetricsSql}) WHERE doc_id >= 50",
+      "pipeline_sql_tvf_tokens" ->
+        s"SELECT * FROM (${Text.tokenCountsSql}) WHERE doc_id % 2 = 0",
+      "pipeline_sql_tvf_stratified" ->
+        graft.pipeline.CorpusPipeline.stratifiedSampleSql(
+          Map("en" -> 0.5), defaultRate = 0.3),
+      "pipeline_sql_tvf_pack" ->
+        graft.pipeline.CorpusPipeline.packSequencesSql(
+          budgetTokens = 1024L, nShards = 4),
+      "pipeline_sql_tvf_chunk" ->
+        graft.pipeline.Chunking.chunkSql(chunkTokens = 24, overlapTokens = 8),
+      "pipeline_sql_tvf_dedup_pairs" -> Dedup.ngramJaccardPairsSql(0.6, 250),
+      "pipeline_sql_tvf_dsir" ->
+        graft.pipeline.Dsir.selectSql("lang = 'en'", nBuckets = 32, keepFrac = 0.4),
+      "pipeline_sql_tvf_quality_percentile" ->
+        graft.pipeline.CorpusPipeline.qualityPercentileKeepSql(dropFrac = 0.4),
+      "pipeline_sql_tvf_ann_topk" ->
+        Similarity.bruteForceTopKSql(Seq(0L, 194L, 388L), 4),
+      "pipeline_sql_tvf_ann_ivf" ->
+        Similarity.ivfTopKQuantizedSql(Seq(97L, 291L, 485L), 4,
+          Similarity.syntheticCentroids(16, 64), nProbe = 2),
       "dedup_boilerplate_segments" -> Dedup.boilerplateSegmentsSql(),
       "dedup_boilerplate_clean" -> Dedup.removeBoilerplateSql(),
       "cluster_kmeans_assign" -> Clustering.kmeansAssignSql(),

@@ -864,6 +864,136 @@ object GraftFunctions {
           graft.pipeline.Similarity.syntheticCentroids(nc, dim), np),
         graft.pipeline.Similarity.bruteForceTopK(embs, qids, k)))
     }),
+    // corpus_langid() / corpus_text_quality() / corpus_tokens() — the
+    // per-row text gates as TVFs (pure projections over the view)
+    (FunctionIdentifier("corpus_langid"), info("corpus_langid"),
+      { args: Seq[Expression] =>
+      nargs("corpus_langid", Seq(0), args)
+      val spark = activeSession("corpus_langid")
+      GraftSessionBridge.logicalPlan(
+        graft.pipeline.Text.languageId(spark.table(DocumentsView)))
+    }),
+    (FunctionIdentifier("corpus_text_quality"), info("corpus_text_quality"),
+      { args: Seq[Expression] =>
+      nargs("corpus_text_quality", Seq(0), args)
+      val spark = activeSession("corpus_text_quality")
+      GraftSessionBridge.logicalPlan(
+        graft.pipeline.Text.qualityMetrics(spark.table(DocumentsView)))
+    }),
+    (FunctionIdentifier("corpus_tokens"), info("corpus_tokens"),
+      { args: Seq[Expression] =>
+      nargs("corpus_tokens", Seq(0), args)
+      val spark = activeSession("corpus_tokens")
+      GraftSessionBridge.logicalPlan(
+        graft.pipeline.Text.tokenCounts(spark.table(DocumentsView)))
+    }),
+    // corpus_stratified_sample('lang=rate lang=rate', default_rate
+    //                          [, val_fraction]) — deterministic
+    // md5-threshold sampling + train/val split
+    (FunctionIdentifier("corpus_stratified_sample"), info("corpus_stratified_sample"),
+      { args: Seq[Expression] =>
+      nargs("corpus_stratified_sample", Seq(2, 3), args)
+      val spark = activeSession("corpus_stratified_sample")
+      val rates = literalString("corpus_stratified_sample", args(0), "rate list")
+        .split("\\s+").filter(_.nonEmpty).map { kv =>
+          val Array(l, r) = kv.split("=", 2)
+          l -> r.toDouble
+        }.toMap
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.stratifiedSample(
+        spark.table(DocumentsView), rates,
+        literalDouble("corpus_stratified_sample", args(1), "default_rate"),
+        if (args.length > 2)
+          literalDouble("corpus_stratified_sample", args(2), "val_fraction")
+        else 0.1))
+    }),
+    // corpus_pack_sequences(budget_tokens, n_shards) — fixed-budget
+    // training-sequence packing (concat-then-chunk semantics)
+    (FunctionIdentifier("corpus_pack_sequences"), info("corpus_pack_sequences"),
+      { args: Seq[Expression] =>
+      nargs("corpus_pack_sequences", Seq(2), args)
+      val spark = activeSession("corpus_pack_sequences")
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.packSequences(
+        spark.table(DocumentsView),
+        literalLong("corpus_pack_sequences", args(0), "budget_tokens"),
+        literalLong("corpus_pack_sequences", args(1), "n_shards").toInt))
+    }),
+    // corpus_chunk(chunk_tokens, overlap_tokens) — sliding-window
+    // document chunking (zero-shuffle scan → project → generate)
+    (FunctionIdentifier("corpus_chunk"), info("corpus_chunk"),
+      { args: Seq[Expression] =>
+      nargs("corpus_chunk", Seq(2), args)
+      val spark = activeSession("corpus_chunk")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Chunking.chunk(
+        spark.table(DocumentsView),
+        literalLong("corpus_chunk", args(0), "chunk_tokens").toInt,
+        literalLong("corpus_chunk", args(1), "overlap_tokens").toInt))
+    }),
+    // corpus_dedup_pairs(threshold, max_doc_id) — exact pairwise
+    // n-gram Jaccard over a bounded id range (the LSH paths' ground
+    // truth; the bound is the quadratic-contract guard)
+    (FunctionIdentifier("corpus_dedup_pairs"), info("corpus_dedup_pairs"),
+      { args: Seq[Expression] =>
+      nargs("corpus_dedup_pairs", Seq(2), args)
+      val spark = activeSession("corpus_dedup_pairs")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Dedup.ngramJaccardPairs(
+        spark.table(DocumentsView),
+        literalDouble("corpus_dedup_pairs", args(0), "threshold"),
+        literalLong("corpus_dedup_pairs", args(1), "max_doc_id")))
+    }),
+    // corpus_dsir('target_pred', n_buckets, keep_frac) — DSIR
+    // importance resampling against the predicate-selected target set
+    (FunctionIdentifier("corpus_dsir"), info("corpus_dsir"),
+      { args: Seq[Expression] =>
+      nargs("corpus_dsir", Seq(3), args)
+      val spark = activeSession("corpus_dsir")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Dsir.select(
+        spark.table(DocumentsView),
+        expr(literalString("corpus_dsir", args(0), "target predicate")),
+        literalLong("corpus_dsir", args(1), "n_buckets").toInt,
+        literalDouble("corpus_dsir", args(2), "keep_frac")))
+    }),
+    // corpus_quality_percentile(drop_frac) — the no-global-sort
+    // percentile gate; splices the PLAN-ONLY lazy variant (scalar
+    // subqueries instead of driver-side heads), provably equal
+    (FunctionIdentifier("corpus_quality_percentile"), info("corpus_quality_percentile"),
+      { args: Seq[Expression] =>
+      nargs("corpus_quality_percentile", Seq(1), args)
+      val spark = activeSession("corpus_quality_percentile")
+      GraftSessionBridge.logicalPlan(
+        graft.pipeline.CorpusPipeline.qualityPercentileKeepLazy(
+          spark.table(DocumentsView),
+          literalDouble("corpus_quality_percentile", args(0), "drop_frac")))
+    }),
+    // ann_topk('q1 q2 ...', k) — exact brute-force cosine top-k
+    (FunctionIdentifier("ann_topk"), info("ann_topk"),
+      { args: Seq[Expression] =>
+      nargs("ann_topk", Seq(2), args)
+      val spark = activeSession("ann_topk")
+      val qids = literalString("ann_topk", args(0), "query id list")
+        .split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
+      require(qids.nonEmpty, "ann_topk: at least one query id is required")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Similarity.bruteForceTopK(
+        spark.table(EmbeddingsView), qids,
+        literalLong("ann_topk", args(1), "k").toInt))
+    }),
+    // ann_ivf_topk('q1 q2 ...', k, n_centroids, n_probe[, dim]) —
+    // probe-limited IVF top-k (plan-only probe ranking, deterministic
+    // synthetic quantizer — the same literals the oracle re-derives)
+    (FunctionIdentifier("ann_ivf_topk"), info("ann_ivf_topk"),
+      { args: Seq[Expression] =>
+      nargs("ann_ivf_topk", Seq(4, 5), args)
+      val spark = activeSession("ann_ivf_topk")
+      val qids = literalString("ann_ivf_topk", args(0), "query id list")
+        .split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
+      require(qids.nonEmpty, "ann_ivf_topk: at least one query id is required")
+      val dim = if (args.length > 4) literalLong("ann_ivf_topk", args(4), "dim").toInt else 64
+      GraftSessionBridge.logicalPlan(graft.pipeline.Similarity.ivfTopKQuantizedLazy(
+        spark.table(EmbeddingsView), qids,
+        literalLong("ann_ivf_topk", args(1), "k").toInt,
+        graft.pipeline.Similarity.syntheticCentroids(
+          literalLong("ann_ivf_topk", args(2), "n_centroids").toInt, dim),
+        literalLong("ann_ivf_topk", args(3), "n_probe").toInt))
+    }),
     // corpus_admit('state_dir'[, num_hashes, band_rows]) — incremental
     // corpus admission: the documents VIEW is the new batch, verdicts
     // against the materialized state under state_dir (either layout;

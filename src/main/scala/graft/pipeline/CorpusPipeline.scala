@@ -548,6 +548,36 @@ object CorpusPipeline {
     scored.filter(col("qscore") > t)
   }
 
+  /**
+   * PLAN-ONLY [[qualityPercentileKeep]] — identical result, zero
+   * driver actions: the total and the threshold become broadcast
+   * scalar subqueries (one-row aggregates crossJoined in) instead of
+   * driver-side `head` reads, so the whole gate is one logical plan a
+   * SQL TVF can splice at analysis time. Same integer-only threshold
+   * rule; the empty-corpus and nothing-below-the-cut edges coalesce to
+   * the same Long.MinValue sentinel the eager path uses. Cost parity:
+   * both formulations scan the corpus twice (score histogram +
+   * final filter) — the eager path's localCheckpoint pins the
+   * histogram, the lazy one's histogram is ≤10k rows either way.
+   */
+  def qualityPercentileKeepLazy(docs: DataFrame, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac out of range: $dropFrac")
+    val scored = Text.qualityMetrics(docs)
+      .select(col("doc_id"), floor(col("stop_ratio") * 10000).as("qscore"))
+    val hist = scored.groupBy(col("qscore")).agg(count(lit(1)).as("c"))
+    val total = hist.agg(coalesce(sum(col("c")), lit(0L)).as("total"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("qscore"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // k = floor(dropFrac · total); t = max qscore with cum <= k
+    val thr = cum.crossJoin(broadcast(total))
+      .filter(col("cum") <= floor(lit(dropFrac) * col("total")))
+      .agg(max(col("qscore")).as("t")) // one row; null when nothing cut
+    scored.crossJoin(broadcast(thr))
+      .filter(col("qscore") > coalesce(col("t"), lit(Long.MinValue)))
+      .select(col("doc_id"), col("qscore"))
+  }
+
   def qualityPercentileKeepSql(dropFrac: Double): String =
     s"""WITH q AS (
        |${Text.qualityMetricsSql}

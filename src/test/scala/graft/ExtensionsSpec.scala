@@ -398,8 +398,57 @@ class ExtensionsSpec extends AnyFunSuite {
     for (name <- Seq("ts_range", "ts_mrange", "ts_get", "ts_mget",
         "ts_queryindex", "ts_querylabels", "ts_info", "ts_nrange",
         "corpus_source_cap", "corpus_contamination", "corpus_contamination_frac",
-        "corpus_contamination_fuzzy", "ann_recall", "corpus_admit"))
+        "corpus_contamination_fuzzy", "ann_recall", "corpus_admit",
+        "corpus_langid", "corpus_text_quality", "corpus_tokens",
+        "corpus_stratified_sample", "corpus_pack_sequences", "corpus_chunk",
+        "corpus_dedup_pairs", "corpus_dsir", "corpus_quality_percentile",
+        "ann_topk", "ann_ivf_topk"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
+  }
+
+  test("second-batch pipeline TVFs == Column API; lazy percentile gate == eager") {
+    GraftFunctions.register(spark)
+    val docs = graft.pipeline.Text.loadDocuments(spark, sf)
+    docs.createOrReplaceTempView(GraftFunctions.DocumentsView)
+    val embs = graft.pipeline.Similarity.loadEmbeddings(spark, sf)
+    embs.createOrReplaceTempView(GraftFunctions.EmbeddingsView)
+    import org.apache.spark.sql.functions.expr
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_langid()")) ==
+      sorted(graft.pipeline.Text.languageId(docs)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_stratified_sample('en=0.7 de=0.2', 0.4, 0.2)")) ==
+      sorted(graft.pipeline.CorpusPipeline.stratifiedSample(
+        docs, Map("en" -> 0.7, "de" -> 0.2), defaultRate = 0.4, valFraction = 0.2)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_pack_sequences(512, 3)")) ==
+      sorted(graft.pipeline.CorpusPipeline.packSequences(docs, 512L, 3)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_chunk(20, 5)")) ==
+      sorted(graft.pipeline.Chunking.chunk(docs, 20, 5)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_dedup_pairs(0.5, 200)")) ==
+      sorted(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.5, maxDocId = 200)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_dsir('lang = ''en''', 16, 0.5)")) ==
+      sorted(graft.pipeline.Dsir.select(docs, expr("lang = 'en'"), 16, 0.5)))
+    assert(
+      sorted(spark.sql("SELECT * FROM ann_topk('0 97', 3)")) ==
+      sorted(graft.pipeline.Similarity.bruteForceTopK(embs, Seq(0L, 97L), 3)))
+    // the lazy percentile gate (scalar subqueries) must equal the
+    // eager one (driver heads) across cut fractions incl. the
+    // nothing-dropped edge
+    for (frac <- Seq(0.0, 0.25, 0.6)) {
+      assert(
+        sorted(graft.pipeline.CorpusPipeline.qualityPercentileKeepLazy(docs, frac)) ==
+        sorted(graft.pipeline.CorpusPipeline.qualityPercentileKeep(docs, frac)),
+        s"dropFrac=$frac")
+    }
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_quality_percentile(0.25)")) ==
+      sorted(graft.pipeline.CorpusPipeline.qualityPercentileKeep(docs, 0.25)))
   }
 
   test("corpus-pipeline TVFs == Column API; source cap keeps WindowGroupLimit through SQL") {
