@@ -1457,6 +1457,24 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_matrix_profile_stomp($T0, $T31, ${2 * DAY}, 4)")
       }),
+      "ts_sql_tvf_mp_discords" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_mp_discords($T0, $T31, ${2 * DAY}, 5, 3)")
+      }),
+      "ts_sql_tvf_mp_motifs" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_mp_motifs($T0, $T31, ${2 * DAY}, 5, 3)")
+      }),
+      "ts_sql_tvf_mp_join" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_mp_join('view_15', 'click_117', $T0, $T31, $DAY, 5)")
+      }),
       "ts_sql_tvf_dtw_banded" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1791,6 +1809,23 @@ object SparkEntry {
       "ts_matrix_profile_stomp" -> ((s, dir) =>
         graft.ts.MatrixProfile.profileStomp(monthSamples(s, dir),
           bucketMs = DAY, m = 4, fromMs = Some(T0), toMs = Some(T31))),
+      // the operability layer over the profile: per-series top-k
+      // discords (largest nn distance — the anomalies) and motif
+      // windows (smallest — the repeated shapes); rank windows compile
+      // to WindowGroupLimit so the full profile never leaves executors
+      "ts_mp_discords" -> ((s, dir) =>
+        graft.ts.MatrixProfile.discords(monthSamples(s, dir),
+          bucketMs = DAY, m = 7, k = 2, fromMs = Some(T0), toMs = Some(T31))),
+      "ts_mp_motifs" -> ((s, dir) =>
+        graft.ts.MatrixProfile.motifWindows(monthSamples(s, dir),
+          bucketMs = DAY, m = 7, k = 2, fromMs = Some(T0), toMs = Some(T31))),
+      // AB-join profile: where does click_3's daily shape occur in
+      // view_3 — the cross-series variant (no exclusion zone; the
+      // trivial-match hazard is a self-join artifact)
+      "ts_mp_join" -> ((s, dir) =>
+        graft.ts.MatrixProfile.joinProfile(monthSamples(s, dir),
+          bucketMs = DAY, m = 7, a = "click_7", b = "view_34",
+          fromMs = Some(T0), toMs = Some(T31))),
       // rolling-origin forecast backtest: fit holt on the first 21
       // days, score 6 daily forecasts against the held-out actuals —
       // the evaluation primitive that makes the forecast surface
@@ -2883,6 +2918,15 @@ object SparkEntry {
         bucketMs = DAY, m = 7, fromMs = Some(T0), toMs = Some(T31)),
       "ts_matrix_profile_stomp" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = DAY, m = 4, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_mp_discords" -> graft.ts.MatrixProfile.extremaSql(
+        bucketMs = DAY, m = 7, k = 2, discord = true,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_mp_motifs" -> graft.ts.MatrixProfile.extremaSql(
+        bucketMs = DAY, m = 7, k = 2, discord = false,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_mp_join" -> graft.ts.MatrixProfile.joinProfileSql(
+        bucketMs = DAY, m = 7, a = "click_7", b = "view_34",
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_forecast_backtest" -> graft.ts.Backtest.holtBacktestSql(
         sf = 0.5, tf = 0.2, splitMs = T0 + 21 * DAY, horizon = 6,
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
@@ -2976,6 +3020,15 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_matrix_profile_stomp" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = 2 * DAY, m = 4, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_mp_discords" -> graft.ts.MatrixProfile.extremaSql(
+        bucketMs = 2 * DAY, m = 5, k = 3, discord = true,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_mp_motifs" -> graft.ts.MatrixProfile.extremaSql(
+        bucketMs = 2 * DAY, m = 5, k = 3, discord = false,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_mp_join" -> graft.ts.MatrixProfile.joinProfileSql(
+        bucketMs = DAY, m = 5, a = "view_15", b = "click_117",
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_matrix_profile" -> graft.ts.MatrixProfile.profileSql(
         bucketMs = 2 * DAY, m = 5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_backtest" -> graft.ts.Backtest.holtBacktestSql(

@@ -773,6 +773,48 @@ object GraftFunctions {
         Some(literalLong("ts_matrix_profile", args(0), "from")),
         Some(literalLong("ts_matrix_profile", args(1), "to"))))
     }),
+    // ts_mp_discords(from, to, bucket_ms, m, k) — per-series top-k
+    // largest-nn-distance windows (the anomalies)
+    (FunctionIdentifier("ts_mp_discords"), info("ts_mp_discords"),
+      { args: Seq[Expression] =>
+      nargs("ts_mp_discords", Seq(5), args)
+      val spark = activeSession("ts_mp_discords")
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.discords(
+        spark.table(SamplesView),
+        literalLong("ts_mp_discords", args(2), "bucket_ms"),
+        literalLong("ts_mp_discords", args(3), "m").toInt,
+        literalLong("ts_mp_discords", args(4), "k").toInt,
+        Some(literalLong("ts_mp_discords", args(0), "from")),
+        Some(literalLong("ts_mp_discords", args(1), "to"))))
+    }),
+    // ts_mp_motifs(from, to, bucket_ms, m, k) — the dual: smallest
+    // nn-distance windows (the repeated shapes)
+    (FunctionIdentifier("ts_mp_motifs"), info("ts_mp_motifs"),
+      { args: Seq[Expression] =>
+      nargs("ts_mp_motifs", Seq(5), args)
+      val spark = activeSession("ts_mp_motifs")
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.motifWindows(
+        spark.table(SamplesView),
+        literalLong("ts_mp_motifs", args(2), "bucket_ms"),
+        literalLong("ts_mp_motifs", args(3), "m").toInt,
+        literalLong("ts_mp_motifs", args(4), "k").toInt,
+        Some(literalLong("ts_mp_motifs", args(0), "from")),
+        Some(literalLong("ts_mp_motifs", args(1), "to"))))
+    }),
+    // ts_mp_join('a', 'b', from, to, bucket_ms, m) — AB-join profile
+    (FunctionIdentifier("ts_mp_join"), info("ts_mp_join"),
+      { args: Seq[Expression] =>
+      nargs("ts_mp_join", Seq(6), args)
+      val spark = activeSession("ts_mp_join")
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.joinProfile(
+        spark.table(SamplesView),
+        literalLong("ts_mp_join", args(4), "bucket_ms"),
+        literalLong("ts_mp_join", args(5), "m").toInt,
+        literalString("ts_mp_join", args(0), "series a"),
+        literalString("ts_mp_join", args(1), "series b"),
+        Some(literalLong("ts_mp_join", args(2), "from")),
+        Some(literalLong("ts_mp_join", args(3), "to"))))
+    }),
     // ts_matrix_profile_stomp(from, to, bucket_ms, m) — the STOMP
     // long-profile path (same distances, O(1) per cell, no pair join;
     // the route past the pairs path's maxWindows guard)

@@ -86,19 +86,36 @@ object MatrixProfile {
     require(m >= 2, s"matrix profile window m must be >= 2, got $m")
     require(maxWindows >= 1, s"maxWindows must be >= 1, got $maxWindows")
     val excl = (m + 1) / 2 // ceil(m/2)
-    // the window-count guard is a LAZY assert_true filter (passes emit
-    // null → row kept), not an eager agg: the TVF route splices this
-    // plan at analysis time, where a driver-side count() would be an
-    // action the splice must not take. Executed before the explode, so
-    // an over-long series fails loudly instead of materializing w² pairs.
-    val arrs = seriesArrays(samples, bucketMs, m, fromMs, toMs)
+    val subs = guardedWindows(samples, bucketMs, m, fromMs, toMs, maxWindows)
+    val a = subs.select(col("series"), col("idx").as("i"),
+      col("sub").as("sa"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = subs.select(col("series"), col("idx").as("j"),
+      col("sub").as("sb"), col("s1").as("s1b"), col("s2").as("s2b"))
+    a.join(b, Seq("series"))
+      .filter(abs(col("i") - col("j")) >= excl)
+      .select(col("series"), col("i").as("idx"), col("j"), pairDist(m).as("d"))
+      .groupBy(col("series"), col("idx"))
+      .agg(min(struct(col("d"), col("j"))).as("nn"))
+      .select(col("series"), col("idx"),
+        col("nn.j").as("nn_idx"), col("nn.d").as("mp_value"))
+  }
+
+  /** One row per (series, window index): the window slice + its
+    * sequential-fold moments, behind the LAZY window-count guard. The
+    * guard is an assert_true filter (passes emit null → row kept),
+    * not an eager agg: the TVF route splices these plans at analysis
+    * time, where a driver-side count() would be an action the splice
+    * must not take. Executed before the explode, so an over-long
+    * series fails loudly instead of materializing w² pairs. */
+  private def guardedWindows(
+      samples: DataFrame, bucketMs: Long, m: Int,
+      fromMs: Option[Long], toMs: Option[Long], maxWindows: Int): DataFrame =
+    seriesArrays(samples, bucketMs, m, fromMs, toMs)
       .filter(assert_true(size(col("vals")) - m + 1 <= maxWindows,
         concat(lit("matrix profile: series "), col("series"),
           lit(s" has "), (size(col("vals")) - m + 1).cast("string"),
           lit(s" windows > maxWindows=$maxWindows — the pairs path is " +
             "O(windows²); use profileStomp for long profiles"))).isNull)
-    // one row per (series, window index): the window slice + moments
-    val subs = arrs
       .select(col("series"),
         explode(sequence(lit(1), size(col("vals")) - m + 1)).as("idx"),
         col("vals"))
@@ -106,11 +123,11 @@ object MatrixProfile {
         slice(col("vals"), col("idx"), lit(m)).as("sub"))
       .withColumn("s1", fold(col("sub"))((acc, x) => acc + x))
       .withColumn("s2", fold(col("sub"))((acc, x) => acc + x * x))
-      .drop("vals")
-    val a = subs.select(col("series"), col("idx").as("i"),
-      col("sub").as("sa"), col("s1").as("s1a"), col("s2").as("s2a"))
-    val b = subs.select(col("series"), col("idx").as("j"),
-      col("sub").as("sb"), col("s1").as("s1b"), col("s2").as("s2b"))
+
+  /** The round-9 z-normalized distance of the joined window pair
+    * (columns sa/s1a/s2a vs sb/s1b/s2b) — the Pearson identity with
+    * the deterministic constant-window rules. */
+  private def pairDist(m: Int): Column = {
     val mD = lit(m.toDouble)
     val dot = aggregate(zip_with(col("sa"), col("sb"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
@@ -121,14 +138,7 @@ object MatrixProfile {
     val r = when(varA <= 0 && varB <= 0, lit(1.0))
       .when(varA <= 0 || varB <= 0, lit(0.0))
       .otherwise(least(lit(1.0), greatest(lit(-1.0), r0)))
-    val dist = round(sqrt(lit(2.0) * mD * (lit(1.0) - r)), 9)
-    a.join(b, Seq("series"))
-      .filter(abs(col("i") - col("j")) >= excl)
-      .select(col("series"), col("i").as("idx"), col("j"), dist.as("d"))
-      .groupBy(col("series"), col("idx"))
-      .agg(min(struct(col("d"), col("j"))).as("nn"))
-      .select(col("series"), col("idx"),
-        col("nn.j").as("nn_idx"), col("nn.d").as("mp_value"))
+    round(sqrt(lit(2.0) * mD * (lit(1.0) - r)), 9)
   }
 
   /** DuckDB twin — the same grid/windows/moments/argmin relationally
@@ -323,5 +333,141 @@ object MatrixProfile {
     }
     (0 until w).iterator.filter(bestJ(_) != Int.MaxValue)
       .map(k => (k + 1, bestJ(k), bestD(k)))
+  }
+
+  /**
+   * Top-k DISCORDS per series — the operability layer over [[profile]]
+   * (a user asks "what are my most anomalous windows", not "give me
+   * the whole profile"): the k windows with the LARGEST
+   * nearest-neighbor distance, ranked on the round-9 (−mp, idx) total
+   * order. Compiles to a rank window over the profile — per-series
+   * partial top-k before the shuffle (the [[TopK]] WindowGroupLimit
+   * discipline), so the full profile never leaves the executors.
+   */
+  def discords(
+      samples: DataFrame, bucketMs: Long, m: Int, k: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxWindows: Int = MaxPairWindows): DataFrame = {
+    require(k >= 1, s"discords needs k >= 1, got $k")
+    profile(samples, bucketMs, m, fromMs, toMs, maxWindows)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+          .orderBy(col("mp_value").desc, col("idx").asc)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Top-k MOTIF windows per series — the dual of [[discords]]: the k
+    * windows with the SMALLEST nearest-neighbor distance (repeated
+    * shapes), same rank-window shape. */
+  def motifWindows(
+      samples: DataFrame, bucketMs: Long, m: Int, k: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxWindows: Int = MaxPairWindows): DataFrame = {
+    require(k >= 1, s"motifWindows needs k >= 1, got $k")
+    profile(samples, bucketMs, m, fromMs, toMs, maxWindows)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+          .orderBy(col("mp_value").asc, col("idx").asc)))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Shared SQL twin for [[discords]] / [[motifWindows]]: the full
+    * [[profileSql]] derivation wrapped in the same rank window. */
+  def extremaSql(
+      bucketMs: Long, m: Int, k: Int, discord: Boolean,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val dir = if (discord) "DESC" else "ASC"
+    s"""SELECT * FROM (
+       |  SELECT series, idx, nn_idx, mp_value,
+       |    CAST(row_number() OVER (PARTITION BY series
+       |      ORDER BY mp_value $dir, idx ASC) AS INT) AS rnk
+       |  FROM (
+       |${profileSql(bucketMs, m, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |  )
+       |) WHERE rnk <= $k""".stripMargin
+  }
+
+  /**
+   * AB-JOIN profile (the cross-series variant from the same paper
+   * family — "Matrix Profile II"'s join formulation): for every
+   * length-m window of series `a`, the z-normalized distance to its
+   * nearest window of series `b` — "where does A's shape occur in B".
+   * No exclusion zone (the trivial-match hazard is a SELF-join
+   * artifact). Output `(idx, nn_idx, mp_value)`: A-window index,
+   * best B-window index, round-9 distance on the (d, j) total order.
+   *
+   * Plan shape: the same one raw→grid agg (both series' windows come
+   * out of one [[guardedWindows]] pass with the series filter pushed
+   * into the scan); the cross join is bounded at w_a × w_b by the
+   * same lazy maxWindows guard as [[profile]].
+   */
+  def joinProfile(
+      samples: DataFrame, bucketMs: Long, m: Int, a: String, b: String,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxWindows: Int = MaxPairWindows): DataFrame = {
+    require(a != b, s"joinProfile needs two distinct series, got '$a' twice" +
+      " — the self-join variant is profile()")
+    val subs = guardedWindows(
+      samples.filter(col("series").isin(a, b)), bucketMs, m,
+      fromMs, toMs, maxWindows)
+    val wa = subs.filter(col("series") === a).select(col("idx").as("i"),
+      col("sub").as("sa"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val wb = subs.filter(col("series") === b).select(col("idx").as("j"),
+      col("sub").as("sb"), col("s1").as("s1b"), col("s2").as("s2b"))
+    wa.crossJoin(wb)
+      .select(col("i").as("idx"), col("j"), pairDist(m).as("d"))
+      .groupBy(col("idx"))
+      .agg(min(struct(col("d"), col("j"))).as("nn"))
+      .select(col("idx"), col("nn.j").as("nn_idx"), col("nn.d").as("mp_value"))
+  }
+
+  /** DuckDB twin of [[joinProfile]] — the [[profileSql]] skeleton with
+    * the two-series slice and the A×B join instead of the self-join. */
+  def joinProfileSql(
+      bucketMs: Long, m: Int, a: String, b: String,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(m >= 2, s"matrix profile window m must be >= 2, got $m")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)", s"series IN ('$a', '$b')") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS v
+       |  FROM f GROUP BY series, $bkt
+       |), arrs AS (
+       |  SELECT series, list(v ORDER BY bucket) AS vals
+       |  FROM grid GROUP BY series HAVING count(*) >= $m
+       |), subs AS (
+       |  SELECT series, CAST(i AS INT) AS idx, vals[i : i + $m - 1] AS sub
+       |  FROM arrs, unnest(range(1, len(vals) - $m + 2)) AS t(i)
+       |), mom AS (
+       |  SELECT series, idx, sub,
+       |    list_aggregate(sub, 'sum') AS s1,
+       |    list_aggregate(list_transform(sub, x -> x * x), 'sum') AS s2
+       |  FROM subs
+       |), pairs AS (
+       |  SELECT a.idx, b.idx AS j,
+       |    round(sqrt(2.0 * $m * (1.0 - (
+       |      CASE
+       |        WHEN ($m * a.s2 - a.s1 * a.s1) <= 0 AND ($m * b.s2 - b.s1 * b.s1) <= 0 THEN 1.0
+       |        WHEN ($m * a.s2 - a.s1 * a.s1) <= 0 OR  ($m * b.s2 - b.s1 * b.s1) <= 0 THEN 0.0
+       |        ELSE least(1.0, greatest(-1.0,
+       |          ($m * list_aggregate(list_transform(range(1, $m + 1),
+       |             k -> a.sub[k] * b.sub[k]), 'sum') - a.s1 * b.s1)
+       |          / sqrt(($m * a.s2 - a.s1 * a.s1) * ($m * b.s2 - b.s1 * b.s1))))
+       |      END))), 9) AS d
+       |  FROM (SELECT * FROM mom WHERE series = '$a') a
+       |  CROSS JOIN (SELECT * FROM mom WHERE series = '$b') b
+       |)
+       |SELECT idx,
+       |  (min(struct_pack(d := d, j := j))).j AS nn_idx,
+       |  (min(struct_pack(d := d, j := j))).d AS mp_value
+       |FROM pairs GROUP BY idx""".stripMargin
   }
 }

@@ -324,6 +324,57 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
       canon(graft.ts.MatrixProfile.profile(samples, DAY, 7, Some(T0), Some(T31))))
   }
 
+  test("MP discords/motifs rank the planted spike and the periodic partners") {
+    // same construction as the planted-motif test: a period-4 pattern
+    // with ONE spike — discord k=1 must be a spike window; motif
+    // windows must all be exact-partner (mp = 0) windows
+    val pattern = Seq(1.0, 5.0, 2.0, 8.0)
+    val vals = (0 until 16).map(i => pattern(i % 4)).updated(6, 50.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i * DAY + 1L, v) }
+      .toDF("series", "ts", "value")
+    val disc = graft.ts.MatrixProfile.discords(df, DAY, m = 4, k = 1).collect()
+    assert(disc.length == 1 && (4 to 7).contains(disc.head.getInt(1)),
+      s"discord must contain the spike: ${disc.toSeq}")
+    val mot = graft.ts.MatrixProfile.motifWindows(df, DAY, m = 4, k = 3).collect()
+    assert(mot.length == 3 && mot.forall(_.getDouble(3) == 0.0),
+      s"motif windows must be exact partners: ${mot.toSeq}")
+    // rank is dense 1..k on the round-9 (mp, idx) total order
+    assert(mot.map(_.getInt(4)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("AB-join profile finds A's shape in B, no exclusion zone, a==b rejected") {
+    // B carries A's pattern shifted by one period: every A window has
+    // an exact z-normalized match in B (mp = 0); C is flat noise far
+    // from A's shape
+    val pat = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 7.0, 4.0, 6.0)
+    val a = pat.zipWithIndex.map { case (v, i) => ("a", i * DAY + 1L, v) }
+    val b = (pat.drop(2) ++ pat.take(2)).zipWithIndex
+      .map { case (v, i) => ("b", i * DAY + 1L, 10.0 + 2.0 * v) } // affine copy
+    val df = (a ++ b).toDF("series", "ts", "value")
+    val jp = graft.ts.MatrixProfile.joinProfile(df, DAY, m = 4, a = "a", b = "b")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(jp.size == 5, jp.toString) // 8 buckets, m=4 -> 5 windows
+    // z-normalization kills the affine transform: the shifted window
+    // aligns exactly (A window i matches B window i-2 mod, where in
+    // range) — at least the in-range shifts must be exact hits
+    (3 to 5).foreach { i =>
+      val (j, d) = jp(i)
+      assert(d == 0.0 && j == i - 2, s"window $i: ($j, $d)")
+    }
+    // identical-index pairing is allowed (no exclusion zone): join of
+    // a series with an exact copy is all-zeros at the SAME index
+    val df2 = (a ++ a.map { case (_, t, v) => ("c", t, v) })
+      .toDF("series", "ts", "value")
+    val self = graft.ts.MatrixProfile.joinProfile(df2, DAY, m = 4, a = "a", b = "c")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(self.values.forall(_._2 == 0.0))
+    assert(self.forall { case (i, (j, _)) => j == i },
+      s"ties break to the lowest j — the identical index: $self")
+    intercept[IllegalArgumentException] {
+      graft.ts.MatrixProfile.joinProfile(df, DAY, 4, a = "a", b = "a")
+    }
+  }
+
   test("pairs path loud-rejects window counts over maxWindows; STOMP carries them") {
     val long = (0 until 40).map(i => ("L", i * DAY + 1L, (i % 7).toDouble))
       .toDF("series", "ts", "value")
