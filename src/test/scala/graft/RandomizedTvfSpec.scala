@@ -251,4 +251,93 @@ class RandomizedTvfSpec extends AnyFunSuite {
         s"combo $i: $sqlText")
     }
   }
+
+  test("round-13 TVFs (MP family / rolling backtest / corpus pipeline) == Column API across 36 random combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val docs = graft.pipeline.Text.loadDocuments(spark, sf)
+    docs.createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+    val embs = graft.pipeline.Similarity.loadEmbeddings(spark, sf)
+    embs.createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
+    val keys = samples.select(col("series")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rnd = new scala.util.Random(2026)
+    val buckets = Seq(6 * HOUR, DAY, 2 * DAY)
+    for (i <- 1 to 36) {
+      val from = T0 + rnd.nextInt(18) * DAY
+      val to = from + (3 + rnd.nextInt(10)) * DAY
+      val bucket = buckets(rnd.nextInt(buckets.size))
+      val (sqlText, api) = rnd.nextInt(12) match {
+        case 0 =>
+          val m = 2 + rnd.nextInt(4)
+          (s"SELECT * FROM ts_matrix_profile_stomp($from, $to, $bucket, $m)",
+            graft.ts.MatrixProfile.profileStomp(samples, bucket, m,
+              Some(from), Some(to)))
+        case 1 =>
+          val (m, k) = (2 + rnd.nextInt(3), 1 + rnd.nextInt(4))
+          (s"SELECT * FROM ts_mp_discords($from, $to, $bucket, $m, $k)",
+            graft.ts.MatrixProfile.discords(samples, bucket, m, k,
+              Some(from), Some(to)))
+        case 2 =>
+          val (m, k) = (2 + rnd.nextInt(3), 1 + rnd.nextInt(4))
+          (s"SELECT * FROM ts_mp_motifs($from, $to, $bucket, $m, $k)",
+            graft.ts.MatrixProfile.motifWindows(samples, bucket, m, k,
+              Some(from), Some(to)))
+        case 3 =>
+          val a = keys(rnd.nextInt(keys.size))
+          val b = keys.filterNot(_ == a)(rnd.nextInt(keys.size - 1))
+          val m = 2 + rnd.nextInt(3)
+          (s"SELECT * FROM ts_mp_join('$a', '$b', $from, $to, $bucket, $m)",
+            graft.ts.MatrixProfile.joinProfile(samples, bucket, m, a, b,
+              Some(from), Some(to)))
+        case 4 =>
+          val o1 = from + (to - from) / 3
+          val o2 = from + 2 * (to - from) / 3
+          val (sf2, tf) = (Seq(0.3, 0.5)(rnd.nextInt(2)), Seq(0.2, 0.6)(rnd.nextInt(2)))
+          val h = 1 + rnd.nextInt(4)
+          (s"SELECT * FROM ts_backtest_rolling($from, $to, '$o1,$o2', $sf2, $tf, $h, $bucket)",
+            graft.ts.Backtest.holtBacktestRolling(samples, sf2, tf, Seq(o1, o2),
+              h, bucket, Some(from), Some(to)))
+        case 5 =>
+          val cap = 1 + rnd.nextInt(20)
+          (s"SELECT * FROM corpus_source_cap($cap)",
+            graft.pipeline.CorpusPipeline.sourceCap(docs, cap))
+        case 6 =>
+          val (cut, shared) = (2 + rnd.nextInt(5), 2L + rnd.nextInt(6))
+          (s"SELECT * FROM corpus_contamination('doc_id < $cut', $shared)",
+            graft.pipeline.CorpusPipeline.contamination(docs,
+              docs.filter(col("doc_id") < cut), shared))
+        case 7 =>
+          val split = 20 + rnd.nextInt(80)
+          (s"SELECT * FROM corpus_contamination_fuzzy('doc_id < $split', 'doc_id >= $split')",
+            graft.pipeline.CorpusPipeline.contaminationFuzzy(
+              docs.filter(col("doc_id") >= split), docs.filter(col("doc_id") < split)))
+        case 8 =>
+          val (budget, shards) = (256L * (1 + rnd.nextInt(8)), 1 + rnd.nextInt(8))
+          (s"SELECT * FROM corpus_pack_sequences($budget, $shards)",
+            graft.pipeline.CorpusPipeline.packSequences(docs, budget, shards))
+        case 9 =>
+          val (ct, ov) = (8 + rnd.nextInt(24), rnd.nextInt(6))
+          (s"SELECT * FROM corpus_chunk($ct, $ov)",
+            graft.pipeline.Chunking.chunk(docs, ct, ov))
+        case 10 =>
+          val frac = Seq(0.1, 0.3, 0.5, 0.7)(rnd.nextInt(4))
+          (s"SELECT * FROM corpus_quality_percentile($frac)",
+            graft.pipeline.CorpusPipeline.qualityPercentileKeep(docs, frac))
+        case _ =>
+          val qids = rnd.shuffle(Seq(0L, 97L, 194L, 291L, 388L, 485L)).take(1 + rnd.nextInt(3))
+          val (k, np) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(6))
+          if (rnd.nextBoolean())
+            (s"SELECT * FROM ann_topk('${qids.mkString(" ")}', $k)",
+              graft.pipeline.Similarity.bruteForceTopK(embs, qids, k))
+          else
+            (s"SELECT * FROM ann_ivf_topk('${qids.mkString(" ")}', $k, 16, $np)",
+              graft.pipeline.Similarity.ivfTopKQuantized(embs, qids, k,
+                graft.pipeline.Similarity.syntheticCentroids(16, 64), np))
+      }
+      assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
+        s"combo $i: $sqlText")
+    }
+  }
 }
