@@ -325,6 +325,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "no global sort — the cap is per-source, bounded per partition")
   }
 
+  test("pipeline TVF splices are transparent to Catalyst: outer predicates push to parquet, columns prune, chunking stays shuffle-free") {
+    // the spliced plan is a first-class relation: an OUTER SQL filter
+    // over corpus_langid() must reach the documents parquet scan as a
+    // pushed filter, and the scan must read only the columns the
+    // operator projects (not the whole documents schema)
+    val df = SparkEntry.queries("pipeline_sql_tvf_langid")(spark, dir)
+    val scans = physical(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(doc_id,450)"),
+      s"outer predicate must push through the TVF splice: $pushed")
+    val schema = scans.map(_.metadata("ReadSchema")).mkString
+    assert(schema.contains("doc_id") && schema.contains("text"), schema)
+    assert(!schema.contains("source"),
+      s"unused document columns must prune through the TVF splice: $schema")
+    // the chunker through SQL keeps its zero-shuffle scan→generate shape
+    val chunk = SparkEntry.queries("pipeline_sql_tvf_chunk")(spark, dir)
+    assert(shuffles(chunk).isEmpty, "TVF chunking must not shuffle")
+    // exact contamination through SQL keeps the broadcast bench side
+    val cont = SparkEntry.queries("pipeline_sql_tvf_contamination")(spark, dir)
+    assert(physical(cont).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, "bench side must stay a broadcast join through SQL:\n" +
+      physical(cont))
+  }
+
   test("dtw nearestPruned: prune-rate counts are opt-in — the default path pays no extra jobs") {
     import java.util.concurrent.atomic.AtomicInteger
     val T0 = 1704067200000L; val T31 = 1706745599999L; val DAY = 86400000L
