@@ -621,6 +621,14 @@ object SparkEntry {
       // + exact shuffle join on survivors — result identical to the
       // exact operator (no false negatives; join kills the fpp), so
       // it shares the oracle derivation
+      // the flag→DROP end product: the corpus with every flagged doc
+      // (and the benchmark items themselves) removed — what a training
+      // run actually consumes after the scan
+      "pipeline_decontaminate" -> ((s, dir) => {
+        val docs = Text.loadDocuments(s, dir)
+        CorpusPipeline.decontaminatedCorpus(
+          docs, docs.filter(col("doc_id") < 3), minShared = 5L)
+      }),
       "pipeline_contamination_bloom" -> ((s, dir) => {
         val docs = Text.loadDocuments(s, dir)
         CorpusPipeline.contaminationBloom(docs, docs.filter(col("doc_id") < 3),
@@ -1335,6 +1343,19 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
         s.sql("SELECT * FROM corpus_source_cap(7)")
       }),
+      "pipeline_sql_tvf_decontaminate" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_decontaminate('doc_id < 5', 3)")
+      }),
+      "ts_sql_tvf_corr_matrix" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_corr_matrix('click_12 view_142 click_17 click_90', " +
+          s"$T0, $T31, ${2 * DAY})")
+      }),
       "pipeline_sql_tvf_contamination" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         Text.loadDocuments(s, dir)
@@ -1562,6 +1583,13 @@ object SparkEntry {
       "ts_rolling_corr" -> ((s, dir) =>
         AsOf.rollingCorr(monthSamples(s, dir), "click_7", "error_17",
           bucketMs = DAY, span = 7, fromMs = Some(T0), toMs = Some(T31))),
+      // the fleet diagnostic: pairwise Pearson over a bounded series
+      // list — one grid agg + one self-join, pairs quadratic only in
+      // the QUERY's list (numkeys-guarded), overlap count per pair
+      "ts_corr_matrix" -> ((s, dir) =>
+        AsOf.pearsonMatrix(monthSamples(s, dir),
+          Seq("click_7", "view_34", "view_15", "click_117", "view_50", "view_12"),
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
 
       // per-series z-score outliers (beyond-reference): one unordered
       // analytic window by series, single pass
@@ -2822,6 +2850,13 @@ object SparkEntry {
         graft.pipeline.IncrementalAdmit.admitSql(split = 400L),
       "dedup_incremental_chain" ->
         graft.pipeline.IncrementalAdmit.admitSql(split = 300L),
+      "pipeline_decontaminate" ->
+        graft.pipeline.CorpusPipeline.decontaminatedCorpusSql("doc_id < 3", minShared = 5L),
+      "pipeline_sql_tvf_decontaminate" ->
+        graft.pipeline.CorpusPipeline.decontaminatedCorpusSql("doc_id < 5", minShared = 3L),
+      "ts_sql_tvf_corr_matrix" -> AsOf.pearsonMatrixSql(
+        Seq("click_12", "view_142", "click_17", "click_90"),
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "pipeline_sql_tvf_source_cap" ->
         graft.pipeline.CorpusPipeline.sourceCapSql(cap = 7),
       "pipeline_sql_tvf_contamination" ->
@@ -2901,6 +2936,9 @@ object SparkEntry {
         bucketMs = DAY, maxLag = 7, fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_corr" -> AsOf.rollingCorrSql("click_7", "error_17",
         bucketMs = DAY, span = 7, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_corr_matrix" -> AsOf.pearsonMatrixSql(
+        Seq("click_7", "view_34", "view_15", "click_117", "view_50", "view_12"),
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "text_zipf_fit" -> Text.zipfFitSql(topN = 100),

@@ -773,6 +773,21 @@ object GraftFunctions {
         Some(literalLong("ts_matrix_profile", args(0), "from")),
         Some(literalLong("ts_matrix_profile", args(1), "to"))))
     }),
+    // ts_corr_matrix('k1 k2 ...', from, to, bucket_ms[, align_ms]) —
+    // pairwise Pearson over the bounded series list (numkeys-guarded)
+    (FunctionIdentifier("ts_corr_matrix"), info("ts_corr_matrix"),
+      { args: Seq[Expression] =>
+      nargs("ts_corr_matrix", Seq(4, 5), args)
+      val keys = literalString("ts_corr_matrix", args(0), "series list")
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val spark = activeSession("ts_corr_matrix")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.pearsonMatrix(
+        spark.table(SamplesView), keys,
+        literalLong("ts_corr_matrix", args(3), "bucket_ms"),
+        if (args.length > 4) literalLong("ts_corr_matrix", args(4), "align_ms") else 0L,
+        Some(literalLong("ts_corr_matrix", args(1), "from")),
+        Some(literalLong("ts_corr_matrix", args(2), "to"))))
+    }),
     // ts_mp_discords(from, to, bucket_ms, m, k) — per-series top-k
     // largest-nn-distance windows (the anomalies)
     (FunctionIdentifier("ts_mp_discords"), info("ts_mp_discords"),
@@ -905,6 +920,18 @@ object GraftFunctions {
         graft.pipeline.Similarity.ivfTopKQuantizedLazy(embs, qids, k,
           graft.pipeline.Similarity.syntheticCentroids(nc, dim), np),
         graft.pipeline.Similarity.bruteForceTopK(embs, qids, k)))
+    }),
+    // corpus_decontaminate('bench_pred'[, min_shared]) — the
+    // flag→DROP end product: the corpus minus flagged docs
+    (FunctionIdentifier("corpus_decontaminate"), info("corpus_decontaminate"),
+      { args: Seq[Expression] =>
+      nargs("corpus_decontaminate", Seq(1, 2), args)
+      val spark = activeSession("corpus_decontaminate")
+      val docs = spark.table(DocumentsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.decontaminatedCorpus(
+        docs,
+        docs.filter(expr(literalString("corpus_decontaminate", args(0), "bench predicate"))),
+        if (args.length > 1) literalLong("corpus_decontaminate", args(1), "min_shared") else 5L))
     }),
     // corpus_langid() / corpus_text_quality() / corpus_tokens() — the
     // per-row text gates as TVFs (pure projections over the view)

@@ -311,6 +311,31 @@ object CorpusPipeline {
        |FROM sh s LEFT JOIN bench b USING (shingle)
        |GROUP BY s.doc_id""".stripMargin
 
+  /**
+   * The flag→DROP end product of [[contamination]]: the corpus with
+   * every flagged document REMOVED — what a training run actually
+   * consumes after the decontamination scan. One left_anti join
+   * against the flagged id set, which is bounded by matches (tiny for
+   * any sane benchmark) so AQE broadcasts it; the corpus side stays a
+   * single shuffle-free pass. Benchmark documents themselves are also
+   * dropped (they flag themselves at any `minShared` their own length
+   * reaches — and eval items must never be trained on regardless).
+   */
+  def decontaminatedCorpus(
+      docs: DataFrame, bench: DataFrame, minShared: Long = 5L): DataFrame =
+    docs.join(
+        contamination(docs, bench, minShared).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** DuckDB twin of [[decontaminatedCorpus]]. */
+  def decontaminatedCorpusSql(benchPred: String, minShared: Long = 5L): String =
+    s"""WITH flagged AS (
+       |${contaminationSql(benchPred, minShared).replace("\n", "\n  ")}
+       |)
+       |SELECT doc_id, source, lang FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)""".stripMargin
+
   /** DuckDB twin: same shingle sets, relational join (`benchPred`
     * selects the benchmark rows out of `documents`). */
   def contaminationSql(benchPred: String, minShared: Long = 5L): String =

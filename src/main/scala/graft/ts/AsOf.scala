@@ -162,6 +162,90 @@ object AsOf {
       .agg(count(lit(1)).as("n_pairs"), c.as("ccf_value"))
   }
 
+  /** NRANGE-style guard on the pair sweep: (n choose 2) pairs × the
+    * bucket grid is a QUERY cost the caller sets — loud-reject sets
+    * big enough that they stop being "a dashboard's series list"
+    * (the reference's numkeys discipline, module.c:744-752). */
+  val MaxMatrixSeries = 64
+
+  /**
+   * Pairwise correlation MATRIX over a bounded series set — the fleet
+   * diagnostic ("which of these services move together") generalizing
+   * [[pearson]] from one pair to all n·(n−1)/2: one row per unordered
+   * pair (series_a < series_b) with the Pearson r of their ALIGNED
+   * bucket grids and the overlap count (a spuriously-high r over a
+   * thin overlap is visible, the [[ccf]] n_pairs discipline).
+   *
+   * Plan shape: ONE `series IN`-pushed scan → ONE grid agg; the pair
+   * sweep is a grid SELF-JOIN on bucket (series_a < series_b) + one
+   * moments agg per pair — no per-pair rescans, nothing quadratic in
+   * raw samples. Pairs are quadratic only in the QUERY's series list,
+   * guarded at [[MaxMatrixSeries]]. Degenerate pairs (overlap < 2 or
+   * a constant side) emit NULL via try_divide — DuckDB corr's verdict.
+   */
+  def pearsonMatrix(
+      samples: DataFrame, seriesSet: Seq[String],
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(seriesSet.size >= 2,
+      s"pearsonMatrix needs >= 2 series, got ${seriesSet.size}")
+    require(seriesSet.distinct.size == seriesSet.size,
+      s"duplicate series in ${seriesSet.mkString(",")}")
+    require(seriesSet.size <= MaxMatrixSeries,
+      s"pearsonMatrix over ${seriesSet.size} series is " +
+        s"${seriesSet.size.toLong * (seriesSet.size - 1) / 2} pairs — " +
+        s"cap is $MaxMatrixSeries (the NRANGE numkeys discipline); " +
+        "narrow the set or sweep label groups")
+    var s = samples.filter(!isnan(col("value")))
+      .filter(col("series").isInCollection(seriesSet))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    val a = grid.select(col("series").as("series_a"),
+      col("bucket"), col("v").as("va"))
+    val b = grid.select(col("series").as("series_b"),
+      col("bucket"), col("v").as("vb"))
+    // the ccf moments convention: try_divide (NULL on degenerate, the
+    // DuckDB corr verdict under ANSI) + round-9 (stacked reductions)
+    val c = round(try_divide(covar_pop(col("va"), col("vb")),
+      stddev_pop(col("va")) * stddev_pop(col("vb"))), 9)
+    a.join(b, Seq("bucket"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n_buckets"), c.as("corr_value"))
+  }
+
+  /** Oracle twin of [[pearsonMatrix]] — same grid, same self-join,
+    * same moments. */
+  def pearsonMatrixSql(
+      seriesSet: Seq[String], bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val inList = seriesSet.map(k => s"'${q(k)}'").mkString(", ")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)", s"series IN ($inList)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS v
+       |  FROM f GROUP BY series, $bkt
+       |)
+       |SELECT a.series AS series_a, b.series AS series_b,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  round(CASE WHEN stddev_pop(a.v) * stddev_pop(b.v) > 0
+       |    THEN covar_pop(a.v, b.v) / (stddev_pop(a.v) * stddev_pop(b.v))
+       |  END, 9) AS corr_value
+       |FROM grid a JOIN grid b
+       |  ON a.bucket = b.bucket AND a.series < b.series
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Oracle twin of [[ccf]] — the same grid/lag-shift/corr pipeline. */
   def ccfSql(
       keyA: String, keyB: String, bucketMs: Long, maxLag: Int,

@@ -163,6 +163,43 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("correlation matrix: signs on planted lines, NULL degenerates, pair parity with pearson, guards") {
+    import org.apache.spark.sql.functions.{col => c}
+    // up: 1..10; down: 20-(1..10) -> r(up,down) = -1, r(up,up2) = +1
+    // (affine); flat: constant -> NULL against everything
+    val rows = (0 until 10).flatMap { i =>
+      Seq(("up", i * DAY + 1L, 1.0 + i), ("up2", i * DAY + 1L, 5.0 + 2 * i),
+        ("down", i * DAY + 1L, 20.0 - i), ("flat", i * DAY + 1L, 3.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    val got = graft.ts.AsOf.pearsonMatrix(df, Seq("up", "up2", "down", "flat"), DAY)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.size == 6) // 4 choose 2
+    assert(got(("up", "up2"))._2.contains(1.0))
+    assert(got(("down", "up"))._2.contains(-1.0))
+    assert(got(("down", "up2"))._2.contains(-1.0))
+    Seq(("down", "flat"), ("flat", "up"), ("flat", "up2")).foreach { p =>
+      assert(got(p)._2.isEmpty, s"constant side must be NULL: $p -> ${got(p)}")
+    }
+    assert(got.values.forall(_._1 == 10L))
+    // each matrix cell equals the single-pair pearson operator's value
+    val single = graft.ts.AsOf.pearson(df, "up", "down", DAY)
+      .collect().head.getDouble(0)
+    assert(got(("down", "up"))._2.contains(single))
+    // guards: < 2 series, duplicates, over the numkeys cap
+    intercept[IllegalArgumentException] {
+      graft.ts.AsOf.pearsonMatrix(df, Seq("up"), DAY)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ts.AsOf.pearsonMatrix(df, Seq("up", "up"), DAY)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ts.AsOf.pearsonMatrix(df,
+        (1 to graft.ts.AsOf.MaxMatrixSeries + 1).map("s" + _), DAY)
+    }
+  }
+
   test("multi-origin backtest: per-origin rows == single-origin backtests, pooled row pools") {
     val rnd = new scala.util.Random(1234L)
     val rows = Seq("a", "b").flatMap { s =>

@@ -402,7 +402,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_langid", "corpus_text_quality", "corpus_tokens",
         "corpus_stratified_sample", "corpus_pack_sequences", "corpus_chunk",
         "corpus_dedup_pairs", "corpus_dsir", "corpus_quality_percentile",
-        "ann_topk", "ann_ivf_topk"))
+        "ann_topk", "ann_ivf_topk", "corpus_decontaminate", "ts_corr_matrix",
+        "ts_mp_discords", "ts_mp_motifs", "ts_mp_join"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
@@ -449,6 +450,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql("SELECT * FROM corpus_quality_percentile(0.25)")) ==
       sorted(graft.pipeline.CorpusPipeline.qualityPercentileKeep(docs, 0.25)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_decontaminate('doc_id < 2', 4)")) ==
+      sorted(graft.pipeline.CorpusPipeline.decontaminatedCorpus(
+        docs, docs.filter(expr("doc_id < 2")), minShared = 4L)))
+    // correlation matrix through SQL == the Column API
+    val samples2 = graft.ts.TSModel.samples(spark, sf)
+    samples2.createOrReplaceTempView(GraftFunctions.SamplesView)
+    val T0 = 1704067200000L; val T31 = 1706745599999L; val DAY = 86400000L
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_corr_matrix('click_7 view_34 view_15', $T0, $T31, $DAY)")) ==
+      sorted(graft.ts.AsOf.pearsonMatrix(samples2,
+        Seq("click_7", "view_34", "view_15"), DAY,
+        fromMs = Some(T0), toMs = Some(T31))))
   }
 
   test("corpus-pipeline TVFs == Column API; source cap keeps WindowGroupLimit through SQL") {

@@ -551,6 +551,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.contains(11L) && got.contains(11L))
   }
 
+  test("decontaminated corpus drops flagged docs AND the bench items, keeps clean docs") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, benchText, "en", "srcA"),                       // the bench item itself
+      (10L, benchText + " lambda mu", "en", "srcA"),       // heavy overlap: flagged
+      (11L, "nu xi omicron pi rho sigma tau upsilon phi chi", "en", "srcB"), // clean
+      (12L, "zz", "en", "srcB")                            // too short to shingle: clean
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = graft.pipeline.CorpusPipeline.decontaminatedCorpus(
+        docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L),
+        minShared = 5L)
+      .collect().map(_.getLong(0)).toSet
+    // 1 flags itself (eval items never train), 10 shares 8 shingles,
+    // 11/12 survive
+    assert(kept == Set(11L, 12L), kept.toString)
+  }
+
   test("sketch tolerance bounds hold, with margins diagnosable on a miss") {
     // the probabilistic verdicts live HERE, not in the hash-checked
     // oracles (ADVICE r11): a legitimate 4-sigma/confidence miss on a
