@@ -854,6 +854,23 @@ object SparkEntry {
             Similarity.syntheticCentroids(16, 64), nProbe = 4),
           Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
       }),
+      // the evaluator's any-index-family contract made concrete: the
+      // SAME recall join scoring the PQ-ADC and SQ8 compressed-domain
+      // rankings (what compression costs in recall, per query) —
+      // oracle = each family's own relational ranking twin wrapped in
+      // the shared recallSql hit join
+      "ann_recall_pq" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          PQ.adcTopK(embs, annQueryIds, k = 5, m = 4, ksub = 8, iters = 2),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
+      "ann_recall_sq8" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          graft.pipeline.SQ.adcTopK(embs, annQueryIds, k = 5),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
       // materialized IVF index (parquet partitionBy(cid)) probed with
       // nProbe == nCentroids: every inverted list read -> exactly brute
       // force, so the whole index round-trip hash-checks against the
@@ -2792,6 +2809,11 @@ object SparkEntry {
       "ann_recall_ivf" ->
         Similarity.ivfRecallSql(annQueryIds, 5,
           Similarity.syntheticCentroids(16, 64), nProbe = 4),
+      "ann_recall_pq" -> Similarity.recallSql(
+        PQ.adcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2),
+        annQueryIds, 5),
+      "ann_recall_sq8" -> Similarity.recallSql(
+        graft.pipeline.SQ.adcTopKSql(annQueryIds, 5), annQueryIds, 5),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
       "dedup_priority_keep" ->

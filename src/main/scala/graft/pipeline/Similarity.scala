@@ -158,6 +158,26 @@ object Similarity {
       .select(col("query_id"), col("k_eval"), col("n_hit"),
         (col("n_hit").cast("double") / col("k_eval")).as("recall"))
 
+  /** Recall@k oracle over ANY index family's relational ranking twin
+    * — the SQL-side mirror of [[recallAtK]]'s any-ranking contract:
+    * wrap the family's own approx-ranking SQL (PQ ADC, SQ8, IVF…) and
+    * the brute-force truth in the shared hit join. */
+  def recallSql(approxSql: String, queryIds: Seq[Long], k: Int): String =
+    s"""WITH approx AS (
+       |${approxSql.replace("\n", "\n  ")}
+       |), exact AS (
+       |${bruteForceTopKSql(queryIds, k).replace("\n", "\n  ")}
+       |), j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM exact e LEFT JOIN approx a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS k_eval,
+       |  CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
+
   /** DuckDB twin of [[recallAtK]] over the IVF approximate path vs the
     * brute-force ground truth — both rankings re-derived relationally
     * from their own oracle builders, then the same hit join. */
