@@ -1373,6 +1373,12 @@ object SparkEntry {
         s.sql(s"SELECT * FROM ts_corr_matrix('click_12 view_142 click_17 click_90', " +
           s"$T0, $T31, ${2 * DAY})")
       }),
+      "ts_sql_tvf_decompose_anomaly" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_decompose_anomaly($T0, $T31, $DAY, 5, 1.2)")
+      }),
       "pipeline_sql_tvf_contamination" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         Text.loadDocuments(s, dir)
@@ -1958,6 +1964,12 @@ object SparkEntry {
       "ts_range_decompose" -> ((s, dir) =>
         Seasonal.decompose(monthSamples(s, dir), bucketMs = DAY, period = 7,
           fromMs = Some(T0), toMs = Some(T31))),
+      // seasonal-ADJUSTED anomaly: z-score on the decomposition's
+      // remainder — trend absorbs drift, season absorbs periodic load,
+      // what's flagged is unexplained by the series' own structure
+      "ts_decompose_anomaly" -> ((s, dir) =>
+        Seasonal.remainderAnomaly(monthSamples(s, dir), bucketMs = DAY,
+          period = 7, threshold = 1.5, fromMs = Some(T0), toMs = Some(T31))),
       // gap report: inter-arrival gaps > 2d per series (presence
       // semantics — NaN samples still count as arrivals)
       "ts_range_gaps" -> ((s, dir) =>
@@ -2876,6 +2888,12 @@ object SparkEntry {
         graft.pipeline.CorpusPipeline.decontaminatedCorpusSql("doc_id < 3", minShared = 5L),
       "pipeline_sql_tvf_decontaminate" ->
         graft.pipeline.CorpusPipeline.decontaminatedCorpusSql("doc_id < 5", minShared = 3L),
+      "ts_decompose_anomaly" -> Seasonal.remainderAnomalySql(
+        bucketMs = DAY, period = 7, threshold = 1.5,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_decompose_anomaly" -> Seasonal.remainderAnomalySql(
+        bucketMs = DAY, period = 5, threshold = 1.2,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_corr_matrix" -> AsOf.pearsonMatrixSql(
         Seq("click_12", "view_142", "click_17", "click_90"),
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),

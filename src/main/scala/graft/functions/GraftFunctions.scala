@@ -773,6 +773,20 @@ object GraftFunctions {
         Some(literalLong("ts_matrix_profile", args(0), "from")),
         Some(literalLong("ts_matrix_profile", args(1), "to"))))
     }),
+    // ts_decompose_anomaly(from, to, bucket_ms, period, threshold) —
+    // seasonal-adjusted anomaly: z-score on the decomposition remainder
+    (FunctionIdentifier("ts_decompose_anomaly"), info("ts_decompose_anomaly"),
+      { args: Seq[Expression] =>
+      nargs("ts_decompose_anomaly", Seq(5), args)
+      val spark = activeSession("ts_decompose_anomaly")
+      GraftSessionBridge.logicalPlan(graft.ts.Seasonal.remainderAnomaly(
+        spark.table(SamplesView),
+        literalLong("ts_decompose_anomaly", args(2), "bucket_ms"),
+        literalLong("ts_decompose_anomaly", args(3), "period").toInt,
+        literalDouble("ts_decompose_anomaly", args(4), "threshold"),
+        Some(literalLong("ts_decompose_anomaly", args(0), "from")),
+        Some(literalLong("ts_decompose_anomaly", args(1), "to"))))
+    }),
     // ts_corr_matrix('k1 k2 ...', from, to, bucket_ms[, align_ms]) —
     // pairwise Pearson over the bounded series list (numkeys-guarded)
     (FunctionIdentifier("ts_corr_matrix"), info("ts_corr_matrix"),

@@ -208,6 +208,65 @@ object Seasonal {
        |FROM detr d JOIN idx2 i ON d.series = i.series AND d.phase = i.phase""".stripMargin
   }
 
+  /**
+   * Seasonal-ADJUSTED anomaly detection — [[decompose]] composed with
+   * a z-score on the REMAINDER: flag grid buckets whose remainder
+   * deviates more than `threshold` per-series remainder std-devs from
+   * that series' remainder mean. The trend leg absorbs level drift and
+   * the seasonal leg absorbs periodic load — the thing that makes a
+   * plain [[Anomaly.zscore]] page every rush hour — so what's flagged
+   * is genuinely unexplained by the series' own structure. The cohort
+   * variant ([[anomaly]]) asks "is this Monday odd vs other Mondays";
+   * this asks "is this bucket odd after removing trend AND season" —
+   * tighter on short ranges where cohorts are thin.
+   *
+   * NULL-remainder rows (the centered MA's edge buckets) drop before
+   * the stats on both engines; rem_z is round-9 (stats over the
+   * already-round-9 remainders, one division on top — the family's
+   * stacked-reduction convention) and the threshold compares the
+   * ROUNDED score, so the flag set is bit-deterministic cross-engine.
+   *
+   * Plan shape: [[decompose]]'s one grid agg + bounded joins, then two
+   * unordered per-series analytic windows and a projection filter —
+   * nothing new touches raw samples.
+   */
+  def remainderAnomaly(
+      samples: DataFrame, bucketMs: Long, period: Int, threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(threshold > 0, s"threshold $threshold must be > 0")
+    val dec = decompose(samples, bucketMs, period, fromMs, toMs)
+      .filter(col("remainder").isNotNull)
+    val w = Window.partitionBy(col("series"))
+    dec.withColumn("mu", avg(col("remainder")).over(w))
+      .withColumn("sigma", stddev_pop(col("remainder")).over(w))
+      .filter(col("sigma") > 0)
+      .withColumn("rem_z",
+        round((col("remainder") - col("mu")) / col("sigma"), 9))
+      .filter(abs(col("rem_z")) >= threshold)
+      .select(col("series"), col("bucket"), col("value"),
+        col("remainder"), col("rem_z"))
+  }
+
+  /** DuckDB twin of [[remainderAnomaly]]: [[decomposeSql]] wrapped in
+    * the same remainder-stats windows and rounded-score filter. */
+  def remainderAnomalySql(
+      bucketMs: Long, period: Int, threshold: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String =
+    s"""WITH dec AS (
+       |${decomposeSql(bucketMs, period, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |), scored AS (
+       |  SELECT series, bucket, value, remainder,
+       |    avg(remainder) OVER (PARTITION BY series) AS mu,
+       |    stddev_pop(remainder) OVER (PARTITION BY series) AS sigma
+       |  FROM dec WHERE remainder IS NOT NULL
+       |)
+       |SELECT series, bucket, value, remainder,
+       |  round((remainder - mu) / sigma, 9) AS rem_z
+       |FROM scored
+       |WHERE sigma > 0
+       |  AND abs(round((remainder - mu) / sigma, 9)) >= $threshold""".stripMargin
+
   def anomalySql(
       threshold: Double, mode: String = "hod", minN: Long = 5L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

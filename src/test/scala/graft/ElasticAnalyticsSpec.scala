@@ -163,6 +163,37 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal-adjusted anomaly flags the planted shock, not the rush hour or the drift") {
+    // strong period-5 pattern + linear drift: a plain z-score flags
+    // the pattern peaks; the remainder path must flag ONLY the shock
+    val pattern = Seq(0.0, 10.0, 2.0, 14.0, 4.0)
+    val n = 30
+    val base = (0 until n).map(i => pattern(i % 5) + 0.5 * i)
+    val shocked = base.updated(17, base(17) + 40.0)
+    val df = shocked.zipWithIndex
+      .map { case (v, i) => ("s", i * DAY + 1L, v) }
+      .toDF("series", "ts", "value")
+    val flagged = graft.ts.Seasonal.remainderAnomaly(df, DAY, period = 5,
+        threshold = 3.0)
+      .collect().map(r => (r.getLong(1) / DAY).toInt).toSet
+    assert(flagged.contains(17), s"the shock bucket must be flagged: $flagged")
+    // the shock leaks into its phase's seasonal index and the MA
+    // around it, so a neighbour can score moderately — but the
+    // pattern's own peaks (phase 3: buckets 3, 8, 13, 23, 28) must
+    // never page at this threshold
+    assert(flagged.intersect(Set(3, 8, 13, 23, 28)).isEmpty,
+      s"periodic peaks must not be flagged: $flagged")
+    // the clean series flags nothing at the same threshold
+    val clean = base.zipWithIndex.map { case (v, i) => ("s", i * DAY + 1L, v) }
+      .toDF("series", "ts", "value")
+    assert(graft.ts.Seasonal.remainderAnomaly(clean, DAY, 5, 3.0).count() == 0)
+    // MA edge buckets have NULL remainder and can never be flagged
+    assert(!flagged.exists(b => b < 2 || b > n - 3), flagged.toString)
+    intercept[IllegalArgumentException] {
+      graft.ts.Seasonal.remainderAnomaly(df, DAY, 5, threshold = 0.0)
+    }
+  }
+
   test("correlation matrix: signs on planted lines, NULL degenerates, pair parity with pearson, guards") {
     import org.apache.spark.sql.functions.{col => c}
     // up: 1..10; down: 20-(1..10) -> r(up,down) = -1, r(up,up2) = +1
