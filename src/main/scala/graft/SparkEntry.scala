@@ -871,6 +871,30 @@ object SparkEntry {
           graft.pipeline.SQ.adcTopK(embs, annQueryIds, k = 5),
           Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
       }),
+      // ... and the three IVF+compression hybrids: probe pruning AND
+      // quantization stacked — the full production trade measured
+      "ann_recall_ivfpq" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          PQ.ivfAdcTopK(embs, annQueryIds, k = 5, m = 4, ksub = 8, iters = 2,
+            coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
+      "ann_recall_ivfpq_residual" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          PQ.ivfAdcResidualTopK(embs, annQueryIds, k = 5,
+            m = 4, ksub = 8, iters = 2,
+            coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
+      "ann_recall_ivfsq8" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          graft.pipeline.SQ.ivfSq8TopK(embs, annQueryIds, k = 5,
+            coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
       // materialized IVF index (parquet partitionBy(cid)) probed with
       // nProbe == nCentroids: every inverted list read -> exactly brute
       // force, so the whole index round-trip hash-checks against the
@@ -2826,6 +2850,18 @@ object SparkEntry {
         annQueryIds, 5),
       "ann_recall_sq8" -> Similarity.recallSql(
         graft.pipeline.SQ.adcTopKSql(annQueryIds, 5), annQueryIds, 5),
+      "ann_recall_ivfpq" -> Similarity.recallSql(
+        PQ.ivfAdcTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8, iters = 2,
+          coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+        annQueryIds, 5),
+      "ann_recall_ivfpq_residual" -> Similarity.recallSql(
+        PQ.ivfAdcResidualTopKSql(annQueryIds, 5, m = 4, d = 16, ksub = 8,
+          iters = 2, coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+        annQueryIds, 5),
+      "ann_recall_ivfsq8" -> Similarity.recallSql(
+        graft.pipeline.SQ.ivfSq8TopKSql(annQueryIds, 5,
+          coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+        annQueryIds, 5),
       "dedup_cc_canonical" ->
         Dedup.ccCanonicalMappingSql(Dedup.ngramJaccardPairsSql(0.5, 300), 300),
       "dedup_priority_keep" ->

@@ -403,7 +403,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_stratified_sample", "corpus_pack_sequences", "corpus_chunk",
         "corpus_dedup_pairs", "corpus_dsir", "corpus_quality_percentile",
         "ann_topk", "ann_ivf_topk", "corpus_decontaminate", "ts_corr_matrix",
-        "ts_mp_discords", "ts_mp_motifs", "ts_mp_join"))
+        "ts_mp_discords", "ts_mp_motifs", "ts_mp_join", "ts_decompose_anomaly",
+        "ts_backtest_rolling", "ts_matrix_profile_stomp"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
@@ -463,6 +464,11 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM ts_corr_matrix('click_7 view_34 view_15', $T0, $T31, $DAY)")) ==
       sorted(graft.ts.AsOf.pearsonMatrix(samples2,
         Seq("click_7", "view_34", "view_15"), DAY,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_decompose_anomaly($T0, $T31, $DAY, 7, 1.8)")) ==
+      sorted(graft.ts.Seasonal.remainderAnomaly(samples2, DAY, 7, 1.8,
         fromMs = Some(T0), toMs = Some(T31))))
   }
 
