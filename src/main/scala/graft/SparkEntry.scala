@@ -1403,6 +1403,14 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_decompose_anomaly($T0, $T31, $DAY, 5, 1.2)")
       }),
+      "ts_sql_tvf_corr_matrix_filter" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        TSModel.labels(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
+        s.sql(s"SELECT * FROM ts_corr_matrix_filter('user=(12,50,142)', $T0, $T31, ${2 * DAY})")
+      }),
       "pipeline_sql_tvf_contamination" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         Text.loadDocuments(s, dir)
@@ -1636,6 +1644,13 @@ object SparkEntry {
       "ts_corr_matrix" -> ((s, dir) =>
         AsOf.pearsonMatrix(monthSamples(s, dir),
           Seq("click_7", "view_34", "view_15", "click_117", "view_50", "view_12"),
+          bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // the MRANGE composition: the matrix set resolves through the
+      // label index ("all series of these users"); the numkeys guard
+      // moves into the plan (lazy assert on the matched count)
+      "ts_corr_matrix_filter" -> ((s, dir) =>
+        AsOf.pearsonMatrixByFilter(TSModel.samples(s, dir), TSModel.labels(s, dir),
+          Seq(Multi.parsePred("user=(7,15,34,117)")),
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31))),
 
       // per-series z-score outliers (beyond-reference): one unordered
@@ -3015,6 +3030,12 @@ object SparkEntry {
       "ts_corr_matrix" -> AsOf.pearsonMatrixSql(
         Seq("click_7", "view_34", "view_15", "click_117", "view_50", "view_12"),
         bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_corr_matrix_filter" -> AsOf.pearsonMatrixByFilterSql(
+        Seq(Multi.parsePred("user=(7,15,34,117)")),
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_corr_matrix_filter" -> AsOf.pearsonMatrixByFilterSql(
+        Seq(Multi.parsePred("user=(12,50,142)")),
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "text_zipf_fit" -> Text.zipfFitSql(topN = 100),

@@ -802,6 +802,24 @@ object GraftFunctions {
         Some(literalLong("ts_corr_matrix", args(1), "from")),
         Some(literalLong("ts_corr_matrix", args(2), "to"))))
     }),
+    // ts_corr_matrix_filter('<FILTER preds>', from, to, bucket_ms
+    //                       [, align_ms]) — the matrix over a
+    // label-resolved set; the numkeys guard is IN the plan (lazy
+    // assert on the matched count — no analysis-time driver action)
+    (FunctionIdentifier("ts_corr_matrix_filter"), info("ts_corr_matrix_filter"),
+      { args: Seq[Expression] =>
+      nargs("ts_corr_matrix_filter", Seq(4, 5), args)
+      val preds = parsePreds("ts_corr_matrix_filter", args.head)
+      require(preds.nonEmpty,
+        "ts_corr_matrix_filter: at least one label predicate is required")
+      val spark = activeSession("ts_corr_matrix_filter")
+      GraftSessionBridge.logicalPlan(graft.ts.AsOf.pearsonMatrixByFilter(
+        spark.table(SamplesView), spark.table(LabelsView), preds,
+        literalLong("ts_corr_matrix_filter", args(3), "bucket_ms"),
+        if (args.length > 4) literalLong("ts_corr_matrix_filter", args(4), "align_ms") else 0L,
+        Some(literalLong("ts_corr_matrix_filter", args(1), "from")),
+        Some(literalLong("ts_corr_matrix_filter", args(2), "to"))))
+    }),
     // ts_mp_discords(from, to, bucket_ms, m, k) — per-series top-k
     // largest-nn-distance windows (the anomalies)
     (FunctionIdentifier("ts_mp_discords"), info("ts_mp_discords"),

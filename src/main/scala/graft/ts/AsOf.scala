@@ -200,21 +200,91 @@ object AsOf {
       .filter(col("series").isInCollection(seriesSet))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val grid = s.groupBy(col("series"),
+    matrixOfGrid(s.groupBy(col("series"),
         TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
-      .agg(avg(col("value")).as("v"))
+      .agg(avg(col("value")).as("v")))
+  }
+
+  /** The shared pair sweep: grid self-join on bucket + one moments agg
+    * per unordered pair (the ccf try_divide/round-9 convention — NULL
+    * on degenerates, the DuckDB corr verdict under ANSI). */
+  private def matrixOfGrid(grid: DataFrame): DataFrame = {
     val a = grid.select(col("series").as("series_a"),
       col("bucket"), col("v").as("va"))
     val b = grid.select(col("series").as("series_b"),
       col("bucket"), col("v").as("vb"))
-    // the ccf moments convention: try_divide (NULL on degenerate, the
-    // DuckDB corr verdict under ANSI) + round-9 (stacked reductions)
     val c = round(try_divide(covar_pop(col("va"), col("vb")),
       stddev_pop(col("va")) * stddev_pop(col("vb"))), 9)
     a.join(b, Seq("bucket"))
       .filter(col("series_a") < col("series_b"))
       .groupBy(col("series_a"), col("series_b"))
       .agg(count(lit(1)).as("n_buckets"), c.as("corr_value"))
+  }
+
+  /**
+   * [[pearsonMatrix]] over a LABEL-FILTERED series set — the MRANGE
+   * composition: the set resolves through the label index
+   * ([[Multi.filterSeries]]'s broadcast semi-join, zero extra corpus
+   * passes) instead of an explicit list. Because the matched count is
+   * data-dependent, the numkeys guard moves INTO the plan: a lazy
+   * assert over the grid's distinct-series count (an agg on the
+   * bounded grid, crossJoined back broadcast) fails execution loudly
+   * when the filter matches more than `maxSeries` — the TVF-splice
+   * discipline, no driver count at analysis time.
+   */
+  def pearsonMatrixByFilter(
+      samples: DataFrame, labels: DataFrame, preds: Seq[Multi.LabelPred],
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxSeries: Int = MaxMatrixSeries): DataFrame = {
+    require(preds.nonEmpty, "pearsonMatrixByFilter needs >= 1 label predicate")
+    require(maxSeries >= 2 && maxSeries <= MaxMatrixSeries,
+      s"maxSeries $maxSeries outside [2, $MaxMatrixSeries]")
+    var s = Multi.filterSeries(samples, labels, preds)
+      .filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(avg(col("value")).as("v"))
+    val n = grid.agg(countDistinct(col("series")).as("__n"))
+    val guarded = grid.crossJoin(broadcast(n))
+      .filter(assert_true(col("__n") <= maxSeries,
+        concat(lit("ts_corr_matrix filter matched "), col("__n").cast("string"),
+          lit(s" series > maxSeries=$maxSeries — narrow the label filter " +
+            "or sweep label groups"))).isNull)
+      .select(col("series"), col("bucket"), col("v"))
+    matrixOfGrid(guarded)
+  }
+
+  /** Oracle twin of [[pearsonMatrixByFilter]]: the labels CTE resolves
+    * the predicate relationally, then the same grid/self-join/moments. */
+  def pearsonMatrixByFilterSql(
+      preds: Seq[Multi.LabelPred], bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val bkt = TSModel.bucketStartSql("ts", bucketMs, alignMs)
+    s"""$cte, ${Multi.labelsCte}, matched AS (
+       |  SELECT series FROM series_labels WHERE ${Multi.predsSql(preds)}
+       |), f AS (
+       |  SELECT s.* FROM samples s JOIN matched USING (series) $where
+       |), grid AS (
+       |  SELECT series, $bkt AS bucket, avg(value) AS v
+       |  FROM f GROUP BY series, $bkt
+       |)
+       |SELECT a.series AS series_a, b.series AS series_b,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  round(CASE WHEN stddev_pop(a.v) * stddev_pop(b.v) > 0
+       |    THEN covar_pop(a.v, b.v) / (stddev_pop(a.v) * stddev_pop(b.v))
+       |  END, 9) AS corr_value
+       |FROM grid a JOIN grid b
+       |  ON a.bucket = b.bucket AND a.series < b.series
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Oracle twin of [[pearsonMatrix]] — same grid, same self-join,

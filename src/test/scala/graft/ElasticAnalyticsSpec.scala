@@ -163,6 +163,35 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("label-filtered matrix == explicit-list matrix on the resolved set; in-plan guard fires") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L
+    val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)
+    val labels = graft.ts.TSModel.labels(spark, SparkTest.sf)
+    val preds = Seq(graft.ts.Multi.parsePred("user=(7,34)"))
+    // resolve the set the way the operator does, then run the
+    // explicit-list variant on it — the two routes must coincide
+    val resolved = graft.ts.Multi.queryIndex(labels, preds)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(resolved.size >= 2 && resolved.size <= 12, resolved.toString)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(
+      canon(graft.ts.AsOf.pearsonMatrixByFilter(samples, labels, preds,
+        86400000L, fromMs = Some(T0), toMs = Some(T31))) ==
+      canon(graft.ts.AsOf.pearsonMatrix(samples, resolved,
+        86400000L, fromMs = Some(T0), toMs = Some(T31))))
+    // a broad filter over the matched-count cap fails EXECUTION loudly
+    // (the guard lives in the plan, not in a driver pre-count)
+    val e = intercept[Throwable] {
+      graft.ts.AsOf.pearsonMatrixByFilter(samples, labels,
+        Seq(graft.ts.Multi.parsePred("type=view")), 86400000L,
+        fromMs = Some(T0), toMs = Some(T31), maxSeries = 5).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("maxSeries")), chain(e).toString)
+  }
+
   test("seasonal-adjusted anomaly flags the planted shock, not the rush hour or the drift") {
     // strong period-5 pattern + linear drift: a plain z-score flags
     // the pattern peaks; the remainder path must flag ONLY the shock
