@@ -252,10 +252,12 @@ class RandomizedTvfSpec extends AnyFunSuite {
     }
   }
 
-  test("round-13 TVFs (MP family / rolling backtest / corpus pipeline) == Column API across 36 random combos") {
+  test("round-13 TVFs (MP family / rolling backtest / corpus pipeline) == Column API across 45 random combos") {
     graft.functions.GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
     samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val labels = TSModel.labels(spark, sf)
+    labels.createOrReplaceTempView(graft.functions.GraftFunctions.LabelsView)
     val docs = graft.pipeline.Text.loadDocuments(spark, sf)
     docs.createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
     val embs = graft.pipeline.Similarity.loadEmbeddings(spark, sf)
@@ -264,11 +266,11 @@ class RandomizedTvfSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq
     val rnd = new scala.util.Random(2026)
     val buckets = Seq(6 * HOUR, DAY, 2 * DAY)
-    for (i <- 1 to 36) {
+    for (i <- 1 to 45) {
       val from = T0 + rnd.nextInt(18) * DAY
       val to = from + (3 + rnd.nextInt(10)) * DAY
       val bucket = buckets(rnd.nextInt(buckets.size))
-      val (sqlText, api) = rnd.nextInt(12) match {
+      val (sqlText, api) = rnd.nextInt(15) match {
         case 0 =>
           val m = 2 + rnd.nextInt(4)
           (s"SELECT * FROM ts_matrix_profile_stomp($from, $to, $bucket, $m)",
@@ -325,6 +327,24 @@ class RandomizedTvfSpec extends AnyFunSuite {
           val frac = Seq(0.1, 0.3, 0.5, 0.7)(rnd.nextInt(4))
           (s"SELECT * FROM corpus_quality_percentile($frac)",
             graft.pipeline.CorpusPipeline.qualityPercentileKeep(docs, frac))
+        case 11 =>
+          val set = rnd.shuffle(keys).take(3 + rnd.nextInt(4))
+          (s"SELECT * FROM ts_corr_matrix('${set.mkString(" ")}', $from, $to, $bucket)",
+            graft.ts.AsOf.pearsonMatrix(samples, set, bucket,
+              fromMs = Some(from), toMs = Some(to)))
+        case 12 =>
+          val users = rnd.shuffle(Seq(7, 15, 34, 50, 12, 117)).take(2)
+          val pred = s"user=(${users.mkString(",")})"
+          (s"SELECT * FROM ts_corr_matrix_filter('$pred', $from, $to, $bucket)",
+            graft.ts.AsOf.pearsonMatrixByFilter(samples, labels,
+              Seq(graft.ts.Multi.parsePred(pred)), bucket,
+              fromMs = Some(from), toMs = Some(to)))
+        case 13 =>
+          val period = Seq(3, 5, 7)(rnd.nextInt(3))
+          val thr = Seq(1.0, 1.5, 2.0)(rnd.nextInt(3))
+          (s"SELECT * FROM ts_decompose_anomaly($from, $to, $bucket, $period, $thr)",
+            graft.ts.Seasonal.remainderAnomaly(samples, bucket, period, thr,
+              fromMs = Some(from), toMs = Some(to)))
         case _ =>
           val qids = rnd.shuffle(Seq(0L, 97L, 194L, 291L, 388L, 485L)).take(1 + rnd.nextInt(3))
           val (k, np) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(6))
