@@ -173,6 +173,34 @@ class IncrementalAdmitSpec extends AnyFunSuite {
       "post-flip admit must see the new witnesses")
   }
 
+  test("randomized versioned chains: any batching == one-shot replay; manifest tracks the folds") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      // 2-4 random cut points in (50, 450): batch boundaries the
+      // verdicts must be INDEPENDENT of (the gate's whole contract)
+      val cuts = (Seq.fill(1 + rnd.nextInt(3))(50L + rnd.nextInt(400))
+        :+ (50L + rnd.nextInt(400))).distinct.sorted
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_admit_vrnd${seed}_").toString
+      IncrementalAdmit.writeStateVersioned(
+        spark, docs.filter(col("doc_id") < cuts.head), stateDir)
+      val bounds = cuts.zip(cuts.tail :+ Long.MaxValue)
+      var folds = 0
+      val got = bounds.zipWithIndex.flatMap { case ((lo, hi), i) =>
+        val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val v = admitVerdicts(IncrementalAdmit.admit(spark, b, stateDir))
+        if (i < bounds.size - 1) {
+          IncrementalAdmit.updateState(spark, b, stateDir); folds += 1
+        }
+        v
+      }.toMap
+      assert(got == replayVerdicts(cuts.head),
+        s"seed=$seed cuts=${cuts.mkString(",")}")
+      assert(IncrementalAdmit.currentVersion(spark, stateDir)
+        == Some(1L + folds), s"seed=$seed manifest after $folds folds")
+    }
+  }
+
   test("exact dup without near-dup state entry is still rejected; clean doc admitted") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
