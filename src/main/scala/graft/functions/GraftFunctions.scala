@@ -764,14 +764,19 @@ object GraftFunctions {
     // z-normalized nearest-neighbor distance profile per series
     (FunctionIdentifier("ts_matrix_profile"), info("ts_matrix_profile"),
       { args: Seq[Expression] =>
-      nargs("ts_matrix_profile", Seq(4), args)
+      nargs("ts_matrix_profile", Seq(4, 5), args)
       val spark = activeSession("ts_matrix_profile")
-      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.profile(
+      // optional 5th arg: max_windows — a value past MaxPairWindows is
+      // the explicit opt-in that routes through the STOMP long path
+      GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.profileAuto(
         spark.table(SamplesView),
         literalLong("ts_matrix_profile", args(2), "bucket_ms"),
         literalLong("ts_matrix_profile", args(3), "m").toInt,
         Some(literalLong("ts_matrix_profile", args(0), "from")),
-        Some(literalLong("ts_matrix_profile", args(1), "to"))))
+        Some(literalLong("ts_matrix_profile", args(1), "to")),
+        if (args.length > 4)
+          literalLong("ts_matrix_profile", args(4), "max_windows").toInt
+        else graft.ts.MatrixProfile.MaxPairWindows))
     }),
     // ts_decompose_anomaly(from, to, bucket_ms, period, threshold) —
     // seasonal-adjusted anomaly: z-score on the decomposition remainder
@@ -824,7 +829,7 @@ object GraftFunctions {
     // largest-nn-distance windows (the anomalies)
     (FunctionIdentifier("ts_mp_discords"), info("ts_mp_discords"),
       { args: Seq[Expression] =>
-      nargs("ts_mp_discords", Seq(5), args)
+      nargs("ts_mp_discords", Seq(5, 6), args)
       val spark = activeSession("ts_mp_discords")
       GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.discords(
         spark.table(SamplesView),
@@ -832,13 +837,16 @@ object GraftFunctions {
         literalLong("ts_mp_discords", args(3), "m").toInt,
         literalLong("ts_mp_discords", args(4), "k").toInt,
         Some(literalLong("ts_mp_discords", args(0), "from")),
-        Some(literalLong("ts_mp_discords", args(1), "to"))))
+        Some(literalLong("ts_mp_discords", args(1), "to")),
+        if (args.length > 5) // past MaxPairWindows → STOMP long route
+          literalLong("ts_mp_discords", args(5), "max_windows").toInt
+        else graft.ts.MatrixProfile.MaxPairWindows))
     }),
     // ts_mp_motifs(from, to, bucket_ms, m, k) — the dual: smallest
     // nn-distance windows (the repeated shapes)
     (FunctionIdentifier("ts_mp_motifs"), info("ts_mp_motifs"),
       { args: Seq[Expression] =>
-      nargs("ts_mp_motifs", Seq(5), args)
+      nargs("ts_mp_motifs", Seq(5, 6), args)
       val spark = activeSession("ts_mp_motifs")
       GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.motifWindows(
         spark.table(SamplesView),
@@ -846,12 +854,15 @@ object GraftFunctions {
         literalLong("ts_mp_motifs", args(3), "m").toInt,
         literalLong("ts_mp_motifs", args(4), "k").toInt,
         Some(literalLong("ts_mp_motifs", args(0), "from")),
-        Some(literalLong("ts_mp_motifs", args(1), "to"))))
+        Some(literalLong("ts_mp_motifs", args(1), "to")),
+        if (args.length > 5) // past MaxPairWindows → STOMP long route
+          literalLong("ts_mp_motifs", args(5), "max_windows").toInt
+        else graft.ts.MatrixProfile.MaxPairWindows))
     }),
     // ts_mp_join('a', 'b', from, to, bucket_ms, m) — AB-join profile
     (FunctionIdentifier("ts_mp_join"), info("ts_mp_join"),
       { args: Seq[Expression] =>
-      nargs("ts_mp_join", Seq(6), args)
+      nargs("ts_mp_join", Seq(6, 7), args)
       val spark = activeSession("ts_mp_join")
       GraftSessionBridge.logicalPlan(graft.ts.MatrixProfile.joinProfile(
         spark.table(SamplesView),
@@ -860,7 +871,10 @@ object GraftFunctions {
         literalString("ts_mp_join", args(0), "series a"),
         literalString("ts_mp_join", args(1), "series b"),
         Some(literalLong("ts_mp_join", args(2), "from")),
-        Some(literalLong("ts_mp_join", args(3), "to"))))
+        Some(literalLong("ts_mp_join", args(3), "to")),
+        if (args.length > 6) // past MaxPairWindows → STOMP AB-join
+          literalLong("ts_mp_join", args(6), "max_windows").toInt
+        else graft.ts.MatrixProfile.MaxPairWindows))
     }),
     // ts_matrix_profile_stomp(from, to, bucket_ms, m) — the STOMP
     // long-profile path (same distances, O(1) per cell, no pair join;

@@ -326,14 +326,16 @@ object CorpusPipeline {
     docs.join(
         contamination(docs, bench, minShared).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("lang"))
+    // no projection: the output IS the corpus a training run consumes
+    // (text included), and the DocumentsView TVF contract brackets
+    // source/lang as optional — a minimal (doc_id, text) view must work
 
   /** DuckDB twin of [[decontaminatedCorpus]]. */
   def decontaminatedCorpusSql(benchPred: String, minShared: Long = 5L): String =
     s"""WITH flagged AS (
        |${contaminationSql(benchPred, minShared).replace("\n", "\n  ")}
        |)
-       |SELECT doc_id, source, lang FROM documents
+       |SELECT * FROM documents
        |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)""".stripMargin
 
   /** DuckDB twin: same shingle sets, relational join (`benchPred`

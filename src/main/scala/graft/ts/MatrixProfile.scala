@@ -56,6 +56,10 @@ object MatrixProfile {
     * named as the long-profile path. */
   val MaxPairWindows = 1024
 
+  /** Single-quote escape for series names interpolated into oracle
+    * SQL (the [[AsOf.pearsonMatrixSql]] discipline). */
+  private def q(s: String): String = s.replace("'", "''")
+
   /** Ordered length-m window folds: sum, sum of squares, and the
     * window array itself for the cross dot product. */
   private def fold(arr: Column)(f: (Column, Column) => Column): Column =
@@ -115,7 +119,10 @@ object MatrixProfile {
         concat(lit("matrix profile: series "), col("series"),
           lit(s" has "), (size(col("vals")) - m + 1).cast("string"),
           lit(s" windows > maxWindows=$maxWindows — the pairs path is " +
-            "O(windows²); use profileStomp for long profiles"))).isNull)
+            "O(windows²) join rows; pass maxWindows > MaxPairWindows " +
+            "to route through the STOMP recurrence (profile/discords/" +
+            "motifWindows/joinProfile all long-route), or call " +
+            "profileStomp directly"))).isNull)
       .select(col("series"),
         explode(sequence(lit(1), size(col("vals")) - m + 1)).as("idx"),
         col("vals"))
@@ -208,18 +215,23 @@ object MatrixProfile {
    * Numerics — CERTIFIED rounding, so STOMP == pairs bit-for-bit:
    * window moments use the pairs path's exact sequential fold order;
    * the rolling dot carries Neumaier compensation plus a running
-   * error bound (2ε·Σ|terms| since the last exact refresh). Each
-   * cell's distance is evaluated at both ends of dot±bound — the
-   * Pearson r is monotone in the dot, so the true distance lies in
-   * that interval — and when both ends round-9 to the same value the
-   * rolling result is PROVABLY the exact one. Only cells whose
-   * interval straddles a rounding boundary (ties at d≈0, where the
-   * sqrt amplifies ulp drift; measured ~1e-4 of cells on random
-   * data) recompute the O(m) exact fold, which is also the refresh
-   * point for the diagonal. Hence the same values as the pairs path
-   * on every cell — the identical DuckDB oracle carries — at O(1)
-   * amortized per cell (spec-pinned equality, and the recompute
-   * fraction never exceeds the pairs path's O(m) even adversarially).
+   * error bound ((m+2)·2ε·Σ|terms| since the last exact refresh —
+   * sized to dominate BOTH the compensated rolling residue AND the
+   * ~m·u·Σ|p| naive-summation drift of the sequential fold it
+   * certifies against, since every product of the target window is
+   * counted in Σ|terms|). Each cell's distance is evaluated at both
+   * ends of dot±bound — the Pearson r is monotone in the dot, so the
+   * certified fold value lies in that interval — and when both ends
+   * round-9 to the same value the rolling result matches the pairs
+   * path's fold. Only cells whose interval straddles a rounding
+   * boundary (ties at d≈0, where the sqrt amplifies ulp drift;
+   * measured ~1e-4 of cells on random data, up to ~m·u-proportional
+   * on adversarially cancellation-heavy data) recompute the O(m)
+   * exact fold, which is also the refresh point for the diagonal.
+   * Hence the same values as the pairs path on every cell — the
+   * identical DuckDB oracle carries — at O(1) amortized per cell
+   * (spec-pinned equality; the recompute worst case degrades to the
+   * pairs path's own O(m), never past it).
    */
   def profileStomp(
       samples: DataFrame, bucketMs: Long, m: Int,
@@ -291,7 +303,17 @@ object MatrixProfile {
       }
       (s, abs)
     }
-    val TwoEps = 4.44e-16 // 2ε: Neumaier first-order bound coefficient
+    // Certification bound coefficient. The interval must contain not
+    // the TRUE real dot but the value the UNCOMPENSATED sequential
+    // folds round to — both the refresh-point exactDot and the pairs
+    // path's fresh fold at this cell — whose worst-case naive-summation
+    // error is ~m·u·Σ|p|. Every product of the cell's window was
+    // either in the refresh window or arrived as a rolling update
+    // term, so Σ|p|(cell) ≤ absAcc; (m+2)·2ε·absAcc therefore
+    // dominates the rolling Neumaier residue (≲2ε·absAcc) PLUS the
+    // target fold's own ~m·u·Σ|p| rounding drift, with slack.
+    val TwoEps = 4.44e-16 // 2ε (≈4u for binary64)
+    val errCoef = (m + 2) * TwoEps
     // each diagonal d = j − i ≥ excl; pair (i, i+d) scores both ends
     var d = excl
     while (d < w) {
@@ -314,7 +336,7 @@ object MatrixProfile {
         }
         val b = a + d
         val approx = dot + comp
-        val err = TwoEps * absAcc
+        val err = errCoef * absAcc
         // true dist ∈ [rawDist(approx+err), rawDist(approx−err)]
         val lo = round9(rawDist(a, b, approx + err))
         val hi = round9(rawDist(a, b, approx - err))
@@ -335,6 +357,21 @@ object MatrixProfile {
       .map(k => (k + 1, bestJ(k), bestD(k)))
   }
 
+  /** The long-profile ROUTE: a caller that raises `maxWindows` past
+    * [[MaxPairWindows]] has explicitly accepted the quadratic window
+    * count, so the plan switches from the pairs join (O(windows²·m)
+    * join rows — the thing the guard exists to prevent) to
+    * [[profileStomp]] (O(1) arithmetic per cell, no join rows, same
+    * relation bit-for-bit). Below the cap the declarative pairs plan
+    * is kept: it codegens, broadcasts nothing, and its per-series
+    * bill is task-sized by the guard. */
+  def profileAuto(
+      samples: DataFrame, bucketMs: Long, m: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      maxWindows: Int = MaxPairWindows): DataFrame =
+    if (maxWindows > MaxPairWindows) profileStomp(samples, bucketMs, m, fromMs, toMs)
+    else profile(samples, bucketMs, m, fromMs, toMs, maxWindows)
+
   /**
    * Top-k DISCORDS per series — the operability layer over [[profile]]
    * (a user asks "what are my most anomalous windows", not "give me
@@ -343,13 +380,16 @@ object MatrixProfile {
    * order. Compiles to a rank window over the profile — per-series
    * partial top-k before the shuffle (the [[TopK]] WindowGroupLimit
    * discipline), so the full profile never leaves the executors.
+   * Passing `maxWindows > MaxPairWindows` routes the underlying
+   * profile through [[profileStomp]] (identical relation, no w² join),
+   * so "top discords on a year of minutes" is one call, not an error.
    */
   def discords(
       samples: DataFrame, bucketMs: Long, m: Int, k: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       maxWindows: Int = MaxPairWindows): DataFrame = {
     require(k >= 1, s"discords needs k >= 1, got $k")
-    profile(samples, bucketMs, m, fromMs, toMs, maxWindows)
+    profileAuto(samples, bucketMs, m, fromMs, toMs, maxWindows)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
           .orderBy(col("mp_value").desc, col("idx").asc)))
@@ -358,13 +398,13 @@ object MatrixProfile {
 
   /** Top-k MOTIF windows per series — the dual of [[discords]]: the k
     * windows with the SMALLEST nearest-neighbor distance (repeated
-    * shapes), same rank-window shape. */
+    * shapes), same rank-window shape, same STOMP route past the cap. */
   def motifWindows(
       samples: DataFrame, bucketMs: Long, m: Int, k: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       maxWindows: Int = MaxPairWindows): DataFrame = {
     require(k >= 1, s"motifWindows needs k >= 1, got $k")
-    profile(samples, bucketMs, m, fromMs, toMs, maxWindows)
+    profileAuto(samples, bucketMs, m, fromMs, toMs, maxWindows)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
           .orderBy(col("mp_value").asc, col("idx").asc)))
@@ -408,6 +448,8 @@ object MatrixProfile {
       maxWindows: Int = MaxPairWindows): DataFrame = {
     require(a != b, s"joinProfile needs two distinct series, got '$a' twice" +
       " — the self-join variant is profile()")
+    if (maxWindows > MaxPairWindows)
+      return joinProfileStomp(samples, bucketMs, m, a, b, fromMs, toMs)
     val subs = guardedWindows(
       samples.filter(col("series").isin(a, b)), bucketMs, m,
       fromMs, toMs, maxWindows)
@@ -422,6 +464,130 @@ object MatrixProfile {
       .select(col("idx"), col("nn.j").as("nn_idx"), col("nn.d").as("mp_value"))
   }
 
+  /**
+   * STOMP AB-JOIN — [[joinProfile]]'s long-profile route: the same
+   * rolling-dot recurrence as [[profileStomp]] walked along the A×B
+   * diagonals (offset j−i spans −(w_a−1)…w_b−1; no exclusion zone —
+   * the trivial-match hazard is a self-join artifact), O(1) amortized
+   * per cell instead of w_a×w_b join rows with an O(m) dot each.
+   * Same certified rounding, so the output is BIT-IDENTICAL to
+   * [[joinProfile]]'s pairs path and shares [[joinProfileSql]].
+   *
+   * Plan shape: the one raw→grid agg with the two-series filter
+   * pushed to the scan; the pair of bounded grid arrays meets in a
+   * single task via a constant-key flatMapGroups (two rows — nothing
+   * that scales with raw data moves), and the recurrence runs in
+   * place. [[joinProfile]] routes here when maxWindows >
+   * [[MaxPairWindows]].
+   */
+  def joinProfileStomp(
+      samples: DataFrame, bucketMs: Long, m: Int, a: String, b: String,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(a != b, s"joinProfileStomp needs two distinct series, got '$a'" +
+      " twice — the self-join variant is profileStomp()")
+    require(m >= 2, s"matrix profile window m must be >= 2, got $m")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    seriesArrays(samples.filter(col("series").isin(a, b)), bucketMs, m,
+        fromMs, toMs)
+      .select(col("series"), col("vals"))
+      .as[(String, Seq[Double])]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val arrs = it.toMap
+        (for { va <- arrs.get(a); vb <- arrs.get(b) }
+          yield stompJoinSeries(va.toArray, vb.toArray, m))
+          .getOrElse(Iterator.empty)
+      }
+      .toDF("idx", "nn_idx", "mp_value")
+  }
+
+  /** One A×B join profile: (idx, nn_idx, mp_value) per A-window,
+    * 1-based indices, every value certified bit-identical to the
+    * pairs path's fold (the [[stompSeries]] discipline, minus the
+    * exclusion zone and the symmetric offer). */
+  private[ts] def stompJoinSeries(
+      xa: Array[Double], xb: Array[Double], m: Int): Iterator[(Int, Int, Double)] = {
+    val wa = xa.length - m + 1
+    val wb = xb.length - m + 1
+    if (wa < 1 || wb < 1) return Iterator.empty
+    def moments(x: Array[Double], w: Int): (Array[Double], Array[Double]) = {
+      val s1 = new Array[Double](w); val s2 = new Array[Double](w)
+      var i = 0
+      while (i < w) {
+        var p = 0.0; var q = 0.0; var t = 0
+        while (t < m) { val v = x(i + t); p += v; q += v * v; t += 1 }
+        s1(i) = p; s2(i) = q; i += 1
+      }
+      (s1, s2)
+    }
+    val (s1a, s2a) = moments(xa, wa)
+    val (s1b, s2b) = moments(xb, wb)
+    val vra = Array.tabulate(wa)(k => m * s2a(k) - s1a(k) * s1a(k))
+    val vrb = Array.tabulate(wb)(k => m * s2b(k) - s1b(k) * s1b(k))
+    val bestD = Array.fill(wa)(Double.PositiveInfinity)
+    val bestJ = Array.fill(wa)(Int.MaxValue)
+    def rawDist(i: Int, j: Int, dot: Double): Double = {
+      val va = vra(i); val vb = vrb(j)
+      val r =
+        if (va <= 0 && vb <= 0) 1.0
+        else if (va <= 0 || vb <= 0) 0.0
+        else math.min(1.0, math.max(-1.0,
+          (m * dot - s1a(i) * s1b(j)) / math.sqrt(va * vb)))
+      math.sqrt(2.0 * m * (1.0 - r))
+    }
+    def exactDot(i: Int, j: Int): (Double, Double) = {
+      var s = 0.0; var abs = 0.0; var t = 0
+      while (t < m) {
+        val p = xa(i + t) * xb(j + t); s += p; abs += math.abs(p); t += 1
+      }
+      (s, abs)
+    }
+    val TwoEps = 4.44e-16
+    val errCoef = (m + 2) * TwoEps // same certification bound as stompSeries
+    var off = -(wa - 1) // diagonal offset j − i
+    while (off < wb) {
+      val i0 = math.max(0, -off)
+      var (dot, absAcc) = exactDot(i0, i0 + off)
+      var comp = 0.0
+      var i = i0
+      while (i < wa && i + off < wb) {
+        val j = i + off
+        if (i > i0) {
+          var y = -xa(i - 1) * xb(j - 1)
+          var t = dot + y
+          comp += (if (math.abs(dot) >= math.abs(y)) (dot - t) + y else (y - t) + dot)
+          dot = t
+          absAcc += math.abs(y)
+          y = xa(i + m - 1) * xb(j + m - 1)
+          t = dot + y
+          comp += (if (math.abs(dot) >= math.abs(y)) (dot - t) + y else (y - t) + dot)
+          dot = t
+          absAcc += math.abs(y)
+        }
+        val approx = dot + comp
+        val err = errCoef * absAcc
+        val lo = round9(rawDist(i, j, approx + err))
+        val hi = round9(rawDist(i, j, approx - err))
+        val dd =
+          if (lo == hi) lo
+          else {
+            val (ed, eabs) = exactDot(i, j)
+            dot = ed; comp = 0.0; absAcc = eabs
+            round9(rawDist(i, j, ed))
+          }
+        val jj = j + 1 // 1-based B index, the pairs path's (d, j) order
+        if (dd < bestD(i) || (dd == bestD(i) && jj < bestJ(i))) {
+          bestD(i) = dd; bestJ(i) = jj
+        }
+        i += 1
+      }
+      off += 1
+    }
+    (0 until wa).iterator.filter(bestJ(_) != Int.MaxValue)
+      .map(i => (i + 1, bestJ(i), bestD(i)))
+  }
+
   /** DuckDB twin of [[joinProfile]] — the [[profileSql]] skeleton with
     * the two-series slice and the A×B join instead of the self-join. */
   def joinProfileSql(
@@ -431,7 +597,7 @@ object MatrixProfile {
     require(m >= 2, s"matrix profile window m must be >= 2, got $m")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
-    val where = (Seq("NOT isnan(value)", s"series IN ('$a', '$b')") ++
+    val where = (Seq("NOT isnan(value)", s"series IN ('${q(a)}', '${q(b)}')") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil))
       .mkString("WHERE ", " AND ", "")
     val bkt = TSModel.bucketStartSql("ts", bucketMs)
@@ -462,8 +628,8 @@ object MatrixProfile {
        |             k -> a.sub[k] * b.sub[k]), 'sum') - a.s1 * b.s1)
        |          / sqrt(($m * a.s2 - a.s1 * a.s1) * ($m * b.s2 - b.s1 * b.s1))))
        |      END))), 9) AS d
-       |  FROM (SELECT * FROM mom WHERE series = '$a') a
-       |  CROSS JOIN (SELECT * FROM mom WHERE series = '$b') b
+       |  FROM (SELECT * FROM mom WHERE series = '${q(a)}') a
+       |  CROSS JOIN (SELECT * FROM mom WHERE series = '${q(b)}') b
        |)
        |SELECT idx,
        |  (min(struct_pack(d := d, j := j))).j AS nn_idx,

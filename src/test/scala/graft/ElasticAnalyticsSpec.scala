@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ts.{Dtw, Rates, Seasonal, Sessions}
+import org.apache.spark.sql.functions.col
 
 /** Round-11 TS additions: DTW pair distances, classical seasonal
   * decomposition, gap report, instant-rate family — closed forms and
@@ -124,12 +125,10 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(Dtw.nearestPruned(df, DAY, "zz", k = 3,
       pruneStats = Some(absent)).count() == 0)
     assert(absent.get == ((0L, 0L)))
-    // instrumentation is OPT-IN per call: the default path leaves the
-    // ref untouched (and pays no extra count() jobs — PlanShapeSpec
-    // pins the job count)
-    val untouched = new Dtw.PruneStatsRef(null)
+    // instrumentation is OPT-IN per call: the default (no-stats) path
+    // returns identical results, and pays no extra count() jobs —
+    // PlanShapeSpec pins the job-count delta
     assert(canon(Dtw.nearestPruned(df, DAY, "p", k = 3)) == exactRes)
-    assert(untouched.get == null)
   }
 
   test("forecast backtest: exact-linear series scores zero error, knife is bucket-clean") {
@@ -484,6 +483,59 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
       s"guard must name the cap: ${chain(e)}")
     // STOMP is the long-profile route: same series, full profile
     assert(graft.ts.MatrixProfile.profileStomp(long, DAY, 4).count() == 37)
+  }
+
+  test("long-route: maxWindows past the cap swaps extrema/join onto STOMP, results identical") {
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val over = graft.ts.MatrixProfile.MaxPairWindows + 1
+    // cancellation-heavy randomized fixture: a huge common offset makes
+    // m·dot − s1a·s1b cancel catastrophically, stressing the certified
+    // bound (ADVICE r13: the bound must dominate the target fold's own
+    // ~m·u·Σ|p| naive-summation drift, not just the rolling residue)
+    val rnd = new scala.util.Random(1234L)
+    val rows = (1 to 4).flatMap { s =>
+      (0 until 60 + rnd.nextInt(30)).map(i =>
+        (s"s$s", i * DAY + 1L, 1.0e7 + rnd.nextInt(4000) / 10.0))
+    }
+    val df = rows.toDF("series", "ts", "value")
+    for (m <- Seq(3, 7)) {
+      assert(canon(graft.ts.MatrixProfile.profileStomp(df, DAY, m)) ==
+        canon(graft.ts.MatrixProfile.profile(df, DAY, m)), s"self m=$m")
+      // extrema through the long route == extrema through the pairs path
+      assert(canon(graft.ts.MatrixProfile.discords(df, DAY, m, k = 3, maxWindows = over)) ==
+        canon(graft.ts.MatrixProfile.discords(df, DAY, m, k = 3)), s"discords m=$m")
+      assert(canon(graft.ts.MatrixProfile.motifWindows(df, DAY, m, k = 3, maxWindows = over)) ==
+        canon(graft.ts.MatrixProfile.motifWindows(df, DAY, m, k = 3)), s"motifs m=$m")
+      // AB-join: STOMP diagonals == pairs cross join, bit-for-bit
+      assert(canon(graft.ts.MatrixProfile.joinProfile(df, DAY, m, "s1", "s2", maxWindows = over)) ==
+        canon(graft.ts.MatrixProfile.joinProfile(df, DAY, m, "s1", "s2")), s"join m=$m")
+    }
+    // past the pairs cap the long route is the ONLY path — and it works:
+    // 1100 daily points (1097 windows > 1024) with one planted spike
+    val longRows = (0 until 1100).map(i =>
+      ("L", i * DAY + 1L, if (i == 700) 900.0 else (i % 9).toDouble))
+    val longDf = longRows.toDF("series", "ts", "value")
+    intercept[Throwable] { // default pairs route loud-rejects
+      graft.ts.MatrixProfile.discords(longDf, DAY, m = 4, k = 2).collect()
+    }
+    val d = graft.ts.MatrixProfile.discords(longDf, DAY, m = 4, k = 2,
+      maxWindows = 2048).collect()
+    assert(d.length == 2 && d.exists(r => (697 to 701).contains(r.getInt(1))),
+      s"discord must contain the spike: ${d.toSeq}")
+    // AB long route at the same length: join vs an exact copy is all
+    // zeros (every window has an exact partner); the period-9 base
+    // pattern means ties at d=0 break to the LOWEST matching j, and
+    // the spike windows — unique shapes — must match their own copy
+    val copyDf = (longRows ++ longRows.map { case (_, t, v) => ("C", t, v) })
+      .toDF("series", "ts", "value")
+    val jp = graft.ts.MatrixProfile.joinProfile(copyDf, DAY, m = 4, a = "L", b = "C",
+      maxWindows = 2048)
+    assert(jp.filter(col("mp_value") =!= 0.0).count() == 0)
+    assert(jp.filter(col("nn_idx") > col("idx")).count() == 0,
+      "d=0 ties must break to the lowest j")
+    assert(jp.filter(col("idx") === 699 && col("nn_idx") === 699).count() == 1,
+      "a spike window's only exact partner is its own copy")
+    assert(jp.count() == 1097)
   }
 
   test("banded DP: wide band == unconstrained dtw; band clips the warp") {

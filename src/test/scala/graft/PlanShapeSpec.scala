@@ -370,13 +370,10 @@ class PlanShapeSpec extends AnyFunSuite {
       finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
-    val untouched = new graft.ts.Dtw.PruneStatsRef(null)
     val off = countJobs {
       graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
         Some(T0), Some(T31)).collect()
     }
-    assert(untouched.get == null,
-      "default path must not populate prune stats")
     val stats = new graft.ts.Dtw.PruneStatsRef(null)
     val on = countJobs {
       graft.ts.Dtw.nearestPruned(samples, DAY, "click_7", 5,
