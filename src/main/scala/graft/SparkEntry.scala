@@ -134,7 +134,8 @@ object SparkEntry {
        |) WHERE rn % 3 = 0""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rangeQueries.map { case (n, (a, s)) => n -> rangeQ(a, s) } ++ Map[String, (SparkSession, String) => DataFrame](
+    rangeQueries.map { case (n, (a, s)) => n -> rangeQ(a, s) } ++
+    graft.ts.Tsbs.queries ++ Map[String, (SparkSession, String) => DataFrame](
       // FILTER_BY_TS: explicit ts list (reference: filter_iterator.c:26-188)
       "ts_range_filter_ts" -> ((s, dir) => {
         RangeQuery.range(one(s, dir), RangeArgs(filterByTs = filterTsList(s, dir)))
@@ -2238,7 +2239,8 @@ object SparkEntry {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    rangeQueries.map { case (n, (a, s)) => n -> rangeO(a, s) } ++ Map(
+    rangeQueries.map { case (n, (a, s)) => n -> rangeO(a, s) } ++
+    graft.ts.Tsbs.oracles ++ Map(
       "ts_range_filter_ts" ->
         s"""${TSModel.samplesCte} SELECT series, ts, value FROM samples
            |WHERE series = '$oneSeries' AND ts IN ($filterTsListSql)""".stripMargin,
