@@ -1140,6 +1140,79 @@ object GraftFunctions {
         literalLong("ts_dtw_nearest_banded", args(5), "band").toInt,
         Some(literalLong("ts_dtw_nearest_banded", args(1), "from")),
         Some(literalLong("ts_dtw_nearest_banded", args(2), "to"))))
+    }),
+    // ---- round-14 corpus TVFs: the non-iterative stragglers. What
+    // stays DELIBERATELY excluded from the SQL surface: classifier
+    // TRAINING (corpus_classifier_*train*) and connected-component
+    // contraction — both are driver-side ITERATIVE loops (per-step
+    // collect/convergence actions), which an analysis-time TVF splice
+    // must never take. Their serving halves are here instead:
+    // corpus_classifier_score takes a trained model's literal weights.
+    // corpus_mix_temperature(target) — sqrt-temperature source quotas;
+    // splices the PLAN-ONLY lazy variant (full per-source rank, no
+    // pre-filter checkpoint/starvation count — result identical)
+    (FunctionIdentifier("corpus_mix_temperature"), info("corpus_mix_temperature"),
+      { args: Seq[Expression] =>
+      nargs("corpus_mix_temperature", Seq(1), args)
+      val spark = activeSession("corpus_mix_temperature")
+      GraftSessionBridge.logicalPlan(graft.pipeline.CorpusPipeline.mixByTemperatureLazy(
+        spark.table(DocumentsView),
+        literalLong("corpus_mix_temperature", args(0), "target")))
+    }),
+    // corpus_boilerplate(w, min_docs) — the repeated-segment vocabulary
+    (FunctionIdentifier("corpus_boilerplate"), info("corpus_boilerplate"),
+      { args: Seq[Expression] =>
+      nargs("corpus_boilerplate", Seq(2), args)
+      val spark = activeSession("corpus_boilerplate")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Dedup.boilerplateSegments(
+        spark.table(DocumentsView),
+        literalLong("corpus_boilerplate", args(0), "w").toInt,
+        literalLong("corpus_boilerplate", args(1), "min_docs").toInt))
+    }),
+    // corpus_boilerplate_clean(w, min_docs) — the stripped corpus
+    // (lazy route: AQE sizes the vocabulary side, no counted gate)
+    (FunctionIdentifier("corpus_boilerplate_clean"), info("corpus_boilerplate_clean"),
+      { args: Seq[Expression] =>
+      nargs("corpus_boilerplate_clean", Seq(2), args)
+      val spark = activeSession("corpus_boilerplate_clean")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Dedup.removeBoilerplate(
+        spark.table(DocumentsView),
+        literalLong("corpus_boilerplate_clean", args(0), "w").toInt,
+        literalLong("corpus_boilerplate_clean", args(1), "min_docs").toInt,
+        lazyPlan = true))
+    }),
+    // corpus_keep(threshold, max_doc_id) — the MinHash+LSH dedup
+    // verdict: the corpus slice minus every near-dup pair's j side
+    // (lazy route: no signature checkpoint, no counted broadcasts)
+    (FunctionIdentifier("corpus_keep"), info("corpus_keep"),
+      { args: Seq[Expression] =>
+      nargs("corpus_keep", Seq(2), args)
+      val spark = activeSession("corpus_keep")
+      val maxId = literalLong("corpus_keep", args(1), "max_doc_id")
+      val docs = spark.table(DocumentsView)
+      GraftSessionBridge.logicalPlan(graft.pipeline.Dedup.dedupedCorpus(
+        docs.filter(col("doc_id") < maxId),
+        graft.pipeline.Dedup.minhashLshPairs(docs,
+          literalDouble("corpus_keep", args(0), "threshold"),
+          maxDocId = maxId, lazyPlan = true),
+        lazyPlan = true))
+    }),
+    // corpus_classifier_score('b:w b:w ...', n_buckets) — serving-side
+    // scoring with a trained model's literal weights (bucket -1 = bias;
+    // training itself is API-only — see the exclusion note above)
+    (FunctionIdentifier("corpus_classifier_score"), info("corpus_classifier_score"),
+      { args: Seq[Expression] =>
+      nargs("corpus_classifier_score", Seq(2), args)
+      val spark = activeSession("corpus_classifier_score")
+      val weights = literalString("corpus_classifier_score", args(0), "weights")
+        .split("\\s+").filter(_.nonEmpty).map { kv =>
+          val i = kv.lastIndexOf(':')
+          require(i > 0, s"corpus_classifier_score: bad weight '$kv' — want bucket:weight")
+          kv.substring(0, i).toLong -> kv.substring(i + 1).toDouble
+        }.toMap
+      GraftSessionBridge.logicalPlan(graft.pipeline.QualityClassifier.scoreWithWeights(
+        spark.table(DocumentsView), weights,
+        literalLong("corpus_classifier_score", args(1), "n_buckets").toInt))
     })
   )
 

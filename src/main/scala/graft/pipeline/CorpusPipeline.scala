@@ -521,6 +521,29 @@ object CorpusPipeline {
       .select(col("source"), col("doc_id"))
   }
 
+  /** PLAN-ONLY [[mixByTemperature]] — the TVF route, which must splice
+    * at analysis time with ZERO driver actions (no localCheckpoint, no
+    * starvation-gate count): the naive formulation the eager route's
+    * pre-filter is proven result-transparent against — quotas as an
+    * in-plan broadcast join, the full per-source rank window. Same
+    * rows bit-for-bit (the oracle and PipelineSpec pin it); the
+    * trade is the full per-source sort the eager route's md5-prefix
+    * pre-filter avoids on a giant down-sampled source. */
+  def mixByTemperatureLazy(docs: DataFrame, target: Long): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(sqrt(col("n_docs"))).as("z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col("source"),
+        floor(round(lit(target.toDouble) * sqrt(col("n_docs")) / col("z"), 6)).as("quota"))
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+  }
+
   def mixByTemperatureSql(target: Long): String =
     s"""WITH counts AS (
        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source

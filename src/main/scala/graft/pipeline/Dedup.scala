@@ -203,7 +203,8 @@ object Dedup {
       numHashes: Int = 64, bandRows: Int = 4,
       maxDocId: Long = Long.MaxValue,
       maxBucket: Int = 64,
-      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+      lazyPlan: Boolean = false): DataFrame = {
     val sh = shingles(docs.filter(col("doc_id") < maxDocId))
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     // the per-doc signature frame (one narrow row per doc) feeds both
@@ -213,8 +214,16 @@ object Dedup {
     // pipeline shape; localCheckpoint is its single-job stand-in. The
     // exploded shingle frame is NOT materialized: its distinct shuffle
     // is already reused across consumers by exchange reuse.
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .localCheckpoint()
+    // lazyPlan (the TVF route): NO driver actions may run at analysis
+    // time, so the checkpoint and the counted-broadcast gates are
+    // dropped — exchange reuse stands in for the checkpoint and AQE's
+    // runtime size stats make the broadcast choice. Same result set;
+    // the eager route remains the API default for the giant-corpus
+    // plan guarantees the gates encode.
+    val sig0 = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = if (lazyPlan) sig0 else sig0.localCheckpoint()
+    def gate(df: DataFrame): DataFrame =
+      if (lazyPlan) df else maybeBroadcast(df, maxBroadcastRows)
     val nBands = numHashes / bandRows
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until nBands).map { b =>
@@ -229,10 +238,10 @@ object Dedup {
     // broadcast when small, so the corpus streams through both joins;
     // a degenerate crawl degrades to shuffle joins instead of failing
     val withA = sh.as("a")
-      .join(maybeBroadcast(cand, maxBroadcastRows), col("a.doc_id") === col("i"))
+      .join(gate(cand), col("a.doc_id") === col("i"))
       .select(col("i"), col("j"), col("a.shingle").as("__ish"))
     val inter = sh.as("b")
-      .join(maybeBroadcast(withA, maxBroadcastRows),
+      .join(gate(withA),
         col("b.doc_id") === col("j") && col("b.shingle") === col("__ish"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     jaccardOfPairs(inter, sh, threshold)
@@ -244,9 +253,14 @@ object Dedup {
     * every non-minimal member because each appears as some pair's j).
     * One anti-join against the (gated-broadcast) removal set — the
     * corpus side never shuffles when removals are candidate-sized. */
-  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
-    docs.join(maybeBroadcast(pairs.select(col("j").as("doc_id")).distinct()),
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
+      lazyPlan: Boolean = false): DataFrame = {
+    val removals = pairs.select(col("j").as("doc_id")).distinct()
+    // lazyPlan: action-free for TVF splices — AQE broadcasts the
+    // match-bounded removal set at runtime instead of the counted gate
+    docs.join(if (lazyPlan) removals else maybeBroadcast(removals),
       Seq("doc_id"), "left_anti")
+  }
 
   /**
    * Connected components over the near-dup pair graph: each node's
@@ -576,9 +590,13 @@ object Dedup {
    * groupBy(doc_id) aggregation (kept + dropped counted in the same
    * pass — one shuffle by doc_id total).
    */
-  def removeBoilerplate(docs: DataFrame, w: Int = 3, minDocs: Int = 5): DataFrame = {
+  def removeBoilerplate(docs: DataFrame, w: Int = 3, minDocs: Int = 5,
+      lazyPlan: Boolean = false): DataFrame = {
     val segs = segments(docs, w)
-    val bp = maybeBroadcast(boilerplateSegments(docs, w, minDocs).select(col("seg")))
+    val bp0 = boilerplateSegments(docs, w, minDocs).select(col("seg"))
+    // lazyPlan: action-free for TVF splices — AQE sizes the
+    // duplicate-rate-bounded vocabulary at runtime
+    val bp = if (lazyPlan) bp0 else maybeBroadcast(bp0)
     val marked = segs.join(bp.withColumn("is_bp", lit(true)), Seq("seg"), "left")
     val agg = marked.groupBy(col("doc_id")).agg(
       array_join(

@@ -125,6 +125,31 @@ object IncrementalAdmit {
       .rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Janitor for the versioned layout: delete every `v=K` directory
+    * the manifest does not protect — K > `live` are crash orphans (a
+    * fold died after writing its version but before the flip; the
+    * manifest never pointed at them, so no reader can hold them) and
+    * K < `live − 1` are generations past the one-generation grace.
+    * Runs inside [[updateState]] — before the write (so a crashed
+    * predecessor's half-written v=N+1 never mixes with ours beyond
+    * the overwrite) and after the flip (where it subsumes the old
+    * v=N−1 drop). Unparseable `v=` names are left alone — the janitor
+    * only ever deletes what the naming contract proves unreferenced. */
+  private[graft] def sweepOrphanVersions(
+      spark: SparkSession, stateDir: String, live: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = hadoopFs(spark, root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v=")) {
+        val v = try name.substring(2).toLong
+                catch { case _: NumberFormatException => live } // live = keep
+        if (v > live || v < live - 1) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Bootstrap the VERSIONED admission state: tables under `v=1/`,
     * then the manifest flip that makes them live. */
   def writeStateVersioned(
@@ -196,6 +221,9 @@ object IncrementalAdmit {
     val freshBk = buildBucketState(newDocs, numHashes, bandRows)
     currentVersion(spark, stateDir) match {
       case Some(v) =>
+        // sweep crash orphans (an unreferenced v=N+1 from a fold that
+        // died before its flip) BEFORE writing our own next version
+        sweepOrphanVersions(spark, stateDir, v)
         val cur = s"$stateDir/v=$v"
         val next = s"$stateDir/v=${v + 1}"
         merged(cur, "fp", freshFp, Seq("fp"))
@@ -203,9 +231,8 @@ object IncrementalAdmit {
         merged(cur, "buckets", freshBk, Seq("band", "bucket"))
           .write.mode("overwrite").parquet(s"$next/buckets")
         commitManifest(spark, stateDir, v + 1)
-        val prev = new org.apache.hadoop.fs.Path(s"$stateDir/v=${v - 1}")
-        val fs = hadoopFs(spark, prev)
-        if (fs.exists(prev)) fs.delete(prev, true)
+        // post-flip sweep drops v=N−1 (one-generation grace retained)
+        sweepOrphanVersions(spark, stateDir, v + 1)
       case None =>
         def swap(path: String, fresh: DataFrame, keys: Seq[String]): Unit = {
           val staged = new org.apache.hadoop.fs.Path(path + "__admitting")

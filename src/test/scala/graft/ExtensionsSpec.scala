@@ -404,8 +404,56 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_dedup_pairs", "corpus_dsir", "corpus_quality_percentile",
         "ann_topk", "ann_ivf_topk", "corpus_decontaminate", "ts_corr_matrix",
         "ts_mp_discords", "ts_mp_motifs", "ts_mp_join", "ts_decompose_anomaly",
-        "ts_backtest_rolling", "ts_matrix_profile_stomp"))
+        "ts_backtest_rolling", "ts_matrix_profile_stomp",
+        "corpus_mix_temperature", "corpus_boilerplate",
+        "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
+  }
+
+  test("round-14 straggler TVFs == Column API (mix, boilerplate, keep, classifier score)") {
+    GraftFunctions.register(spark)
+    val docs = graft.pipeline.Text.loadDocuments(spark, sf)
+    docs.createOrReplaceTempView(GraftFunctions.DocumentsView)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    // the lazy mix (full rank, no pre-filter/starvation actions) must
+    // equal the eager pre-filtered route — result transparency is the
+    // pre-filter's contract — and the TVF splices the lazy plan
+    assert(
+      sorted(graft.pipeline.CorpusPipeline.mixByTemperatureLazy(docs, 150L)) ==
+      sorted(graft.pipeline.CorpusPipeline.mixByTemperature(docs, 150L)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_mix_temperature(150)")) ==
+      sorted(graft.pipeline.CorpusPipeline.mixByTemperature(docs, 150L)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_boilerplate(3, 4)")) ==
+      sorted(graft.pipeline.Dedup.boilerplateSegments(docs, w = 3, minDocs = 4)))
+    // lazy (AQE-gated) clean == eager (counted-broadcast) clean
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_boilerplate_clean(3, 4)")) ==
+      sorted(graft.pipeline.Dedup.removeBoilerplate(docs, w = 3, minDocs = 4)))
+    // lazy minhash keep == eager (checkpoint + counted gates) keep
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_keep(0.5, 120)")) ==
+      sorted(graft.pipeline.Dedup.dedupedCorpus(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 120),
+        graft.pipeline.Dedup.minhashLshPairs(docs, 0.5, maxDocId = 120))))
+    // serving-side scoring: the TVF's literal weights == the API map
+    val w = Map(-1L -> -0.35, 2L -> 0.9, 9L -> -0.4, 17L -> 0.6)
+    assert(
+      sorted(spark.sql(
+        "SELECT * FROM corpus_classifier_score('-1:-0.35 2:0.9 9:-0.4 17:0.6', 32)")) ==
+      sorted(graft.pipeline.QualityClassifier.scoreWithWeights(docs, w, 32)))
+    // a model trained by the API scores identically through the TVF
+    // route when its weights are passed back as literals
+    val trained = graft.pipeline.QualityClassifier.train(
+        docs, org.apache.spark.sql.functions.expr("lang = 'en'"),
+        nBuckets = 16, iters = 2, lr = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lit = trained.toSeq.sortBy(_._1).map { case (b, v) => s"$b:$v" }.mkString(" ")
+    assert(
+      sorted(spark.sql(s"SELECT * FROM corpus_classifier_score('$lit', 16)")) ==
+      sorted(graft.pipeline.QualityClassifier.scoreWithWeights(docs, trained, 16)))
   }
 
   test("second-batch pipeline TVFs == Column API; lazy percentile gate == eager") {

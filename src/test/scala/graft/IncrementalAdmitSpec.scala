@@ -173,6 +173,42 @@ class IncrementalAdmitSpec extends AnyFunSuite {
       "post-flip admit must see the new witnesses")
   }
 
+  test("crash between version write and flip: next fold sweeps orphans and converges") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_admit_crash_").toString
+    IncrementalAdmit.writeStateVersioned(spark, docs.filter(col("doc_id") < 200L), stateDir)
+    val b1 = docs.filter(col("doc_id") >= 200L && col("doc_id") < 350L)
+    IncrementalAdmit.updateState(spark, b1, stateDir) // v=2 live
+    assert(IncrementalAdmit.currentVersion(spark, stateDir) == Some(2L))
+    // simulate a fold that wrote its version COMPLETELY, then died
+    // before the manifest flip — plus a deeper abandoned orphan: both
+    // poisoned (far-smaller witnesses) so any accidental read shows
+    val poisoned = docs.filter(col("doc_id") < 400L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("text"))
+    IncrementalAdmit.writeState(spark, poisoned, s"$stateDir/v=3")
+    IncrementalAdmit.writeState(spark, poisoned, s"$stateDir/v=5")
+    // unflipped orphans are invisible: verdicts still come from v=2
+    val want = replayVerdicts(200L)
+    val b2 = docs.filter(col("doc_id") >= 350L && col("doc_id") < 420L)
+    assert(admitVerdicts(IncrementalAdmit.admit(spark, b2, stateDir))
+      == want.filter(k => k._1 >= 350L && k._1 < 420L))
+    // recovery: the next real fold sweeps the orphans (pre-write),
+    // writes ITS v=3 from the live v=2, flips, and drops v=1 (post-flip)
+    IncrementalAdmit.updateState(spark, b2, stateDir)
+    assert(IncrementalAdmit.currentVersion(spark, stateDir) == Some(3L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).toSet
+    assert(versions == Set("v=2", "v=3"),
+      s"only live + one-generation grace may remain, got $versions")
+    // the recovered chain's verdicts converge to the one-shot replay
+    val b3 = docs.filter(col("doc_id") >= 420L)
+    assert(admitVerdicts(IncrementalAdmit.admit(spark, b3, stateDir))
+      == want.filter(_._1 >= 420L),
+      "post-recovery admit must equal the ordered replay — no poison leaked")
+  }
+
   test("randomized versioned chains: any batching == one-shot replay; manifest tracks the folds") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed * 104729L)

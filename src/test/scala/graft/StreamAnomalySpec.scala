@@ -40,6 +40,41 @@ class StreamAnomalySpec extends AnyFunSuite {
     assert(!out.map(_.getLong(1)).contains(0L))
   }
 
+  test("shared multi-monitor pass: every slice == its individual one-shot twin") {
+    val T0 = 1704067200000L; val T31 = 1706745599999L; val DAY = 86400000L
+    val samples = graft.ts.TSModel.samples(spark, SparkTest.sf)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val shared = graft.ts.StreamMonitors.monitorsOnce(spark, samples,
+      zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
+      gapThresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+      nChunks = 2, cacheKey = None)
+    assert(canon(graft.ts.StreamMonitors.zscoreSlice(shared)) ==
+      canon(StreamAnomaly.zscoreStreamOnce(spark, samples, 2.5,
+        Some(T0), Some(T31), nChunks = 2)), "zscore slice")
+    assert(canon(graft.ts.StreamMonitors.cusumSlice(shared)) ==
+      canon(StreamAnomaly.cusumStreamOnce(spark, samples, 3.0,
+        Some(T0), Some(T31), nChunks = 2)), "cusum slice")
+    assert(canon(graft.ts.StreamMonitors.rollingSlice(shared)) ==
+      canon(StreamAnomaly.rollingQuantileStreamOnce(spark, samples,
+        q = 0.5, span = 10, Some(T0), Some(T31), nChunks = 2)), "rolling slice")
+    assert(canon(graft.ts.StreamMonitors.gapsSlice(shared)) ==
+      canon(graft.ts.StreamSessions.gapsStreamOnce(spark, samples,
+        thresholdMs = 2 * DAY, Some(T0), Some(T31), nChunks = 2)), "gaps slice")
+    // NaN presence: the gap monitor must count a NaN arrival (it
+    // bridges the gap) while the value monitors skip it
+    val rows = Seq(("n", 0L, 1.0), ("n", 1L, 2.0), ("n", 5L, Double.NaN),
+      ("n", 9L, 3.0)).toDF("series", "ts", "value")
+    val sh2 = graft.ts.StreamMonitors.monitorsOnce(spark, rows,
+      zThreshold = 99.0, cusumThreshold = 99.0, q = 0.5, span = 3,
+      gapThresholdMs = 3L, nChunks = 1, cacheKey = None)
+    val gaps = graft.ts.StreamMonitors.gapsSlice(sh2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(gaps == Set((1L, 5L), (5L, 9L)),
+      s"NaN arrival must bracket gaps at both sides: $gaps")
+    assert(graft.ts.StreamMonitors.rollingSlice(sh2).count() == 3,
+      "value monitors must skip the NaN row")
+  }
+
   test("streaming zscore == the cumulative-window closed form on the fixture") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
