@@ -484,6 +484,59 @@ object ScaleProbe {
       graft.ts.MatrixProfile.profileStomp(TSModel.samples(spark, work),
         DAY / 4, m = 7, Some(T0), Some(T31)).count()
     }
+    // Correlation matrix (explicit query list): the scan is series-IN
+    //    pushed and the pair join quadratic only in the ≤64-series
+    //    list (replica 0 keeps original names, so the matched rows do
+    //    NOT grow with reps) — wall must stay ~FLAT as the corpus
+    //    grows N×; a linear drift would mean the pushdown regressed.
+    val (nCorr, tCorr) = timed {
+      graft.ts.AsOf.pearsonMatrix(TSModel.samples(spark, work), dtwSeries,
+        DAY, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Label-filtered matrix: label resolution broadcasts the
+    //    O(#series) labels frame (which DOES grow N×), the in-plan
+    //    guard passes (matched set = replica-0 users), then the same
+    //    flat matched-scan — near-flat expected, labels-broadcast the
+    //    only growing term.
+    val (nCorrF, tCorrF) = timed {
+      graft.ts.AsOf.pearsonMatrixByFilter(TSModel.samples(spark, work),
+        TSModel.labels(spark, work),
+        Seq(Multi.parsePred("user=(7,15,34,117)")),
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Seasonal-adjusted anomaly over N× series: decompose + one
+    //    same-key stats window + the flag filter — decompose-shaped,
+    //    ~linear expected (compare against decompose_sec).
+    val (nRem, tRem) = timed {
+      graft.ts.Seasonal.remainderAnomaly(TSModel.samples(spark, work),
+        DAY, 7, 1.5, Some(T0), Some(T31)).count()
+    }
+    // AB-join profile at 4× length, both routes: pairs pays
+    //    w_a×w_b join rows with an O(m) dot each, the STOMP AB-join
+    //    walks the same cells O(1)-amortized in one task — the gap
+    //    the long route exists for (both scans are two-series pushed,
+    //    so reps only move the fixed grid-agg floor).
+    val (nJp4, tJp4) = timed {
+      graft.ts.MatrixProfile.joinProfile(TSModel.samples(spark, work),
+        DAY / 4, m = 7, a = "click_7", b = "view_7",
+        fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    val (nJp4S, tJp4S) = timed {
+      graft.ts.MatrixProfile.joinProfileStomp(TSModel.samples(spark, work),
+        DAY / 4, m = 7, a = "click_7", b = "view_7",
+        fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // TSBS scan-bound shapes over N× events (the baseline-parity
+    //    rows): double-groupby-all aggregates every host×metric cell
+    //    (output fixed ~100×10×12, input N×), high-cpu-all is the
+    //    FILTER_BY_VALUE scan (output N×) — both ~linear in events.
+    val (nTdg, tTdg) = timed {
+      graft.ts.Tsbs.doubleGroupby(spark, work, graft.ts.Tsbs.Metrics.size,
+        T0, T0 + 12 * DAY - 1, DAY).count()
+    }
+    val (nThc, tThc) = timed {
+      graft.ts.Tsbs.highCpu(spark, work, None, 90.0, T0, T31).count()
+    }
     // Fuzzy decontamination at N× corpus vs a FIXED benchmark slice:
     //    bench bucket set broadcast, corpus side one signature pass —
     //    ~linear in docs expected (the md5 CPU term).
@@ -552,6 +605,13 @@ object ScaleProbe {
       s""""mp_len4_pairs_sec":${s2(tMp4)},"mp_len4_pairs_rows":$nMp4,""" +
       s""""mp_len4_stomp_sec":${s2(tMp4Stomp)},"mp_len4_stomp_rows":$nMp4Stomp,""" +
       s""""fuzzy_decon_sec":${s2(tFz)},"fuzzy_decon_rows":$nFz,""" +
+      s""""corr_matrix_sec":${s2(tCorr)},"corr_matrix_rows":$nCorr,""" +
+      s""""corr_matrix_filter_sec":${s2(tCorrF)},"corr_matrix_filter_rows":$nCorrF,""" +
+      s""""decompose_anomaly_sec":${s2(tRem)},"decompose_anomaly_rows":$nRem,""" +
+      s""""mp_len4_joinpairs_sec":${s2(tJp4)},"mp_len4_joinpairs_rows":$nJp4,""" +
+      s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +
+      s""""tsbs_double_groupby_all_sec":${s2(tTdg)},"tsbs_double_groupby_all_rows":$nTdg,""" +
+      s""""tsbs_high_cpu_all_sec":${s2(tThc)},"tsbs_high_cpu_all_rows":$nThc,""" +
       s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()
   }

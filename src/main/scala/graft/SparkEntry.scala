@@ -46,7 +46,8 @@ object SparkEntry {
   private def sharedMonitors(s: SparkSession, dir: String): DataFrame =
     graft.ts.StreamMonitors.monitorsOnce(s, monthSamples(s, dir),
       zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
-      gapThresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+      gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
+      fromMs = Some(T0), toMs = Some(T31),
       nChunks = 2, cacheKey = Some(dir))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -2097,8 +2098,8 @@ object SparkEntry {
       // in time-ordered micro-batches; the oracle re-derives the
       // same semantics as a cumulative window — the state path is
       // hash-checked against a closed form
-      // Since r14 the four series-keyed monitors (z-score, CUSUM,
-      // rolling quantile, gaps) are slices of ONE shared multi-monitor
+      // Since r14 the five series-keyed monitors (z-score, CUSUM,
+      // rolling quantile, gaps, seasonal cohorts) are slices of ONE shared
       // pass — the production shape: one ingest stream, N monitors,
       // one stateful shuffle (StreamMonitors scaladoc; the spec pins
       // every slice bit-equal to its individual one-shot twin, whose
@@ -2110,9 +2111,7 @@ object SparkEntry {
       // streaming SEASONAL anomaly: per-(series, dow-cohort) prefix
       // state — "this Monday vs previous Mondays", at arrival time
       "ts_seasonal_stream" -> ((s, dir) =>
-        StreamAnomaly.seasonalStreamOnce(s, monthSamples(s, dir),
-          threshold = 2.0, mode = "dow",
-          fromMs = Some(T0), toMs = Some(T31), nChunks = 2)),
+        graft.ts.StreamMonitors.seasonalSlice(sharedMonitors(s, dir))),
       // streaming rolling median: bounded ring state per series; the
       // time-ordered replay makes the stateful stream EQUAL the batch
       // operator, whose SQL twin is the oracle (batch-duality)
@@ -2142,7 +2141,8 @@ object SparkEntry {
       "ts_stream_shared_pass" -> ((s, dir) =>
         graft.ts.StreamMonitors.monitorsOnce(s, monthSamples(s, dir),
           zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
-          gapThresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+          gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
+          fromMs = Some(T0), toMs = Some(T31),
           nChunks = 2, cacheKey = None)),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
@@ -3204,7 +3204,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_stream_shared_pass" -> graft.ts.StreamMonitors.monitorsSql(
         zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
-        gapThresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+        gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_seasonal_stream" -> StreamAnomaly.seasonalStreamSql(2.0, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_stream" -> Rolling.rollingQuantileSql(q = 0.5, span = 10,

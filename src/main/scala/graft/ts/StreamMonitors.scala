@@ -16,22 +16,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *  - CUSUM drift ([[StreamAnomaly.cusumStreamOnce]]),
  *  - rolling quantile ([[StreamAnomaly.rollingQuantileStreamOnce]]),
  *  - gap detection ([[StreamSessions.gapsStreamOnce]]),
+ *  - seasonal cohort anomaly ([[StreamAnomaly.seasonalStreamOnce]] —
+ *    its (series, season) key folds INTO the per-series state as a
+ *    bounded cohort map, ≤24 entries; the per-cohort subsequence of
+ *    the series' (ts, value)-ordered replay is itself (ts, value)-
+ *    ordered, so the cohort Welford evolution is the individual
+ *    operator's exactly),
  *
  * whose transitions are deliberately IDENTICAL to the individual
  * operators' (the z-score and CUSUM monitors share one Welford
  * prefix, exactly the arithmetic each runs alone; the spec pins each
- * extracted slice bit-equal to its one-shot twin). The seasonal
- * monitor stays separate — its state key is (series, season), not
- * series — and the native session_window operator cannot fold here.
+ * extracted slice bit-equal to its one-shot twin). The native
+ * session_window operator cannot fold here (engine-managed state).
  *
  * Output: tagged union `(op, series, ts, value, score, l1)` with
- * op ∈ z|c|r|g; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
- * [[gapsSlice]] project each monitor's exact individual schema.
+ * op ∈ z|c|r|g|s; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
+ * [[gapsSlice]]/[[seasonalSlice]] project each monitor's exact
+ * individual schema (`l1` carries gap_end for g, the season for s).
  *
  * Scale: state per series = Welford triple + CUSUM sum + a span-bounded
- * ring + one long — constants; one shuffle by series for N monitors
- * instead of N; the replay/staging discipline (time-ordered chunks,
- * one file per trigger) is the family's.
+ * ring + one long + a ≤period-bounded cohort map — constants; one
+ * shuffle by series for N monitors instead of N; the replay/staging
+ * discipline (time-ordered chunks, one file per trigger) is the
+ * family's.
  *
  * The per-session CACHE exists because the bench/verify harness runs
  * each monitor as its own query: the first slice materializes the
@@ -51,23 +58,25 @@ object StreamMonitors {
   // sort with a TOTAL order: the shared source keeps NaN rows (the
   // gap monitor counts presence), and a comparison sort under IEEE
   // NaN semantics is undefined even for the non-NaN rows
-  private val rowOrd: Ordering[(String, Long, Double)] =
-    Ordering.by[(String, Long, Double), (Long, Double)](r => (r._2, r._3))(
+  private val rowOrd: Ordering[(String, Long, Double, Long)] =
+    Ordering.by[(String, Long, Double, Long), (Long, Double)](r => (r._2, r._3))(
       Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering))
 
   def monitorsOnce(
       spark: SparkSession, samples: DataFrame,
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
+      seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       nChunks: Int = 8, useRocksDb: Boolean = false,
       cacheKey: Option[String] = None): DataFrame = {
     val key = cacheKey.map(k =>
       s"$k|$zThreshold|$cusumThreshold|$q|$span|$gapThresholdMs|" +
-        s"$fromMs|$toMs|$nChunks|$useRocksDb")
+        s"$seasonalThreshold|$seasonalMode|$fromMs|$toMs|$nChunks|$useRocksDb")
     key.flatMap(k => Option(cache.get(k))).getOrElse {
       val out = runMonitors(spark, samples, zThreshold, cusumThreshold,
-        q, span, gapThresholdMs, fromMs, toMs, nChunks, useRocksDb)
+        q, span, gapThresholdMs, seasonalThreshold, seasonalMode,
+        fromMs, toMs, nChunks, useRocksDb)
       key.foreach(k => cache.put(k, out))
       out
     }
@@ -77,6 +86,7 @@ object StreamMonitors {
       spark: SparkSession, samples: DataFrame,
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
+      seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long], toMs: Option[Long],
       nChunks: Int, useRocksDb: Boolean): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
@@ -94,7 +104,8 @@ object StreamMonitors {
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val srcStage = java.nio.file.Files
       .createTempDirectory("graft_smon_src_").resolve("stage").toString
-    s.select(col("series"), col("ts"), col("value"))
+    Seasonal.withSeason(s.select(col("series"), col("ts"), col("value")),
+        seasonalMode)
       .repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
     locally {
@@ -114,20 +125,24 @@ object StreamMonitors {
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType))))
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("season",
+          org.apache.spark.sql.types.LongType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcStage)
-      .as[(String, Long, Double)]
+      .as[(String, Long, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Double)],
-         state: GroupState[(Long, Double, Double, Double, List[Double], Long)]) =>
-          var (n, mean, m2, cs, ring, lastTs) = state.getOption
-            .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue))
+        (series: String, rows: Iterator[(String, Long, Double, Long)],
+         state: GroupState[(Long, Double, Double, Double, List[Double], Long,
+           Map[Long, (Long, Double, Double)])]) =>
+          var (n, mean, m2, cs, ring, lastTs, cohorts) = state.getOption
+            .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue,
+              Map.empty[Long, (Long, Double, Double)]))
           val outRows = scala.collection.mutable.ArrayBuffer
             .empty[(String, String, Long, Double, Double, Long)]
-          rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v) =>
+          rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v, season) =>
             // gap monitor: presence only, NaN arrivals count
             if (lastTs != Long.MinValue && ts - lastTs > gapThresholdMs)
               outRows += (("g", series, lastTs, 0.0, 0.0, ts))
@@ -158,9 +173,25 @@ object StreamMonitors {
               val hi = math.min(lo + 1, sorted.length - 1)
               outRows += (("r", series, ts, v,
                 sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo)), 0L))
+              // seasonal cohort Welford — the (series, season)-keyed
+              // operator's state, held as a bounded in-state map
+              val (cn, cMean, cM2) = cohorts.getOrElse(season, (0L, 0.0, 0.0))
+              if (cn >= minPrefix) {
+                val sigma = math.sqrt(math.max(cM2 / cn, 0.0))
+                if (sigma > 0) {
+                  val sz = (v - cMean) / sigma
+                  if (math.abs(sz) >= seasonalThreshold)
+                    outRows += (("s", series, ts, v, sz, season))
+                }
+              }
+              val cn1 = cn + 1
+              val cDelta = v - cMean
+              val cMean1 = cMean + cDelta / cn1
+              cohorts = cohorts.updated(season,
+                (cn1, cMean1, cM2 + cDelta * (v - cMean1)))
             }
           }
-          state.update((n, mean, m2, cs, ring, lastTs))
+          state.update((n, mean, m2, cs, ring, lastTs, cohorts))
           outRows.iterator
       }
       .toDF("op", "series", "ts", "value", "score", "l1")
@@ -202,11 +233,19 @@ object StreamMonitors {
       .select(col("series"), col("ts").as("gap_start"), col("l1").as("gap_end"),
         (col("l1") - col("ts")).as("gap_ms"))
 
+  /** The seasonal cohort monitor's slice —
+    * [[StreamAnomaly.seasonalStreamOnce]]'s exact schema. */
+  def seasonalSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "s")
+      .select(col("series"), col("ts"), col("value"),
+        col("l1").as("season"), col("score").as("s_value"))
+
   /** DuckDB twin of the full tagged union (each monitor's existing
     * oracle, tagged and projected onto the shared schema). */
   def monitorsSql(
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
+      seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): String =
     s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1
        |FROM (${StreamAnomaly.zscoreStreamSql(zThreshold, fromMs, toMs)})
@@ -218,5 +257,8 @@ object StreamMonitors {
        |FROM (${Rolling.rollingQuantileSql(q, span, fromMs, toMs)})
        |UNION ALL
        |SELECT 'g', series, gap_start, 0.0, 0.0, gap_end
-       |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})""".stripMargin
+       |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})
+       |UNION ALL
+       |SELECT 's', series, ts, value, s_value, season
+       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})""".stripMargin
 }

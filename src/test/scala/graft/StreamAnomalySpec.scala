@@ -46,7 +46,8 @@ class StreamAnomalySpec extends AnyFunSuite {
     def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
     val shared = graft.ts.StreamMonitors.monitorsOnce(spark, samples,
       zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
-      gapThresholdMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
+      gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
+      fromMs = Some(T0), toMs = Some(T31),
       nChunks = 2, cacheKey = None)
     assert(canon(graft.ts.StreamMonitors.zscoreSlice(shared)) ==
       canon(StreamAnomaly.zscoreStreamOnce(spark, samples, 2.5,
@@ -60,13 +61,20 @@ class StreamAnomalySpec extends AnyFunSuite {
     assert(canon(graft.ts.StreamMonitors.gapsSlice(shared)) ==
       canon(graft.ts.StreamSessions.gapsStreamOnce(spark, samples,
         thresholdMs = 2 * DAY, Some(T0), Some(T31), nChunks = 2)), "gaps slice")
+    // seasonal cohorts folded into per-series state: the (ts, value)-
+    // ordered replay's per-cohort subsequence is itself ordered, so
+    // the cohort Welford evolution matches the individual operator
+    assert(canon(graft.ts.StreamMonitors.seasonalSlice(shared)) ==
+      canon(StreamAnomaly.seasonalStreamOnce(spark, samples, 2.0, "dow",
+        Some(T0), Some(T31), nChunks = 2)), "seasonal slice")
     // NaN presence: the gap monitor must count a NaN arrival (it
     // bridges the gap) while the value monitors skip it
     val rows = Seq(("n", 0L, 1.0), ("n", 1L, 2.0), ("n", 5L, Double.NaN),
       ("n", 9L, 3.0)).toDF("series", "ts", "value")
     val sh2 = graft.ts.StreamMonitors.monitorsOnce(spark, rows,
       zThreshold = 99.0, cusumThreshold = 99.0, q = 0.5, span = 3,
-      gapThresholdMs = 3L, nChunks = 1, cacheKey = None)
+      gapThresholdMs = 3L, seasonalThreshold = 99.0, seasonalMode = "dow",
+      nChunks = 1, cacheKey = None)
     val gaps = graft.ts.StreamMonitors.gapsSlice(sh2).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(gaps == Set((1L, 5L), (5L, 9L)),
