@@ -537,6 +537,27 @@ object ScaleProbe {
     val (nThc, tThc) = timed {
       graft.ts.Tsbs.highCpu(spark, work, None, 90.0, T0, T31).count()
     }
+    // Reference scaling-*.yml comparatives (BASELINE.md rows
+    //    "TS.MGET / TS.MRANGE / TS.QUERYINDEX scaling"): the
+    //    reference CI benches these per series count — our replicas
+    //    give 7.5k/75k/225k series at 1/10/30×, so these rows are the
+    //    measured twins. MGET = one aggregated pass + broadcast join;
+    //    QUERYINDEX = the labels-only predicate scan (O(#series),
+    //    never touches samples); raw-agg MRANGE = the one-pass
+    //    bucketed max over every matched series.
+    val scalingPreds = Seq(Multi.parsePred("type=(click,view,purchase,signup,error)"))
+    val labelsAll = TSModel.labels(spark, work)
+    val (nMget, tMget) = timed {
+      Multi.mget(TSModel.samples(spark, work), labelsAll, scalingPreds).count()
+    }
+    val (nQix, tQix) = timed {
+      Multi.queryIndex(labelsAll, scalingPreds).count()
+    }
+    val (nMrMax, tMrMax) = timed {
+      Multi.mrange(TSModel.samples(spark, work), labelsAll, scalingPreds,
+        RangeQuery.RangeArgs(from = Some(T0), to = Some(T31),
+          aggs = Seq("max"), bucketMs = DAY)).count()
+    }
     // Fuzzy decontamination at N× corpus vs a FIXED benchmark slice:
     //    bench bucket set broadcast, corpus side one signature pass —
     //    ~linear in docs expected (the md5 CPU term).
@@ -612,6 +633,9 @@ object ScaleProbe {
       s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +
       s""""tsbs_double_groupby_all_sec":${s2(tTdg)},"tsbs_double_groupby_all_rows":$nTdg,""" +
       s""""tsbs_high_cpu_all_sec":${s2(tThc)},"tsbs_high_cpu_all_rows":$nThc,""" +
+      s""""mget_scaling_sec":${s2(tMget)},"mget_scaling_series":$nMget,""" +
+      s""""queryindex_scaling_sec":${s2(tQix)},"queryindex_scaling_rows":$nQix,""" +
+      s""""mrange_max_scaling_sec":${s2(tMrMax)},"mrange_max_scaling_rows":$nMrMax,""" +
       s""""image_phash_sec":${s2(tPhash)},"image_phash_pairs":$nPhash}""")
     spark.stop()
   }

@@ -215,7 +215,7 @@ object Tsbs {
   private def hostIn(hosts: Seq[String]) =
     hosts.map(h => s"'$h'").mkString("hostname IN (", ", ", ")")
 
-  private def maxAggSql(hosts: Seq[String], nMetrics: Int,
+  private[graft] def maxAggSql(hosts: Seq[String], nMetrics: Int,
       fromMs: Long, toMs: Long, bucketMs: Long): String = {
     val metricPred =
       if (nMetrics == 1) "metric = 'usage_user'"
@@ -229,7 +229,7 @@ object Tsbs {
        |GROUP BY series, ${bkt(bucketMs)}""".stripMargin
   }
 
-  private def groupbyMaxSql(hosts: Option[Seq[String]], nMetrics: Int,
+  private[graft] def groupbyMaxSql(hosts: Option[Seq[String]], nMetrics: Int,
       fromMs: Option[Long], toMs: Long, bucketMs: Long): String = {
     val metricPred =
       if (nMetrics == 1) "metric = 'usage_user'"
@@ -291,7 +291,7 @@ object Tsbs {
          |FROM samples GROUP BY series""".stripMargin
   )
 
-  private def doubleGroupbySql(nMetrics: Int,
+  private[graft] def doubleGroupbySql(nMetrics: Int,
       fromMs: Long, toMs: Long, bucketMs: Long): String = {
     val metricPred =
       if (nMetrics == 1) "metric = 'usage_user'"
