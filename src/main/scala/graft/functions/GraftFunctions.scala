@@ -530,6 +530,32 @@ object GraftFunctions {
         Some(literalLong("ts_cusum", args(0), "from")),
         Some(literalLong("ts_cusum", args(1), "to"))))
     }),
+    // ts_changepoint(from, to, bucket_ms, levels, min_size) — offline
+    // changepoint localization by binary segmentation of the bucket grid
+    (FunctionIdentifier("ts_changepoint"), info("ts_changepoint"),
+        { args: Seq[Expression] =>
+      nargs("ts_changepoint", Seq(5), args)
+      val spark = activeSession("ts_changepoint")
+      GraftSessionBridge.logicalPlan(graft.ts.Changepoint.binseg(
+        spark.table(SamplesView),
+        literalLong("ts_changepoint", args(2), "bucket_ms"),
+        literalLong("ts_changepoint", args(3), "levels").toInt,
+        literalLong("ts_changepoint", args(4), "min_size").toInt,
+        fromMs = Some(literalLong("ts_changepoint", args(0), "from")),
+        toMs = Some(literalLong("ts_changepoint", args(1), "to"))))
+    }),
+    // ts_theilsen(from, to, bucket_ms) — Theil-Sen robust trend
+    // (median pairwise slope + median-residual intercept) per series
+    (FunctionIdentifier("ts_theilsen"), info("ts_theilsen"),
+        { args: Seq[Expression] =>
+      nargs("ts_theilsen", Seq(3), args)
+      val spark = activeSession("ts_theilsen")
+      GraftSessionBridge.logicalPlan(graft.ts.Trend.theilSen(
+        spark.table(SamplesView),
+        literalLong("ts_theilsen", args(2), "bucket_ms"),
+        fromMs = Some(literalLong("ts_theilsen", args(0), "from")),
+        toMs = Some(literalLong("ts_theilsen", args(1), "to"))))
+    }),
     // ts_asof('left', 'right', from, to[, tolerance_ms]) — as-of join
     (FunctionIdentifier("ts_asof"), info("ts_asof"), { args: Seq[Expression] =>
       nargs("ts_asof", Seq(4, 5), args)

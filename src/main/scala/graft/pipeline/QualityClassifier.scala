@@ -116,21 +116,51 @@ object QualityClassifier {
     w
   }
 
+  /** The per-process trained-model cache behind [[trainedWeights]] —
+    * a production pipeline trains ONCE and serves many scoring/filter
+    * passes; the harness's classifier queries mirror that by sharing
+    * one model per (fixture, hyperparameter) key. The map holds
+    * nBuckets+1 doubles per entry, nothing corpus-sized. */
+  private val weightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Double]]()
+
+  /** Test hook: drop every cached model. */
+  private[graft] def clearCache(): Unit = weightsCache.clear()
+
+  /** The full training pass (feature build + persist + GD loop) as a
+    * driver-side weight map. `cacheKey = None` always retrains (the
+    * bench's pipeline_classifier_weights row measures the real train
+    * wall every rep); `Some(key)` trains once per process per
+    * (key, hyperparameters) and reuses — the train-once/score-many
+    * production shape. */
+  def trainedWeights(docs: DataFrame, labelPred: Column, nBuckets: Int,
+      iters: Int, lr: Double,
+      cacheKey: Option[String] = None): Map[Long, Double] = {
+    def compute(): Map[Long, Double] = {
+      val feats = docFeatures(docs, labelPred, nBuckets).persist()
+      try {
+        // one packed row per doc: counting feats materializes the cache
+        // AND yields N — no separate corpus scan
+        val n = feats.count().toDouble
+        gdLoop(feats, n, iters, lr)
+      } finally feats.unpersist()
+    }
+    cacheKey match {
+      case Some(k) => weightsCache.computeIfAbsent(
+        s"$k|$nBuckets|$iters|$lr", _ => compute())
+      case None => compute()
+    }
+  }
+
   /** K deterministic full-batch GD steps; returns the final
     * `(bucket, weight)` table (bucket -1 = bias). */
   def train(docs: DataFrame, labelPred: Column, nBuckets: Int,
       iters: Int, lr: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = docFeatures(docs, labelPred, nBuckets).persist()
-    try {
-      // one packed row per doc: counting feats materializes the cache
-      // AND yields N — no separate corpus scan
-      val n = feats.count().toDouble
-      val w = gdLoop(feats, n, iters, lr)
-      spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "weight")
-        .select(col("bucket"), round(col("weight"), 9).as("weight"))
-    } finally feats.unpersist()
+    val w = trainedWeights(docs, labelPred, nBuckets, iters, lr)
+    spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "weight")
+      .select(col("bucket"), round(col("weight"), 9).as("weight"))
   }
 
   /** [[train]] on a bounded hash-ordered sample of the corpus — the
@@ -159,17 +189,32 @@ object QualityClassifier {
     * compact row per doc) so the feature cache can be released before
     * the lazy threshold-filter result is consumed. */
   def scoreFilter(docs: DataFrame, labelPred: Column, nBuckets: Int,
-      iters: Int, lr: Double, keepFrac: Double): DataFrame = {
+      iters: Int, lr: Double, keepFrac: Double,
+      cacheKey: Option[String] = None): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, "keepFrac in (0,1)")
-    val feats = docFeatures(docs, labelPred, nBuckets).persist()
-    val scores = try {
-      val n = feats.count().toDouble
-      val w = gdLoop(feats, n, iters, lr)
-      val wmap = typedLit(w)
-      feats
-        .select(col("doc_id"), round(dotW(wmap), 9).as("clf_score"))
-        .localCheckpoint()
-    } finally feats.unpersist()
+    val scores = cacheKey match {
+      case None =>
+        // fresh train: features are built ONCE and shared between the
+        // GD loop and final scoring
+        val feats = docFeatures(docs, labelPred, nBuckets).persist()
+        try {
+          val n = feats.count().toDouble
+          val w = gdLoop(feats, n, iters, lr)
+          feats
+            .select(col("doc_id"), round(dotW(typedLit(w)), 9).as("clf_score"))
+            .localCheckpoint()
+        } finally feats.unpersist()
+      case key @ Some(_) =>
+        // train-once/score-many: the model comes from the process
+        // cache (trained on first use); scoring is one feature pass.
+        // dotW never reads the label column, so the scores — and the
+        // kept set — are bit-identical to the fresh-train route
+        // (spec-pinned in SelectionPipelineSpec).
+        val w = trainedWeights(docs, labelPred, nBuckets, iters, lr, key)
+        docFeatures(docs, lit(false), nBuckets)
+          .select(col("doc_id"), round(dotW(typedLit(w)), 9).as("clf_score"))
+          .localCheckpoint()
+    }
     val thr = scores.agg(
       expr(s"percentile(clf_score, ${1 - keepFrac})").as("thr"))
     scores.crossJoin(broadcast(thr)).filter(col("clf_score") >= col("thr"))

@@ -45,6 +45,152 @@ object Changepoint {
       .select(col("series"), col("ts"), col("value"), col("cusum_score"))
   }
 
+  /**
+   * Offline changepoint LOCALIZATION by binary segmentation (Scott &
+   * Knott 1974 lineage; the standard greedy complement of the online
+   * [[cusum]] excursion): per series, over the bucket grid, pick the
+   * split that maximally reduces the summed squared error of a
+   * piecewise-constant fit, then recurse into each child segment for
+   * `levels` rounds — the answer to "WHEN did the mean shift, and how
+   * much did each shift explain", where cusum only flags the region.
+   *
+   * Cost model: for a segment of rows 1..n with prefix sums
+   * `S_t = Σ v_i`, `Q_t = Σ v_i²`, the SSE of a constant fit over
+   * l..r is `Q − S²/len`, so the gain of splitting after row t is
+   * `SSE(1..n) − SSE(1..t) − SSE(t+1..n)` — O(1) per candidate from
+   * two cumulative windows. The split is the round-9 argmax (earliest
+   * bucket breaks ties, the matrix-profile total-order convention).
+   *
+   * Plan shape (action-free, TVF-spliceable): ONE scan → ONE grid agg
+   * (bucket averages round-9 so both engines fold bit-identical
+   * inputs) → per level: the cumulative/unordered window family over
+   * ONE exchange by (series, segment) + a rank-1 pick, and a
+   * broadcast-sized join (≤ series × 2^level rows) tagging each grid
+   * row `l`/`r` for the next round. Segments shorter than 2·minSize
+   * emit no candidate and their subtree drops out — exactly the
+   * recursion's stopping rule. Nothing here scales with raw sample
+   * count beyond the grid agg; the window family is grid-bounded
+   * (range/bucket rows per series — a query cost the caller sets).
+   *
+   * Output: `(series, level, seg, cp_ts, gain, n_left, n_right)` —
+   * one row per executed split; `seg` is the split segment's `l`/`r`
+   * path from the root (`''`), `cp_ts` the first bucket of the new
+   * regime, `gain` the round-9 SSE reduction.
+   */
+  def binseg(
+      samples: DataFrame, bucketMs: Long, levels: Int = 2,
+      minSize: Int = 2, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(levels >= 1 && levels <= 4, s"levels $levels out of 1..4")
+    require(minSize >= 2, s"minSize $minSize must be >= 2 (segment variance)")
+    require(bucketMs > 0, s"bucketMs $bucketMs must be positive")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val grid = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(round(avg(col("value")), 9).as("v"))
+
+    var seg = grid.withColumn("seg", lit(""))
+    var out: Option[DataFrame] = None
+    for (lvl <- 0 until levels) {
+      val wOrd = Window.partitionBy(col("series"), col("seg"))
+        .orderBy(col("bucket"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("series"), col("seg"))
+      val sseTot = col("q_tot") - col("s_tot") * col("s_tot") / col("n")
+      val sseL = col("q_cum") - col("s_cum") * col("s_cum") / col("i")
+      val sR = col("s_tot") - col("s_cum")
+      val sseR = (col("q_tot") - col("q_cum")) - sR * sR / (col("n") - col("i"))
+      val picked = seg
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("next_bucket", lead(col("bucket"), 1).over(wOrd))
+        .withColumn("s_cum", sum(col("v")).over(wCum))
+        .withColumn("q_cum", sum(col("v") * col("v")).over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s_tot", sum(col("v")).over(wAll))
+        .withColumn("q_tot", sum(col("v") * col("v")).over(wAll))
+        .filter(col("i") >= minSize && col("i") <= col("n") - minSize)
+        .withColumn("gain", round(sseTot - sseL - sseR, 9))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("series"), col("seg"))
+            .orderBy(col("gain").desc, col("bucket"))))
+        .filter(col("rk") === 1)
+      val lvlRows = picked.select(
+        col("series"), lit(lvl.toLong).as("level"), col("seg"),
+        col("next_bucket").as("cp_ts"), col("gain"),
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+        col("bucket").as("__split"))
+      out = Some(out.fold(lvlRows)(_.unionByName(lvlRows)))
+      if (lvl < levels - 1) {
+        val sp = lvlRows.select(col("series"), col("seg"), col("__split"))
+        seg = seg.join(broadcast(sp), Seq("series", "seg"))
+          .withColumn("seg", concat(col("seg"),
+            when(col("bucket") <= col("__split"), lit("l")).otherwise(lit("r"))))
+          .drop("__split")
+      }
+    }
+    out.get.drop("__split")
+  }
+
+  /** DuckDB oracle twin of [[binseg]]: the same per-level
+    * window/QUALIFY round, unrolled as CTE pairs. */
+  def binsegSql(
+      bucketMs: Long, levels: Int = 2, minSize: Int = 2, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(levels >= 1 && levels <= 4, s"levels $levels out of 1..4")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    // gain rides OUT of the QUALIFY subquery (the moment columns are
+    // consumed inside it), so p$lvl carries it explicitly:
+    val lvlsWithGain = (0 until levels).map { lvl =>
+      s"""p$lvl AS (
+         |  SELECT series, seg, bucket, next_bucket,
+         |    round((q_tot - s_tot*s_tot/n) - (q_cum - s_cum*s_cum/i)
+         |      - ((q_tot - q_cum) - (s_tot - s_cum)*(s_tot - s_cum)/(n - i)), 9) AS gain,
+         |    i, n FROM (
+         |    SELECT series, seg, bucket,
+         |      lead(bucket) OVER w AS next_bucket,
+         |      CAST(row_number() OVER w AS BIGINT) AS i,
+         |      sum(v)   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum,
+         |      sum(v*v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_cum,
+         |      count(*) OVER wp AS n,
+         |      sum(v)   OVER wp AS s_tot,
+         |      sum(v*v) OVER wp AS q_tot
+         |    FROM g$lvl
+         |    WINDOW w AS (PARTITION BY series, seg ORDER BY bucket),
+         |           wp AS (PARTITION BY series, seg)
+         |  ) WHERE i >= $minSize AND i <= n - $minSize
+         |  QUALIFY row_number() OVER (PARTITION BY series, seg
+         |    ORDER BY gain DESC, bucket) = 1
+         |)""".stripMargin + (if (lvl < levels - 1)
+        s""", g${lvl + 1} AS (
+           |  SELECT g.series,
+           |    g.seg || CASE WHEN g.bucket <= p.bucket THEN 'l' ELSE 'r' END AS seg,
+           |    g.bucket, g.v
+           |  FROM g$lvl g JOIN p$lvl p ON g.series = p.series AND g.seg = p.seg
+           |)""".stripMargin else "")
+    }.mkString(", ")
+    val unionWithGain = (0 until levels).map { lvl =>
+      s"""SELECT series, CAST($lvl AS BIGINT) AS level, seg,
+         |  next_bucket AS cp_ts, gain, i AS n_left, n - i AS n_right
+         |FROM p$lvl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), g0 AS (
+       |  SELECT series, '' AS seg,
+       |    ${TSModel.bucketStartSql("ts", bucketMs, alignMs)} AS bucket,
+       |    round(avg(value), 9) AS v
+       |  FROM f GROUP BY 1, 2, 3
+       |), $lvlsWithGain
+       |$unionWithGain""".stripMargin
+  }
+
   def cusumSql(
       threshold: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

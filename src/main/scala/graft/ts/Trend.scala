@@ -122,6 +122,99 @@ object Trend {
        |WHERE acf_value IS NOT NULL AND NOT isnan(acf_value)""".stripMargin
   }
 
+  /**
+   * Theil-Sen ROBUST trend over the bucket grid — the median of all
+   * pairwise slopes (Theil 1950 / Sen 1968), with intercept =
+   * median(v − slope·x). Breakdown point ~29%: a burst of outlier
+   * buckets that drags [[fit]]'s OLS line leaves this one untouched —
+   * the robust complement the reference lacks entirely.
+   *
+   * x is the bucket INDEX (bucket − min bucket)/bucketMs, not epoch
+   * ms: slopes are per-bucket-step, O(1) magnitude, and the round-9
+   * convention is safe (unlike [[fit]]'s documented ~1e4 intercepts).
+   * The slope is rounded BEFORE the residual pass so both engines
+   * compute intercept from the identical slope.
+   *
+   * Plan shape: ONE scan → ONE grid agg (round-9 bucket averages) →
+   * min-bucket analytic window (same exchange class) → pair self-join
+   * on series (x_a < x_b) → one median agg per series → broadcast-
+   * sized join back onto the grid (one row per series) → one median
+   * residual agg. The pair join is quadratic ONLY in the query's grid
+   * (range/bucket rows per series — the corr-matrix family contract);
+   * nothing scales with raw sample count past the grid agg. Exact
+   * medians on the pair frame are a deliberate query-bounded cost —
+   * at production grids the caller widens bucketMs, same contract as
+   * the DTW/profile families.
+   *
+   * Output: `(series, slope, intercept, n_grid, n_pairs)`; series
+   * with fewer than 2 grid buckets define no trend and drop.
+   */
+  def theilSen(
+      samples: DataFrame, bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(bucketMs > 0, s"bucketMs $bucketMs must be positive")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+    val gx = s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
+      .agg(round(avg(col("value")), 9).as("v"))
+      .withColumn("x",
+        ((col("bucket") - min(col("bucket")).over(w)) / bucketMs).cast("double"))
+    val a = gx.select(col("series"), col("x").as("xa"), col("v").as("va"))
+    val b = gx.select(col("series"), col("x").as("xb"), col("v").as("vb"))
+    // xa < xb guarantees a nonzero divisor (buckets are distinct)
+    val slopes = a.join(b, Seq("series"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("series"))
+      .agg(round(percentile(
+          (col("vb") - col("va")) / (col("xb") - col("xa")), lit(0.5)), 9)
+          .as("slope"),
+        count(lit(1)).as("n_pairs"))
+    gx.join(broadcast(slopes), Seq("series"))
+      .groupBy(col("series"), col("slope"), col("n_pairs"))
+      .agg(round(percentile(col("v") - col("slope") * col("x"), lit(0.5)), 9)
+          .as("intercept"),
+        count(lit(1)).as("n_grid"))
+      .select(col("series"), col("slope"), col("intercept"),
+        col("n_grid"), col("n_pairs"))
+  }
+
+  /** DuckDB oracle twin of [[theilSen]] (`median` = quantile_cont 0.5,
+    * the same interpolated midpoint as Spark's `percentile`). */
+  def theilSenSql(
+      bucketMs: Long, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), g AS (
+       |  SELECT series, ${TSModel.bucketStartSql("ts", bucketMs, alignMs)} AS bucket,
+       |    round(avg(value), 9) AS v
+       |  FROM f GROUP BY 1, 2
+       |), gx AS (
+       |  SELECT series, v,
+       |    CAST((bucket - min(bucket) OVER (PARTITION BY series)) / $bucketMs AS DOUBLE) AS x
+       |  FROM g
+       |), sl AS (
+       |  SELECT a.series,
+       |    round(median((b.v - a.v) / (b.x - a.x)), 9) AS slope,
+       |    count(*) AS n_pairs
+       |  FROM gx a JOIN gx b ON a.series = b.series AND a.x < b.x
+       |  GROUP BY 1
+       |)
+       |SELECT g.series, sl.slope,
+       |  round(median(g.v - sl.slope * g.x), 9) AS intercept,
+       |  count(*) AS n_grid, sl.n_pairs
+       |FROM gx g JOIN sl ON g.series = sl.series
+       |GROUP BY g.series, sl.slope, sl.n_pairs""".stripMargin
+  }
+
   def fitSql(
       predictAtMs: Long,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -844,4 +844,87 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     val r = graft.pipeline.Text.zipfFit(docs, topN = 3).collect()(0)
     assert(r.getLong(3) == 3L)
   }
+
+  // ---- binary-segmentation changepoint ------------------------------
+
+  private def binsegRows(rows: Seq[(String, Long, Double)], levels: Int,
+      minSize: Int = 2) =
+    graft.ts.Changepoint.binseg(rows.toDF("series", "ts", "value"),
+        bucketMs = DAY, levels = levels, minSize = minSize)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+
+  test("binseg: a single planted step splits exactly at the boundary") {
+    // 5 buckets at 1.0 then 5 at 9.0: mu=5, total SSE = 10*16 = 160,
+    // the boundary split zeroes both sides
+    val rows = (0 until 10).map(i =>
+      ("a", i * DAY + 7L, if (i < 5) 1.0 else 9.0))
+    val out = binsegRows(rows, levels = 1)
+    assert(out.toSeq == Seq(("a", 0L, "", 5 * DAY, 160.0, 5L, 5L)))
+  }
+
+  test("binseg: level 2 recovers both shifts of a three-regime series") {
+    // 5x0, 5x10, 5x20: the two candidate boundary splits tie at gain
+    // 750 (symmetry) -- the earliest-bucket tiebreak picks t=5; the
+    // right child then splits at its own boundary with gain 250, the
+    // constant left child picks a 0-gain split deterministically
+    val rows = (0 until 15).map(i => ("a", i * DAY + 3L, (i / 5) * 10.0))
+    val out = binsegRows(rows, levels = 2)
+    val byKey = out.map(r => (r._2, r._3) -> r).toMap
+    assert(byKey((0L, "")) == ("a", 0L, "", 5 * DAY, 750.0, 5L, 10L))
+    assert(byKey((1L, "r")) == ("a", 1L, "r", 10 * DAY, 250.0, 5L, 5L))
+    assert(byKey((1L, "l"))._5 == 0.0 && out.length == 3)
+  }
+
+  test("binseg: segments shorter than 2*minSize emit nothing and drop out") {
+    val rows = (0 until 3).map(i => ("a", i * DAY + 1L, 1.0 * i))
+    assert(binsegRows(rows, levels = 2).isEmpty)
+    // 10 rows, minSize 4: root candidates i in 4..6 exist, but the
+    // ~5-row children cannot host a second split
+    val rows2 = (0 until 10).map(i =>
+      ("a", i * DAY + 1L, if (i < 5) 0.0 else 8.0))
+    val out = binsegRows(rows2, levels = 2, minSize = 4)
+    assert(out.length == 1 && out.head._2 == 0L)
+  }
+
+  test("binseg: NaN samples are dropped, multi-series independent") {
+    val rows = (0 until 10).map(i =>
+      ("a", i * DAY + 7L, if (i < 5) 1.0 else 9.0)) ++
+      Seq(("a", 2 * DAY + 8L, Double.NaN)) ++
+      (0 until 10).map(i => ("b", i * DAY + 7L, if (i < 3) 4.0 else 0.0))
+    val out = binsegRows(rows, levels = 1)
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("a")._4 == 5 * DAY && m("a")._5 == 160.0)
+    assert(m("b")._4 == 3 * DAY && m("b")._6 == 3L && m("b")._7 == 7L)
+  }
+
+  // ---- Theil-Sen robust trend ----------------------------------------
+
+  test("theilSen: exact line recovered, outlier bucket cannot drag it") {
+    // v = 2 + 3x over 10 daily buckets, except x=5 spikes to 1000: 36
+    // of 45 pair slopes are exactly 3, the median holds; residual
+    // median holds the intercept at 2. OLS on the same data is dragged
+    // far off -- the robustness differential this operator exists for.
+    val rows = (0 until 10).map(i =>
+      ("a", i * DAY + 11L, if (i == 5) 1000.0 else 2.0 + 3.0 * i))
+    val df = rows.toDF("series", "ts", "value")
+    val r = graft.ts.Trend.theilSen(df, bucketMs = DAY).collect()(0)
+    assert(r.getString(0) == "a")
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0)
+    assert(r.getLong(3) == 10L && r.getLong(4) == 45L)
+    val ols = graft.ts.Trend.fit(df, predictAtMs = 0L).collect()(0)
+    assert(math.abs(ols.getAs[Double]("slope") * DAY - 3.0) > 1.0)
+  }
+
+  test("theilSen: clean line is exact; single-bucket series drop") {
+    val rows = (0 until 6).map(i => ("a", i * DAY + 1L, -1.0 + 0.5 * i)) ++
+      Seq(("solo", 3 * DAY + 2L, 7.0))
+    val out = graft.ts.Trend.theilSen(
+      rows.toDF("series", "ts", "value"), bucketMs = DAY).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getDouble(1) == 0.5 &&
+      r.getDouble(2) == -1.0 && r.getLong(4) == 15L)
+  }
 }

@@ -164,6 +164,14 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(spark.sql(s"SELECT * FROM ts_cusum($T0, $T31, 0.5)")) ==
       sorted(graft.ts.Changepoint.cusum(samples, 0.5, Some(T0), Some(T31))))
     assert(
+      sorted(spark.sql(s"SELECT * FROM ts_changepoint($T0, $T31, ${2 * DAY}, 2, 2)")) ==
+      sorted(graft.ts.Changepoint.binseg(samples, 2 * DAY, 2, 2,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
+      sorted(spark.sql(s"SELECT * FROM ts_theilsen($T0, $T31, ${2 * DAY})")) ==
+      sorted(graft.ts.Trend.theilSen(samples, 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31)")) ==
       sorted(graft.ts.AsOf.asofJoin(samples, "view_3", "click_5",
         None, Some(T0), Some(T31))))
@@ -406,7 +414,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "ts_mp_discords", "ts_mp_motifs", "ts_mp_join", "ts_decompose_anomaly",
         "ts_backtest_rolling", "ts_matrix_profile_stomp",
         "corpus_mix_temperature", "corpus_boilerplate",
-        "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score"))
+        "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
+        "ts_changepoint", "ts_theilsen"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 

@@ -360,4 +360,30 @@ class RandomizedTvfSpec extends AnyFunSuite {
         s"combo $i: $sqlText")
     }
   }
+
+  test("round-14 TVFs (changepoint binseg / Theil-Sen) == Column API across 16 random combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val rnd = new scala.util.Random(140815)
+    val buckets = Seq(6 * HOUR, DAY, 2 * DAY)
+    for (i <- 1 to 16) {
+      val from = T0 + rnd.nextInt(15) * DAY
+      val to = from + (6 + rnd.nextInt(14)) * DAY
+      val bucket = buckets(rnd.nextInt(buckets.size))
+      val (sqlText, api) =
+        if (rnd.nextBoolean()) {
+          val levels = 1 + rnd.nextInt(3)
+          val minSize = 2 + rnd.nextInt(2)
+          (s"SELECT * FROM ts_changepoint($from, $to, $bucket, $levels, $minSize)",
+            graft.ts.Changepoint.binseg(samples, bucket, levels, minSize,
+              fromMs = Some(from), toMs = Some(to)))
+        } else
+          (s"SELECT * FROM ts_theilsen($from, $to, $bucket)",
+            graft.ts.Trend.theilSen(samples, bucket,
+              fromMs = Some(from), toMs = Some(to)))
+      assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
+        s"combo $i: $sqlText")
+    }
+  }
 }

@@ -108,4 +108,28 @@ class SelectionPipelineSpec extends AnyFunSuite {
       .as[Double].head()
     assert(enRate > baseRate, s"kept en-rate $enRate must beat base $baseRate")
   }
+
+  test("classifier: cached train-once route == fresh-train route, and caches") {
+    QualityClassifier.clearCache()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val fresh = canon(QualityClassifier.scoreFilter(
+      docs, col("lang") === "en", 32, 5, 4.0, keepFrac = 0.3))
+    val cached = canon(QualityClassifier.scoreFilter(
+      docs, col("lang") === "en", 32, 5, 4.0, keepFrac = 0.3,
+      cacheKey = Some("spec-corpus")))
+    assert(cached == fresh)
+    // second cached call must serve the SAME model object (no retrain):
+    // trainedWeights with the key returns the identical map instance
+    val w1 = QualityClassifier.trainedWeights(
+      docs, col("lang") === "en", 32, 5, 4.0, Some("spec-corpus"))
+    val w2 = QualityClassifier.trainedWeights(
+      docs, col("lang") === "en", 32, 5, 4.0, Some("spec-corpus"))
+    assert(w1 eq w2)
+    // a different hyperparameter key must NOT collide
+    val w3 = QualityClassifier.trainedWeights(
+      docs, col("lang") === "en", 32, 3, 4.0, Some("spec-corpus"))
+    assert(!(w3 eq w1))
+    QualityClassifier.clearCache()
+  }
 }
