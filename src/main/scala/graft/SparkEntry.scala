@@ -694,6 +694,13 @@ object SparkEntry {
       // (slope ~ -1 = natural text; ~0 = boilerplate flood)
       "text_zipf_fit" -> ((s, dir) =>
         Text.zipfFit(Text.loadDocuments(s, dir), topN = 100)),
+      // per-source KL/JS divergence vs the corpus unigram distribution
+      // over the top-300 vocab — the mix-health outlier detector (a
+      // templated/foreign source is a KL spike before it is a quality
+      // or langid verdict)
+      "text_source_divergence" -> ((s, dir) =>
+        Text.sourceDivergence(Text.loadDocuments(s, dir),
+          topN = 300, alpha = 0.5)),
       // the dedup end-product: corpus with near-dups removed (bounded
       // id range so the quadratic oracle can rebuild the same pair set)
       "dedup_corpus_keep" -> ((s, dir) => {
@@ -1514,6 +1521,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
         s.sql("SELECT * FROM corpus_langid() WHERE doc_id < 450")
       }),
+      "pipeline_sql_tvf_source_divergence" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Text.loadDocuments(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
+        s.sql("SELECT * FROM corpus_source_divergence(200, 1.0)")
+      }),
       "pipeline_sql_tvf_quality" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         Text.loadDocuments(s, dir)
@@ -1649,6 +1662,12 @@ object SparkEntry {
         TSModel.samples(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_histogram($T0, $T31, 0.0, 150.0, 15)")
+      }),
+      "ts_sql_tvf_histogram_quantile" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_histogram_quantile($T0, $T31, 0.0, 150.0, 15, 0.5)")
       }),
       "ts_sql_tvf_ewma" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -2020,6 +2039,13 @@ object SparkEntry {
       "ts_range_histogram" -> ((s, dir) =>
         Histogram.valueHistogram(monthSamples(s, dir),
           lo = 0.0, hi = 120.0, nbins = 24,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // quantile ESTIMATE interpolated from the bounded histogram (the
+      // PromQL histogram_quantile shape — the 100-TB quantile path:
+      // only series×bins partials ever shuffle)
+      "ts_histogram_quantile" -> ((s, dir) =>
+        Histogram.histogramQuantile(monthSamples(s, dir),
+          lo = 0.0, hi = 120.0, nbins = 24, q = 0.95,
           fromMs = Some(T0), toMs = Some(T31))),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
@@ -3071,6 +3097,8 @@ object SparkEntry {
         graft.pipeline.IncrementalAdmit.admitSql(split = 350L),
       "pipeline_sql_tvf_langid" ->
         s"SELECT * FROM (${Text.languageIdSql}) WHERE doc_id < 450",
+      "pipeline_sql_tvf_source_divergence" ->
+        Text.sourceDivergenceSql(topN = 200, alpha = 1.0),
       "pipeline_sql_tvf_quality" ->
         s"SELECT * FROM (${Text.qualityMetricsSql}) WHERE doc_id >= 50",
       "pipeline_sql_tvf_tokens" ->
@@ -3146,6 +3174,8 @@ object SparkEntry {
       "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "text_zipf_fit" -> Text.zipfFitSql(topN = 100),
+      "text_source_divergence" -> Text.sourceDivergenceSql(
+        topN = 300, alpha = 0.5),
       "ts_range_holt_winters" -> Smoothing.holtWintersSql(alpha = 0.5,
         beta = 0.3, gamma = 0.4, m = 24,
         fromMs = Some(T0), toMs = Some(T31)),
@@ -3185,6 +3215,9 @@ object SparkEntry {
       "ts_range_histogram" -> Histogram.valueHistogramSql(
         lo = 0.0, hi = 120.0, nbins = 24,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_histogram_quantile" -> Histogram.histogramQuantileSql(
+        lo = 0.0, hi = 120.0, nbins = 24, q = 0.95,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_cusum" -> Changepoint.cusumSql(0.8,
@@ -3220,6 +3253,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_histogram" -> Histogram.valueHistogramSql(
         lo = 0.0, hi = 150.0, nbins = 15,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_histogram_quantile" -> Histogram.histogramQuantileSql(
+        lo = 0.0, hi = 150.0, nbins = 15, q = 0.5,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_ewma" -> Smoothing.ewmaSql(alpha = 0.25, span = 12,
         fromMs = Some(T0), toMs = Some(T31)),

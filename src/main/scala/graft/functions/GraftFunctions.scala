@@ -498,6 +498,21 @@ object GraftFunctions {
         Some(literalLong("ts_histogram", args(0), "from")),
         Some(literalLong("ts_histogram", args(1), "to"))))
     }),
+    // ts_histogram_quantile(from, to, lo, hi, nbins, q) — quantile
+    // estimate interpolated from the bounded histogram (PromQL shape)
+    (FunctionIdentifier("ts_histogram_quantile"),
+        info("ts_histogram_quantile"), { args: Seq[Expression] =>
+      nargs("ts_histogram_quantile", Seq(6), args)
+      val spark = activeSession("ts_histogram_quantile")
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.histogramQuantile(
+        spark.table(SamplesView),
+        literalDouble("ts_histogram_quantile", args(2), "lo"),
+        literalDouble("ts_histogram_quantile", args(3), "hi"),
+        literalLong("ts_histogram_quantile", args(4), "nbins").toInt,
+        literalDouble("ts_histogram_quantile", args(5), "q"),
+        Some(literalLong("ts_histogram_quantile", args(0), "from")),
+        Some(literalLong("ts_histogram_quantile", args(1), "to"))))
+    }),
     // ts_lttb(from, to, bucket_ms[, align_ms]) — parallel LTTB pick
     (FunctionIdentifier("ts_lttb"), info("ts_lttb"), { args: Seq[Expression] =>
       nargs("ts_lttb", Seq(3, 4), args)
@@ -1013,6 +1028,17 @@ object GraftFunctions {
       val spark = activeSession("corpus_langid")
       GraftSessionBridge.logicalPlan(
         graft.pipeline.Text.languageId(spark.table(DocumentsView)))
+    }),
+    // corpus_source_divergence(top_n, alpha) — per-source KL/JS
+    // divergence vs the corpus unigram distribution (mix health)
+    (FunctionIdentifier("corpus_source_divergence"),
+        info("corpus_source_divergence"), { args: Seq[Expression] =>
+      nargs("corpus_source_divergence", Seq(2), args)
+      val spark = activeSession("corpus_source_divergence")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Text.sourceDivergence(
+        spark.table(DocumentsView),
+        literalLong("corpus_source_divergence", args(0), "top_n").toInt,
+        literalDouble("corpus_source_divergence", args(1), "alpha")))
     }),
     (FunctionIdentifier("corpus_text_quality"), info("corpus_text_quality"),
       { args: Seq[Expression] =>

@@ -623,6 +623,95 @@ object Text {
        |FROM c GROUP BY doc_id""".stripMargin
   }
 
+  /**
+   * Per-source distribution divergence — the corpus-MIX health metric:
+   * KL(source ‖ corpus) and Jensen-Shannon divergence of each source's
+   * unigram distribution against the whole corpus, over the top-`topN`
+   * corpus vocabulary with add-`alpha` smoothing. A source whose
+   * distribution sits far from the pool (templated boilerplate, a
+   * different language, machine output) shows up as a KL/JS outlier —
+   * the quantitative input to mix reweighting that langid/quality
+   * scores only proxy.
+   *
+   * Plan shape: ONE tokenize pass feeds (a) the corpus wordcount whose
+   * top-N head is a distributed TakeOrderedAndProject (no global
+   * sort), and (b) the (source, word) counts restricted by a broadcast
+   * vocab semi-join. The probability grid is sources × topN — QUERY-
+   * bounded, never corpus-sized — so its per-source analytic window
+   * and the final agg are free; smoothing (alpha > 0) keeps every
+   * log argument strictly positive. Outputs round-9 (stacked float
+   * reductions, the family convention).
+   *
+   * Output: `(source, n_tokens, kl_div, js_div)` with n_tokens the
+   * vocab-restricted token count of the source.
+   */
+  def sourceDivergence(docs: DataFrame, topN: Int = 500,
+      alpha: Double = 0.5): DataFrame = {
+    require(topN >= 1, s"topN $topN must be >= 1")
+    require(alpha > 0, s"alpha $alpha must be > 0 (smoothing)")
+    val denomAdd = alpha * topN
+    val words = docs.select(col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      .orderBy(col("n_w").desc, col("word").asc).limit(topN)
+    val tot = vocab.agg(sum(col("n_w")).as("n_tot"))
+    val sources = docs.select(col("source")).distinct()
+    val cs = words.join(broadcast(vocab.select(col("word"))), Seq("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
+    val grid = sources.crossJoin(broadcast(vocab))
+      .join(cs, Seq("source", "word"), "left")
+      .withColumn("n_sw", coalesce(col("n_sw"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val scored = grid
+      .withColumn("n_s", sum(col("n_sw")).over(wSrc))
+      .withColumn("p", (col("n_sw") + alpha) / (col("n_s") + denomAdd))
+      .withColumn("q", (col("n_w") + alpha) / (col("n_tot") + denomAdd))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    scored.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("p") * log(col("p") / col("q"))), 9).as("kl_div"),
+        round(sum(col("p") * log(col("p") / col("m"))
+          + col("q") * log(col("q") / col("m"))) / 2, 9).as("js_div"))
+  }
+
+  /** DuckDB oracle twin of [[sourceDivergence]] (ln = natural log in
+    * both engines; the identical smoothing constants are injected as
+    * the same double literal on both sides). */
+  def sourceDivergenceSql(topN: Int = 500, alpha: Double = 0.5): String = {
+    val denomAdd = alpha * topN
+    s"""WITH words AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT word, count(*) AS n_w FROM words
+       |  GROUP BY word ORDER BY n_w DESC, word ASC LIMIT $topN
+       |), tot AS (
+       |  SELECT sum(n_w) AS n_tot FROM vocab
+       |), srcs AS (
+       |  SELECT DISTINCT source FROM documents
+       |), cs AS (
+       |  SELECT source, word, count(*) AS n_sw FROM words
+       |  WHERE word IN (SELECT word FROM vocab) GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT s.source, v.word, v.n_w, coalesce(c.n_sw, 0) AS n_sw, t.n_tot
+       |  FROM srcs s CROSS JOIN vocab v CROSS JOIN tot t
+       |  LEFT JOIN cs c ON c.source = s.source AND c.word = v.word
+       |), scored AS (
+       |  SELECT source, n_s, p, q, (p + q) / 2 AS m FROM (
+       |    SELECT source,
+       |      sum(n_sw) OVER (PARTITION BY source) AS n_s,
+       |      (n_sw + $alpha) / (sum(n_sw) OVER (PARTITION BY source) + $denomAdd) AS p,
+       |      (n_w + $alpha) / (n_tot + $denomAdd) AS q
+       |    FROM grid
+       |  )
+       |)
+       |SELECT source, max(n_s) AS n_tokens,
+       |  round(sum(p * ln(p / q)), 9) AS kl_div,
+       |  round(sum(p * ln(p / m) + q * ln(q / m)) / 2, 9) AS js_div
+       |FROM scored GROUP BY source""".stripMargin
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — the canonical exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =

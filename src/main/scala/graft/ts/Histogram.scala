@@ -43,6 +43,73 @@ object Histogram {
         col("n"))
   }
 
+  /**
+   * Quantile ESTIMATION from the histogram — the PromQL
+   * `histogram_quantile` shape: per series, walk the cumulative bin
+   * counts to the bin containing rank `q·total` and interpolate
+   * linearly inside it. This is the 100-TB quantile path when the
+   * exact per-series quantile is too expensive: the full pass only
+   * ever shuffles the bounded (series × nbins) histogram, and the
+   * estimate's error is bounded by the bin width the CALLER chose —
+   * self-describing precision, unlike a sketch's probabilistic bound.
+   * The quantile is of the histogram-captured distribution (values
+   * outside [lo, hi) were dropped by [[valueHistogram]]'s no-clamp
+   * contract).
+   *
+   * Plan: the histogram agg, then one ordered cumulative window and
+   * one rank pick over the HISTOGRAM-sized frame. Output `(series,
+   * bin, quantile_value, n_total)`, round-9.
+   */
+  def histogramQuantile(
+      samples: DataFrame, lo: Double, hi: Double, nbins: Int, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    val width = (hi - lo) / nbins
+    val w = org.apache.spark.sql.expressions.Window
+    val wCum = w.partitionBy(col("series")).orderBy(col("bin"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(col("series"))
+    valueHistogram(samples, lo, hi, nbins, fromMs, toMs)
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("rnk", lit(q) * col("n_total"))
+      .filter(col("cum") >= col("rnk"))
+      .withColumn("pick", row_number().over(
+        w.partitionBy(col("series")).orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(col("series"), col("bin"),
+        round(col("bin_lo")
+          + (col("rnk") - (col("cum") - col("n"))) / col("n") * width, 9)
+          .as("quantile_value"),
+        col("n_total"))
+  }
+
+  /** DuckDB oracle twin of [[histogramQuantile]] ([[valueHistogramSql]]
+    * wrapped in the same cumulative walk + interpolation). */
+  def histogramQuantileSql(
+      lo: Double, hi: Double, nbins: Int, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    val width = (hi - lo) / nbins
+    s"""WITH h AS (
+       |${valueHistogramSql(lo, hi, nbins, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |), walked AS (
+       |  SELECT series, bin, bin_lo, n,
+       |    sum(n) OVER (PARTITION BY series ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n) OVER (PARTITION BY series) AS n_total
+       |  FROM h
+       |)
+       |SELECT series, bin,
+       |  round(bin_lo + (($q)::DOUBLE * n_total - (cum - n)) / n * ($width)::DOUBLE, 9)
+       |    AS quantile_value,
+       |  n_total
+       |FROM walked
+       |WHERE cum >= ($q)::DOUBLE * n_total
+       |QUALIFY row_number() OVER (PARTITION BY series ORDER BY bin) = 1""".stripMargin
+  }
+
   def valueHistogramSql(
       lo: Double, hi: Double, nbins: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

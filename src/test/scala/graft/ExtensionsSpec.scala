@@ -155,6 +155,10 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(spark.sql(s"SELECT * FROM ts_histogram($T0, $T31, 0.0, 100.0, 10)")) ==
       sorted(graft.ts.Histogram.valueHistogram(samples, 0.0, 100.0, 10, Some(T0), Some(T31))))
     assert(
+      sorted(spark.sql(s"SELECT * FROM ts_histogram_quantile($T0, $T31, 0.0, 100.0, 10, 0.9)")) ==
+      sorted(graft.ts.Histogram.histogramQuantile(samples, 0.0, 100.0, 10, 0.9,
+        Some(T0), Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_lttb($T0, $T31, ${3 * DAY})")) ==
       sorted(graft.ts.Lttb.downsample(samples, 3 * DAY, 0L, Some(T0), Some(T31))))
     assert(
@@ -415,7 +419,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "ts_backtest_rolling", "ts_matrix_profile_stomp",
         "corpus_mix_temperature", "corpus_boilerplate",
         "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
-        "ts_changepoint", "ts_theilsen"))
+        "ts_changepoint", "ts_theilsen", "ts_histogram_quantile",
+        "corpus_source_divergence"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
@@ -477,6 +482,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql("SELECT * FROM corpus_langid()")) ==
       sorted(graft.pipeline.Text.languageId(docs)))
+    assert(
+      sorted(spark.sql("SELECT * FROM corpus_source_divergence(100, 0.5)")) ==
+      sorted(graft.pipeline.Text.sourceDivergence(docs, topN = 100, alpha = 0.5)))
     assert(
       sorted(spark.sql("SELECT * FROM corpus_stratified_sample('en=0.7 de=0.2', 0.4, 0.2)")) ==
       sorted(graft.pipeline.CorpusPipeline.stratifiedSample(

@@ -102,6 +102,63 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(shuffles(Histogram.valueHistogram(df, 0, 1, 10)) == 1)
   }
 
+  test("histogramQuantile: interpolates inside the rank bin, exact on uniform fill") {
+    // 10 values 0..9 in [0,10)/10 bins, one per bin: q=0.5 -> rank 5,
+    // cum reaches 5 in bin 4 (values 0..4), interp = 4 + (5-4)/1 = 5.0
+    val df = (0 until 10).map(i => ("s", i.toLong, i.toDouble))
+      .toDF("series", "ts", "value")
+    val r = Histogram.histogramQuantile(df, 0.0, 10.0, 10, 0.5).collect()(0)
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 5.0 && r.getLong(3) == 10L)
+    // q = 1.0 lands in the last occupied bin's upper edge
+    val r2 = Histogram.histogramQuantile(df, 0.0, 10.0, 10, 1.0).collect()(0)
+    assert(r2.getLong(1) == 9L && r2.getDouble(2) == 10.0)
+  }
+
+  test("histogramQuantile: skewed mass and multi-series independence") {
+    // series a: 9 values in bin 0, 1 in bin 9 -> p50 interpolates
+    // inside bin 0 at 5/9 of its width; series b: all mass in bin 2
+    val rows = (0 until 9).map(i => ("a", i.toLong, 0.5)) ++
+      Seq(("a", 9L, 9.5)) ++ (0 until 4).map(i => ("b", i.toLong, 2.5))
+    val out = Histogram.histogramQuantile(
+        rows.toDF("series", "ts", "value"), 0.0, 10.0, 10, 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("a") == ((0L, math.rint(5.0 / 9.0 * 1e9) / 1e9, 10L)))
+    assert(out("b") == ((2L, 2.5, 4L)))
+  }
+
+  // ---- per-source divergence ----
+
+  test("sourceDivergence: identical sources sit at zero, an alien source spikes") {
+    val docs = (
+      (1L to 4L).map(i => (i, "the cat sat on the mat", "srcA")) ++
+      (5L to 8L).map(i => (i, "the cat sat on the mat", "srcB")) ++
+      Seq((9L, "zzz qqq vvv kkk jjj xxx", "srcC")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Text.sourceDivergence(docs, topN = 50, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // A and B are 8/9 of the corpus mass with identical distributions:
+    // tiny but equal divergence from the pooled corpus
+    assert(out("srcA")._2 == out("srcB")._2 && out("srcA")._3 == out("srcB")._3)
+    assert(out("srcC")._2 > out("srcA")._2 * 2,
+      s"alien source must spike: ${out("srcC")._2} vs ${out("srcA")._2}")
+    assert(out("srcC")._3 > out("srcA")._3 * 2)
+    // JS is bounded by ln 2; KL is not
+    assert(out.values.forall(_._3 <= math.log(2.0) + 1e-9))
+    assert(out("srcA")._1 == 24L, s"vocab-restricted token count")
+  }
+
+  test("sourceDivergence: a source with no vocab overlap gets the uniform-smoothing verdict") {
+    // topN=2 pins the vocab to the two dominant words; srcZ shares none
+    val docs = Seq(
+      (1L, "aa aa aa bb bb bb", "big"), (2L, "aa bb aa bb", "big"),
+      (3L, "cc dd", "srcZ")).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Text.sourceDivergence(docs, topN = 2, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("srcZ") == 0L && out("big") == 10L)
+  }
+
   // ---- ACF ----
 
   test("acf: a period-2 series has acf(1) = -1 and acf(2) = +1") {
