@@ -511,6 +511,32 @@ object ScaleProbe {
       graft.ts.Seasonal.remainderAnomaly(TSModel.samples(spark, work),
         DAY, 7, 1.5, Some(T0), Some(T31)).count()
     }
+    // Binseg changepoints over N× series: one grid agg then GRID-sized
+    //    window rounds (range/bucket rows per series) — scan-bound,
+    //    sub-linear expected; output rows scale with series.
+    val (nBinseg, tBinseg) = timed {
+      graft.ts.Changepoint.binseg(TSModel.samples(spark, work), DAY,
+        levels = 2, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Theil-Sen over N× series: the pair join is quadratic ONLY in the
+    //    per-series grid (≤31 daily buckets here), parallel across the
+    //    N× series — scan-bound like binseg.
+    val (nTheil, tTheil) = timed {
+      graft.ts.Trend.theilSen(TSModel.samples(spark, work), DAY,
+        fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Histogram quantile over N× samples: the histogram agg is the
+    //    whole cost (series×bins partials shuffle), the walk is free.
+    val (nHq, tHq) = timed {
+      graft.ts.Histogram.histogramQuantile(TSModel.samples(spark, work),
+        0.0, 120.0, 24, 0.95, Some(T0), Some(T31)).count()
+    }
+    // Per-source divergence over the N× corpus: one tokenize pass
+    //    feeding the top-N head + vocab-restricted counts; the
+    //    probability grid stays sources×topN — tokenize-bound, ~linear.
+    val (nSdiv, tSdiv) = timed {
+      Text.sourceDivergence(probeDocs, topN = 300, alpha = 0.5).count()
+    }
     // AB-join profile at 4× length, both routes: pairs pays
     //    w_a×w_b join rows with an O(m) dot each, the STOMP AB-join
     //    walks the same cells O(1)-amortized in one task — the gap
@@ -629,6 +655,10 @@ object ScaleProbe {
       s""""corr_matrix_sec":${s2(tCorr)},"corr_matrix_rows":$nCorr,""" +
       s""""corr_matrix_filter_sec":${s2(tCorrF)},"corr_matrix_filter_rows":$nCorrF,""" +
       s""""decompose_anomaly_sec":${s2(tRem)},"decompose_anomaly_rows":$nRem,""" +
+      s""""binseg_sec":${s2(tBinseg)},"binseg_rows":$nBinseg,""" +
+      s""""theilsen_sec":${s2(tTheil)},"theilsen_rows":$nTheil,""" +
+      s""""hist_quantile_sec":${s2(tHq)},"hist_quantile_rows":$nHq,""" +
+      s""""source_divergence_sec":${s2(tSdiv)},"source_divergence_rows":$nSdiv,""" +
       s""""mp_len4_joinpairs_sec":${s2(tJp4)},"mp_len4_joinpairs_rows":$nJp4,""" +
       s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +
       s""""tsbs_double_groupby_all_sec":${s2(tTdg)},"tsbs_double_groupby_all_rows":$nTdg,""" +

@@ -903,6 +903,14 @@ object SparkEntry {
           graft.pipeline.SQ.adcTopK(embs, annQueryIds, k = 5),
           Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
       }),
+      // the 1-bit extreme: sign binarization + Hamming ranking — what
+      // 16x compression and popcount search cost in recall, per query
+      "ann_recall_binary" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          graft.pipeline.BQ.hammingTopK(embs, annQueryIds, k = 5),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
       // ... and the three IVF+compression hybrids: probe pruning AND
       // quantization stacked — the full production trade measured
       "ann_recall_ivfpq" -> ((s, dir) => {
@@ -962,6 +970,10 @@ object SparkEntry {
         graft.pipeline.SQ.codes(Similarity.loadEmbeddings(s, dir))),
       "ann_sq8_topk" -> ((s, dir) =>
         graft.pipeline.SQ.adcTopK(Similarity.loadEmbeddings(s, dir),
+          annQueryIds, k = 5)),
+      // binary sign codes + packed-word popcount Hamming ranking
+      "ann_binary_topk" -> ((s, dir) =>
+        graft.pipeline.BQ.hammingTopK(Similarity.loadEmbeddings(s, dir),
           annQueryIds, k = 5)),
       // IVF + ADC composition (IVFADC minus residuals): coarse-list
       // pruning over the deterministic literal quantizer, ADC scoring
@@ -1340,6 +1352,12 @@ object SparkEntry {
         TSModel.samples(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_theilsen($T0, $T31, ${2 * DAY})")
+      }),
+      "ts_sql_tvf_burn_rate" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_burn_rate($T0, $T31, $DAY, ${7 * DAY}, $DAY, 3.0e-4, 2.0)")
       }),
       "ts_sql_tvf_asof" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -1790,6 +1808,13 @@ object SparkEntry {
       "ts_range_irate" -> ((s, dir) =>
         Rates.instant(monthSamples(s, dir), bucketMs = DAY,
           fromMs = Some(T0), toMs = Some(T31))),
+      // multi-window SLO burn rate (SRE workbook rule): alert where
+      // the 7d budget burn AND its 2d tail both exceed 1.5× — long
+      // window proves significance, short proves it is still happening
+      "ts_burn_rate" -> ((s, dir) =>
+        Rates.burnRate(monthSamples(s, dir), shortMs = 2 * DAY,
+          longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 4.0e-4,
+          threshold = 1.5, fromMs = Some(T0), toMs = Some(T31))),
 
       // gap-based session windows (beyond-reference, the batch twin of
       // session_window(gap)): activity bursts per series, 12h gap
@@ -2914,6 +2939,9 @@ object SparkEntry {
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_ivf_sq8_topk" -> graft.pipeline.SQ.ivfSq8TopKSql(annQueryIds, 5,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
+      "ann_binary_topk" -> graft.pipeline.BQ.hammingTopKSql(annQueryIds, 5),
+      "ann_recall_binary" -> Similarity.recallSql(
+        graft.pipeline.BQ.hammingTopKSql(annQueryIds, 5), annQueryIds, 5),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),
       "ts_sql_tvf_range" -> RangeQuery.rangeSql(
         RangeArgs(from = Some(T0), to = Some(T31), aggs = Seq("max"),
@@ -3227,6 +3255,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_theilsen" -> Trend.theilSenSql(
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_burn_rate" -> Rates.burnRateSql(shortMs = DAY,
+        longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 3.0e-4,
+        threshold = 2.0, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_asof" -> AsOf.asofJoinSql("view_3", "click_5",
         toleranceMs = Some(3 * DAY), fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_seasonal" -> Seasonal.anomalySql(1.7, "dow",
@@ -3326,6 +3357,9 @@ object SparkEntry {
         horizon = 4, bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_burn_rate" -> Rates.burnRateSql(shortMs = 2 * DAY,
+        longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 4.0e-4,
+        threshold = 1.5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_irate" -> Rates.instantSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_irate" -> Rates.instantSql(bucketMs = 2 * DAY,

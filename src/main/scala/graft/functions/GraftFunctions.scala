@@ -360,6 +360,22 @@ object GraftFunctions {
         Some(literalLong("ts_irate", args(0), "from")),
         Some(literalLong("ts_irate", args(1), "to"))))
     }),
+    // ts_burn_rate(from, to, short_ms, long_ms, hop_ms, budget_per_sec,
+    // threshold) — multi-window SLO burn-rate alerts (SRE rule)
+    (FunctionIdentifier("ts_burn_rate"), info("ts_burn_rate"),
+        { args: Seq[Expression] =>
+      nargs("ts_burn_rate", Seq(7), args)
+      val spark = activeSession("ts_burn_rate")
+      GraftSessionBridge.logicalPlan(graft.ts.Rates.burnRate(
+        spark.table(SamplesView),
+        literalLong("ts_burn_rate", args(2), "short_ms"),
+        literalLong("ts_burn_rate", args(3), "long_ms"),
+        literalLong("ts_burn_rate", args(4), "hop_ms"),
+        literalDouble("ts_burn_rate", args(5), "budget_per_sec"),
+        literalDouble("ts_burn_rate", args(6), "threshold"),
+        fromMs = Some(literalLong("ts_burn_rate", args(0), "from")),
+        toMs = Some(literalLong("ts_burn_rate", args(1), "to"))))
+    }),
     // ts_gaps(from, to, threshold_ms) — inter-arrival gap report
     (FunctionIdentifier("ts_gaps"), info("ts_gaps"), { args: Seq[Expression] =>
       nargs("ts_gaps", Seq(3), args)

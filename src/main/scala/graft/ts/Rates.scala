@@ -1,6 +1,6 @@
 package graft.ts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -213,5 +213,79 @@ object Rates {
        |SELECT series, $bkt AS bucket,
        |  CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS resets_value
        |FROM diffed GROUP BY series, $bkt""".stripMargin
+  }
+
+  /**
+   * Multi-window SLO burn-rate alerting (the Google SRE workbook's
+   * multiwindow, multi-burn-rate rule): per series, treat `value` as a
+   * consumed-budget count, compute the per-second consumption over a
+   * LONG trailing window and over the SHORT tail of that window, and
+   * alert where BOTH exceed `threshold × budgetPerSec` — the long
+   * window proves the burn is significant, the short one proves it is
+   * still happening (no alert on a long-resolved incident).
+   *
+   * Windows ride the [[Sliding]] hop-grid explode: each sample lands
+   * in longMs/hopMs hop buckets (a bounded query constant), so the
+   * whole computation is ONE map-side-combined aggregation by
+   * (series, window) computing both sums — mergeable partials, no
+   * ordered window over raw samples, the scalable shape. A window
+   * with no samples in the short tail cannot alert (NULL short sum),
+   * matching the "still happening" semantics in both engines.
+   *
+   * Output: `(series, wstart, burn_short, burn_long)` for alerting
+   * windows, round-9; window = [wstart, wstart + longMs), short tail
+   * = its last shortMs.
+   */
+  def burnRate(
+      samples: DataFrame, shortMs: Long, longMs: Long, hopMs: Long,
+      budgetPerSec: Double, threshold: Double, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(shortMs > 0 && shortMs <= longMs,
+      s"short window $shortMs must be in (0, longMs=$longMs]")
+    require(hopMs > 0 && longMs % hopMs == 0,
+      s"long window ($longMs) must be a multiple of hop ($hopMs)")
+    require(budgetPerSec > 0, s"budgetPerSec $budgetPerSec must be > 0")
+    val s = clean(samples, fromMs, toMs)
+    val wmax: Column = TSModel.bucketStart(col("ts"), hopMs, alignMs)
+    val wmin: Column =
+      TSModel.bucketStart(col("ts") - longMs, hopMs, alignMs) + hopMs
+    val burnL = round(sum(col("value")) / (longMs / 1000.0) / budgetPerSec, 9)
+    val burnS = round(
+      sum(when(col("ts") >= col("wstart") + (longMs - shortMs), col("value")))
+        / (shortMs / 1000.0) / budgetPerSec, 9)
+    s.select(col("series"), col("ts"), col("value"),
+        explode(sequence(wmin, wmax, lit(hopMs))).as("wstart"))
+      .groupBy(col("series"), col("wstart"))
+      .agg(burnS.as("burn_short"), burnL.as("burn_long"))
+      .filter(col("burn_short") >= threshold && col("burn_long") >= threshold)
+  }
+
+  /** DuckDB oracle twin of [[burnRate]]. */
+  def burnRateSql(
+      shortMs: Long, longMs: Long, hopMs: Long,
+      budgetPerSec: Double, threshold: Double, alignMs: Long = 0L,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    val wmax = TSModel.bucketStartSql("ts", hopMs, alignMs)
+    val wmin = s"(${TSModel.bucketStartSql(s"(ts - $longMs)", hopMs, alignMs)} + $hopMs)"
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), ex AS (
+       |  SELECT series, ts, value, unnest(range($wmin, $wmax + $hopMs, $hopMs)) AS wstart
+       |  FROM f
+       |), agg AS (
+       |  SELECT series, wstart,
+       |    round(sum(CASE WHEN ts >= wstart + ${longMs - shortMs} THEN value END)
+       |      / ${shortMs / 1000.0} / $budgetPerSec, 9) AS burn_short,
+       |    round(sum(value) / ${longMs / 1000.0} / $budgetPerSec, 9) AS burn_long
+       |  FROM ex GROUP BY series, wstart
+       |)
+       |SELECT series, wstart, burn_short, burn_long FROM agg
+       |WHERE burn_short >= $threshold AND burn_long >= $threshold""".stripMargin
   }
 }

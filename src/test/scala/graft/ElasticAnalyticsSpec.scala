@@ -899,6 +899,54 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(m("b")._4 == 3 * DAY && m("b")._6 == 3L && m("b")._7 == 7L)
   }
 
+  // ---- multi-window burn rate ----------------------------------------
+
+  private val HOUR = 3600000L
+
+  test("burnRate: steady burn at exactly budget alerts at threshold 1.0 on full windows only") {
+    // one sample of 3.6 per hour = 0.001/s; budget 0.001/s, long 24h,
+    // short 6h, hop 12h: the three fully-covered windows burn exactly
+    // 1.0 on both horizons; partial edge windows stay below
+    val rows = (0 until 48).map(i => ("a", i * HOUR, 3.6))
+      .toDF("series", "ts", "value")
+    val out = graft.ts.Rates.burnRate(rows, shortMs = 6 * HOUR,
+        longMs = 24 * HOUR, hopMs = 12 * HOUR,
+        budgetPerSec = 0.001, threshold = 1.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1.0, 1.0), (12 * HOUR, 1.0, 1.0),
+      (24 * HOUR, 1.0, 1.0)))
+  }
+
+  test("burnRate: a resolved incident stops alerting once the short tail is quiet") {
+    // 12h burst at 10x budget, then 36h of zeros: the window whose
+    // short tail still covers the burst alerts; the [0,24h) window's
+    // long burn is 5x but its tail [18h,24h) burned 0 -> NO alert (the
+    // multiwindow rule's whole point); all-quiet windows burn 0
+    val rows = ((0 until 12).map(i => ("b", i * HOUR, 36.0)) ++
+      (12 until 48).map(i => ("b", i * HOUR, 0.0)))
+      .toDF("series", "ts", "value")
+    val out = graft.ts.Rates.burnRate(rows, shortMs = 6 * HOUR,
+        longMs = 24 * HOUR, hopMs = 12 * HOUR,
+        budgetPerSec = 0.001, threshold = 1.0)
+      .collect().map(r => r.getLong(1)).sorted
+    assert(out.toSeq == Seq(-12 * HOUR),
+      s"only the during-burst window may alert, got ${out.toSeq}")
+  }
+
+  test("burnRate: guards") {
+    val df = Seq(("a", 0L, 1.0)).toDF("series", "ts", "value")
+    intercept[IllegalArgumentException] {
+      graft.ts.Rates.burnRate(df, 2L, 10L, 3L, 1.0, 1.0) // long % hop != 0
+    }
+    intercept[IllegalArgumentException] {
+      graft.ts.Rates.burnRate(df, 20L, 10L, 5L, 1.0, 1.0) // short > long
+    }
+    intercept[IllegalArgumentException] {
+      graft.ts.Rates.burnRate(df, 2L, 10L, 5L, 0.0, 1.0) // zero budget
+    }
+  }
+
   // ---- Theil-Sen robust trend ----------------------------------------
 
   test("theilSen: exact line recovered, outlier bucket cannot drag it") {

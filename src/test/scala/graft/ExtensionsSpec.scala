@@ -176,6 +176,11 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(graft.ts.Trend.theilSen(samples, 2 * DAY,
         fromMs = Some(T0), toMs = Some(T31))))
     assert(
+      sorted(spark.sql(
+        s"SELECT * FROM ts_burn_rate($T0, $T31, ${2 * DAY}, ${8 * DAY}, ${2 * DAY}, 3.5E-4, 1.5)")) ==
+      sorted(graft.ts.Rates.burnRate(samples, 2 * DAY, 8 * DAY, 2 * DAY,
+        3.5e-4, 1.5, fromMs = Some(T0), toMs = Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31)")) ==
       sorted(graft.ts.AsOf.asofJoin(samples, "view_3", "click_5",
         None, Some(T0), Some(T31))))
@@ -420,7 +425,7 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_mix_temperature", "corpus_boilerplate",
         "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
         "ts_changepoint", "ts_theilsen", "ts_histogram_quantile",
-        "corpus_source_divergence"))
+        "corpus_source_divergence", "ts_burn_rate"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 

@@ -265,4 +265,52 @@ class PQSpec extends AnyFunSuite {
       assert(inter >= 4, s"query $q: recall@5 $inter/5 too low")
     }
   }
+
+  // ---- binary (sign) quantization ------------------------------------
+
+  test("BQ: hand-computed sign bits, Hamming order and low-id tie break") {
+    // means = (4.0, 5.02): v1,v2 sit below both, v3,v4 above both,
+    // v5 above dim-1 only
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 9.0f)),
+      (5L, Array(0.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.BQ.hammingTopK(df, Seq(1L), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // v2 identical bits (0), v5 one flipped bit (1), v3/v4 two (tie ->
+    // lower id first)
+    assert(got == Seq((2L, 0L), (5L, 1L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("BQ: popcount spans word boundaries (40-dim corpus, 2 packed words)") {
+    val dims = 40
+    val a = Array.fill(dims)(0.0f)
+    val b = Array.fill(dims)(10.0f)
+    val c = Array.tabulate(dims)(d => if (d == 35) 0.0f else 10.0f)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val got = graft.pipeline.BQ.hammingTopK(df, Seq(2L), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // c differs from b in exactly the one bit above word 0; a in all 40
+    assert(got == Seq((3L, 1L), (1L, 40L)))
+  }
+
+  test("BQ: binary recall is measurable and self-consistent on the clustered corpus") {
+    val df = clustered(spread = 3, jitter = true).cache()
+    try {
+      val queries = Seq(0L, 9L, 18L)
+      val approx = graft.pipeline.BQ.hammingTopK(df, queries, k = 5)
+      val recall = graft.pipeline.Similarity.recallAtK(
+        approx, graft.pipeline.Similarity.bruteForceTopK(df, queries, k = 5))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(recall.keySet == queries.toSet)
+      assert(recall.values.forall(r => r >= 0.0 && r <= 1.0))
+      // sign bits must at least keep same-prototype copies together:
+      // every query's top-5 by Hamming stays inside its own cluster,
+      // so recall against L2 truth is well above chance (5/23)
+      assert(recall.values.forall(_ >= 0.4), recall.toString)
+    } finally df.unpersist()
+  }
 }

@@ -361,7 +361,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
     }
   }
 
-  test("round-14 TVFs (changepoint binseg / Theil-Sen) == Column API across 16 random combos") {
+  test("round-14 TVFs (changepoint binseg / Theil-Sen / burn rate) == Column API across 16 random combos") {
     graft.functions.GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
     samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
@@ -371,17 +371,27 @@ class RandomizedTvfSpec extends AnyFunSuite {
       val from = T0 + rnd.nextInt(15) * DAY
       val to = from + (6 + rnd.nextInt(14)) * DAY
       val bucket = buckets(rnd.nextInt(buckets.size))
-      val (sqlText, api) =
-        if (rnd.nextBoolean()) {
+      val (sqlText, api) = rnd.nextInt(3) match {
+        case 0 =>
           val levels = 1 + rnd.nextInt(3)
           val minSize = 2 + rnd.nextInt(2)
           (s"SELECT * FROM ts_changepoint($from, $to, $bucket, $levels, $minSize)",
             graft.ts.Changepoint.binseg(samples, bucket, levels, minSize,
               fromMs = Some(from), toMs = Some(to)))
-        } else
+        case 1 =>
           (s"SELECT * FROM ts_theilsen($from, $to, $bucket)",
             graft.ts.Trend.theilSen(samples, bucket,
               fromMs = Some(from), toMs = Some(to)))
+        case _ =>
+          val hop = bucket
+          val long = (2 + rnd.nextInt(5)).toLong * hop
+          val short = (1 + rnd.nextInt(2)).toLong * hop
+          val (budget, thr) = (Seq(2.0e-4, 4.0e-4)(rnd.nextInt(2)),
+            Seq(1.0, 1.5)(rnd.nextInt(2)))
+          (s"SELECT * FROM ts_burn_rate($from, $to, $short, $long, $hop, $budget, $thr)",
+            graft.ts.Rates.burnRate(samples, short, long, hop, budget, thr,
+              fromMs = Some(from), toMs = Some(to)))
+      }
       assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
         s"combo $i: $sqlText")
     }
