@@ -975,6 +975,11 @@ object SparkEntry {
       "ann_binary_topk" -> ((s, dir) =>
         graft.pipeline.BQ.hammingTopK(Similarity.loadEmbeddings(s, dir),
           annQueryIds, k = 5)),
+      // per-label centroid cosine vs the global centroid — the
+      // embedding-space mix-health diagnostic (stray cluster /
+      // mislabeled shard / wrong-encoder detector)
+      "emb_label_drift" -> ((s, dir) =>
+        Similarity.labelCentroidDrift(Similarity.loadEmbeddings(s, dir))),
       // IVF + ADC composition (IVFADC minus residuals): coarse-list
       // pruning over the deterministic literal quantizer, ADC scoring
       // only the probed lists' codes — the pruning AND the compressed
@@ -1600,6 +1605,12 @@ object SparkEntry {
         Similarity.loadEmbeddings(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
         s.sql("SELECT * FROM ann_topk('0 194 388', 4)")
+      }),
+      "pipeline_sql_tvf_label_drift" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.loadEmbeddings(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.EmbeddingsView)
+        s.sql("SELECT * FROM emb_label_drift() WHERE n_vecs >= 45")
       }),
       "pipeline_sql_tvf_ann_ivf" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -2940,6 +2951,9 @@ object SparkEntry {
       "ann_ivf_sq8_topk" -> graft.pipeline.SQ.ivfSq8TopKSql(annQueryIds, 5,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_binary_topk" -> graft.pipeline.BQ.hammingTopKSql(annQueryIds, 5),
+      "emb_label_drift" -> Similarity.labelCentroidDriftSql,
+      "pipeline_sql_tvf_label_drift" ->
+        s"SELECT * FROM (${Similarity.labelCentroidDriftSql}) WHERE n_vecs >= 45",
       "ann_recall_binary" -> Similarity.recallSql(
         graft.pipeline.BQ.hammingTopKSql(annQueryIds, 5), annQueryIds, 5),
       "ann_sql_topk" -> Similarity.bruteForceTopKSql(sqlAnnQueryIds, 5),

@@ -1159,6 +1159,16 @@ object GraftFunctions {
         spark.table(EmbeddingsView), qids,
         literalLong("ann_topk", args(1), "k").toInt))
     }),
+    // emb_label_drift() — per-label centroid cosine vs the global
+    // corpus centroid (embedding-space mix health)
+    (FunctionIdentifier("emb_label_drift"), info("emb_label_drift"),
+      { args: Seq[Expression] =>
+      nargs("emb_label_drift", Seq(0), args)
+      val spark = activeSession("emb_label_drift")
+      GraftSessionBridge.logicalPlan(
+        graft.pipeline.Similarity.labelCentroidDrift(
+          spark.table(EmbeddingsView)))
+    }),
     // ann_ivf_topk('q1 q2 ...', k, n_centroids, n_probe[, dim]) —
     // probe-limited IVF top-k (plan-only probe ranking, deterministic
     // synthetic quantizer — the same literals the oracle re-derives)

@@ -570,4 +570,61 @@ object Similarity {
         (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /**
+   * Per-label centroid drift — the embedding-space mix-health metric
+   * (the vector analog of [[Text.sourceDivergence]]): cosine between
+   * each label cohort's centroid and the global corpus centroid. A
+   * cohort whose centroid points away from the pool (a stray cluster,
+   * a mislabeled shard, embeddings from a different encoder) shows up
+   * as a low cosine before any pairwise search would surface it.
+   *
+   * Plan shape: ONE posexplode pass feeds the (label, dim) means and
+   * the global dim means (both round-9 — bit-identical inputs to the
+   * cosine on both engines); the cosine runs on the labels × dim
+   * grid — model-sized, never corpus-sized. Degenerate (zero-norm)
+   * centroids yield NULL on both engines.
+   *
+   * Output: `(label, n_vecs, cos_to_global)`, round-9.
+   */
+  def labelCentroidDrift(embs: DataFrame): DataFrame = {
+    val u = embs.select(col("label").cast("long").as("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val lab = u.groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("mu"), count(lit(1)).as("n"))
+    val glob = u.groupBy(col("pos")).agg(round(avg(col("x")), 9).as("gmu"))
+    lab.join(broadcast(glob), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("mu") * col("gmu")).as("d"),
+        sum(col("mu") * col("mu")).as("na"),
+        sum(col("gmu") * col("gmu")).as("nb"))
+      .select(col("label"), col("n_vecs"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("d") / (sqrt(col("na")) * sqrt(col("nb"))), 9))
+          .as("cos_to_global"))
+  }
+
+  /** DuckDB oracle twin of [[labelCentroidDrift]]. */
+  val labelCentroidDriftSql: String =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |), u AS (
+      |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e
+      |), lab AS (
+      |  SELECT label, pos, round(avg(x), 9) AS mu, count(*) AS n
+      |  FROM u GROUP BY 1, 2
+      |), gc AS (
+      |  SELECT pos, round(avg(x), 9) AS gmu FROM u GROUP BY 1
+      |), s AS (
+      |  SELECT label, max(n) AS n_vecs,
+      |    sum(mu * gmu) AS d, sum(mu * mu) AS na, sum(gmu * gmu) AS nb
+      |  FROM lab JOIN gc USING (pos) GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |  CASE WHEN na > 0 AND nb > 0
+      |       THEN round(d / (sqrt(na) * sqrt(nb)), 9) END AS cos_to_global
+      |FROM s""".stripMargin
 }

@@ -425,7 +425,7 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_mix_temperature", "corpus_boilerplate",
         "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
         "ts_changepoint", "ts_theilsen", "ts_histogram_quantile",
-        "corpus_source_divergence", "ts_burn_rate"))
+        "corpus_source_divergence", "ts_burn_rate", "emb_label_drift"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 
@@ -509,6 +509,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(
       sorted(spark.sql("SELECT * FROM ann_topk('0 97', 3)")) ==
       sorted(graft.pipeline.Similarity.bruteForceTopK(embs, Seq(0L, 97L), 3)))
+    assert(
+      sorted(spark.sql("SELECT * FROM emb_label_drift()")) ==
+      sorted(graft.pipeline.Similarity.labelCentroidDrift(embs)))
     // the lazy percentile gate (scalar subqueries) must equal the
     // eager one (driver heads) across cut fractions incl. the
     // nothing-dropped edge

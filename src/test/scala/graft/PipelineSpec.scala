@@ -595,4 +595,25 @@ class PipelineSpec extends AnyFunSuite {
           s"rel_err=${r.getDouble(2)} (bound ${4 * 0.05})")
     }
   }
+
+  test("labelCentroidDrift: single cohort aligns at 1.0, orthogonal cohorts at 1/sqrt(2), zero global is NULL") {
+    def drift(rows: Seq[(Long, Array[Float], Int)]) =
+      Similarity.labelCentroidDrift(rows.toDF("vec_id", "embedding", "label"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // one label: cohort centroid IS the global centroid
+    val solo = drift(Seq((1L, Array(1.0f, 2.0f), 7), (2L, Array(3.0f, 0.0f), 7)))
+    assert(solo(7L) == ((2L, Some(1.0))))
+    // two orthogonal cohorts, equal mass: global = (.5, .5), each
+    // cohort's cosine = 1/sqrt(2) after round-9
+    val ortho = drift(Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1)))
+    assert(ortho(0L) == ((2L, Some(0.707106781))) &&
+      ortho(1L) == ((2L, Some(0.707106781))))
+    // antipodal cohorts cancel the global centroid -> NULL verdicts
+    val anti = drift(Seq(
+      (1L, Array(1.0f, 1.0f), 0), (2L, Array(-1.0f, -1.0f), 1)))
+    assert(anti(0L) == ((1L, None)) && anti(1L) == ((1L, None)))
+  }
 }
