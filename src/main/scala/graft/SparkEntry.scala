@@ -1358,6 +1358,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_theilsen($T0, $T31, ${2 * DAY})")
       }),
+      "ts_sql_tvf_hampel" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_hampel($T0, $T31, 5, 3.0)")
+      }),
       "ts_sql_tvf_burn_rate" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -1818,6 +1824,12 @@ object SparkEntry {
       // aggregate shares the lag window's exchange
       "ts_range_irate" -> ((s, dir) =>
         Rates.instant(monthSamples(s, dir), bucketMs = DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // Hampel filter: outliers vs the CENTERED rolling median with
+      // the window's own MAD as scale — the robust cleaning primitive
+      // (an extreme sample cannot mask itself out of its own window)
+      "ts_hampel" -> ((s, dir) =>
+        Rolling.hampel(monthSamples(s, dir), span = 3, k = 3.0,
           fromMs = Some(T0), toMs = Some(T31))),
       // multi-window SLO burn rate (SRE workbook rule): alert where
       // the 7d budget burn AND its 2d tail both exceed 1.5× — long
@@ -3269,6 +3281,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_theilsen" -> Trend.theilSenSql(
         bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_hampel" -> Rolling.hampelSql(span = 5, k = 3.0,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_burn_rate" -> Rates.burnRateSql(shortMs = DAY,
         longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 3.0e-4,
         threshold = 2.0, fromMs = Some(T0), toMs = Some(T31)),
@@ -3370,6 +3384,8 @@ object SparkEntry {
         sf = 0.4, tf = 0.3, origins = Seq(T0 + 12 * DAY, T0 + 20 * DAY),
         horizon = 4, bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_gaps_stream" -> Sessions.gapsSql(thresholdMs = 2 * DAY,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_hampel" -> Rolling.hampelSql(span = 3, k = 3.0,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_burn_rate" -> Rates.burnRateSql(shortMs = 2 * DAY,
         longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 4.0e-4,

@@ -360,6 +360,18 @@ object GraftFunctions {
         Some(literalLong("ts_irate", args(0), "from")),
         Some(literalLong("ts_irate", args(1), "to"))))
     }),
+    // ts_hampel(from, to, span, k) — rolling-median/MAD outlier filter
+    (FunctionIdentifier("ts_hampel"), info("ts_hampel"),
+        { args: Seq[Expression] =>
+      nargs("ts_hampel", Seq(4), args)
+      val spark = activeSession("ts_hampel")
+      GraftSessionBridge.logicalPlan(graft.ts.Rolling.hampel(
+        spark.table(SamplesView),
+        literalLong("ts_hampel", args(2), "span").toInt,
+        literalDouble("ts_hampel", args(3), "k"),
+        fromMs = Some(literalLong("ts_hampel", args(0), "from")),
+        toMs = Some(literalLong("ts_hampel", args(1), "to"))))
+    }),
     // ts_burn_rate(from, to, short_ms, long_ms, hop_ms, budget_per_sec,
     // threshold) — multi-window SLO burn-rate alerts (SRE rule)
     (FunctionIdentifier("ts_burn_rate"), info("ts_burn_rate"),

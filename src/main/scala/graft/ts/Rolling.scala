@@ -76,6 +76,106 @@ object Rolling {
        |FROM ranked""".stripMargin
   }
 
+  // the interpolated quantile of an ALREADY-SORTED bounded array —
+  // the rollingQuantile arithmetic factored for reuse (hampel runs it
+  // twice: window median, then median of absolute deviations)
+  private def sortedQuantile(sorted: Column, q: Double): Column = {
+    val n = size(sorted)
+    val r = lit(q) * (n - 1).cast("double")
+    val lo = floor(r).cast("int")
+    val vLo = element_at(sorted, lo + 1)
+    val vHi = element_at(sorted, least(lo + 2, n))
+    vLo + (r - lo.cast("double")) * (vHi - vLo)
+  }
+
+  /**
+   * Hampel outlier filter — the standard robust time-series CLEANING
+   * primitive (Pearson's rolling-MAD rule): flag samples farther than
+   * `k` scaled deviations from their CENTERED rolling-window median,
+   * where the scale is the window's own median absolute deviation ×
+   * 1.4826 (the Gaussian consistency constant). Versus [[Anomaly.mad]]
+   * (global median) this adapts to trend and level shifts; versus a
+   * rolling z-score the median/MAD pair survives the outlier being IN
+   * the window — an extreme sample cannot mask itself.
+   *
+   * Plan: ONE exchange by series; the centered ±span frame collects a
+   * bounded array per row, median and MAD are the [[rollingQuantile]]
+   * interpolation arithmetic run twice on sorted arrays — per-row
+   * cost O(span log span), memory bounded by the QUERY's span. A
+   * zero-MAD window (constant majority) flags any deviation, PromQL-
+   * style loud semantics, via the `mad = 0 AND |dev| > 0` escape —
+   * exactly mirrored in the oracle.
+   *
+   * Output: flagged rows `(series, ts, value, med, h_score)` with
+   * h_score = |value − med| / (1.4826 · mad), round-9 (NULL when
+   * mad = 0 — flagged through the escape, score undefined).
+   */
+  def hampel(
+      samples: DataFrame, span: Int, k: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(span >= 1, s"span $span must be >= 1 (window half-width)")
+    require(k > 0, s"k $k must be positive")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("value"))
+      .rowsBetween(-span.toLong, span.toLong)
+    val sorted = array_sort(collect_list(col("value")).over(w))
+    val med = sortedQuantile(sorted, 0.5)
+    val scored = s
+      .withColumn("med", med)
+      .withColumn("mad", sortedQuantile(
+        array_sort(transform(sorted, v => abs(v - col("med")))), 0.5))
+      .withColumn("dev", abs(col("value") - col("med")))
+    scored
+      .filter((col("mad") > 0 && col("dev") > lit(k) * 1.4826 * col("mad")) ||
+        (col("mad") === 0 && col("dev") > 0))
+      .select(col("series"), col("ts"), col("value"), col("med"),
+        when(col("mad") > 0,
+          round(col("dev") / (lit(1.4826) * col("mad")), 9)).as("h_score"))
+  }
+
+  /** DuckDB oracle twin of [[hampel]] (the same double quantile
+    * interpolation over the same centered frame). */
+  def hampelSql(
+      span: Int, k: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
+      .mkString("WHERE ", " AND ", "")
+    def sq(arr: String): String = {
+      val n = s"len($arr)"
+      val r = s"(0.5 * ($n - 1))"
+      val lo = s"CAST(floor($r) AS INT)"
+      s"($arr[$lo + 1] + ($r - $lo) * ($arr[least($lo + 2, $n)] - $arr[$lo + 1]))"
+    }
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), framed AS (
+       |  SELECT series, ts, value,
+       |    list_sort(list(value) OVER (PARTITION BY series ORDER BY ts, value
+       |      ROWS BETWEEN $span PRECEDING AND $span FOLLOWING)) AS sorted
+       |  FROM f
+       |), meds AS (
+       |  SELECT series, ts, value, ${sq("sorted")} AS med, sorted
+       |  FROM framed
+       |), devs AS (
+       |  SELECT series, ts, value, med,
+       |    list_sort(list_transform(sorted, v -> abs(v - med))) AS dsorted,
+       |    abs(value - med) AS dev
+       |  FROM meds
+       |), scored AS (
+       |  SELECT series, ts, value, med, dev, ${sq("dsorted")} AS mad
+       |  FROM devs
+       |)
+       |SELECT series, ts, value, med,
+       |  CASE WHEN mad > 0 THEN round(dev / (1.4826 * mad), 9) END AS h_score
+       |FROM scored
+       |WHERE (mad > 0 AND dev > $k * 1.4826 * mad) OR (mad = 0 AND dev > 0)""".stripMargin
+  }
+
   /**
    * Per-series winsorization: clip values to the series' [qLo, qHi]
    * exact percentiles — the standard heavy-tail taming step before

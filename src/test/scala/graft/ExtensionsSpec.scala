@@ -181,6 +181,10 @@ class ExtensionsSpec extends AnyFunSuite {
       sorted(graft.ts.Rates.burnRate(samples, 2 * DAY, 8 * DAY, 2 * DAY,
         3.5e-4, 1.5, fromMs = Some(T0), toMs = Some(T31))))
     assert(
+      sorted(spark.sql(s"SELECT * FROM ts_hampel($T0, $T31, 4, 2.5)")) ==
+      sorted(graft.ts.Rolling.hampel(samples, 4, 2.5,
+        fromMs = Some(T0), toMs = Some(T31))))
+    assert(
       sorted(spark.sql(s"SELECT * FROM ts_asof('view_3', 'click_5', $T0, $T31)")) ==
       sorted(graft.ts.AsOf.asofJoin(samples, "view_3", "click_5",
         None, Some(T0), Some(T31))))
@@ -425,7 +429,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_mix_temperature", "corpus_boilerplate",
         "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
         "ts_changepoint", "ts_theilsen", "ts_histogram_quantile",
-        "corpus_source_divergence", "ts_burn_rate", "emb_label_drift"))
+        "corpus_source_divergence", "ts_burn_rate", "emb_label_drift",
+        "ts_hampel"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 

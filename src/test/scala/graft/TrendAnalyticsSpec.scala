@@ -203,6 +203,32 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(mx(3L) == 3.0)
   }
 
+  test("hampel: a spike is flagged against its own window; trend-following medians do not page") {
+    // linear ramp 0..19 with one spike at t=10: the centered ±3 window
+    // median tracks the ramp, so only the spike pages; a global-MAD
+    // zscore on the same ramp would flag the endpoints too
+    val rows = (0 until 20).map(i =>
+      ("s", i.toLong, if (i == 10) 100.0 else i.toDouble))
+    val out = graft.ts.Rolling.hampel(
+        rows.toDF("series", "ts", "value"), span = 3, k = 3.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 100.0)), out.toSeq.toString)
+  }
+
+  test("hampel: zero-MAD window flags ANY deviation with a NULL score") {
+    // constant majority: med = 5, MAD = 0 -> the lone 6.0 pages via the
+    // mad=0 escape, h_score NULL (undefined scale)
+    val rows = (0 until 9).map(i => ("s", i.toLong, 5.0)) ++
+      Seq(("s", 9L, 6.0))
+    val out = graft.ts.Rolling.hampel(
+        rows.toDF("series", "ts", "value"), span = 4, k = 3.0).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 9L && out(0).isNullAt(4))
+    // fully constant series: nothing pages
+    val const = (0 until 9).map(i => ("s", i.toLong, 5.0))
+    assert(graft.ts.Rolling.hampel(
+      const.toDF("series", "ts", "value"), span = 4, k = 3.0).count() == 0)
+  }
+
   test("winsorize: tails clip to the series percentiles, bulk unchanged") {
     val df = (1L to 100L).map(t => ("s", t, t.toDouble)).toDF("series", "ts", "value")
     val got = graft.ts.Rolling.winsorize(df, 0.10, 0.90)
