@@ -189,6 +189,43 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       def sql: String = AsOf.rollingCorrSql("s0", "s1", bucket, span, align,
         from, to, valuesCte(samples))
     }
+    // round-14b families. These combos use INTEGER-valued samples and
+    // bucket = 1 (one sample per grid cell) — the LTTB discipline: all
+    // engine-side sums are then exact integers in ANY accumulation
+    // order, so the round-9 argmax/median/threshold verdicts are
+    // bit-identical by construction, not by tolerance.
+    case class Bs(name: String, samples: Seq[(String, Long, Double)],
+        levels: Int, minSize: Int, from: Option[Long], to: Option[Long])
+        extends Combo {
+      def sql: String =
+        s"""SELECT series, cp_ts, level, seg, gain, n_left, n_right FROM (
+           |${Changepoint.binsegSql(1L, levels, minSize, 0L, from, to, valuesCte(samples))})""".stripMargin
+    }
+    case class Th(name: String, samples: Seq[(String, Long, Double)],
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        s"""SELECT series, n_grid, slope, intercept, n_pairs FROM (
+           |${Trend.theilSenSql(1L, 0L, from, to, valuesCte(samples))})""".stripMargin
+    }
+    case class Hp(name: String, samples: Seq[(String, Long, Double)],
+        span: Int, k: Double, from: Option[Long], to: Option[Long])
+        extends Combo {
+      def sql: String = Rolling.hampelSql(span, k, from, to, valuesCte(samples))
+    }
+    case class Br(name: String, samples: Seq[(String, Long, Double)],
+        short: Long, long: Long, hop: Long, budget: Double, thr: Double,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        Rates.burnRateSql(short, long, hop, budget, thr, 0L, from, to,
+          valuesCte(samples))
+    }
+    case class Hq(name: String, samples: Seq[(String, Long, Double)],
+        lo: Double, hi: Double, nbins: Int, q: Double,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        Histogram.histogramQuantileSql(lo, hi, nbins, q, from, to,
+          valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -349,6 +386,39 @@ class RandomizedWindowsSpec extends AnyFunSuite {
       val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
       Rc(f"rcorr_$iter%03d", samples, Seq(7L, 25L, 100L)(rnd.nextInt(3)),
         2 + rnd.nextInt(4), Seq(0L, 3L, -5L)(rnd.nextInt(3)), from, to)
+    } ++ (446 until 496).map { iter =>
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      // integer-valued samples (see the round-14b combo note above)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(10) == 0) Double.NaN
+                else (rnd.nextInt(40) - 10).toDouble
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      iter % 5 match {
+        case 0 =>
+          Bs(f"binseg_$iter%03d", samples, 1 + rnd.nextInt(3),
+            2 + rnd.nextInt(2), from, to)
+        case 1 =>
+          Th(f"theil_$iter%03d", samples, from, to)
+        case 2 =>
+          Hp(f"hampel_$iter%03d", samples, 1 + rnd.nextInt(5),
+            Seq(1.0, 2.0, 3.0)(rnd.nextInt(3)), from, to)
+        case 3 =>
+          val hop = Seq(7L, 25L)(rnd.nextInt(2))
+          val long = (2 + rnd.nextInt(5)).toLong * hop
+          val short = (1 + rnd.nextInt(2)).toLong * hop
+          Br(f"burn_$iter%03d", samples, short, long, hop,
+            Seq(50.0, 200.0)(rnd.nextInt(2)), Seq(1.0, 1.5)(rnd.nextInt(2)),
+            from, to)
+        case _ =>
+          Hq(f"hq_$iter%03d", samples, -10.0, 30.0, 1 + rnd.nextInt(8),
+            Seq(0.25, 0.5, 0.9, 1.0)(rnd.nextInt(4)), from, to)
+      }
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -415,6 +485,20 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         case s: Fc    => Smoothing.holtForecast(df, s.sf, s.tf, s.h, s.step, s.from, s.to)
         case s: Cf    => AsOf.ccf(df, "s0", "s1", s.bucket, s.maxLag, s.align, s.from, s.to)
         case s: Rc    => AsOf.rollingCorr(df, "s0", "s1", s.bucket, s.span, s.align, s.from, s.to)
+        case s: Bs    =>
+          Changepoint.binseg(df, 1L, s.levels, s.minSize, 0L, s.from, s.to)
+            .select(col("series"), col("cp_ts"), col("level"), col("seg"),
+              col("gain"), col("n_left"), col("n_right"))
+        case s: Th    =>
+          Trend.theilSen(df, 1L, 0L, s.from, s.to)
+            .select(col("series"), col("n_grid"), col("slope"),
+              col("intercept"), col("n_pairs"))
+        case s: Hp    => Rolling.hampel(df, s.span, s.k, s.from, s.to)
+        case s: Br    =>
+          Rates.burnRate(df, s.short, s.long, s.hop, s.budget, s.thr, 0L,
+            s.from, s.to)
+        case s: Hq    =>
+          Histogram.histogramQuantile(df, s.lo, s.hi, s.nbins, s.q, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
