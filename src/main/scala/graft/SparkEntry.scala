@@ -975,6 +975,18 @@ object SparkEntry {
       "ann_binary_topk" -> ((s, dir) =>
         graft.pipeline.BQ.hammingTopK(Similarity.loadEmbeddings(s, dir),
           annQueryIds, k = 5)),
+      // two-stage serving: Hamming shortlist over the packed codes,
+      // exact-cosine re-rank of ONLY the shortlist — the production
+      // binary-index shape, recall measured next to the 1-stage path
+      "ann_binary_rerank_topk" -> ((s, dir) =>
+        graft.pipeline.BQ.rerankTopK(Similarity.loadEmbeddings(s, dir),
+          annQueryIds, k = 5, shortlist = 20)),
+      "ann_recall_binary_rerank" -> ((s, dir) => {
+        val embs = Similarity.loadEmbeddings(s, dir)
+        Similarity.recallAtK(
+          graft.pipeline.BQ.rerankTopK(embs, annQueryIds, k = 5, shortlist = 20),
+          Similarity.bruteForceTopK(embs, annQueryIds, k = 5))
+      }),
       // per-label centroid cosine vs the global centroid — the
       // embedding-space mix-health diagnostic (stray cluster /
       // mislabeled shard / wrong-encoder detector)
@@ -2963,6 +2975,10 @@ object SparkEntry {
       "ann_ivf_sq8_topk" -> graft.pipeline.SQ.ivfSq8TopKSql(annQueryIds, 5,
         coarse = Similarity.syntheticCentroids(16, 64), nProbe = 4),
       "ann_binary_topk" -> graft.pipeline.BQ.hammingTopKSql(annQueryIds, 5),
+      "ann_binary_rerank_topk" ->
+        graft.pipeline.BQ.rerankTopKSql(annQueryIds, 5, 20),
+      "ann_recall_binary_rerank" -> Similarity.recallSql(
+        graft.pipeline.BQ.rerankTopKSql(annQueryIds, 5, 20), annQueryIds, 5),
       "emb_label_drift" -> Similarity.labelCentroidDriftSql,
       "pipeline_sql_tvf_label_drift" ->
         s"SELECT * FROM (${Similarity.labelCentroidDriftSql}) WHERE n_vecs >= 45",

@@ -79,6 +79,60 @@ object BQ {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Two-stage serving search — the production binary-index shape:
+   * the packed-code Hamming scan shortlists `shortlist` candidates
+   * per query (cheap: 16-byte codes, popcount), then ONLY the
+   * shortlist's raw vectors are fetched and re-ranked by exact
+   * cosine. At 100 TB the raw-embedding fetch is bounded by
+   * shortlist × queries — the corpus-sized pass touches nothing but
+   * the codes. Output matches [[Similarity.bruteForceTopK]]'s shape
+   * (`query_id, neighbor_id, cos, rank`), so the shared recall
+   * evaluator scores the two-stage trade directly; with shortlist =
+   * corpus the result IS the brute-force ranking (spec-pinned).
+   */
+  def rerankTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k $k (stage 2 only re-orders)")
+    val cand = hammingTopK(embs, queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VecNorm(col("v")))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VecDot(col("v"), col("qv"))
+          / (col("norm") * col("qnorm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle twin of [[rerankTopK]] — the Hamming shortlist CTE
+    * feeding the exact-cosine re-rank. */
+  def rerankTopKSql(queryIds: Seq[Long], k: Int, shortlist: Int): String =
+    s"""WITH cand AS (
+       |${hammingTopKSql(queryIds, shortlist).replace("\n", "\n  ")}
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(
+       |      CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB oracle twin of [[hammingTopK]] — means, packing, popcount
     * and ranking all re-derived relationally. */
   def hammingTopKSql(queryIds: Seq[Long], k: Int): String =

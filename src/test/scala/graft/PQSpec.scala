@@ -297,6 +297,40 @@ class PQSpec extends AnyFunSuite {
     assert(got == Seq((3L, 1L), (1L, 40L)))
   }
 
+  test("BQ rerank: shortlist = corpus reproduces the brute-force ranking exactly") {
+    val df = clustered(spread = 3, jitter = true).cache()
+    try {
+      val n = df.count().toInt
+      val queries = Seq(0L, 9L)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toString).sorted.toSeq
+      assert(
+        rows(graft.pipeline.BQ.rerankTopK(df, queries, k = 5, shortlist = n)) ==
+        rows(graft.pipeline.Similarity.bruteForceTopK(df, queries, k = 5)))
+      intercept[IllegalArgumentException] {
+        graft.pipeline.BQ.rerankTopK(df, queries, k = 5, shortlist = 3)
+      }
+    } finally df.unpersist()
+  }
+
+  test("BQ rerank: the exact second stage never scores below the raw binary ranking") {
+    val df = clustered(spread = 3, jitter = true).cache()
+    try {
+      val queries = Seq(0L, 9L, 18L)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(df, queries, k = 5)
+      def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+        val m = graft.pipeline.Similarity.recallAtK(approx, truth)
+          .collect().map(r => r.getDouble(3))
+        m.sum / m.length
+      }
+      val binary = meanRecall(graft.pipeline.BQ.hammingTopK(df, queries, k = 5))
+      val rerank = meanRecall(
+        graft.pipeline.BQ.rerankTopK(df, queries, k = 5, shortlist = 15))
+      assert(rerank >= binary,
+        s"two-stage recall $rerank must be >= one-stage $binary")
+    } finally df.unpersist()
+  }
+
   test("BQ: binary recall is measurable and self-consistent on the clustered corpus") {
     val df = clustered(spread = 3, jitter = true).cache()
     try {
