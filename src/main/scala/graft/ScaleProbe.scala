@@ -537,6 +537,27 @@ object ScaleProbe {
     val (nSdiv, tSdiv) = timed {
       Text.sourceDivergence(probeDocs, topN = 300, alpha = 0.5).count()
     }
+    // Burn-rate alerts over N× series: one hop-grid explode + one
+    //    map-side-combined agg — scan-bound; alert rows scale with
+    //    series (the filter's selectivity is scale-free).
+    val (nBurn, tBurn) = timed {
+      graft.ts.Rates.burnRate(TSModel.samples(spark, work), 2 * DAY,
+        7 * DAY, DAY, 4.0e-4, 1.5, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Hampel over N× series: the ±span collect_list frame rides one
+    //    exchange by series; per-row cost bounded by the query's span.
+    val (nHamp, tHamp) = timed {
+      graft.ts.Rolling.hampel(TSModel.samples(spark, work), span = 3,
+        k = 3.0, fromMs = Some(T0), toMs = Some(T31)).count()
+    }
+    // Two-stage binary search over the N× embedding corpus: the
+    //    corpus-sized pass touches only the packed codes; the raw
+    //    fetch stays shortlist×queries at every scale.
+    val (nRr, tRr) = timed {
+      graft.pipeline.BQ.rerankTopK(
+        spark.read.parquet(s"$work/embeddings.parquet"),
+        Seq(0L, 97L, 194L), k = 5, shortlist = 20).count()
+    }
     // AB-join profile at 4× length, both routes: pairs pays
     //    w_a×w_b join rows with an O(m) dot each, the STOMP AB-join
     //    walks the same cells O(1)-amortized in one task — the gap
@@ -656,6 +677,9 @@ object ScaleProbe {
       s""""corr_matrix_filter_sec":${s2(tCorrF)},"corr_matrix_filter_rows":$nCorrF,""" +
       s""""decompose_anomaly_sec":${s2(tRem)},"decompose_anomaly_rows":$nRem,""" +
       s""""binseg_sec":${s2(tBinseg)},"binseg_rows":$nBinseg,""" +
+      s""""burn_rate_sec":${s2(tBurn)},"burn_rate_rows":$nBurn,""" +
+      s""""hampel_sec":${s2(tHamp)},"hampel_rows":$nHamp,""" +
+      s""""bq_rerank_sec":${s2(tRr)},"bq_rerank_rows":$nRr,""" +
       s""""theilsen_sec":${s2(tTheil)},"theilsen_rows":$nTheil,""" +
       s""""hist_quantile_sec":${s2(tHq)},"hist_quantile_rows":$nHq,""" +
       s""""source_divergence_sec":${s2(tSdiv)},"source_divergence_rows":$nSdiv,""" +

@@ -361,17 +361,17 @@ class RandomizedTvfSpec extends AnyFunSuite {
     }
   }
 
-  test("round-14 TVFs (changepoint binseg / Theil-Sen / burn rate) == Column API across 16 random combos") {
+  test("round-14 TVFs (binseg / Theil-Sen / burn rate / hampel / histogram quantile) == Column API across 25 random combos") {
     graft.functions.GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
     samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
     val rnd = new scala.util.Random(140815)
     val buckets = Seq(6 * HOUR, DAY, 2 * DAY)
-    for (i <- 1 to 16) {
+    for (i <- 1 to 25) {
       val from = T0 + rnd.nextInt(15) * DAY
       val to = from + (6 + rnd.nextInt(14)) * DAY
       val bucket = buckets(rnd.nextInt(buckets.size))
-      val (sqlText, api) = rnd.nextInt(3) match {
+      val (sqlText, api) = rnd.nextInt(5) match {
         case 0 =>
           val levels = 1 + rnd.nextInt(3)
           val minSize = 2 + rnd.nextInt(2)
@@ -382,7 +382,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
           (s"SELECT * FROM ts_theilsen($from, $to, $bucket)",
             graft.ts.Trend.theilSen(samples, bucket,
               fromMs = Some(from), toMs = Some(to)))
-        case _ =>
+        case 2 =>
           val hop = bucket
           val long = (2 + rnd.nextInt(5)).toLong * hop
           val short = (1 + rnd.nextInt(2)).toLong * hop
@@ -390,6 +390,17 @@ class RandomizedTvfSpec extends AnyFunSuite {
             Seq(1.0, 1.5)(rnd.nextInt(2)))
           (s"SELECT * FROM ts_burn_rate($from, $to, $short, $long, $hop, $budget, $thr)",
             graft.ts.Rates.burnRate(samples, short, long, hop, budget, thr,
+              fromMs = Some(from), toMs = Some(to)))
+        case 3 =>
+          val (span, k) = (1 + rnd.nextInt(5), Seq(1.5, 2.5, 3.0)(rnd.nextInt(3)))
+          (s"SELECT * FROM ts_hampel($from, $to, $span, $k)",
+            graft.ts.Rolling.hampel(samples, span, k,
+              fromMs = Some(from), toMs = Some(to)))
+        case _ =>
+          val nbins = 5 + rnd.nextInt(20)
+          val q = Seq(0.5, 0.9, 0.95, 1.0)(rnd.nextInt(4))
+          (s"SELECT * FROM ts_histogram_quantile($from, $to, 0.0, 120.0, $nbins, $q)",
+            graft.ts.Histogram.histogramQuantile(samples, 0.0, 120.0, nbins, q,
               fromMs = Some(from), toMs = Some(to)))
       }
       assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
