@@ -694,13 +694,18 @@ object SparkEntry {
       // (slope ~ -1 = natural text; ~0 = boilerplate flood)
       "text_zipf_fit" -> ((s, dir) =>
         Text.zipfFit(Text.loadDocuments(s, dir), topN = 100)),
-      // per-source KL/JS divergence vs the corpus unigram distribution
-      // over the top-300 vocab — the mix-health outlier detector (a
+      // per-source divergence vs the corpus unigram distribution over
+      // the top-300 vocab — the mix-health outlier detector (a
       // templated/foreign source is a KL spike before it is a quality
-      // or langid verdict)
+      // or langid verdict). The driver-hashed carrier is the exact
+      // integer moments grid (source, word, n_sw, n_w, n_s, n_tot):
+      // the smoothed log-sum scores themselves can't be bit-stable
+      // across engines (libm log + engine-defined sum order), so they
+      // are derived views spec-tested with tolerance instead
+      // (explicit-moments convention, see Text.sourceDivergence).
       "text_source_divergence" -> ((s, dir) =>
-        Text.sourceDivergence(Text.loadDocuments(s, dir),
-          topN = 300, alpha = 0.5)),
+        Text.sourceDivergenceMoments(Text.loadDocuments(s, dir),
+          topN = 300)),
       // the dedup end-product: corpus with near-dups removed (bounded
       // id range so the quadratic oracle can rebuild the same pair set)
       "dedup_corpus_keep" -> ((s, dir) => {
@@ -1566,7 +1571,7 @@ object SparkEntry {
         graft.functions.GraftFunctions.register(s)
         Text.loadDocuments(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.DocumentsView)
-        s.sql("SELECT * FROM corpus_source_divergence(200, 1.0)")
+        s.sql("SELECT * FROM corpus_source_moments(200)")
       }),
       "pipeline_sql_tvf_quality" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -3168,7 +3173,7 @@ object SparkEntry {
       "pipeline_sql_tvf_langid" ->
         s"SELECT * FROM (${Text.languageIdSql}) WHERE doc_id < 450",
       "pipeline_sql_tvf_source_divergence" ->
-        Text.sourceDivergenceSql(topN = 200, alpha = 1.0),
+        Text.sourceDivergenceMomentsSql(topN = 200),
       "pipeline_sql_tvf_quality" ->
         s"SELECT * FROM (${Text.qualityMetricsSql}) WHERE doc_id >= 50",
       "pipeline_sql_tvf_tokens" ->
@@ -3244,8 +3249,8 @@ object SparkEntry {
       "ts_session_stream" -> Sessions.sessionRangeSql("avg", gapMs = 12 * HOUR,
         fromMs = Some(T0), toMs = Some(T31)),
       "text_zipf_fit" -> Text.zipfFitSql(topN = 100),
-      "text_source_divergence" -> Text.sourceDivergenceSql(
-        topN = 300, alpha = 0.5),
+      "text_source_divergence" -> Text.sourceDivergenceMomentsSql(
+        topN = 300),
       "ts_range_holt_winters" -> Smoothing.holtWintersSql(alpha = 0.5,
         beta = 0.3, gamma = 0.4, m = 24,
         fromMs = Some(T0), toMs = Some(T31)),

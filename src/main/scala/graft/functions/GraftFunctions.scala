@@ -1068,6 +1068,19 @@ object GraftFunctions {
         literalLong("corpus_source_divergence", args(0), "top_n").toInt,
         literalDouble("corpus_source_divergence", args(1), "alpha")))
     }),
+    // corpus_source_moments(top_n) — the exact integer moments grid
+    // behind corpus_source_divergence (source, word, n_sw, n_w, n_s,
+    // n_tot): the bit-stable, driver-hashable carrier of the operator
+    // (the smoothed log-sum scores can't be — explicit-moments
+    // convention, see Text.sourceDivergenceMoments)
+    (FunctionIdentifier("corpus_source_moments"),
+        info("corpus_source_moments"), { args: Seq[Expression] =>
+      nargs("corpus_source_moments", Seq(1), args)
+      val spark = activeSession("corpus_source_moments")
+      GraftSessionBridge.logicalPlan(graft.pipeline.Text.sourceDivergenceMoments(
+        spark.table(DocumentsView),
+        literalLong("corpus_source_moments", args(0), "top_n").toInt))
+    }),
     (FunctionIdentifier("corpus_text_quality"), info("corpus_text_quality"),
       { args: Seq[Expression] =>
       nargs("corpus_text_quality", Seq(0), args)

@@ -639,32 +639,27 @@ object Text {
    * vocab semi-join. The probability grid is sources × topN — QUERY-
    * bounded, never corpus-sized — so its per-source analytic window
    * and the final agg are free; smoothing (alpha > 0) keeps every
-   * log argument strictly positive. Outputs round-9 (stacked float
-   * reductions, the family convention).
+   * log argument strictly positive.
    *
    * Output: `(source, n_tokens, kl_div, js_div)` with n_tokens the
    * vocab-restricted token count of the source.
+   *
+   * Hash stability: the kl/js floats are a 200-500-term reduction of
+   * `p·log(p/q)` terms — `log` is NOT IEEE-correctly-rounded (libm
+   * builds differ by an ulp on identical inputs) and the sum order is
+   * engine-defined, so this output can never be made bit-stable
+   * across engines (the round-14 driver hash failure). The oracle-
+   * hashed carrier for this operator is therefore
+   * [[sourceDivergenceMoments]] — the exact integer grid the scores
+   * derive from — per the round-12 explicit-moments convention; this
+   * scores view keeps the family's round-9 display convention and is
+   * differentially spec-tested with tolerance instead.
    */
   def sourceDivergence(docs: DataFrame, topN: Int = 500,
       alpha: Double = 0.5): DataFrame = {
-    require(topN >= 1, s"topN $topN must be >= 1")
     require(alpha > 0, s"alpha $alpha must be > 0 (smoothing)")
     val denomAdd = alpha * topN
-    val words = docs.select(col("source"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
-      .orderBy(col("n_w").desc, col("word").asc).limit(topN)
-    val tot = vocab.agg(sum(col("n_w")).as("n_tot"))
-    val sources = docs.select(col("source")).distinct()
-    val cs = words.join(broadcast(vocab.select(col("word"))), Seq("word"))
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
-    val grid = sources.crossJoin(broadcast(vocab))
-      .join(cs, Seq("source", "word"), "left")
-      .withColumn("n_sw", coalesce(col("n_sw"), lit(0L)))
-      .crossJoin(broadcast(tot))
-    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    val scored = grid
-      .withColumn("n_s", sum(col("n_sw")).over(wSrc))
+    val scored = sourceDivergenceMoments(docs, topN)
       .withColumn("p", (col("n_sw") + alpha) / (col("n_s") + denomAdd))
       .withColumn("q", (col("n_w") + alpha) / (col("n_tot") + denomAdd))
       .withColumn("m", (col("p") + col("q")) / 2)
@@ -675,11 +670,65 @@ object Text {
           + col("q") * log(col("q") / col("m"))) / 2, 9).as("js_div"))
   }
 
+  /**
+   * The exact integer moments grid behind [[sourceDivergence]]: one
+   * row per (source, top-N vocab word) with the raw counts every
+   * smoothed divergence derives from — `n_sw` (word count within the
+   * source), `n_w` (corpus count of the word), `n_s` (vocab-restricted
+   * token count of the source), `n_tot` (total vocab-restricted corpus
+   * tokens). All columns are strings/integers, so the output is
+   * bit-stable across engines BY CONSTRUCTION — this is the operator's
+   * driver-hashed carrier (round-12 explicit-moments convention; see
+   * [[sourceDivergence]]'s scaladoc for why the log-sum scores can't
+   * be). Vocabulary selection is deterministic: top-N by corpus count,
+   * ties broken by word ascending. The grid is sources × topN —
+   * query-bounded, never corpus-sized.
+   */
+  def sourceDivergenceMoments(docs: DataFrame, topN: Int = 500): DataFrame = {
+    require(topN >= 1, s"topN $topN must be >= 1")
+    val words = docs.select(col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      .orderBy(col("n_w").desc, col("word").asc).limit(topN)
+    val tot = vocab.agg(sum(col("n_w")).as("n_tot"))
+    val sources = docs.select(col("source")).distinct()
+    val cs = words.join(broadcast(vocab.select(col("word"))), Seq("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_sw"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    sources.crossJoin(broadcast(vocab))
+      .join(cs, Seq("source", "word"), "left")
+      .withColumn("n_sw", coalesce(col("n_sw"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_s", sum(col("n_sw")).over(wSrc))
+      .select(col("source"), col("word"), col("n_sw"), col("n_w"),
+        col("n_s"), col("n_tot"))
+  }
+
   /** DuckDB oracle twin of [[sourceDivergence]] (ln = natural log in
     * both engines; the identical smoothing constants are injected as
     * the same double literal on both sides). */
   def sourceDivergenceSql(topN: Int = 500, alpha: Double = 0.5): String = {
     val denomAdd = alpha * topN
+    s"""WITH mom AS (
+       |${sourceDivergenceMomentsSql(topN).replace("\n", "\n  ")}
+       |), scored AS (
+       |  SELECT source, n_s, p, q, (p + q) / 2 AS m FROM (
+       |    SELECT source, n_s,
+       |      (n_sw + $alpha) / (n_s + $denomAdd) AS p,
+       |      (n_w + $alpha) / (n_tot + $denomAdd) AS q
+       |    FROM mom
+       |  )
+       |)
+       |SELECT source, max(n_s) AS n_tokens,
+       |  round(sum(p * ln(p / q)), 9) AS kl_div,
+       |  round(sum(p * ln(p / m) + q * ln(q / m)) / 2, 9) AS js_div
+       |FROM scored GROUP BY source""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[sourceDivergenceMoments]] — the
+    * driver-hashed integer-moments carrier. */
+  def sourceDivergenceMomentsSql(topN: Int = 500): String = {
+    require(topN >= 1, s"topN $topN must be >= 1")
     s"""WITH words AS (
        |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
        |  FROM documents
@@ -697,19 +746,10 @@ object Text {
        |  SELECT s.source, v.word, v.n_w, coalesce(c.n_sw, 0) AS n_sw, t.n_tot
        |  FROM srcs s CROSS JOIN vocab v CROSS JOIN tot t
        |  LEFT JOIN cs c ON c.source = s.source AND c.word = v.word
-       |), scored AS (
-       |  SELECT source, n_s, p, q, (p + q) / 2 AS m FROM (
-       |    SELECT source,
-       |      sum(n_sw) OVER (PARTITION BY source) AS n_s,
-       |      (n_sw + $alpha) / (sum(n_sw) OVER (PARTITION BY source) + $denomAdd) AS p,
-       |      (n_w + $alpha) / (n_tot + $denomAdd) AS q
-       |    FROM grid
-       |  )
        |)
-       |SELECT source, max(n_s) AS n_tokens,
-       |  round(sum(p * ln(p / q)), 9) AS kl_div,
-       |  round(sum(p * ln(p / m) + q * ln(q / m)) / 2, 9) AS js_div
-       |FROM scored GROUP BY source""".stripMargin
+       |SELECT source, word, n_sw, n_w,
+       |  sum(n_sw) OVER (PARTITION BY source) AS n_s, n_tot
+       |FROM grid""".stripMargin
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase

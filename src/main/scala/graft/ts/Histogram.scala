@@ -58,7 +58,23 @@ object Histogram {
    *
    * Plan: the histogram agg, then one ordered cumulative window and
    * one rank pick over the HISTOGRAM-sized frame. Output `(series,
-   * bin, quantile_value, n_total)`, round-9.
+   * bin, quantile_value, n_total, cum, n)` — the exact integer
+   * moments of the pick bin PLUS the interpolated value.
+   *
+   * Hash stability (the round-12 explicit-moments convention): the
+   * moments `bin/cum/n/n_total` are integers, bit-stable by
+   * construction. `quantile_value` is emitted UNROUNDED: it is a
+   * fixed-shape chain of IEEE-754 `+ - * /` (all correctly-rounded
+   * and therefore engine-independent) over those integers and the
+   * literal `lo/width/q` doubles, evaluated in the same association
+   * order on both engines — so the double is bit-identical by
+   * construction. A trailing `round(x, 9)` would UNDO that guarantee:
+   * decimal rounding of a binary double is implementation-defined at
+   * half-way points (Spark rounds via exact BigDecimal HALF_UP,
+   * DuckDB via a float multiply), which is precisely how the round-14
+   * driver hash failures happened. Interpolated quantiles hit exact
+   * decimal halves often (fractions with small denominators `n`), so
+   * this operator must never decimal-round its output.
    */
   def histogramQuantile(
       samples: DataFrame, lo: Double, hi: Double, nbins: Int, q: Double,
@@ -78,10 +94,10 @@ object Histogram {
         w.partitionBy(col("series")).orderBy(col("bin"))))
       .filter(col("pick") === 1)
       .select(col("series"), col("bin"),
-        round(col("bin_lo")
-          + (col("rnk") - (col("cum") - col("n"))) / col("n") * width, 9)
+        (col("bin_lo")
+          + (col("rnk") - (col("cum") - col("n"))) / col("n") * width)
           .as("quantile_value"),
-        col("n_total"))
+        col("n_total"), col("cum"), col("n"))
   }
 
   /** DuckDB oracle twin of [[histogramQuantile]] ([[valueHistogramSql]]
@@ -102,9 +118,9 @@ object Histogram {
        |  FROM h
        |)
        |SELECT series, bin,
-       |  round(bin_lo + (($q)::DOUBLE * n_total - (cum - n)) / n * ($width)::DOUBLE, 9)
+       |  bin_lo + (($q)::DOUBLE * n_total - (cum - n)) / n * ($width)::DOUBLE
        |    AS quantile_value,
-       |  n_total
+       |  n_total, cum, n
        |FROM walked
        |WHERE cum >= ($q)::DOUBLE * n_total
        |QUALIFY row_number() OVER (PARTITION BY series ORDER BY bin) = 1""".stripMargin

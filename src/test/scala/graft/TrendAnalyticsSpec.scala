@@ -123,7 +123,7 @@ class TrendAnalyticsSpec extends AnyFunSuite {
         rows.toDF("series", "ts", "value"), 0.0, 10.0, 10, 0.5)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
-    assert(out("a") == ((0L, math.rint(5.0 / 9.0 * 1e9) / 1e9, 10L)))
+    assert(out("a") == ((0L, 5.0 / 9.0, 10L)))
     assert(out("b") == ((2L, 2.5, 4L)))
   }
 

@@ -48,12 +48,15 @@ for name in sorted(set(list(oracle.keys()) + [os.path.basename(d) for d in glob.
         print(f"SCHEMA {name}: got {gcols} exp {ecols}"); fails += 1; continue
     if len(grows) != len(erows):
         print(f"ROWS  {name}: got {len(grows)} exp {len(erows)}"); fails += 1; continue
+    # EXACT compare of the canonical (column-sorted, row-sorted,
+    # float-round-6) rows — the same form the driver hashes. No
+    # tolerance: r14 shipped 4 driver-hash failures that a 1e-6
+    # relative tolerance here waved through, so the local gate must
+    # be at least as strict as the driver's.
     bad = None
     for gr, er in zip(grows, erows):
         for gv, ev in zip(gr, er):
-            if isinstance(gv, float) and isinstance(ev, float):
-                if abs(gv - ev) > 1e-6 * max(1.0, abs(ev)): bad = (gr, er); break
-            elif str(gv) != str(ev): bad = (gr, er); break
+            if str(gv) != str(ev): bad = (gr, er); break
         if bad: break
     if bad:
         print(f"HASH  {name}: first diff got={bad[0]} exp={bad[1]}"); fails += 1
