@@ -130,10 +130,20 @@ object Trend {
    * the robust complement the reference lacks entirely.
    *
    * x is the bucket INDEX (bucket − min bucket)/bucketMs, not epoch
-   * ms: slopes are per-bucket-step, O(1) magnitude, and the round-9
-   * convention is safe (unlike [[fit]]'s documented ~1e4 intercepts).
-   * The slope is rounded BEFORE the residual pass so both engines
-   * compute intercept from the identical slope.
+   * ms: slopes are per-bucket-step and O(1) magnitude.
+   *
+   * Hash stability: the grid averages are round-9 PINNED (absorbing
+   * the engines' different summation orders onto one decimal grid),
+   * and everything downstream — pair slope quotients, median
+   * interpolation (avg of the two middle elements), residuals — is a
+   * fixed chain of correctly-rounded IEEE ops over those pinned
+   * values, so slope/intercept are bit-identical across engines BY
+   * CONSTRUCTION and are emitted UNROUNDED. A final round-9 here
+   * would be the r14 histogram-quantile bug all over again: slopes
+   * are (9-decimal rational)/(small integer) quotients, which land ON
+   * exact decimal halves often (e.g. odd 9th digit over xdiff 2), and
+   * decimal rounding of exact halves is implementation-defined across
+   * engines/builds (HALF_UP vs float-multiply vs rint-to-even).
    *
    * Plan shape: ONE scan → ONE grid agg (round-9 bucket averages) →
    * min-bucket analytic window (same exchange class) → pair self-join
@@ -168,13 +178,13 @@ object Trend {
     val slopes = a.join(b, Seq("series"))
       .filter(col("xa") < col("xb"))
       .groupBy(col("series"))
-      .agg(round(percentile(
-          (col("vb") - col("va")) / (col("xb") - col("xa")), lit(0.5)), 9)
+      .agg(percentile(
+          (col("vb") - col("va")) / (col("xb") - col("xa")), lit(0.5))
           .as("slope"),
         count(lit(1)).as("n_pairs"))
     gx.join(broadcast(slopes), Seq("series"))
       .groupBy(col("series"), col("slope"), col("n_pairs"))
-      .agg(round(percentile(col("v") - col("slope") * col("x"), lit(0.5)), 9)
+      .agg(percentile(col("v") - col("slope") * col("x"), lit(0.5))
           .as("intercept"),
         count(lit(1)).as("n_grid"))
       .select(col("series"), col("slope"), col("intercept"),
@@ -203,13 +213,13 @@ object Trend {
        |  FROM g
        |), sl AS (
        |  SELECT a.series,
-       |    round(median((b.v - a.v) / (b.x - a.x)), 9) AS slope,
+       |    median((b.v - a.v) / (b.x - a.x)) AS slope,
        |    count(*) AS n_pairs
        |  FROM gx a JOIN gx b ON a.series = b.series AND a.x < b.x
        |  GROUP BY 1
        |)
        |SELECT g.series, sl.slope,
-       |  round(median(g.v - sl.slope * g.x), 9) AS intercept,
+       |  median(g.v - sl.slope * g.x) AS intercept,
        |  count(*) AS n_grid, sl.n_pairs
        |FROM gx g JOIN sl ON g.series = sl.series
        |GROUP BY g.series, sl.slope, sl.n_pairs""".stripMargin
