@@ -131,8 +131,15 @@ object QualityClassifier {
     * driver-side weight map. `cacheKey = None` always retrains (the
     * bench's pipeline_classifier_weights row measures the real train
     * wall every rep); `Some(key)` trains once per process per
-    * (key, hyperparameters) and reuses — the train-once/score-many
-    * production shape. */
+    * (key, labelPred, hyperparameters) and reuses — the
+    * train-once/score-many production shape. The label predicate is
+    * part of the cache key (its canonical SQL rendering): two callers
+    * with the same fixture key but different label definitions train
+    * different models. The caller-supplied `cacheKey` is assumed to
+    * name IMMUTABLE content (a fixture path whose data never changes
+    * in-process) — regenerating the data behind a live key serves
+    * stale weights; use [[clearCache]] (tests) or a new key
+    * (content-versioned paths) when data changes. */
   def trainedWeights(docs: DataFrame, labelPred: Column, nBuckets: Int,
       iters: Int, lr: Double,
       cacheKey: Option[String] = None): Map[Long, Double] = {
@@ -146,8 +153,11 @@ object QualityClassifier {
       } finally feats.unpersist()
     }
     cacheKey match {
-      case Some(k) => weightsCache.computeIfAbsent(
-        s"$k|$nBuckets|$iters|$lr", _ => compute())
+      case Some(k) =>
+        val predSql = org.apache.spark.sql.GraftColumnBridge
+          .expression(labelPred).sql
+        weightsCache.computeIfAbsent(
+          s"$k|$predSql|$nBuckets|$iters|$lr", _ => compute())
       case None => compute()
     }
   }

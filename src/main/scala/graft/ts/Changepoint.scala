@@ -139,7 +139,12 @@ object Changepoint {
       bucketMs: Long, levels: Int = 2, minSize: Int = 2, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       cte: String = TSModel.samplesCte): String = {
+    // guard parity with the Column twin [[binseg]]: minSize <= 1 would
+    // admit i = n candidates whose (s_tot-s_cum)^2/(n-i) divides by
+    // zero, and a looser SQL domain breaks differential comparability
     require(levels >= 1 && levels <= 4, s"levels $levels out of 1..4")
+    require(minSize >= 2, s"minSize $minSize must be >= 2 (segment variance)")
+    require(bucketMs > 0, s"bucketMs $bucketMs must be positive")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)") ++

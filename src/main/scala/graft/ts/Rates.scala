@@ -266,6 +266,12 @@ object Rates {
       budgetPerSec: Double, threshold: Double, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       cte: String = TSModel.samplesCte): String = {
+    // guard parity with the Column twin [[burnRate]]
+    require(shortMs > 0 && shortMs <= longMs,
+      s"shortMs $shortMs must be in (0, longMs=$longMs]")
+    require(hopMs > 0 && longMs % hopMs == 0,
+      s"hopMs $hopMs must divide longMs $longMs")
+    require(budgetPerSec > 0, s"budgetPerSec $budgetPerSec must be > 0")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)") ++

@@ -138,6 +138,9 @@ object Rolling {
       span: Int, k: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       cte: String = TSModel.samplesCte): String = {
+    // guard parity with the Column twin [[hampel]]
+    require(span >= 1, s"span $span must be >= 1 (window half-width)")
+    require(k > 0, s"k $k must be positive")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
