@@ -48,7 +48,35 @@ object SparkEntry {
       zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
       gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
       fromMs = Some(T0), toMs = Some(T31),
-      nChunks = 2, cacheKey = Some(dir))
+      nChunks = 2, cacheKey = Some(dir),
+      burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
+      burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5)
+
+  /** Round-9 pin for the GOLDEN-data queries (lemire GPS ticks, GLT
+    * temperatures): their inputs are short decimals, so aggregate true
+    * values are small-denominator rationals that land EXACTLY on the
+    * driver's round-6 canonicalization halves — where a ±1 ulp
+    * summation-order difference between engines becomes a hash flip
+    * (caught in-session by the exact local gate: ts_glt_mrange_groupby
+    * at 23.8809375). Pinning both engines to the round-9 grid first
+    * maps the wobble onto ONE shared double (a ≤9-digit rational is
+    * never itself at a round-9 half), after which the driver's round-6
+    * of identical doubles is identical. Synthetic-fixture queries
+    * don't need this: their values are full-mantissa generics whose
+    * halves have ~1e-9 measure (PLANS.md round-9 table). */
+  private def pin9(df: DataFrame): DataFrame = {
+    val floats = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+      .map(_.name).toSet
+    df.select(df.columns.map(c =>
+      if (floats(c)) round(col(c), 9).as(c) else col(c)): _*)
+  }
+
+  /** DuckDB twin of [[pin9]] (`* REPLACE` keeps the column order). */
+  private def pin9Sql(inner: String, floats: String*): String = {
+    val repl = floats.map(c => s"round($c, 9) AS $c").mkString(", ")
+    s"SELECT * REPLACE ($repl) FROM (\n$inner\n)"
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1897,11 +1925,11 @@ object SparkEntry {
       // fixture is sfDir-independent (bundled resource), so `dir` is
       // unused.
       "ts_lemire_range_multi" -> ((s, _) =>
-        RangeQuery.range(RealData.lemire(s), RangeArgs(
-          aggs = Seq("min", "max", "avg", "sum", "count", "std.p"), bucketMs = 1000L))),
+        pin9(RangeQuery.range(RealData.lemire(s), RangeArgs(
+          aggs = Seq("min", "max", "avg", "sum", "count", "std.p"), bucketMs = 1000L)))),
       "ts_lemire_twa" -> ((s, _) =>
-        RangeQuery.range(RealData.lemire(s), RangeArgs(from = Some(5000L), to = Some(100000L),
-          aggs = Seq("twa"), bucketMs = 1000L))),
+        pin9(RangeQuery.range(RealData.lemire(s), RangeArgs(from = Some(5000L), to = Some(100000L),
+          aggs = Seq("twa"), bucketMs = 1000L)))),
       // EMPTY + LOCF needs real gaps: every-97th-sample sparsification
       // against 50-tick buckets (both sides apply the same predicate)
       "ts_lemire_empty_locf" -> ((s, _) =>
@@ -1917,20 +1945,20 @@ object SparkEntry {
           "min")
       }),
       "ts_lemire_revrange_count" -> ((s, _) =>
-        RangeQuery.range(RealData.lemire(s), RangeArgs(
-          aggs = Seq("avg"), bucketMs = 1000L, reverse = true, count = Some(10)))),
+        pin9(RangeQuery.range(RealData.lemire(s), RangeArgs(
+          aggs = Seq("avg"), bucketMs = 1000L, reverse = true, count = Some(10))))),
       // multi-series surface on real data: the interleaved lon/lat
       // positions split into two series, GROUPBY their shared dataset
       // label, max-reduce across the per-series daily averages
       "ts_lemire_mrange_groupby" -> ((s, _) =>
-        Multi.mrangeGroupBy(RealData.lemireSplit(s), RealData.lemireLabels(s),
+        pin9(Multi.mrangeGroupBy(RealData.lemireSplit(s), RealData.lemireLabels(s),
           Seq(Multi.parsePred("axis=(lon,lat)")),
           RangeArgs(from = Some(1000L), to = Some(90000L), aggs = Seq("avg"), bucketMs = 1000L),
-          groupByLabel = "dataset", reducer = "max")),
+          groupByLabel = "dataset", reducer = "max"))),
       // compaction fan-out on real data: two rules, one scan
       "ts_lemire_compaction" -> ((s, _) =>
-        Compaction.materializeAll(RealData.lemireSplit(s),
-          Seq(Compaction.Rule("avg", 1000L), Compaction.Rule("max", 2000L)))),
+        pin9(Compaction.materializeAll(RealData.lemireSplit(s),
+          Seq(Compaction.Rule("avg", 1000L), Compaction.Rule("max", 2000L))))),
 
       // ---- real-LABEL goldens (VERDICT r05 missing #2): the Berkeley
       // Earth GlobalLandTemperaturesByMajorCity dataset decoded from
@@ -1940,12 +1968,12 @@ object SparkEntry {
       // MRANGE GROUPBY country REDUCE avg across real multi-city label
       // groups (49 countries), yearly buckets over the 1970-2013 span
       "ts_glt_mrange_groupby" -> ((s, _) =>
-        Multi.mrangeGroupBy(GltData.samples(s), GltData.labels(s),
+        pin9(Multi.mrangeGroupBy(GltData.samples(s), GltData.labels(s),
           Seq(Multi.parsePred("metric=temperature"),
             Multi.parsePred("country=(Brazil,China,India,Canada,Turkey)")),
           RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("avg"),
             bucketMs = 365 * DAY),
-          groupByLabel = "country", reducer = "avg")),
+          groupByLabel = "country", reducer = "avg"))),
       // SELECTED_LABELS over a REAL absent label: `metric` exists only
       // on the temperature series, so the uncertainty rows reply null
       "ts_glt_selected_labels" -> ((s, _) => {
@@ -1954,10 +1982,10 @@ object SparkEntry {
           Seq(Multi.parsePred("country=(Brazil,India)")),
           RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("avg"),
             bucketMs = 5 * 365 * DAY))
-        per.join(broadcast(labs), Seq("series"))
+        pin9(per.join(broadcast(labs), Seq("series"))
           .select(col("series"), col("ts"), col("avg_value"),
             element_at(col("labels"), "metric").as("label_metric"),
-            element_at(col("labels"), "country").as("label_country"))
+            element_at(col("labels"), "country").as("label_country")))
       }),
       // COMPACTION_POLICY over the real dataset: yearly avg + biennial
       // max auto-rules with reference dest naming/labels/retention
@@ -1968,11 +1996,11 @@ object SparkEntry {
         def bySuffix(f: Catalog.SeriesMeta => String) = metas.map { case (meta, _) =>
           when(col("series").endsWith(meta.series), lit(f(meta)))
         }.reduceRight((a, b) => a.otherwise(b))
-        Compaction.materializeAll(GltData.samples(s), rules)
+        pin9(Compaction.materializeAll(GltData.samples(s), rules)
           .select(col("series"), col("ts"), col("value"),
             bySuffix(_.labels("aggregation")).as("label_aggregation"),
             bySuffix(_.labels("time_bucket")).as("label_time_bucket"),
-            bySuffix(_.retentionMs.toString).cast("long").as("retention_ms"))
+            bySuffix(_.retentionMs.toString).cast("long").as("retention_ms")))
       }),
 
       // real-data GAP-FILL goldens (VERDICT r06 #6). The decoded GLT
@@ -1990,10 +2018,10 @@ object SparkEntry {
       // annual bucket boundary lands mid-interval and the head/tail
       // interpolation anchors on genuinely irregular neighbours
       "ts_glt_twa" -> ((s, _) =>
-        RangeQuery.range(
+        pin9(RangeQuery.range(
           GltData.samples(s).filter(col("series").isin(GLT_GAP_SERIES: _*)),
           RangeArgs(from = Some(0L), to = Some(GLT_END), aggs = Seq("twa"),
-            bucketMs = 365 * DAY))),
+            bucketMs = 365 * DAY)))),
 
       // ---- round-10 analytics extensions (beyond-reference) ----
       // Holt double-exponential smoothing: per-series sequential fold
@@ -2265,7 +2293,15 @@ object SparkEntry {
           zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
           gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
           fromMs = Some(T0), toMs = Some(T31),
-          nChunks = 2, cacheKey = None)),
+          nChunks = 2, cacheKey = None,
+          burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
+          burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5)),
+      // streaming SLO burn-rate: THE canonical paging monitor, folded
+      // into the shared pass's state (bounded pending-window map); a
+      // hop window emits when the replay passes its end, so the slice
+      // equals the batch ts_burn_rate restricted to closed windows
+      "ts_burn_rate_stream" -> ((s, dir) =>
+        graft.ts.StreamMonitors.burnSlice(sharedMonitors(s, dir))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -3362,7 +3398,13 @@ object SparkEntry {
       "ts_stream_shared_pass" -> graft.ts.StreamMonitors.monitorsSql(
         zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
         gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
-        fromMs = Some(T0), toMs = Some(T31)),
+        fromMs = Some(T0), toMs = Some(T31),
+        burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
+        burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5),
+      "ts_burn_rate_stream" -> Rates.burnRateSql(shortMs = 2 * DAY,
+        longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 4.0e-4,
+        threshold = 1.5, fromMs = Some(T0), toMs = Some(T31),
+        closedOnly = true),
       "ts_seasonal_stream" -> StreamAnomaly.seasonalStreamSql(2.0, "dow",
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_rolling_stream" -> Rolling.rollingQuantileSql(q = 0.5, span = 10,
@@ -3472,14 +3514,16 @@ object SparkEntry {
            |SELECT *, 'SUM', '${2 * 3600000L}', ${86400000L} FROM (
            |${flushedRuleOracleSql("sum", "sum(value) FILTER (WHERE NOT isnan(value))", 2 * 3600000L)})""".stripMargin,
       // ---- real-data goldens over the bundled lemire_canada series
-      "ts_lemire_range_multi" -> RangeQuery.rangeSql(
+      "ts_lemire_range_multi" -> pin9Sql(RangeQuery.rangeSql(
         RangeArgs(aggs = Seq("min", "max", "avg", "sum", "count", "std.p"),
           bucketMs = 1000L),
         None, cte = RealData.lemireCte),
-      "ts_lemire_twa" ->
+        "min_value", "max_value", "avg_value", "sum_value", "std_p_value"),
+      "ts_lemire_twa" -> pin9Sql(
         s"""SELECT series, bucket AS ts, twa_value FROM (
            |${Twa.sql(1000L, 0L, Some(5000L), Some(100000L), None,
                       cte = RealData.lemireCte)})""".stripMargin,
+        "twa_value"),
       "ts_lemire_empty_locf" -> lemireLocfOracle,
       "ts_lemire_dup_min" ->
         s"""${RealData.lemireCte}, dup AS (
@@ -3487,12 +3531,13 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT series, ts, value - 1.0 AS value FROM samples
            |) SELECT series, ts, min(value) AS value FROM dup GROUP BY 1, 2""".stripMargin,
-      "ts_lemire_revrange_count" ->
+      "ts_lemire_revrange_count" -> pin9Sql(
         s"""SELECT * FROM (${RangeQuery.rangeSql(
              RangeArgs(aggs = Seq("avg"), bucketMs = 1000L),
              None, cte = RealData.lemireCte)})
            |ORDER BY ts DESC LIMIT 10""".stripMargin,
-      "ts_lemire_mrange_groupby" ->
+        "avg_value"),
+      "ts_lemire_mrange_groupby" -> pin9Sql(
         s"""${RealData.lemireSplitCte}, ${RealData.lemireLabelsCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 1000L)} AS bucket, ${Aggs.sql("avg")}
            |  FROM samples JOIN lem_labels USING (series)
@@ -3502,13 +3547,15 @@ object SparkEntry {
            |         coalesce(max(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN lem_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
-      "ts_lemire_compaction" ->
+        "avg_value"),
+      "ts_lemire_compaction" -> pin9Sql(
         s"""${RealData.lemireSplitCte}
            |${flushedRuleOracleSql("avg", "avg(value) FILTER (WHERE NOT isnan(value))", 1000L)}
            |UNION ALL
            |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 2000L)}""".stripMargin,
+        "value"),
       // ---- real-LABEL goldens over the GLT fixture
-      "ts_glt_mrange_groupby" ->
+      "ts_glt_mrange_groupby" -> pin9Sql(
         s"""${GltData.samplesCte}, ${GltData.labelsWideCte}, per AS (
            |  SELECT series, ${TSModel.bucketStartSql("ts", 365 * DAY)} AS bucket, ${Aggs.sql("avg")}
            |  FROM samples JOIN glt_labels USING (series)
@@ -3519,7 +3566,8 @@ object SparkEntry {
            |         coalesce(avg(avg_value) FILTER (WHERE NOT isnan(avg_value)), 'NaN'::DOUBLE) AS avg_value
            |  FROM per JOIN glt_labels USING (series)
            |  WHERE avg_value IS NOT NULL GROUP BY 1, 2""".stripMargin,
-      "ts_glt_selected_labels" ->
+        "avg_value"),
+      "ts_glt_selected_labels" -> pin9Sql(
         s"""${GltData.samplesCte}, ${GltData.labelsWideCte}, matched AS (
            |  SELECT series, metric, country FROM glt_labels
            |  WHERE country IN ('Brazil','India')
@@ -3530,7 +3578,8 @@ object SparkEntry {
            |) SELECT series, bucket AS ts, avg_value,
            |         metric AS label_metric, country AS label_country
            |  FROM agg JOIN matched USING (series) WHERE avg_value IS NOT NULL""".stripMargin,
-      "ts_glt_compaction_policy" ->
+        "avg_value"),
+      "ts_glt_compaction_policy" -> pin9Sql(
         s"""${GltData.samplesCte}
            |SELECT *, 'AVG' AS label_aggregation, '${365 * DAY}' AS label_time_bucket,
            |       ${3650 * DAY} AS retention_ms FROM (
@@ -3538,15 +3587,17 @@ object SparkEntry {
            |UNION ALL
            |SELECT *, 'MAX', '${730 * DAY}', ${3650 * DAY} FROM (
            |${flushedRuleOracleSql("max", "max(value) FILTER (WHERE NOT isnan(value))", 730 * DAY)})""".stripMargin,
+        "value"),
       // real-data gap-fill twins (shared locfOracle / Twa.sql shapes
       // over the GLT samples CTE)
       "ts_glt_empty_locf" ->
         locfOracle(GltData.samplesCte, 10 * DAY, 0L, GLT_END,
           s"series IN ($GLT_GAP_IN)"),
-      "ts_glt_twa" ->
+      "ts_glt_twa" -> pin9Sql(
         s"""SELECT series, bucket AS ts, twa_value FROM (
            |${Twa.sql(365 * DAY, 0L, Some(0L), Some(GLT_END),
                       Some(s"series IN ($GLT_GAP_IN)"), None, GltData.samplesCte)})""".stripMargin,
+        "twa_value"),
       // ---- reference-serialized mid-bucket state: the oracle reads
       // ONLY the rule-context CSV (dest naming, bucket geometry and the
       // running sum/count all from the reference's own serialization) —

@@ -260,12 +260,17 @@ object Rates {
       .filter(col("burn_short") >= threshold && col("burn_long") >= threshold)
   }
 
-  /** DuckDB oracle twin of [[burnRate]]. */
+  /** DuckDB oracle twin of [[burnRate]]. `closedOnly = true`
+    * additionally restricts to windows whose end the series' replay
+    * has passed (`wstart + longMs <= max(ts)` over the cleaned
+    * samples) — the exact output of the streaming twin
+    * ([[StreamMonitors.burnSlice]]), which can never see the samples
+    * that would close a trailing partial window. */
   def burnRateSql(
       shortMs: Long, longMs: Long, hopMs: Long,
       budgetPerSec: Double, threshold: Double, alignMs: Long = 0L,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      cte: String = TSModel.samplesCte): String = {
+      cte: String = TSModel.samplesCte, closedOnly: Boolean = false): String = {
     // guard parity with the Column twin [[burnRate]]
     require(shortMs > 0 && shortMs <= longMs,
       s"shortMs $shortMs must be in (0, longMs=$longMs]")
@@ -291,7 +296,11 @@ object Rates {
        |    round(sum(value) / ${longMs / 1000.0} / $budgetPerSec, 9) AS burn_long
        |  FROM ex GROUP BY series, wstart
        |)
-       |SELECT series, wstart, burn_short, burn_long FROM agg
-       |WHERE burn_short >= $threshold AND burn_long >= $threshold""".stripMargin
+       |SELECT agg.series, wstart, burn_short, burn_long FROM agg
+       |${if (closedOnly)
+          s"JOIN (SELECT series, max(ts) AS mx FROM f GROUP BY 1) m ON agg.series = m.series\n" +
+          s"WHERE wstart + $longMs <= m.mx AND burn_short >= $threshold AND burn_long >= $threshold"
+        else
+          s"WHERE burn_short >= $threshold AND burn_long >= $threshold"}""".stripMargin
   }
 }

@@ -22,6 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    the series' (ts, value)-ordered replay is itself (ts, value)-
  *    ordered, so the cohort Welford evolution is the individual
  *    operator's exactly),
+ *  - multi-window SLO burn rate ([[Rates.burnRate]]'s streaming twin,
+ *    enabled when `burnLongMs > 0` — THE canonical paging monitor; a
+ *    bounded pending-window map (≤ longMs/hopMs entries) accumulates
+ *    each hop window's long/short-tail sums and EMITS the window when
+ *    event time passes its end, i.e. on the first arrival with
+ *    ts ≥ wstart + longMs. Only CLOSED windows emit: windows still
+ *    open at end-of-replay — exactly those the batch operator
+ *    computes from a partial tail — stay unsaid, so the slice equals
+ *    the batch operator restricted to `wstart + longMs ≤ max(ts)` per
+ *    series ([[Rates.burnRateSql]] `closedOnly`)),
  *
  * whose transitions are deliberately IDENTICAL to the individual
  * operators' (the z-score and CUSUM monitors share one Welford
@@ -30,15 +40,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * session_window operator cannot fold here (engine-managed state).
  *
  * Output: tagged union `(op, series, ts, value, score, l1)` with
- * op ∈ z|c|r|g|s; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
- * [[gapsSlice]]/[[seasonalSlice]] project each monitor's exact
- * individual schema (`l1` carries gap_end for g, the season for s).
+ * op ∈ z|c|r|g|s|b; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
+ * [[gapsSlice]]/[[seasonalSlice]]/[[burnSlice]] project each
+ * monitor's exact individual schema (`l1` carries gap_end for g, the
+ * season for s; for b, `ts` carries wstart, `value`/`score` carry
+ * burn_short/burn_long).
  *
  * Scale: state per series = Welford triple + CUSUM sum + a span-bounded
- * ring + one long + a ≤period-bounded cohort map — constants; one
- * shuffle by series for N monitors instead of N; the replay/staging
- * discipline (time-ordered chunks, one file per trigger) is the
- * family's.
+ * ring + one long + a ≤period-bounded cohort map + a ≤longMs/hopMs
+ * pending-window map — constants; one shuffle by series for N monitors
+ * instead of N; the replay/staging discipline (time-ordered chunks,
+ * one file per trigger) is the family's.
  *
  * The per-session CACHE exists because the bench/verify harness runs
  * each monitor as its own query: the first slice materializes the
@@ -62,6 +74,13 @@ object StreamMonitors {
     Ordering.by[(String, Long, Double, Long), (Long, Double)](r => (r._2, r._3))(
       Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering))
 
+  /** Spark `round(x, 9)`'s exact arithmetic (shortest-repr BigDecimal,
+    * HALF_UP) — the burn slice must round IDENTICALLY to the batch
+    * operator's output column. */
+  private def round9(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def monitorsOnce(
       spark: SparkSession, samples: DataFrame,
       zThreshold: Double, cusumThreshold: Double,
@@ -69,14 +88,18 @@ object StreamMonitors {
       seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       nChunks: Int = 8, useRocksDb: Boolean = false,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
+      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0): DataFrame = {
     val key = cacheKey.map(k =>
       s"$k|$zThreshold|$cusumThreshold|$q|$span|$gapThresholdMs|" +
-        s"$seasonalThreshold|$seasonalMode|$fromMs|$toMs|$nChunks|$useRocksDb")
+        s"$seasonalThreshold|$seasonalMode|$fromMs|$toMs|$nChunks|$useRocksDb|" +
+        s"$burnShortMs|$burnLongMs|$burnHopMs|$burnBudgetPerSec|$burnThreshold")
     key.flatMap(k => Option(cache.get(k))).getOrElse {
       val out = runMonitors(spark, samples, zThreshold, cusumThreshold,
         q, span, gapThresholdMs, seasonalThreshold, seasonalMode,
-        fromMs, toMs, nChunks, useRocksDb)
+        fromMs, toMs, nChunks, useRocksDb,
+        burnShortMs, burnLongMs, burnHopMs, burnBudgetPerSec, burnThreshold)
       key.foreach(k => cache.put(k, out))
       out
     }
@@ -88,13 +111,24 @@ object StreamMonitors {
       q: Double, span: Int, gapThresholdMs: Long,
       seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long], toMs: Option[Long],
-      nChunks: Int, useRocksDb: Boolean): DataFrame =
+      nChunks: Int, useRocksDb: Boolean,
+      burnShortMs: Long, burnLongMs: Long, burnHopMs: Long,
+      burnBudgetPerSec: Double, burnThreshold: Double): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
       Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
         if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     require(q >= 0 && q <= 1 && span > 0, "rolling quantile params")
     require(gapThresholdMs > 0, "gap threshold must be positive")
+    val burnOn = burnLongMs > 0
+    if (burnOn) {
+      require(burnShortMs > 0 && burnShortMs <= burnLongMs,
+        s"burnShortMs $burnShortMs must be in (0, burnLongMs=$burnLongMs]")
+      require(burnHopMs > 0 && burnLongMs % burnHopMs == 0,
+        s"burnHopMs $burnHopMs must divide burnLongMs $burnLongMs")
+      require(burnBudgetPerSec > 0,
+        s"burnBudgetPerSec $burnBudgetPerSec must be > 0")
+    }
     import spark.implicits._
     // NaN rows stay: the gap monitor counts presence; the value
     // monitors skip them inside the fold (same surviving sequence as
@@ -136,10 +170,12 @@ object StreamMonitors {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (series: String, rows: Iterator[(String, Long, Double, Long)],
          state: GroupState[(Long, Double, Double, Double, List[Double], Long,
-           Map[Long, (Long, Double, Double)])]) =>
-          var (n, mean, m2, cs, ring, lastTs, cohorts) = state.getOption
+           Map[Long, (Long, Double, Double)],
+           Map[Long, (Double, Double, Long)])]) =>
+          var (n, mean, m2, cs, ring, lastTs, cohorts, pending) = state.getOption
             .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue,
-              Map.empty[Long, (Long, Double, Double)]))
+              Map.empty[Long, (Long, Double, Double)],
+              Map.empty[Long, (Double, Double, Long)]))
           val outRows = scala.collection.mutable.ArrayBuffer
             .empty[(String, String, Long, Double, Double, Long)]
           rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v, season) =>
@@ -148,6 +184,35 @@ object StreamMonitors {
               outRows += (("g", series, lastTs, 0.0, 0.0, ts))
             if (ts > lastTs) lastTs = ts
             if (!v.isNaN) {
+              // SLO burn monitor — close every hop window whose end
+              // this (non-NaN, as in the batch operator's clean())
+              // arrival passes, THEN land the sample in its ≤
+              // longMs/hopMs pending windows (ts = wstart + longMs is
+              // not a member of [wstart, wstart + longMs), matching
+              // the batch hop-grid explode)
+              if (burnOn) {
+                val closed = pending.keys.filter(_ + burnLongMs <= ts).toSeq.sorted
+                closed.foreach { w =>
+                  val (sumL, sumS, nShort) = pending(w)
+                  if (nShort > 0) {
+                    val bl = round9(sumL / (burnLongMs / 1000.0) / burnBudgetPerSec)
+                    val bs = round9(sumS / (burnShortMs / 1000.0) / burnBudgetPerSec)
+                    if (bs >= burnThreshold && bl >= burnThreshold)
+                      outRows += (("b", series, w, bs, bl, 0L))
+                  }
+                  pending = pending - w
+                }
+                val wmax = TSModel.bucketStartLong(ts, burnHopMs)
+                var w = TSModel.bucketStartLong(ts - burnLongMs, burnHopMs) + burnHopMs
+                while (w <= wmax) {
+                  val (sumL, sumS, nShort) = pending.getOrElse(w, (0.0, 0.0, 0L))
+                  val inShort = ts >= w + (burnLongMs - burnShortMs)
+                  pending = pending.updated(w, (sumL + v,
+                    if (inShort) sumS + v else sumS,
+                    if (inShort) nShort + 1 else nShort))
+                  w += burnHopMs
+                }
+              }
               // z-score + CUSUM share ONE Welford prefix — the exact
               // transition each individual operator runs
               if (n >= minPrefix) {
@@ -191,7 +256,7 @@ object StreamMonitors {
                 (cn1, cMean1, cM2 + cDelta * (v - cMean1)))
             }
           }
-          state.update((n, mean, m2, cs, ring, lastTs, cohorts))
+          state.update((n, mean, m2, cs, ring, lastTs, cohorts, pending))
           outRows.iterator
       }
       .toDF("op", "series", "ts", "value", "score", "l1")
@@ -240,13 +305,33 @@ object StreamMonitors {
       .select(col("series"), col("ts"), col("value"),
         col("l1").as("season"), col("score").as("s_value"))
 
+  /** The SLO burn-rate monitor's slice — [[Rates.burnRate]]'s exact
+    * schema, restricted to windows the replay CLOSED (`wstart +
+    * longMs ≤ max(ts)` per series; [[Rates.burnRateSql]]
+    * `closedOnly = true` is the matching oracle). */
+  def burnSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "b")
+      .select(col("series"), col("ts").as("wstart"),
+        col("value").as("burn_short"), col("score").as("burn_long"))
+
   /** DuckDB twin of the full tagged union (each monitor's existing
-    * oracle, tagged and projected onto the shared schema). */
+    * oracle, tagged and projected onto the shared schema; the burn
+    * arm appears when `burnLongMs > 0`, closed windows only). */
   def monitorsSql(
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
       seasonalThreshold: Double, seasonalMode: String,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): String =
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
+      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0): String = {
+    val burnArm =
+      if (burnLongMs <= 0) ""
+      else s"""
+       |UNION ALL
+       |SELECT 'b', series, wstart, burn_short, burn_long, CAST(0 AS BIGINT)
+       |FROM (${Rates.burnRateSql(burnShortMs, burnLongMs, burnHopMs,
+          burnBudgetPerSec, burnThreshold, 0L, fromMs, toMs,
+          closedOnly = true)})""".stripMargin
     s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1
        |FROM (${StreamAnomaly.zscoreStreamSql(zThreshold, fromMs, toMs)})
        |UNION ALL
@@ -260,5 +345,6 @@ object StreamMonitors {
        |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})
        |UNION ALL
        |SELECT 's', series, ts, value, s_value, season
-       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})""".stripMargin
+       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})$burnArm""".stripMargin
+  }
 }

@@ -83,6 +83,31 @@ class StreamAnomalySpec extends AnyFunSuite {
       "value monitors must skip the NaN row")
   }
 
+  test("shared pass burn slice == batch burnRate on closed windows") {
+    // hop=10, long=40, short=20: 12 samples at ts 0,5,..,55 plus a
+    // quiet stretch; every window with wstart+40 <= max(ts)=95 closes
+    // in-replay, the trailing ones never emit
+    val rows = (0L until 60L by 5L).map(t => ("x", t, 2.0)) ++
+      Seq(("x", 95L, 8.0))
+    val df = rows.toDF("series", "ts", "value")
+    val batch = graft.ts.Rates.burnRate(df, shortMs = 20L, longMs = 40L,
+      hopMs = 10L, budgetPerSec = 25.0, threshold = 0.5)
+    val closed = batch.filter(col("wstart") + 40L <= 95L)
+    val open = batch.filter(col("wstart") + 40L > 95L)
+    val shared = graft.ts.StreamMonitors.monitorsOnce(spark, df,
+      zThreshold = 99.0, cusumThreshold = 99.0, q = 0.5, span = 3,
+      gapThresholdMs = 1000L, seasonalThreshold = 99.0, seasonalMode = "dow",
+      nChunks = 3, cacheKey = None,
+      burnShortMs = 20L, burnLongMs = 40L, burnHopMs = 10L,
+      burnBudgetPerSec = 25.0, burnThreshold = 0.5)
+    val slice = graft.ts.StreamMonitors.burnSlice(shared)
+    assert(slice.collect().map(_.toSeq).toSet ==
+      closed.collect().map(_.toSeq).toSet,
+      "burn slice must equal the batch operator on closed windows")
+    assert(open.count() > 0 && slice.count() < batch.count(),
+      "trailing open windows exist in batch but never emit in-stream")
+  }
+
   test("streaming zscore == the cumulative-window closed form on the fixture") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
