@@ -207,7 +207,8 @@ object Tsbs {
       highCpu(s, d, Some(Seq("host_78")), 90.0, T0, T0 + 31 * DAY - 1)),
     "tsbs_high_cpu_all" -> ((s, d) =>
       highCpu(s, d, None, 90.0, T0, T0 + 31 * DAY - 1)),
-    "tsbs_lastpoint" -> ((s, d) => lastpoint(s, d))
+    "tsbs_lastpoint" -> ((s, d) => lastpoint(s, d)),
+    "tsbs_ingestion" -> ((s, d) => ingestOnce(s, d))
   )
 
   private def bkt(durMs: Long) = TSModel.bucketStartSql("ts", durMs)
@@ -288,8 +289,47 @@ object Tsbs {
          |SELECT series,
          |  (max(struct_pack(t := ts, v := value))).t AS ts,
          |  (max(struct_pack(t := ts, v := value))).v AS value
-         |FROM samples GROUP BY series""".stripMargin
+         |FROM samples GROUP BY series""".stripMargin,
+    "tsbs_ingestion" -> ingestSql
   )
+
+  /**
+   * TSBS devops INGESTION parity (the reference's throughput-mode spec
+   * tsbs-devops-ingestion-scale100devices-10metrics-31days.yml,
+   * BASELINE.md): replay the whole devops sample stream through the
+   * REAL streaming write path ([[Ingest.streamingIngestOnce]] — the
+   * TS.ADD/TS.MADD semantics: per-series ordered fold, append log,
+   * merge-on-read duplicate resolution) and return the resolved store.
+   * The bench row's wall over the sample count is the engine's
+   * ingest-rows/sec figure at that scale.
+   *
+   * Policy MAX makes the result arrival-order independent (duplicate
+   * (series, ts) writes resolve to the max valid value; an all-NaN
+   * pair stays NaN), so the DuckDB oracle is a plain grouped
+   * aggregation over the devops view. Source chunks are
+   * range-partitioned by ts and replayed oldest-first, one file per
+   * trigger — duplicates of one timestamp always share a chunk.
+   */
+  def ingestOnce(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tsbs_ingest_")
+    val srcDir = base.resolve("src").toString
+    val sinkDir = base.resolve("sink").toString
+    cpuSamples(spark, sfDir)
+      .repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000000L + i * 60000L)
+    }
+    Ingest.streamingIngestOnce(spark, srcDir, sinkDir, "MAX")
+  }
+
+  private[graft] def ingestSql: String =
+    s"""$cpuCte
+       |SELECT series, ts,
+       |  coalesce(max(value) FILTER (WHERE NOT isnan(value)), 'NaN'::DOUBLE) AS value
+       |FROM samples GROUP BY 1, 2""".stripMargin
 
   private[graft] def doubleGroupbySql(nMetrics: Int,
       fromMs: Long, toMs: Long, bucketMs: Long): String = {
