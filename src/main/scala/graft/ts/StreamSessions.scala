@@ -64,15 +64,22 @@ object StreamSessions {
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val staged = s.select(col("series"), col("ts"), col("value"))
-    // the sentinel must outrun every real session's end + gap
-    val maxTs = staged.agg(max(col("ts"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0)
-    }
     val srcStage = java.nio.file.Files
       .createTempDirectory("graft_ssess_src_").resolve("stage").toString
     staged.repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
+    // the sentinel must outrun every real session's end + gap. Read
+    // max(ts) off the STAGED files with parquet aggregate pushdown —
+    // footer statistics only — instead of a second full scan of the
+    // (projected, transformed) source: one of the two pre-stream jobs
+    // this one-shot pays, cut to ~nothing (r14 #6 floor work).
+    val maxTs = Compaction.withConf(spark,
+        "spark.sql.parquet.aggregatePushdown", "true") {
+      spark.read.parquet(srcStage).agg(max(col("ts"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+    }
     def partFiles() = new java.io.File(srcStage).listFiles()
       .filter(_.getName.startsWith("part-"))
     val dataNames = partFiles().map(_.getName).toSet
