@@ -50,7 +50,8 @@ object SparkEntry {
       fromMs = Some(T0), toMs = Some(T31),
       nChunks = 2, cacheKey = Some(dir),
       burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
-      burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5)
+      burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
+      hampelSpan = 3, hampelK = 3.0)
 
   /** Round-9 pin for the GOLDEN-data queries (lemire GPS ticks, GLT
     * temperatures): their inputs are short decimals, so aggregate true
@@ -2295,13 +2296,21 @@ object SparkEntry {
           fromMs = Some(T0), toMs = Some(T31),
           nChunks = 2, cacheKey = None,
           burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
-          burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5)),
+          burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
+          hampelSpan = 3, hampelK = 3.0)),
       // streaming SLO burn-rate: THE canonical paging monitor, folded
       // into the shared pass's state (bounded pending-window map); a
       // hop window emits when the replay passes its end, so the slice
       // equals the batch ts_burn_rate restricted to closed windows
       "ts_burn_rate_stream" -> ((s, dir) =>
         graft.ts.StreamMonitors.burnSlice(sharedMonitors(s, dir))),
+      // streaming Hampel filter: the robust cleaning monitor folded
+      // into the shared pass (ring state = the centered batch window
+      // of the row span back); tail rows with incomplete future
+      // windows never emit, so the slice equals batch ts_hampel
+      // restricted to rows with >= span successors
+      "ts_hampel_stream" -> ((s, dir) =>
+        graft.ts.StreamMonitors.hampelSlice(sharedMonitors(s, dir))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -3400,7 +3409,10 @@ object SparkEntry {
         gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
         fromMs = Some(T0), toMs = Some(T31),
         burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
-        burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5),
+        burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
+        hampelSpan = 3, hampelK = 3.0),
+      "ts_hampel_stream" -> Rolling.hampelSql(span = 3, k = 3.0,
+        fromMs = Some(T0), toMs = Some(T31), closedOnly = true),
       "ts_burn_rate_stream" -> Rates.burnRateSql(shortMs = 2 * DAY,
         longMs = 7 * DAY, hopMs = DAY, budgetPerSec = 4.0e-4,
         threshold = 1.5, fromMs = Some(T0), toMs = Some(T31),

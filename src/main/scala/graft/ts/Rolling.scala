@@ -133,11 +133,15 @@ object Rolling {
   }
 
   /** DuckDB oracle twin of [[hampel]] (the same double quantile
-    * interpolation over the same centered frame). */
+    * interpolation over the same centered frame). `closedOnly = true`
+    * additionally restricts to rows with ≥ span following rows in
+    * their series — the exact output of the streaming twin
+    * ([[StreamMonitors.hampelSlice]]), which never sees the future
+    * samples a tail row's centered window needs. */
   def hampelSql(
       span: Int, k: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      cte: String = TSModel.samplesCte): String = {
+      cte: String = TSModel.samplesCte, closedOnly: Boolean = false): String = {
     // guard parity with the Column twin [[hampel]]
     require(span >= 1, s"span $span must be >= 1 (window half-width)")
     require(k > 0, s"k $k must be positive")
@@ -156,24 +160,26 @@ object Rolling {
        |), framed AS (
        |  SELECT series, ts, value,
        |    list_sort(list(value) OVER (PARTITION BY series ORDER BY ts, value
-       |      ROWS BETWEEN $span PRECEDING AND $span FOLLOWING)) AS sorted
+       |      ROWS BETWEEN $span PRECEDING AND $span FOLLOWING)) AS sorted,
+       |    row_number() OVER (PARTITION BY series ORDER BY ts DESC, value DESC) AS rn_tail
        |  FROM f
        |), meds AS (
-       |  SELECT series, ts, value, ${sq("sorted")} AS med, sorted
+       |  SELECT series, ts, value, ${sq("sorted")} AS med, sorted, rn_tail
        |  FROM framed
        |), devs AS (
        |  SELECT series, ts, value, med,
        |    list_sort(list_transform(sorted, v -> abs(v - med))) AS dsorted,
-       |    abs(value - med) AS dev
+       |    abs(value - med) AS dev, rn_tail
        |  FROM meds
        |), scored AS (
-       |  SELECT series, ts, value, med, dev, ${sq("dsorted")} AS mad
+       |  SELECT series, ts, value, med, dev, ${sq("dsorted")} AS mad, rn_tail
        |  FROM devs
        |)
        |SELECT series, ts, value, med,
        |  CASE WHEN mad > 0 THEN round(dev / (1.4826 * mad), 9) END AS h_score
        |FROM scored
-       |WHERE (mad > 0 AND dev > $k * 1.4826 * mad) OR (mad = 0 AND dev > 0)""".stripMargin
+       |WHERE ((mad > 0 AND dev > $k * 1.4826 * mad) OR (mad = 0 AND dev > 0))
+       |${if (closedOnly) s"  AND rn_tail > $span" else ""}""".stripMargin
   }
 
   /**

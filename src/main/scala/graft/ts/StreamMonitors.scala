@@ -22,6 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    the series' (ts, value)-ordered replay is itself (ts, value)-
  *    ordered, so the cohort Welford evolution is the individual
  *    operator's exactly),
+ *  - Hampel outlier filter ([[Rolling.hampel]]'s streaming twin,
+ *    enabled when `hampelSpan > 0`: a (2·span+1)-deep ring of
+ *    (ts, value) rows in replay order; once span+1 rows are buffered,
+ *    each arrival scores the row span positions back — whose CENTERED
+ *    batch window is exactly the current ring contents, including the
+ *    head-truncated frames (while fewer than 2·span+1 rows exist the
+ *    ring holds the whole prefix, which IS the truncated frame). The
+ *    kernel replicates [[graft.functions.HampelStats]]' interpolated
+ *    median/MAD arithmetic bit-for-bit. Tail rows (fewer than span
+ *    following rows) never emit — the closed-only discipline — so the
+ *    slice equals the batch operator restricted to rows with ≥ span
+ *    successors per series ([[Rolling.hampelSql]] `closedOnly`)),
  *  - multi-window SLO burn rate ([[Rates.burnRate]]'s streaming twin,
  *    enabled when `burnLongMs > 0` — THE canonical paging monitor; a
  *    bounded pending-window map (≤ longMs/hopMs entries) accumulates
@@ -39,12 +51,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * extracted slice bit-equal to its one-shot twin). The native
  * session_window operator cannot fold here (engine-managed state).
  *
- * Output: tagged union `(op, series, ts, value, score, l1)` with
- * op ∈ z|c|r|g|s|b; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
- * [[gapsSlice]]/[[seasonalSlice]]/[[burnSlice]] project each
- * monitor's exact individual schema (`l1` carries gap_end for g, the
- * season for s; for b, `ts` carries wstart, `value`/`score` carry
- * burn_short/burn_long).
+ * Output: tagged union `(op, series, ts, value, score, l1, d1)` with
+ * op ∈ z|c|r|g|s|b|h; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
+ * [[gapsSlice]]/[[seasonalSlice]]/[[burnSlice]]/[[hampelSlice]]
+ * project each monitor's exact individual schema (`l1` carries
+ * gap_end for g, the season for s; for b, `ts` carries wstart,
+ * `value`/`score` carry burn_short/burn_long; for h, `score` carries
+ * med and the nullable `d1` carries h_score — NULL on the zero-MAD
+ * escape, exactly the batch column).
  *
  * Scale: state per series = Welford triple + CUSUM sum + a span-bounded
  * ring + one long + a ≤period-bounded cohort map + a ≤longMs/hopMs
@@ -90,16 +104,19 @@ object StreamMonitors {
       nChunks: Int = 8, useRocksDb: Boolean = false,
       cacheKey: Option[String] = None,
       burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
-      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0): DataFrame = {
+      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0,
+      hampelSpan: Int = 0, hampelK: Double = 1.0): DataFrame = {
     val key = cacheKey.map(k =>
       s"$k|$zThreshold|$cusumThreshold|$q|$span|$gapThresholdMs|" +
         s"$seasonalThreshold|$seasonalMode|$fromMs|$toMs|$nChunks|$useRocksDb|" +
-        s"$burnShortMs|$burnLongMs|$burnHopMs|$burnBudgetPerSec|$burnThreshold")
+        s"$burnShortMs|$burnLongMs|$burnHopMs|$burnBudgetPerSec|$burnThreshold|" +
+        s"$hampelSpan|$hampelK")
     key.flatMap(k => Option(cache.get(k))).getOrElse {
       val out = runMonitors(spark, samples, zThreshold, cusumThreshold,
         q, span, gapThresholdMs, seasonalThreshold, seasonalMode,
         fromMs, toMs, nChunks, useRocksDb,
-        burnShortMs, burnLongMs, burnHopMs, burnBudgetPerSec, burnThreshold)
+        burnShortMs, burnLongMs, burnHopMs, burnBudgetPerSec, burnThreshold,
+        hampelSpan, hampelK)
       key.foreach(k => cache.put(k, out))
       out
     }
@@ -113,13 +130,16 @@ object StreamMonitors {
       fromMs: Option[Long], toMs: Option[Long],
       nChunks: Int, useRocksDb: Boolean,
       burnShortMs: Long, burnLongMs: Long, burnHopMs: Long,
-      burnBudgetPerSec: Double, burnThreshold: Double): DataFrame =
+      burnBudgetPerSec: Double, burnThreshold: Double,
+      hampelSpan: Int, hampelK: Double): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
       Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
         if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     require(q >= 0 && q <= 1 && span > 0, "rolling quantile params")
     require(gapThresholdMs > 0, "gap threshold must be positive")
+    val hampelOn = hampelSpan > 0
+    if (hampelOn) require(hampelK > 0, s"hampelK $hampelK must be positive")
     val burnOn = burnLongMs > 0
     if (burnOn) {
       require(burnShortMs > 0 && burnShortMs <= burnLongMs,
@@ -171,17 +191,20 @@ object StreamMonitors {
         (series: String, rows: Iterator[(String, Long, Double, Long)],
          state: GroupState[(Long, Double, Double, Double, List[Double], Long,
            Map[Long, (Long, Double, Double)],
-           Map[Long, (Double, Double, Long)])]) =>
-          var (n, mean, m2, cs, ring, lastTs, cohorts, pending) = state.getOption
+           Map[Long, (Double, Double, Long)],
+           List[(Long, Double)])]) =>
+          var (n, mean, m2, cs, ring, lastTs, cohorts, pending, hring) =
+            state.getOption
             .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue,
               Map.empty[Long, (Long, Double, Double)],
-              Map.empty[Long, (Double, Double, Long)]))
+              Map.empty[Long, (Double, Double, Long)],
+              List.empty[(Long, Double)]))
           val outRows = scala.collection.mutable.ArrayBuffer
-            .empty[(String, String, Long, Double, Double, Long)]
+            .empty[(String, String, Long, Double, Double, Long, Option[Double])]
           rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v, season) =>
             // gap monitor: presence only, NaN arrivals count
             if (lastTs != Long.MinValue && ts - lastTs > gapThresholdMs)
-              outRows += (("g", series, lastTs, 0.0, 0.0, ts))
+              outRows += (("g", series, lastTs, 0.0, 0.0, ts, None))
             if (ts > lastTs) lastTs = ts
             if (!v.isNaN) {
               // SLO burn monitor — close every hop window whose end
@@ -198,7 +221,7 @@ object StreamMonitors {
                     val bl = round9(sumL / (burnLongMs / 1000.0) / burnBudgetPerSec)
                     val bs = round9(sumS / (burnShortMs / 1000.0) / burnBudgetPerSec)
                     if (bs >= burnThreshold && bl >= burnThreshold)
-                      outRows += (("b", series, w, bs, bl, 0L))
+                      outRows += (("b", series, w, bs, bl, 0L, None))
                   }
                   pending = pending - w
                 }
@@ -213,6 +236,33 @@ object StreamMonitors {
                   w += burnHopMs
                 }
               }
+              // Hampel monitor — the (2·span+1)-deep replay-order ring
+              // IS the centered batch window of the row span positions
+              // back (head-truncated frames included: while fewer than
+              // 2·span+1 rows exist the ring holds the whole prefix).
+              // Kernel arithmetic replicates HampelStats bit-for-bit.
+              if (hampelOn) {
+                hring = ((ts, v) :: hring).take(2 * hampelSpan + 1)
+                if (hring.size >= hampelSpan + 1) {
+                  val (cts, cv) = hring(hampelSpan)
+                  val sortedW = hring.map(_._2).sorted.toArray
+                  val nW = sortedW.length
+                  val r = 0.5 * (nW - 1)
+                  val lo = math.floor(r).toInt
+                  val hi = math.min(lo + 1, nW - 1)
+                  val med = sortedW(lo) + (r - lo) * (sortedW(hi) - sortedW(lo))
+                  val dv = new Array[Double](nW)
+                  var di = 0
+                  while (di < nW) { dv(di) = math.abs(sortedW(di) - med); di += 1 }
+                  java.util.Arrays.sort(dv)
+                  val mad = dv(lo) + (r - lo) * (dv(hi) - dv(lo))
+                  val dev = math.abs(cv - med)
+                  if ((mad > 0 && dev > hampelK * 1.4826 * mad) ||
+                      (mad == 0.0 && dev > 0))
+                    outRows += (("h", series, cts, cv, med, 0L,
+                      if (mad > 0) Some(round9(dev / (1.4826 * mad))) else None))
+                }
+              }
               // z-score + CUSUM share ONE Welford prefix — the exact
               // transition each individual operator runs
               if (n >= minPrefix) {
@@ -220,10 +270,10 @@ object StreamMonitors {
                 if (sigma > 0) {
                   val z = (v - mean) / sigma
                   if (math.abs(z) >= zThreshold)
-                    outRows += (("z", series, ts, v, z, 0L))
+                    outRows += (("z", series, ts, v, z, 0L, None))
                   cs += (v - mean) / sigma
                   if (math.abs(cs) >= cusumThreshold)
-                    outRows += (("c", series, ts, v, cs, 0L))
+                    outRows += (("c", series, ts, v, cs, 0L, None))
                 }
               }
               n += 1
@@ -237,7 +287,7 @@ object StreamMonitors {
               val lo = math.floor(r).toInt
               val hi = math.min(lo + 1, sorted.length - 1)
               outRows += (("r", series, ts, v,
-                sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo)), 0L))
+                sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo)), 0L, None))
               // seasonal cohort Welford — the (series, season)-keyed
               // operator's state, held as a bounded in-state map
               val (cn, cMean, cM2) = cohorts.getOrElse(season, (0L, 0.0, 0.0))
@@ -246,7 +296,7 @@ object StreamMonitors {
                 if (sigma > 0) {
                   val sz = (v - cMean) / sigma
                   if (math.abs(sz) >= seasonalThreshold)
-                    outRows += (("s", series, ts, v, sz, season))
+                    outRows += (("s", series, ts, v, sz, season, None))
                 }
               }
               val cn1 = cn + 1
@@ -256,10 +306,10 @@ object StreamMonitors {
                 (cn1, cMean1, cM2 + cDelta * (v - cMean1)))
             }
           }
-          state.update((n, mean, m2, cs, ring, lastTs, cohorts, pending))
+          state.update((n, mean, m2, cs, ring, lastTs, cohorts, pending, hring))
           outRows.iterator
       }
-      .toDF("op", "series", "ts", "value", "score", "l1")
+      .toDF("op", "series", "ts", "value", "score", "l1", "d1")
     val sinkDir = java.nio.file.Files
       .createTempDirectory("graft_smon_").resolve("out").toString
     val qy = out.writeStream.outputMode("append")
@@ -314,37 +364,55 @@ object StreamMonitors {
       .select(col("series"), col("ts").as("wstart"),
         col("value").as("burn_short"), col("score").as("burn_long"))
 
+  /** The Hampel monitor's slice — [[Rolling.hampel]]'s exact schema,
+    * restricted to rows with ≥ span following rows in their series
+    * ([[Rolling.hampelSql]] `closedOnly = true` is the matching
+    * oracle). */
+  def hampelSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "h")
+      .select(col("series"), col("ts"), col("value"),
+        col("score").as("med"), col("d1").as("h_score"))
+
   /** DuckDB twin of the full tagged union (each monitor's existing
-    * oracle, tagged and projected onto the shared schema; the burn
-    * arm appears when `burnLongMs > 0`, closed windows only). */
+    * oracle, tagged and projected onto the shared schema; the burn and
+    * hampel arms appear when `burnLongMs > 0` / `hampelSpan > 0`,
+    * closed rows only). */
   def monitorsSql(
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
       seasonalThreshold: Double, seasonalMode: String,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
-      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0): String = {
+      burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0,
+      hampelSpan: Int = 0, hampelK: Double = 1.0): String = {
     val burnArm =
       if (burnLongMs <= 0) ""
       else s"""
        |UNION ALL
-       |SELECT 'b', series, wstart, burn_short, burn_long, CAST(0 AS BIGINT)
+       |SELECT 'b', series, wstart, burn_short, burn_long, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
        |FROM (${Rates.burnRateSql(burnShortMs, burnLongMs, burnHopMs,
           burnBudgetPerSec, burnThreshold, 0L, fromMs, toMs,
           closedOnly = true)})""".stripMargin
-    s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1
+    val hampelArm =
+      if (hampelSpan <= 0) ""
+      else s"""
+       |UNION ALL
+       |SELECT 'h', series, ts, value, med, CAST(0 AS BIGINT), h_score
+       |FROM (${Rolling.hampelSql(hampelSpan, hampelK, fromMs, toMs,
+          closedOnly = true)})""".stripMargin
+    s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1, CAST(NULL AS DOUBLE) AS d1
        |FROM (${StreamAnomaly.zscoreStreamSql(zThreshold, fromMs, toMs)})
        |UNION ALL
-       |SELECT 'c', series, ts, value, cusum_score, CAST(0 AS BIGINT)
+       |SELECT 'c', series, ts, value, cusum_score, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
        |FROM (${StreamAnomaly.cusumStreamSql(cusumThreshold, fromMs, toMs)})
        |UNION ALL
-       |SELECT 'r', series, ts, value, rq_value, CAST(0 AS BIGINT)
+       |SELECT 'r', series, ts, value, rq_value, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
        |FROM (${Rolling.rollingQuantileSql(q, span, fromMs, toMs)})
        |UNION ALL
-       |SELECT 'g', series, gap_start, 0.0, 0.0, gap_end
+       |SELECT 'g', series, gap_start, 0.0, 0.0, gap_end, CAST(NULL AS DOUBLE)
        |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})
        |UNION ALL
-       |SELECT 's', series, ts, value, s_value, season
-       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})$burnArm""".stripMargin
+       |SELECT 's', series, ts, value, s_value, season, CAST(NULL AS DOUBLE)
+       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})$burnArm$hampelArm""".stripMargin
   }
 }

@@ -108,6 +108,41 @@ class StreamAnomalySpec extends AnyFunSuite {
       "trailing open windows exist in batch but never emit in-stream")
   }
 
+  test("shared pass hampel slice == batch hampel on closed (non-tail) rows") {
+    // span=2: center scored once 2 successors exist. Planted outliers
+    // both mid-series (must flag in both paths) and at the tail (must
+    // flag in batch, never emit in-stream). Constant stretch exercises
+    // the zero-MAD escape (NULL h_score) through the Option encoding.
+    val rows = Seq(
+      ("x", 0L, 1.0), ("x", 1L, 1.1), ("x", 2L, 9.0), ("x", 3L, 0.9),
+      ("x", 4L, 1.2), ("x", 5L, 1.0), ("x", 6L, 1.1), ("x", 7L, 25.0),
+      ("y", 0L, 5.0), ("y", 1L, 5.0), ("y", 2L, 5.0), ("y", 3L, 7.0),
+      ("y", 4L, 5.0), ("y", 5L, 5.0), ("y", 6L, 5.0))
+      .toDF("series", "ts", "value")
+    val span = 2
+    val batch = graft.ts.Rolling.hampel(rows, span = span, k = 3.0)
+    // closed rows = those with >= span later rows in their series
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("ts").desc, col("value").desc)
+    val closedKeys = rows.withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") > span).select(col("series"), col("ts"))
+    val closed = batch.join(closedKeys, Seq("series", "ts"), "left_semi")
+    val shared = graft.ts.StreamMonitors.monitorsOnce(spark, rows,
+      zThreshold = 99.0, cusumThreshold = 99.0, q = 0.5, span = 3,
+      gapThresholdMs = 1000L, seasonalThreshold = 99.0, seasonalMode = "dow",
+      nChunks = 3, cacheKey = None, hampelSpan = span, hampelK = 3.0)
+    val slice = graft.ts.StreamMonitors.hampelSlice(shared)
+    assert(slice.collect().map(_.toSeq).toSet ==
+      closed.collect().map(_.toSeq).toSet,
+      "hampel slice must equal the batch operator on closed rows")
+    // the tail outlier ("x", 7) is flagged by batch but cannot emit
+    assert(batch.filter(col("ts") === 7L).count() == 1 &&
+      slice.filter(col("ts") === 7L).count() == 0)
+    // the zero-MAD escape row ("y", 3) carries a NULL h_score
+    assert(slice.filter(col("series") === "y" && col("h_score").isNull)
+      .count() == 1)
+  }
+
   test("streaming zscore == the cumulative-window closed form on the fixture") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
