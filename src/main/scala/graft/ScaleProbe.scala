@@ -550,6 +550,26 @@ object ScaleProbe {
       graft.ts.Rolling.hampel(TSModel.samples(spark, work), span = 3,
         k = 3.0, fromMs = Some(T0), toMs = Some(T31)).count()
     }
+    // Shared 7-monitor streaming pass over N× series (round 15:
+    //    z+cusum+rolling+gaps+seasonal+burn+hampel in ONE
+    //    flatMapGroupsWithState): per-series state is constant
+    //    (Welford + rings + cohort map + pending-window map), so the
+    //    wall tracks the staged replay scan, not the monitor count.
+    val (nSmon, tSmon) = timed {
+      graft.ts.StreamMonitors.monitorsOnce(spark, TSModel.samples(spark, work),
+        zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
+        gapThresholdMs = 2 * DAY, seasonalThreshold = 2.0, seasonalMode = "dow",
+        fromMs = Some(T0), toMs = Some(T31), nChunks = 2, cacheKey = None,
+        burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
+        burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
+        hampelSpan = 3, hampelK = 3.0).count()
+    }
+    // Divergence MOMENTS grid over the N× corpus (round 15 hash-stable
+    //    carrier): same tokenize-bound pass as the scores view, output
+    //    a fixed sources×topN integer grid.
+    val (nSdm, tSdm) = timed {
+      Text.sourceDivergenceMoments(probeDocs, topN = 300).count()
+    }
     // Two-stage binary search over the N× embedding corpus: the
     //    corpus-sized pass touches only the packed codes; the raw
     //    fetch stays shortlist×queries at every scale.
@@ -679,6 +699,8 @@ object ScaleProbe {
       s""""binseg_sec":${s2(tBinseg)},"binseg_rows":$nBinseg,""" +
       s""""burn_rate_sec":${s2(tBurn)},"burn_rate_rows":$nBurn,""" +
       s""""hampel_sec":${s2(tHamp)},"hampel_rows":$nHamp,""" +
+      s""""shared_monitors_sec":${s2(tSmon)},"shared_monitors_rows":$nSmon,""" +
+      s""""divergence_moments_sec":${s2(tSdm)},"divergence_moments_rows":$nSdm,""" +
       s""""bq_rerank_sec":${s2(tRr)},"bq_rerank_rows":$nRr,""" +
       s""""theilsen_sec":${s2(tTheil)},"theilsen_rows":$nTheil,""" +
       s""""hist_quantile_sec":${s2(tHq)},"hist_quantile_rows":$nHq,""" +
