@@ -146,8 +146,7 @@ object Smoothing {
       }
       .toDF("series", "ts", "hw_level", "hw_trend")
       .select(col("series"), col("ts"),
-        round(col("hw_level"), 9).as("hw_level"),
-        round(col("hw_trend"), 9).as("hw_trend"))
+        col("hw_level"), col("hw_trend"))
   }
 
   /** Oracle twin: the recurrence as a recursive CTE over per-series
@@ -183,8 +182,8 @@ object Smoothing {
        |      + ${1 - tf} * h.trend
        |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
        |)
-       |SELECT series, ts, round(level, 9) AS hw_level,
-       |  round(trend, 9) AS hw_trend
+       |SELECT series, ts, level AS hw_level,
+       |  trend AS hw_trend
        |FROM hw""".stripMargin
   }
 
@@ -255,9 +254,7 @@ object Smoothing {
       }
       .toDF("series", "ts", "hw_level", "hw_trend", "hw_season")
       .select(col("series"), col("ts"),
-        round(col("hw_level"), 9).as("hw_level"),
-        round(col("hw_trend"), 9).as("hw_trend"),
-        round(col("hw_season"), 9).as("hw_season"))
+        col("hw_level"), col("hw_trend"), col("hw_season"))
   }
 
   /** Oracle twin: the triple recurrence as a recursive CTE whose state
@@ -298,8 +295,8 @@ object Smoothing {
        |      || list_slice(h.seas, ((o.rn - 1) % $m) + 2, $m)
        |  FROM hw h JOIN ord o ON o.series = h.series AND o.rn = h.rn + 1
        |)
-       |SELECT series, ts, round(level, 9) AS hw_level,
-       |  round(trend, 9) AS hw_trend, round(season, 9) AS hw_season
+       |SELECT series, ts, level AS hw_level,
+       |  trend AS hw_trend, season AS hw_season
        |FROM hw""".stripMargin
   }
 
@@ -359,7 +356,7 @@ object Smoothing {
       }
       .toDF("series", "forecast_ts", "step", "forecast_value")
       .select(col("series"), col("forecast_ts"), col("step"),
-        round(col("forecast_value"), 9).as("forecast_value"))
+        col("forecast_value"))
   }
 
   /**
@@ -419,7 +416,7 @@ object Smoothing {
       }
       .toDF("series", "forecast_ts", "step", "forecast_value")
       .select(col("series"), col("forecast_ts"), col("step"),
-        round(col("forecast_value"), 9).as("forecast_value"))
+        col("forecast_value"))
   }
 
   /** Oracle twin of [[holtWintersForecast]]: the [[holtWintersSql]]
@@ -466,8 +463,8 @@ object Smoothing {
        |  SELECT CAST(unnest(generate_series(1, $horizon)) AS BIGINT) AS step
        |)
        |SELECT series, ts + step * $stepMs AS forecast_ts, step,
-       |  round(level + step * trend
-       |    + seas[CAST(((rn + step - 1) % $m) + 1 AS BIGINT)], 9)
+       |  level + step * trend
+       |    + seas[CAST(((rn + step - 1) % $m) + 1 AS BIGINT)]
        |    AS forecast_value
        |FROM fin CROSS JOIN steps""".stripMargin
   }
@@ -510,7 +507,7 @@ object Smoothing {
        |  SELECT CAST(unnest(generate_series(1, $horizon)) AS BIGINT) AS step
        |)
        |SELECT series, ts + step * $stepMs AS forecast_ts, step,
-       |  round(level + step * trend, 9) AS forecast_value
+       |  level + step * trend AS forecast_value
        |FROM fin CROSS JOIN steps""".stripMargin
   }
 }

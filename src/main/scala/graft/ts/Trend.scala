@@ -28,27 +28,38 @@ import org.apache.spark.sql.functions._
 object Trend {
 
   /** `(series, n_samples, slope, intercept, predicted)` with
-    * `predicted = slope * predictAtMs + intercept`. */
+    * `predicted` the fitted line at `predictAtMs` and `intercept` its
+    * epoch-0 value (PromQL `predict_linear` semantics).
+    *
+    * CONDITIONING (round 15): the regression runs on `ts − x0` with
+    * `x0 = fromMs` (query origin), not raw epoch milliseconds.
+    * Regressing on x ~ 1.7e12 makes the engines' independently-ordered
+    * moment sums cancel catastrophically — the measured cross-engine
+    * intercept wobble was 4e-8 ABSOLUTE (4% of the driver's round-6
+    * canonicalization grid; one DuckDB build change from a hash flip).
+    * The slope is shift-invariant, the origin value `b0` is O(1)-
+    * magnitude and tight, and the epoch intercept/forecast are single
+    * well-conditioned affine steps from them (wobble ~1e-12 measured
+    * after the shift). No round-9 here: these are full-mantissa
+    * generics, and a 1e4-magnitude value's 9th decimal sits near the
+    * ulp where decimal-round implementations disagree (PLANS.md
+    * round-9 table, rule 4 exception). */
   def fit(
       samples: DataFrame, predictAtMs: Long,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val x0 = fromMs.getOrElse(0L)
     s.groupBy(col("series"))
       .agg(
-        regr_count(col("value"), col("ts")).as("n_samples"),
-        regr_slope(col("value"), col("ts")).as("slope"),
-        regr_intercept(col("value"), col("ts")).as("intercept"))
+        regr_count(col("value"), col("ts") - x0).as("n_samples"),
+        regr_slope(col("value"), col("ts") - x0).as("slope"),
+        regr_intercept(col("value"), col("ts") - x0).as("b0"))
       .filter(col("slope").isNotNull)
-      // NO round-9 here, deliberately: the OLS outputs are bit-stable
-      // across engines on this fixture, and the intercept's ~1e4
-      // magnitude puts the 9th decimal NEAR THE ULP, where Spark's
-      // exact-decimal HALF_UP and DuckDB's float-scaled round disagree
-      // on 40%+ of bit-identical inputs (measured r12) — rounding
-      // would INTRODUCE divergence. The round-9 convention applies to
-      // O(1)-magnitude outputs whose raw values actually diverge.
-      .withColumn("predicted", col("slope") * predictAtMs + col("intercept"))
+      .select(col("series"), col("n_samples"), col("slope"),
+        (col("b0") - col("slope") * x0).as("intercept"),
+        (col("slope") * (predictAtMs - x0) + col("b0")).as("predicted"))
   }
 
   /**
@@ -233,17 +244,19 @@ object Trend {
       .mkString(" AND ")
     val where = (Seq("NOT isnan(value)") ++ (if (bounds.nonEmpty) Seq(bounds) else Nil))
       .mkString("WHERE ", " AND ", "")
+    val x0 = fromMs.getOrElse(0L)
     s"""$cte, f AS (
        |  SELECT * FROM samples $where
        |), fit AS (
        |  SELECT series,
-       |    regr_count(value, ts) AS n_samples,
-       |    regr_slope(value, ts) AS slope,
-       |    regr_intercept(value, ts) AS intercept
+       |    regr_count(value, ts - $x0) AS n_samples,
+       |    regr_slope(value, ts - $x0) AS slope,
+       |    regr_intercept(value, ts - $x0) AS b0
        |  FROM f GROUP BY series
        |)
-       |SELECT series, n_samples, slope, intercept,
-       |  slope * $predictAtMs + intercept AS predicted
+       |SELECT series, n_samples, slope,
+       |  b0 - slope * $x0 AS intercept,
+       |  slope * ($predictAtMs - $x0) + b0 AS predicted
        |FROM fit WHERE slope IS NOT NULL""".stripMargin
   }
 }
