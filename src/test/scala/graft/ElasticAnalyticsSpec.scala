@@ -807,8 +807,9 @@ class ElasticAnalyticsSpec extends AnyFunSuite {
     assert(fc.map(_.getLong(1)).toSeq == Seq(450L, 500L, 550L))
     fc.zipWithIndex.foreach { case (r, i) =>
       val h = i + 1
-      // fit's level/trend are round(,9)-canonicalized; forecast folds
-      // the unrounded state, so compare within the rounding slack
+      // forecast folds the recursion state directly; the collected
+      // fit rows are the same raw doubles since r15 (no rounding),
+      // keep a small slack for the fold-vs-recompute association
       assert(math.abs(r.getDouble(3) - (lvl + h * tr)) < 1e-6,
         s"step $h: ${r.getDouble(3)} vs ${lvl + h * tr}")
     }
