@@ -1750,6 +1750,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_histogram_quantile($T0, $T31, 0.0, 150.0, 15, 0.5)")
       }),
+      "ts_sql_tvf_ddsketch" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ddsketch_quantile($T0, $T31, 1.05, 0.5)")
+      }),
       "ts_sql_tvf_ewma" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -2141,6 +2147,17 @@ object SparkEntry {
         Histogram.histogramQuantile(monthSamples(s, dir),
           lo = 0.0, hi = 120.0, nbins = 24, q = 0.95,
           fromMs = Some(T0), toMs = Some(T31))),
+      // DDSketch log-bucketed histogram + quantile (VLDB'19): the
+      // RELATIVE-error, fully-mergeable quantile sketch — same
+      // series×buckets bounded shuffle, bucket count ~= log_gamma of
+      // the value span, accuracy self-described by the emitted
+      // [q_lo, q_hi) = [gamma^b, gamma^(b+1)) bracket
+      "ts_range_ddsketch" -> ((s, dir) =>
+        Histogram.ddsketchHistogram(monthSamples(s, dir), gamma = 1.02,
+          fromMs = Some(T0), toMs = Some(T31))),
+      "ts_ddsketch_quantile" -> ((s, dir) =>
+        Histogram.ddsketchQuantile(monthSamples(s, dir), gamma = 1.02,
+          q = 0.95, fromMs = Some(T0), toMs = Some(T31))),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
       "ts_downsample_lttb" -> ((s, dir) =>
@@ -3338,6 +3355,10 @@ object SparkEntry {
       "ts_histogram_quantile" -> Histogram.histogramQuantileSql(
         lo = 0.0, hi = 120.0, nbins = 24, q = 0.95,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_range_ddsketch" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_ddsketch_quantile" -> Histogram.ddsketchQuantileSql(gamma = 1.02,
+        q = 0.95, fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_cusum" -> Changepoint.cusumSql(0.8,
@@ -3382,6 +3403,8 @@ object SparkEntry {
       "ts_sql_tvf_histogram_quantile" -> Histogram.histogramQuantileSql(
         lo = 0.0, hi = 150.0, nbins = 15, q = 0.5,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_ddsketch" -> Histogram.ddsketchQuantileSql(gamma = 1.05,
+        q = 0.5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_ewma" -> Smoothing.ewmaSql(alpha = 0.25, span = 12,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_acf" -> Trend.acfSql(maxLag = 5,

@@ -541,6 +541,20 @@ object GraftFunctions {
         Some(literalLong("ts_histogram_quantile", args(0), "from")),
         Some(literalLong("ts_histogram_quantile", args(1), "to"))))
     }),
+    // ts_ddsketch_quantile(from, to, gamma, q) — the DDSketch
+    // log-bucketed relative-error quantile (integer moments + the
+    // [gamma^b, gamma^(b+1)) bracket)
+    (FunctionIdentifier("ts_ddsketch_quantile"),
+        info("ts_ddsketch_quantile"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_quantile", Seq(4), args)
+      val spark = activeSession("ts_ddsketch_quantile")
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchQuantile(
+        spark.table(SamplesView),
+        literalDouble("ts_ddsketch_quantile", args(2), "gamma"),
+        literalDouble("ts_ddsketch_quantile", args(3), "q"),
+        Some(literalLong("ts_ddsketch_quantile", args(0), "from")),
+        Some(literalLong("ts_ddsketch_quantile", args(1), "to"))))
+    }),
     // ts_lttb(from, to, bucket_ms[, align_ms]) — parallel LTTB pick
     (FunctionIdentifier("ts_lttb"), info("ts_lttb"), { args: Seq[Expression] =>
       nargs("ts_lttb", Seq(3, 4), args)

@@ -126,6 +126,115 @@ object Histogram {
        |QUALIFY row_number() OVER (PARTITION BY series ORDER BY bin) = 1""".stripMargin
   }
 
+  /**
+   * DDSketch-style LOG-bucketed histogram (Masson/Rim/Lee, "DDSketch:
+   * a fast and fully-mergeable quantile sketch with relative-error
+   * guarantees", VLDB 2019): bucket `⌈log_γ v⌉`-family indexing via
+   * `floor(ln v / ln γ)`, so any value in bucket b lies in
+   * [γ^b, γ^(b+1)) and a quantile read off the bucket walk has
+   * RELATIVE error ≤ (γ−1) — the production quantile-sketch contract
+   * (a fixed-width histogram's error is absolute, useless when values
+   * span decades). Positive store only: v ≤ 0 is dropped (the
+   * paper's negative/zero stores are symmetric copies callers add).
+   *
+   * Same 100-TB shape as [[valueHistogram]]: ONE hash agg by
+   * (series, bucket) with map-side combine — shuffle bounded by
+   * series × occupied buckets (≤ log_γ(vmax/vmin)), independent of
+   * sample count, and trivially mergeable across partitions/stores
+   * because the buckets are fixed by γ alone.
+   *
+   * Hash stability: `ln` is not correctly rounded across engines, so
+   * the log-ratio is round-9 PINNED before the floor (PLANS.md rule 3
+   * — both engines then take the same bucket except within 5e-10 of a
+   * bucket edge, measure ~1e-6 of generic values); all emitted
+   * columns are integers.
+   */
+  def ddsketchHistogram(
+      samples: DataFrame, gamma: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    var s = samples.filter(!isnan(col("value")) && col("value") > 0.0)
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    s.groupBy(col("series"),
+        floor(round(log(col("value")) / math.log(gamma), 9)).cast("long")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Quantile from the DDSketch buckets: walk the cumulative counts to
+   * the bucket containing rank `q·total`. Output `(series, bucket,
+   * cum, n, n_total, q_lo, q_hi)` — the exact integer moments plus the
+   * bucket's value bounds `[γ^b, γ^(b+1))`, which bracket the true
+   * quantile of the positive store with relative width γ (the sketch's
+   * accuracy statement, self-describing in the row). The bounds are
+   * round-9 (pow is libm; generic magnitudes — PLANS.md rule 4).
+   */
+  def ddsketchQuantile(
+      samples: DataFrame, gamma: Double, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+    val wCum = w.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(col("series"))
+    ddsketchHistogram(samples, gamma, fromMs, toMs)
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .filter(col("cum") >= lit(q) * col("n_total"))
+      .withColumn("pick", row_number().over(
+        w.partitionBy(col("series")).orderBy(col("bucket"))))
+      .filter(col("pick") === 1)
+      .select(col("series"), col("bucket"), col("cum"), col("n"),
+        col("n_total"),
+        round(pow(lit(gamma), col("bucket")), 9).as("q_lo"),
+        round(pow(lit(gamma), col("bucket") + 1), 9).as("q_hi"))
+  }
+
+  /** DuckDB oracle twin of [[ddsketchHistogram]]. */
+  def ddsketchHistogramSql(
+      gamma: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)", "value > 0.0") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val lnG = math.log(gamma)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series,
+       |  CAST(floor(round(ln(value) / ($lnG)::DOUBLE, 9)) AS BIGINT) AS bucket,
+       |  count(*) AS n
+       |FROM f GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[ddsketchQuantile]]. */
+  def ddsketchQuantileSql(
+      gamma: Double, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    s"""WITH h AS (
+       |${ddsketchHistogramSql(gamma, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |), walked AS (
+       |  SELECT series, bucket, n,
+       |    sum(n) OVER (PARTITION BY series ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n) OVER (PARTITION BY series) AS n_total
+       |  FROM h
+       |)
+       |SELECT series, bucket, cum, n, n_total,
+       |  round(power(($gamma)::DOUBLE, bucket), 9) AS q_lo,
+       |  round(power(($gamma)::DOUBLE, bucket + 1), 9) AS q_hi
+       |FROM walked
+       |WHERE cum >= ($q)::DOUBLE * n_total
+       |QUALIFY row_number() OVER (PARTITION BY series ORDER BY bucket) = 1""".stripMargin
+  }
+
   def valueHistogramSql(
       lo: Double, hi: Double, nbins: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.{col, sum}
 import graft.ts.{Anomaly, Histogram, Lttb, Trend}
 
 /** Closed-form cases for the round-10 analytics extensions (MAD
@@ -125,6 +126,44 @@ class TrendAnalyticsSpec extends AnyFunSuite {
         (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     assert(out("a") == ((0L, 5.0 / 9.0, 10L)))
     assert(out("b") == ((2L, 2.5, 4L)))
+  }
+
+  test("ddsketchQuantile: bucket bounds bracket the exact quantile with relative width gamma") {
+    // values spanning decades — exactly where a fixed-width histogram's
+    // absolute error is useless and DDSketch's relative bound holds
+    val rnd = new scala.util.Random(42)
+    val vals = (0 until 400).map(_ => math.exp(rnd.nextDouble() * 8 - 2))
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val gamma = 1.02
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val r = Histogram.ddsketchQuantile(df, gamma, q).collect()(0)
+      val lo = r.getAs[Double]("q_lo"); val hi = r.getAs[Double]("q_hi")
+      // rank-q order statistic (ceil(q*n) smallest — the bucket-walk rank)
+      val exact = vals.sorted.apply(math.ceil(q * vals.size).toInt - 1)
+      assert(lo <= exact * (1 + 1e-9) && exact <= hi * (1 + 1e-9),
+        s"q=$q: exact $exact outside [$lo, $hi)")
+      assert(hi / lo < gamma * 1.0001, s"bracket wider than gamma: $lo..$hi")
+    }
+    // non-positive values are dropped (positive store only)
+    val withJunk = df.union(Seq(("s", 999L, -5.0), ("s", 1000L, 0.0))
+      .toDF("series", "ts", "value"))
+    assert(Histogram.ddsketchHistogram(withJunk, gamma).agg(sum(col("n")))
+      .collect()(0).getLong(0) == 400L)
+  }
+
+  test("ddsketchHistogram: bucket counts merge across splits (full mergeability)") {
+    val vals = (1 to 300).map(i => ("s", i.toLong, i * 0.37))
+    val df = vals.toDF("series", "ts", "value")
+    val whole = Histogram.ddsketchHistogram(df, 1.05)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val a = Histogram.ddsketchHistogram(df.filter(col("ts") <= 150), 1.05)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val b = Histogram.ddsketchHistogram(df.filter(col("ts") > 150), 1.05)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "split sketches must merge to the whole sketch")
   }
 
   // ---- per-source divergence ----
