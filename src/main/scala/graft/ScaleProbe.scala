@@ -531,6 +531,13 @@ object ScaleProbe {
       graft.ts.Histogram.histogramQuantile(TSModel.samples(spark, work),
         0.0, 120.0, 24, 0.95, Some(T0), Some(T31)).count()
     }
+    // DDSketch quantile over N× samples (round 15): same bounded
+    //    (series × occupied log-buckets) shuffle as the fixed-width
+    //    histogram — the walk is sketch-sized, scan-bound overall.
+    val (nDdq, tDdq) = timed {
+      graft.ts.Histogram.ddsketchQuantile(TSModel.samples(spark, work),
+        gamma = 1.02, q = 0.95, Some(T0), Some(T31)).count()
+    }
     // Per-source divergence over the N× corpus: one tokenize pass
     //    feeding the top-N head + vocab-restricted counts; the
     //    probability grid stays sources×topN — tokenize-bound, ~linear.
@@ -704,6 +711,7 @@ object ScaleProbe {
       s""""bq_rerank_sec":${s2(tRr)},"bq_rerank_rows":$nRr,""" +
       s""""theilsen_sec":${s2(tTheil)},"theilsen_rows":$nTheil,""" +
       s""""hist_quantile_sec":${s2(tHq)},"hist_quantile_rows":$nHq,""" +
+      s""""ddsketch_quantile_sec":${s2(tDdq)},"ddsketch_quantile_rows":$nDdq,""" +
       s""""source_divergence_sec":${s2(tSdiv)},"source_divergence_rows":$nSdiv,""" +
       s""""mp_len4_joinpairs_sec":${s2(tJp4)},"mp_len4_joinpairs_rows":$nJp4,""" +
       s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +

@@ -226,6 +226,12 @@ class RandomizedWindowsSpec extends AnyFunSuite {
         Histogram.histogramQuantileSql(lo, hi, nbins, q, from, to,
           valuesCte(samples))
     }
+    case class Dq(name: String, samples: Seq[(String, Long, Double)],
+        gamma: Double, q: Double,
+        from: Option[Long], to: Option[Long]) extends Combo {
+      def sql: String =
+        Histogram.ddsketchQuantileSql(gamma, q, from, to, valuesCte(samples))
+    }
 
     val combos: Seq[Combo] = (0 until 272).map { iter =>
       val nSeries = 1 + rnd.nextInt(3)
@@ -419,6 +425,22 @@ class RandomizedWindowsSpec extends AnyFunSuite {
           Hq(f"hq_$iter%03d", samples, -10.0, 30.0, 1 + rnd.nextInt(8),
             Seq(0.25, 0.5, 0.9, 1.0)(rnd.nextInt(4)), from, to)
       }
+    } ++ (496 until 514).map { iter =>
+      // DDSketch quantile (round 15): positive-store semantics — the
+      // generator keeps NaNs and non-positive values so the drop rule
+      // is exercised; all-nonpositive combos are empty on both sides
+      val nSeries = 1 + rnd.nextInt(3)
+      val n = 1 + rnd.nextInt(40)
+      val samples = (0 until n).map { _ =>
+        val s = s"s${rnd.nextInt(nSeries)}"
+        val ts = rnd.nextInt(1000).toLong
+        val v = if (rnd.nextInt(8) == 0) Double.NaN else rnd.nextInt(200) / 10.0 - 3.0
+        (s, ts, v)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val from = if (rnd.nextBoolean()) Some(rnd.nextInt(400).toLong) else None
+      val to = if (rnd.nextBoolean()) Some(400L + rnd.nextInt(700)) else None
+      Dq(f"ddq_$iter%03d", samples, Seq(1.02, 1.1, 1.7)(rnd.nextInt(3)),
+        Seq(0.25, 0.5, 0.9, 1.0)(rnd.nextInt(4)), from, to)
     }
 
     val dir = java.nio.file.Files.createTempDirectory("rand_win_oracle")
@@ -499,6 +521,8 @@ class RandomizedWindowsSpec extends AnyFunSuite {
             s.from, s.to)
         case s: Hq    =>
           Histogram.histogramQuantile(df, s.lo, s.hi, s.nbins, s.q, s.from, s.to)
+        case s: Dq    =>
+          Histogram.ddsketchQuantile(df, s.gamma, s.q, s.from, s.to)
       }
       val got = gotDf.collect().map { r =>
         (0 until r.length).map(i =>
