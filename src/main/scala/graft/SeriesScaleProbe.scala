@@ -81,7 +81,11 @@ object SeriesScaleProbe {
     def stage(s: Long): (DataFrame, DataFrame) = {
       val sDir = s"$work/s$s/samples.parquet"
       val lDir = s"$work/s$s/labels.parquet"
-      if (!new java.io.File(sDir + "/_SUCCESS").exists()) {
+      // Regeneration is keyed on BOTH _SUCCESS markers: gating on one
+      // directory alone would let a crash between the two writes leave
+      // a half fixture that permanently skips regeneration.
+      if (!new java.io.File(sDir + "/_SUCCESS").exists() ||
+          !new java.io.File(lDir + "/_SUCCESS").exists()) {
         synthSamples(spark, s, perSeries)
           .repartition(32).write.mode("overwrite").parquet(sDir)
         synthLabels(spark, s)

@@ -648,8 +648,10 @@ object Text {
    * `p·log(p/q)` terms — `log` is NOT IEEE-correctly-rounded (libm
    * builds differ by an ulp on identical inputs) and the sum order is
    * engine-defined, so this output can never be made bit-stable
-   * across engines (the round-14 driver hash failure). The oracle-
-   * hashed carrier for this operator is therefore
+   * across engines. (The r14/r15 driver reds on this family were in
+   * fact uncast HUGEINT sums in the oracle twin, since CAST back —
+   * but the log-sum hazard stands on its own, so the moments carrier
+   * stays.) The oracle-hashed carrier for this operator is therefore
    * [[sourceDivergenceMoments]] — the exact integer grid the scores
    * derive from — per the round-12 explicit-moments convention; this
    * scores view keeps the family's round-9 display convention and is
@@ -736,7 +738,7 @@ object Text {
        |  SELECT word, count(*) AS n_w FROM words
        |  GROUP BY word ORDER BY n_w DESC, word ASC LIMIT $topN
        |), tot AS (
-       |  SELECT sum(n_w) AS n_tot FROM vocab
+       |  SELECT CAST(sum(n_w) AS BIGINT) AS n_tot FROM vocab
        |), srcs AS (
        |  SELECT DISTINCT source FROM documents
        |), cs AS (
@@ -748,7 +750,7 @@ object Text {
        |  LEFT JOIN cs c ON c.source = s.source AND c.word = v.word
        |)
        |SELECT source, word, n_sw, n_w,
-       |  sum(n_sw) OVER (PARTITION BY source) AS n_s, n_tot
+       |  CAST(sum(n_sw) OVER (PARTITION BY source) AS BIGINT) AS n_s, n_tot
        |FROM grid""".stripMargin
   }
 

@@ -238,7 +238,8 @@ object Catalog {
        |    END AS duplicate_policy,
        |    CAST(CASE WHEN uid % 3 = 0 THEN 5000 ELSE 0 END AS BIGINT)
        |      AS ignore_max_time_diff,
-       |    CASE WHEN uid % 3 = 0 THEN 0.5 ELSE 0.0 END AS ignore_max_val_diff,
+       |    CAST(CASE WHEN uid % 3 = 0 THEN 0.5 ELSE 0.0 END AS DOUBLE)
+       |      AS ignore_max_val_diff,
        |    CAST(4096 + 8 * (uid % 4) AS BIGINT) AS chunk_size,
        |    CAST(NULL AS VARCHAR) AS src_key,
        |    et AS label_type, CAST(uid AS VARCHAR) AS label_user,
@@ -252,7 +253,8 @@ object Catalog {
        |), auto_rows AS (
        |  SELECT series || '_MAX_60000' AS series,
        |    CAST(3600000 AS BIGINT) AS retention_ms, 'BLOCK' AS duplicate_policy,
-       |    CAST(0 AS BIGINT) AS ignore_max_time_diff, 0.0 AS ignore_max_val_diff,
+       |    CAST(0 AS BIGINT) AS ignore_max_time_diff,
+       |    CAST(0.0 AS DOUBLE) AS ignore_max_val_diff,
        |    CAST(4096 AS BIGINT) AS chunk_size, series AS src_key,
        |    CAST(NULL AS VARCHAR) AS label_type, CAST(NULL AS VARCHAR) AS label_user,
        |    CAST(NULL AS VARCHAR) AS label_tier, 'MAX' AS label_aggregation,
@@ -261,7 +263,8 @@ object Catalog {
        |), manual_rows AS (
        |  SELECT s.series || '_sum10s' AS series,
        |    CAST(0 AS BIGINT) AS retention_ms, 'BLOCK' AS duplicate_policy,
-       |    CAST(0 AS BIGINT) AS ignore_max_time_diff, 0.0 AS ignore_max_val_diff,
+       |    CAST(0 AS BIGINT) AS ignore_max_time_diff,
+       |    CAST(0.0 AS DOUBLE) AS ignore_max_val_diff,
        |    CAST(4096 AS BIGINT) AS chunk_size,
        |    CASE WHEN s.series = d.src THEN NULL ELSE s.series END AS src_key,
        |    CAST(NULL AS VARCHAR) AS label_type, CAST(NULL AS VARCHAR) AS label_user,

@@ -71,10 +71,14 @@ object Histogram {
    * construction. A trailing `round(x, 9)` would UNDO that guarantee:
    * decimal rounding of a binary double is implementation-defined at
    * half-way points (Spark rounds via exact BigDecimal HALF_UP,
-   * DuckDB via a float multiply), which is precisely how the round-14
-   * driver hash failures happened. Interpolated quantiles hit exact
-   * decimal halves often (fractions with small denominators `n`), so
-   * this operator must never decimal-round its output.
+   * DuckDB via a float multiply), and interpolated quantiles hit
+   * exact decimal halves often (fractions with small denominators
+   * `n`), so this operator must never decimal-round its output.
+   * (Post-mortem: the r14/r15 driver hash-reds on this carrier were
+   * NOT float wobble — the oracle twin's `sum(n)` windows widened to
+   * DuckDB HUGEINT, which the driver canonicalizes differently from
+   * Spark's BIGINT; [[histogramQuantileSql]] now CASTs them back and
+   * OracleTypeLintSpec guards the whole oracle surface.)
    */
   def histogramQuantile(
       samples: DataFrame, lo: Double, hi: Double, nbins: Int, q: Double,
@@ -112,9 +116,9 @@ object Histogram {
        |${valueHistogramSql(lo, hi, nbins, fromMs, toMs, cte).replace("\n", "\n  ")}
        |), walked AS (
        |  SELECT series, bin, bin_lo, n,
-       |    sum(n) OVER (PARTITION BY series ORDER BY bin
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    sum(n) OVER (PARTITION BY series) AS n_total
+       |    CAST(sum(n) OVER (PARTITION BY series ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS n_total
        |  FROM h
        |)
        |SELECT series, bin,
@@ -222,9 +226,9 @@ object Histogram {
        |${ddsketchHistogramSql(gamma, fromMs, toMs, cte).replace("\n", "\n  ")}
        |), walked AS (
        |  SELECT series, bucket, n,
-       |    sum(n) OVER (PARTITION BY series ORDER BY bucket
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    sum(n) OVER (PARTITION BY series) AS n_total
+       |    CAST(sum(n) OVER (PARTITION BY series ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS n_total
        |  FROM h
        |)
        |SELECT series, bucket, cum, n, n_total,

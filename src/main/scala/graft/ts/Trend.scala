@@ -249,7 +249,7 @@ object Trend {
        |  SELECT * FROM samples $where
        |), fit AS (
        |  SELECT series,
-       |    regr_count(value, ts - $x0) AS n_samples,
+       |    CAST(regr_count(value, ts - $x0) AS BIGINT) AS n_samples,
        |    regr_slope(value, ts - $x0) AS slope,
        |    regr_intercept(value, ts - $x0) AS b0
        |  FROM f GROUP BY series

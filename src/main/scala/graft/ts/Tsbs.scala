@@ -303,10 +303,16 @@ object Tsbs {
    * The bench row's wall over the sample count is the engine's
    * ingest-rows/sec figure at that scale.
    *
-   * Policy MAX makes the result arrival-order independent (duplicate
-   * (series, ts) writes resolve to the max valid value; an all-NaN
-   * pair stays NaN), so the DuckDB oracle is a plain grouped
-   * aggregation over the devops view. Source chunks are
+   * Policy MAX is arrival-order independent ONLY when no (series, ts)
+   * duplicate group mixes NaN and valid values: the write path's
+   * reference fold poisons a NaN-FIRST group to NaN under the
+   * combining policies (WritePath.applyDupPolicy), while the DuckDB
+   * oracle (a plain grouped max over the devops view, no arrival
+   * order to consult) takes the max valid value regardless. The
+   * devops fixture satisfies that precondition — zero NaNs at every
+   * SF — and TsbsSpec asserts it per-fixture so regeneration drift
+   * fails a test instead of silently making this row
+   * order-dependent. Source chunks are
    * range-partitioned by ts and replayed oldest-first, one file per
    * trigger — duplicates of one timestamp always share a chunk.
    */

@@ -11,6 +11,25 @@ import graft.ts.Tsbs
 class TsbsSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("ingestion precondition: no (series, ts) group mixes NaN and valid values") {
+    // Policy MAX replay is arrival-order independent ONLY under this
+    // property (Tsbs.ingestOnce scaladoc): the write path poisons a
+    // NaN-first duplicate group to NaN while the ingestSql oracle takes
+    // the max valid regardless of order. Assert it per-fixture so a
+    // regenerated fixture that violates it fails here, not as a
+    // flaky driver hash.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val mixed = Tsbs.cpuSamples(spark, dir)
+        .groupBy(col("series"), col("ts"))
+        .agg(sum(when(isnan(col("value")), 1).otherwise(0)).as("n_nan"),
+          sum(when(isnan(col("value")), 0).otherwise(1)).as("n_ok"))
+        .filter(col("n_nan") > 0 && col("n_ok") > 0)
+        .count()
+      assert(mixed == 0L, s"$dir: $mixed NaN/valid duplicate mixes — " +
+        "ingestSql oracle no longer matches the arrival-order fold")
+    }
+  }
+
   test("devops view: scale100 topology, bounded usage, well-formed series keys") {
     val cpu = Tsbs.cpuSamples(spark, sf)
     val parts = cpu.select(
