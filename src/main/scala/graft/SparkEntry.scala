@@ -51,7 +51,8 @@ object SparkEntry {
       nChunks = 2, cacheKey = Some(dir),
       burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
       burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
-      hampelSpan = 3, hampelK = 3.0)
+      hampelSpan = 3, hampelK = 3.0,
+      sketchGamma = 1.05, sketchWindowMs = 7 * DAY)
 
   /** Round-9 pin for the GOLDEN-data queries (lemire GPS ticks, GLT
     * temperatures): their inputs are short decimals, so aggregate true
@@ -2158,6 +2159,11 @@ object SparkEntry {
       "ts_ddsketch_quantile" -> ((s, dir) =>
         Histogram.ddsketchQuantile(monthSamples(s, dir), gamma = 1.02,
           q = 0.95, fromMs = Some(T0), toMs = Some(T31))),
+      // per-(series, week) DDSketch table — the materialized
+      // quantile-sketch-per-interval shape; one map-side-combined agg
+      "ts_ddsketch_windowed" -> ((s, dir) =>
+        Histogram.ddsketchWindowed(monthSamples(s, dir), gamma = 1.05,
+          windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31))),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
       "ts_downsample_lttb" -> ((s, dir) =>
@@ -2314,7 +2320,8 @@ object SparkEntry {
           nChunks = 2, cacheKey = None,
           burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
           burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
-          hampelSpan = 3, hampelK = 3.0)),
+          hampelSpan = 3, hampelK = 3.0,
+          sketchGamma = 1.05, sketchWindowMs = 7 * DAY)),
       // streaming SLO burn-rate: THE canonical paging monitor, folded
       // into the shared pass's state (bounded pending-window map); a
       // hop window emits when the replay passes its end, so the slice
@@ -2328,6 +2335,14 @@ object SparkEntry {
       // restricted to rows with >= span successors
       "ts_hampel_stream" -> ((s, dir) =>
         graft.ts.StreamMonitors.hampelSlice(sharedMonitors(s, dir))),
+      // streaming windowed DDSketch: the quantile family's streaming
+      // twin, folded into the shared pass (open-window bucket map
+      // state, <= log_gamma buckets); a tumbling window emits its
+      // (bucket, n) sketch rows when the replay passes its end, so the
+      // slice equals batch ddsketchWindowed restricted to closed
+      // windows
+      "ts_ddsketch_stream" -> ((s, dir) =>
+        graft.ts.StreamMonitors.ddsketchSlice(sharedMonitors(s, dir))),
 
       // ---- reference-SERIALIZED mid-bucket state goldens (VERDICT r06
       // #5): 1.4.9_with_avg_ctx.rdb carries an AVG rule's RUNNING
@@ -3357,6 +3372,8 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_range_ddsketch" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_ddsketch_windowed" -> Histogram.ddsketchWindowedSql(gamma = 1.05,
+        windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_ddsketch_quantile" -> Histogram.ddsketchQuantileSql(gamma = 1.02,
         q = 0.95, fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,
@@ -3433,7 +3450,11 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31),
         burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
         burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
-        hampelSpan = 3, hampelK = 3.0),
+        hampelSpan = 3, hampelK = 3.0,
+        sketchGamma = 1.05, sketchWindowMs = 7 * DAY),
+      "ts_ddsketch_stream" -> Histogram.ddsketchWindowedSql(gamma = 1.05,
+        windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31),
+        closedOnly = true),
       "ts_hampel_stream" -> Rolling.hampelSql(span = 3, k = 3.0,
         fromMs = Some(T0), toMs = Some(T31), closedOnly = true),
       "ts_burn_rate_stream" -> Rates.burnRateSql(shortMs = 2 * DAY,

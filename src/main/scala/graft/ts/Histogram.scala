@@ -239,6 +239,65 @@ object Histogram {
        |QUALIFY row_number() OVER (PARTITION BY series ORDER BY bucket) = 1""".stripMargin
   }
 
+  /**
+   * WINDOWED DDSketch — one sketch per (series, tumbling `windowMs`
+   * window): the per-interval quantile-sketch table a monitoring
+   * store actually materializes ("p99 per minute"), and the batch
+   * twin of the shared stream pass's sketch monitor
+   * ([[StreamMonitors]] op `d`). Output `(series, wstart, bucket, n)`
+   * — all integers/strings, bit-stable by construction.
+   *
+   * Same bounded shape as [[ddsketchHistogram]] with the window key
+   * folded in: ONE map-side-combined hash agg whose result is
+   * series × windows × occupied buckets — never sample-sized.
+   */
+  def ddsketchWindowed(
+      samples: DataFrame, gamma: Double, windowMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    require(windowMs > 0, s"windowMs $windowMs must be positive")
+    var s = samples.filter(!isnan(col("value")) && col("value") > 0.0)
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), windowMs).as("wstart"),
+        floor(round(log(col("value")) / math.log(gamma), 9)).cast("long")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[ddsketchWindowed]]. `closedOnly = true`
+    * restricts to windows the stream replay CLOSED — `wstart +
+    * windowMs ≤ max(ts)` per series over the sketch's own filtered
+    * rows (positive, non-NaN) — matching [[StreamMonitors]]'
+    * closed-only emit discipline for op `d`. */
+  def ddsketchWindowedSql(
+      gamma: Double, windowMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte, closedOnly: Boolean = false): String = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    require(windowMs > 0, s"windowMs $windowMs must be positive")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)", "value > 0.0") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val lnG = math.log(gamma)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |), sk AS (
+       |  SELECT series,
+       |    ${TSModel.bucketStartSql("ts", windowMs)} AS wstart,
+       |    CAST(floor(round(ln(value) / ($lnG)::DOUBLE, 9)) AS BIGINT) AS bucket,
+       |    count(*) AS n
+       |  FROM f GROUP BY 1, 2, 3
+       |)
+       |SELECT sk.series, wstart, bucket, n FROM sk
+       |${if (closedOnly)
+          s"JOIN (SELECT series, max(ts) AS mx FROM f GROUP BY 1) m ON sk.series = m.series\n" +
+          s"WHERE wstart + $windowMs <= m.mx"
+        else ""}""".stripMargin
+  }
+
   def valueHistogramSql(
       lo: Double, hi: Double, nbins: Int,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,

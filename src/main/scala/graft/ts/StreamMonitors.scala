@@ -44,6 +44,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    computes from a partial tail — stay unsaid, so the slice equals
  *    the batch operator restricted to `wstart + longMs ≤ max(ts)` per
  *    series ([[Rates.burnRateSql]] `closedOnly`)),
+ *  - windowed DDSketch ([[Histogram.ddsketchWindowed]]'s streaming
+ *    twin, enabled when `sketchWindowMs > 0`: per-series state holds
+ *    the open tumbling window's (bucket → count) map — bounded by
+ *    open windows (≈1 under the time-ordered replay) × occupied
+ *    buckets ≤ log_γ of the window's value span — and emits the
+ *    window's `(wstart, bucket, n)` sketch rows when the first
+ *    positive arrival passes its end. Closed-only, like burn: windows
+ *    open at end-of-replay stay unsaid, so the slice equals the batch
+ *    operator restricted to `wstart + windowMs ≤ max(ts)` per series
+ *    over positive rows ([[Histogram.ddsketchWindowedSql]]
+ *    `closedOnly`). Bucket arithmetic replicates the batch operator
+ *    bit-for-bit: `floor(round9(ln v / ln γ))`),
  *
  * whose transitions are deliberately IDENTICAL to the individual
  * operators' (the z-score and CUSUM monitors share one Welford
@@ -52,19 +64,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * session_window operator cannot fold here (engine-managed state).
  *
  * Output: tagged union `(op, series, ts, value, score, l1, d1)` with
- * op ∈ z|c|r|g|s|b|h; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
- * [[gapsSlice]]/[[seasonalSlice]]/[[burnSlice]]/[[hampelSlice]]
- * project each monitor's exact individual schema (`l1` carries
- * gap_end for g, the season for s; for b, `ts` carries wstart,
- * `value`/`score` carry burn_short/burn_long; for h, `score` carries
- * med and the nullable `d1` carries h_score — NULL on the zero-MAD
- * escape, exactly the batch column).
+ * op ∈ z|c|r|g|s|b|h|d; [[zscoreSlice]]/[[cusumSlice]]/[[rollingSlice]]/
+ * [[gapsSlice]]/[[seasonalSlice]]/[[burnSlice]]/[[hampelSlice]]/
+ * [[ddsketchSlice]] project each monitor's exact individual schema
+ * (`l1` carries gap_end for g, the season for s; for b, `ts` carries
+ * wstart, `value`/`score` carry burn_short/burn_long; for h, `score`
+ * carries med and the nullable `d1` carries h_score — NULL on the
+ * zero-MAD escape, exactly the batch column; for d, `ts` carries
+ * wstart, `l1` the log bucket, `value` the integer count n).
  *
  * Scale: state per series = Welford triple + CUSUM sum + a span-bounded
  * ring + one long + a ≤period-bounded cohort map + a ≤longMs/hopMs
- * pending-window map — constants; one shuffle by series for N monitors
- * instead of N; the replay/staging discipline (time-ordered chunks,
- * one file per trigger) is the family's.
+ * pending-window map + an open-window sketch map (≈ log_γ buckets) —
+ * constants; one shuffle by series for N monitors instead of N; the
+ * replay/staging discipline (time-ordered chunks, one file per
+ * trigger) is the family's.
  *
  * The per-session CACHE exists because the bench/verify harness runs
  * each monitor as its own query: the first slice materializes the
@@ -105,18 +119,19 @@ object StreamMonitors {
       cacheKey: Option[String] = None,
       burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
       burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0,
-      hampelSpan: Int = 0, hampelK: Double = 1.0): DataFrame = {
+      hampelSpan: Int = 0, hampelK: Double = 1.0,
+      sketchGamma: Double = 0.0, sketchWindowMs: Long = 0L): DataFrame = {
     val key = cacheKey.map(k =>
       s"$k|$zThreshold|$cusumThreshold|$q|$span|$gapThresholdMs|" +
         s"$seasonalThreshold|$seasonalMode|$fromMs|$toMs|$nChunks|$useRocksDb|" +
         s"$burnShortMs|$burnLongMs|$burnHopMs|$burnBudgetPerSec|$burnThreshold|" +
-        s"$hampelSpan|$hampelK")
+        s"$hampelSpan|$hampelK|$sketchGamma|$sketchWindowMs")
     key.flatMap(k => Option(cache.get(k))).getOrElse {
       val out = runMonitors(spark, samples, zThreshold, cusumThreshold,
         q, span, gapThresholdMs, seasonalThreshold, seasonalMode,
         fromMs, toMs, nChunks, useRocksDb,
         burnShortMs, burnLongMs, burnHopMs, burnBudgetPerSec, burnThreshold,
-        hampelSpan, hampelK)
+        hampelSpan, hampelK, sketchGamma, sketchWindowMs)
       key.foreach(k => cache.put(k, out))
       out
     }
@@ -131,7 +146,8 @@ object StreamMonitors {
       nChunks: Int, useRocksDb: Boolean,
       burnShortMs: Long, burnLongMs: Long, burnHopMs: Long,
       burnBudgetPerSec: Double, burnThreshold: Double,
-      hampelSpan: Int, hampelK: Double): DataFrame =
+      hampelSpan: Int, hampelK: Double,
+      sketchGamma: Double, sketchWindowMs: Long): DataFrame =
       Compaction.withStatePartitions(spark, 8) {
       Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
         if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
@@ -140,6 +156,10 @@ object StreamMonitors {
     require(gapThresholdMs > 0, "gap threshold must be positive")
     val hampelOn = hampelSpan > 0
     if (hampelOn) require(hampelK > 0, s"hampelK $hampelK must be positive")
+    val sketchOn = sketchWindowMs > 0
+    if (sketchOn) require(sketchGamma > 1.0,
+      s"sketchGamma $sketchGamma must be > 1 (relative accuracy γ−1)")
+    val lnGamma = if (sketchOn) math.log(sketchGamma) else 0.0
     val burnOn = burnLongMs > 0
     if (burnOn) {
       require(burnShortMs > 0 && burnShortMs <= burnLongMs,
@@ -192,13 +212,15 @@ object StreamMonitors {
          state: GroupState[(Long, Double, Double, Double, List[Double], Long,
            Map[Long, (Long, Double, Double)],
            Map[Long, (Double, Double, Long)],
-           List[(Long, Double)])]) =>
-          var (n, mean, m2, cs, ring, lastTs, cohorts, pending, hring) =
+           List[(Long, Double)],
+           Map[Long, Map[Long, Long]])]) =>
+          var (n, mean, m2, cs, ring, lastTs, cohorts, pending, hring, skmap) =
             state.getOption
             .getOrElse((0L, 0.0, 0.0, 0.0, List.empty[Double], Long.MinValue,
               Map.empty[Long, (Long, Double, Double)],
               Map.empty[Long, (Double, Double, Long)],
-              List.empty[(Long, Double)]))
+              List.empty[(Long, Double)],
+              Map.empty[Long, Map[Long, Long]]))
           val outRows = scala.collection.mutable.ArrayBuffer
             .empty[(String, String, Long, Double, Double, Long, Option[Double])]
           rows.toSeq.sorted(rowOrd).foreach { case (_, ts, v, season) =>
@@ -235,6 +257,32 @@ object StreamMonitors {
                     if (inShort) nShort + 1 else nShort))
                   w += burnHopMs
                 }
+              }
+              // DDSketch monitor — per (series, tumbling window)
+              // log-bucket counts (Histogram.ddsketchWindowed's
+              // arithmetic bit-for-bit: same ln, same round-9 pin,
+              // same floor). Positive arrivals both land in and close
+              // windows — the sketch's own filtered set — so a window
+              // emits its (bucket, n) rows on the first positive
+              // arrival with ts >= wstart + windowMs, and windows
+              // still open at end-of-replay stay unsaid (closed-only;
+              // ddsketchWindowedSql closedOnly = true is the matching
+              // oracle). State is bounded: open windows (≈1 under the
+              // time-ordered replay) × occupied buckets (≤ log_γ of
+              // the window's value span).
+              if (sketchOn && v > 0.0) {
+                val closedW = skmap.keys.filter(_ + sketchWindowMs <= ts).toSeq.sorted
+                closedW.foreach { w =>
+                  skmap(w).toSeq.sortBy(_._1).foreach { case (b, cnt) =>
+                    outRows += (("d", series, w, cnt.toDouble, 0.0, b, None))
+                  }
+                  skmap = skmap - w
+                }
+                val w = TSModel.bucketStartLong(ts, sketchWindowMs)
+                val bucket = math.floor(round9(math.log(v) / lnGamma)).toLong
+                val bm = skmap.getOrElse(w, Map.empty[Long, Long])
+                skmap = skmap.updated(w,
+                  bm.updated(bucket, bm.getOrElse(bucket, 0L) + 1L))
               }
               // Hampel monitor — the (2·span+1)-deep replay-order ring
               // IS the centered batch window of the row span positions
@@ -306,7 +354,7 @@ object StreamMonitors {
                 (cn1, cMean1, cM2 + cDelta * (v - cMean1)))
             }
           }
-          state.update((n, mean, m2, cs, ring, lastTs, cohorts, pending, hring))
+          state.update((n, mean, m2, cs, ring, lastTs, cohorts, pending, hring, skmap))
           outRows.iterator
       }
       .toDF("op", "series", "ts", "value", "score", "l1", "d1")
@@ -373,10 +421,20 @@ object StreamMonitors {
       .select(col("series"), col("ts"), col("value"),
         col("score").as("med"), col("d1").as("h_score"))
 
+  /** The DDSketch monitor's slice — [[Histogram.ddsketchWindowed]]'s
+    * exact schema, restricted to windows the replay CLOSED (`wstart +
+    * windowMs ≤ max(ts)` per series over the sketch's positive rows;
+    * [[Histogram.ddsketchWindowedSql]] `closedOnly = true` is the
+    * matching oracle). */
+  def ddsketchSlice(shared: DataFrame): DataFrame =
+    shared.filter(col("op") === "d")
+      .select(col("series"), col("ts").as("wstart"),
+        col("l1").as("bucket"), col("value").cast("long").as("n"))
+
   /** DuckDB twin of the full tagged union (each monitor's existing
-    * oracle, tagged and projected onto the shared schema; the burn and
-    * hampel arms appear when `burnLongMs > 0` / `hampelSpan > 0`,
-    * closed rows only). */
+    * oracle, tagged and projected onto the shared schema; the burn,
+    * hampel and sketch arms appear when `burnLongMs > 0` /
+    * `hampelSpan > 0` / `sketchWindowMs > 0`, closed rows only). */
   def monitorsSql(
       zThreshold: Double, cusumThreshold: Double,
       q: Double, span: Int, gapThresholdMs: Long,
@@ -384,7 +442,8 @@ object StreamMonitors {
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
       burnShortMs: Long = 0L, burnLongMs: Long = 0L, burnHopMs: Long = 0L,
       burnBudgetPerSec: Double = 1.0, burnThreshold: Double = 1.0,
-      hampelSpan: Int = 0, hampelK: Double = 1.0): String = {
+      hampelSpan: Int = 0, hampelK: Double = 1.0,
+      sketchGamma: Double = 0.0, sketchWindowMs: Long = 0L): String = {
     val burnArm =
       if (burnLongMs <= 0) ""
       else s"""
@@ -400,6 +459,13 @@ object StreamMonitors {
        |SELECT 'h', series, ts, value, med, CAST(0 AS BIGINT), h_score
        |FROM (${Rolling.hampelSql(hampelSpan, hampelK, fromMs, toMs,
           closedOnly = true)})""".stripMargin
+    val sketchArm =
+      if (sketchWindowMs <= 0) ""
+      else s"""
+       |UNION ALL
+       |SELECT 'd', series, wstart, CAST(n AS DOUBLE), 0.0, bucket, CAST(NULL AS DOUBLE)
+       |FROM (${Histogram.ddsketchWindowedSql(sketchGamma, sketchWindowMs,
+          fromMs, toMs, closedOnly = true)})""".stripMargin
     s"""SELECT 'z' AS op, series, ts, value, z_value AS score, CAST(0 AS BIGINT) AS l1, CAST(NULL AS DOUBLE) AS d1
        |FROM (${StreamAnomaly.zscoreStreamSql(zThreshold, fromMs, toMs)})
        |UNION ALL
@@ -413,6 +479,6 @@ object StreamMonitors {
        |FROM (${Sessions.gapsSql(gapThresholdMs, fromMs, toMs)})
        |UNION ALL
        |SELECT 's', series, ts, value, s_value, season, CAST(NULL AS DOUBLE)
-       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})$burnArm$hampelArm""".stripMargin
+       |FROM (${StreamAnomaly.seasonalStreamSql(seasonalThreshold, seasonalMode, fromMs, toMs)})$burnArm$hampelArm$sketchArm""".stripMargin
   }
 }

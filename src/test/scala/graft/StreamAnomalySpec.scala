@@ -143,6 +143,44 @@ class StreamAnomalySpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("shared pass ddsketch slice == batch windowed sketch on closed windows") {
+    // window=10: values spanning decades exercise distinct log buckets
+    // (gamma=2 -> bucket = floor(round9(log2 v))); a NaN and a
+    // non-positive value must land in NO bucket; the final window
+    // (wstart=20) never closes and must stay unsaid in-stream.
+    val rows = Seq(
+      ("x", 0L, 1.5), ("x", 2L, 3.0), ("x", 4L, 3.5), ("x", 6L, 40.0),
+      ("x", 8L, Double.NaN), ("x", 9L, -2.0),
+      ("x", 11L, 1.5), ("x", 13L, 100.0), ("x", 17L, 0.7),
+      ("x", 21L, 9.0), ("x", 25L, 9.5),
+      ("y", 1L, 2.0), ("y", 5L, 2.2), ("y", 12L, 2.1), ("y", 22L, 5.0))
+      .toDF("series", "ts", "value")
+    val gamma = 2.0; val winMs = 10L
+    val batch = graft.ts.Histogram.ddsketchWindowed(rows, gamma, winMs)
+    // closed windows: wstart + winMs <= max(ts) per series over the
+    // sketch's positive rows (x: 25, y: 22)
+    val mx = rows.filter(!isnan(col("value")) && col("value") > 0.0)
+      .groupBy(col("series")).agg(max(col("ts")).as("mx"))
+    val closed = batch.join(mx, Seq("series"))
+      .filter(col("wstart") + winMs <= col("mx"))
+      .drop("mx")
+    val shared = graft.ts.StreamMonitors.monitorsOnce(spark, rows,
+      zThreshold = 99.0, cusumThreshold = 99.0, q = 0.5, span = 3,
+      gapThresholdMs = 1000L, seasonalThreshold = 99.0, seasonalMode = "dow",
+      nChunks = 3, cacheKey = None, sketchGamma = gamma, sketchWindowMs = winMs)
+    val slice = graft.ts.StreamMonitors.ddsketchSlice(shared)
+    assert(slice.collect().map(_.toSeq).toSet ==
+      closed.collect().map(_.toSeq).toSet,
+      "ddsketch slice must equal the batch operator on closed windows")
+    // the trailing open windows exist in batch but never emit in-stream
+    assert(batch.count() > closed.count() && slice.count() == closed.count())
+    // value decades landed in distinct buckets (log2 1.5 -> 0,
+    // log2 3.0 -> 1, log2 40 -> 5, log2 100 -> 6, log2 0.7 -> -1)
+    val b0 = slice.filter(col("series") === "x" && col("wstart") === 0L)
+      .select("bucket", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b0 == Set((0L, 1L), (1L, 2L), (5L, 1L)), s"window-0 buckets: $b0")
+  }
+
   test("streaming zscore == the cumulative-window closed form on the fixture") {
     val T0 = 1704067200000L; val T31 = 1706745599999L
     val samples = graft.ts.TSModel.samples(spark, sf)
