@@ -538,6 +538,27 @@ object ScaleProbe {
       graft.ts.Histogram.ddsketchQuantile(TSModel.samples(spark, work),
         gamma = 1.02, q = 0.95, Some(T0), Some(T31)).count()
     }
+    // Persisted-sketch incremental merge (round 16): bootstrap the
+    //    versioned (series, bucket, n) state over the N× samples
+    //    (one-time, reported separately — it is the one corpus pass),
+    //    then merge a FIXED-size batch: the fold touches only the
+    //    batch scan plus the model-sized state (series × log_γ
+    //    buckets), so merge wall must stay ~flat as the corpus grows.
+    val sketchDir = java.nio.file.Files
+      .createTempDirectory("probe_sketch_").toString
+    val sketchBatch = TSModel.samples(spark, base)
+      .filter(col("ts") >= T0 && col("ts") < T0 + 2 * DAY)
+      .localCheckpoint()
+    val (_, tSketchBoot) = timed {
+      graft.ts.SketchStore.writeSketchVersioned(spark,
+        TSModel.samples(spark, work), sketchDir, gamma = 1.02)
+    }
+    val (_, tSketchMerge) = timed {
+      graft.ts.SketchStore.mergeSketch(spark, sketchBatch, sketchDir,
+        gamma = 1.02)
+    }
+    val nSketchState =
+      graft.ts.SketchStore.readSketch(spark, sketchDir).count()
     // Per-source divergence over the N× corpus: one tokenize pass
     //    feeding the top-N head + vocab-restricted counts; the
     //    probability grid stays sources×topN — tokenize-bound, ~linear.
@@ -557,11 +578,12 @@ object ScaleProbe {
       graft.ts.Rolling.hampel(TSModel.samples(spark, work), span = 3,
         k = 3.0, fromMs = Some(T0), toMs = Some(T31)).count()
     }
-    // Shared 7-monitor streaming pass over N× series (round 15:
-    //    z+cusum+rolling+gaps+seasonal+burn+hampel in ONE
+    // Shared 8-monitor streaming pass over N× series (round 16:
+    //    z+cusum+rolling+gaps+seasonal+burn+hampel+ddsketch in ONE
     //    flatMapGroupsWithState): per-series state is constant
-    //    (Welford + rings + cohort map + pending-window map), so the
-    //    wall tracks the staged replay scan, not the monitor count.
+    //    (Welford + rings + cohort map + pending-window map + the open
+    //    window's sketch buckets), so the wall tracks the staged
+    //    replay scan, not the monitor count.
     val (nSmon, tSmon) = timed {
       graft.ts.StreamMonitors.monitorsOnce(spark, TSModel.samples(spark, work),
         zThreshold = 2.5, cusumThreshold = 3.0, q = 0.5, span = 10,
@@ -569,7 +591,8 @@ object ScaleProbe {
         fromMs = Some(T0), toMs = Some(T31), nChunks = 2, cacheKey = None,
         burnShortMs = 2 * DAY, burnLongMs = 7 * DAY, burnHopMs = DAY,
         burnBudgetPerSec = 4.0e-4, burnThreshold = 1.5,
-        hampelSpan = 3, hampelK = 3.0).count()
+        hampelSpan = 3, hampelK = 3.0,
+        sketchGamma = 1.05, sketchWindowMs = 7 * DAY).count()
     }
     // Divergence MOMENTS grid over the N× corpus (round 15 hash-stable
     //    carrier): same tokenize-bound pass as the scores view, output
@@ -712,6 +735,8 @@ object ScaleProbe {
       s""""theilsen_sec":${s2(tTheil)},"theilsen_rows":$nTheil,""" +
       s""""hist_quantile_sec":${s2(tHq)},"hist_quantile_rows":$nHq,""" +
       s""""ddsketch_quantile_sec":${s2(tDdq)},"ddsketch_quantile_rows":$nDdq,""" +
+      s""""sketch_bootstrap_sec":${s2(tSketchBoot)},"sketch_merge_sec":${s2(tSketchMerge)},""" +
+      s""""sketch_state_rows":$nSketchState,""" +
       s""""source_divergence_sec":${s2(tSdiv)},"source_divergence_rows":$nSdiv,""" +
       s""""mp_len4_joinpairs_sec":${s2(tJp4)},"mp_len4_joinpairs_rows":$nJp4,""" +
       s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +

@@ -2164,6 +2164,25 @@ object SparkEntry {
       "ts_ddsketch_windowed" -> ((s, dir) =>
         Histogram.ddsketchWindowed(monthSamples(s, dir), gamma = 1.05,
           windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // PERSISTED sketch state: bootstrap + two versioned merges over a
+      // ts-partition of the month, then read the live generation — the
+      // mergeability contract (== the one-shot sketch over the union,
+      // exact integer equality) hashed by the driver; each merge scans
+      // only its batch plus the model-sized prior state
+      "ts_ddsketch_incremental" -> ((s, dir) => {
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_sketch_store_q_").toString
+        val cut1 = T0 + 10 * DAY; val cut2 = T0 + 20 * DAY
+        val samples = monthSamples(s, dir)
+        graft.ts.SketchStore.writeSketchVersioned(
+          s, samples.filter(col("ts") < cut1), stateDir, gamma = 1.02)
+        graft.ts.SketchStore.mergeSketch(
+          s, samples.filter(col("ts") >= cut1 && col("ts") < cut2),
+          stateDir, gamma = 1.02)
+        graft.ts.SketchStore.mergeSketch(
+          s, samples.filter(col("ts") >= cut2), stateDir, gamma = 1.02)
+        graft.ts.SketchStore.readSketch(s, stateDir)
+      }),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
       "ts_downsample_lttb" -> ((s, dir) =>
@@ -3374,6 +3393,9 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_ddsketch_windowed" -> Histogram.ddsketchWindowedSql(gamma = 1.05,
         windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      // the mergeability oracle: any batching == the one-shot sketch
+      "ts_ddsketch_incremental" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
+        fromMs = Some(T0), toMs = Some(T31)),
       "ts_ddsketch_quantile" -> Histogram.ddsketchQuantileSql(gamma = 1.02,
         q = 0.95, fromMs = Some(T0), toMs = Some(T31)),
       "ts_downsample_lttb" -> Lttb.downsampleSql(bucketMs = DAY,

@@ -177,13 +177,24 @@ object Histogram {
    */
   def ddsketchQuantile(
       samples: DataFrame, gamma: Double, q: Double,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame =
+    ddsketchQuantileFromBuckets(
+      ddsketchHistogram(samples, gamma, fromMs, toMs), gamma, q)
+
+  /** The quantile walk of [[ddsketchQuantile]] over an ALREADY-BUILT
+    * `(series, bucket, n)` sketch frame — the read path shared by the
+    * one-shot operator and [[SketchStore]]'s persisted state (the
+    * whole point of a mergeable sketch: quantiles come off the
+    * maintained buckets, not the raw samples). */
+  def ddsketchQuantileFromBuckets(
+      sketch: DataFrame, gamma: Double, q: Double): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
     require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
     val w = org.apache.spark.sql.expressions.Window
     val wCum = w.partitionBy(col("series")).orderBy(col("bucket"))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
     val wAll = w.partitionBy(col("series"))
-    ddsketchHistogram(samples, gamma, fromMs, toMs)
+    sketch
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("n_total", sum(col("n")).over(wAll))
       .filter(col("cum") >= lit(q) * col("n_total"))

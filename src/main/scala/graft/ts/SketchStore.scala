@@ -1,0 +1,92 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted, incrementally-maintained DDSketch state — the production
+ * use of a MERGEABLE quantile sketch (Masson/Rim/Lee VLDB'19 §2.3:
+ * sketches over disjoint data merge by adding bucket counts). The
+ * one-shot [[Histogram.ddsketchHistogram]] answers "quantile of what I
+ * just scanned"; this store answers "quantile of everything ingested
+ * so far" without ever rescanning history: state is one parquet table
+ * `(series, bucket, n)` — O(series × occupied buckets) rows, bounded
+ * by log_γ(vmax/vmin) per series, INDEPENDENT of sample count — and
+ * each new batch folds in with one bucket-keyed sum.
+ *
+ * Durability layout is [[graft.pipeline.IncrementalAdmit]]'s
+ * versioned-manifest pattern verbatim (`stateDir/v=N/sketch` + an
+ * atomically-flipped MANIFEST pointer, one-generation retention,
+ * orphan janitor): a reader racing a merge always sees a complete
+ * sketch generation, and a crash mid-merge leaves the pointer — and
+ * every reader — on the old version with only a dead `v=N+1` to sweep.
+ *
+ * Correctness contract (the mergeability statement, driver-hashed by
+ * the ts_ddsketch_incremental carrier and spec-pinned bit-exact):
+ * bootstrap + any sequence of merges over a partition of the samples
+ * equals the one-shot sketch over their union — counts are integers,
+ * so this is exact equality, not approximation.
+ *
+ * 100-TB shape: each merge scans ONLY the new batch (one map-side-
+ * combined hash agg) plus the model-sized prior state; the union-fold
+ * shuffles series × buckets rows, never samples. Quantile reads walk
+ * the state table alone ([[Histogram.ddsketchQuantileFromBuckets]]).
+ */
+object SketchStore {
+
+  private def liveRoot(spark: SparkSession, stateDir: String): String = {
+    val v = graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir)
+      .getOrElse(throw new IllegalStateException(
+        s"$stateDir has no MANIFEST — bootstrap with writeSketchVersioned"))
+    s"$stateDir/v=$v/sketch"
+  }
+
+  /** Bootstrap the versioned sketch state from an initial batch:
+    * tables under `v=1/`, then the manifest flip that makes them
+    * live. */
+  def writeSketchVersioned(
+      spark: SparkSession, samples: DataFrame, stateDir: String,
+      gamma: Double): Unit = {
+    Histogram.ddsketchHistogram(samples, gamma)
+      .write.mode("overwrite").parquet(s"$stateDir/v=1/sketch")
+    graft.pipeline.IncrementalAdmit.commitManifest(spark, stateDir, 1L)
+  }
+
+  /** Fold a new batch into the live sketch: sketch the batch, add
+    * bucket counts into the prior state, write the next generation
+    * COMPLETELY, flip the manifest, sweep orphans. Returns the new
+    * live version. */
+  def mergeSketch(
+      spark: SparkSession, newSamples: DataFrame, stateDir: String,
+      gamma: Double): Long = {
+    val v = graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir)
+      .getOrElse(throw new IllegalStateException(
+        s"$stateDir has no MANIFEST — bootstrap with writeSketchVersioned"))
+    // a crashed predecessor's half-written v+1 must not mix with ours
+    graft.pipeline.IncrementalAdmit.sweepOrphanVersions(spark, stateDir, v)
+    val prior = spark.read.parquet(s"$stateDir/v=$v/sketch")
+    val merged = prior
+      .unionByName(Histogram.ddsketchHistogram(newSamples, gamma))
+      .groupBy(col("series"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=${v + 1}/sketch")
+    graft.pipeline.IncrementalAdmit.commitManifest(spark, stateDir, v + 1)
+    // drops v-1 (past the one-generation reader grace)
+    graft.pipeline.IncrementalAdmit.sweepOrphanVersions(spark, stateDir, v + 1)
+    v + 1
+  }
+
+  /** The LIVE `(series, bucket, n)` sketch table (manifest-resolved
+    * once per read — a reader racing a merge sees the old complete
+    * generation until the flip). */
+  def readSketch(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(liveRoot(spark, stateDir))
+
+  /** Quantile read off the PERSISTED sketch — the maintained-state
+    * answer to TS-style "p-quantile so far", same output contract as
+    * the one-shot [[Histogram.ddsketchQuantile]]. */
+  def quantile(
+      spark: SparkSession, stateDir: String, gamma: Double,
+      q: Double): DataFrame =
+    Histogram.ddsketchQuantileFromBuckets(readSketch(spark, stateDir), gamma, q)
+}
