@@ -709,10 +709,11 @@ object Text {
   /** DuckDB oracle twin of [[sourceDivergence]] (ln = natural log in
     * both engines; the identical smoothing constants are injected as
     * the same double literal on both sides). */
-  def sourceDivergenceSql(topN: Int = 500, alpha: Double = 0.5): String = {
+  def sourceDivergenceSql(topN: Int = 500, alpha: Double = 0.5,
+      docsRel: String = "documents"): String = {
     val denomAdd = alpha * topN
     s"""WITH mom AS (
-       |${sourceDivergenceMomentsSql(topN).replace("\n", "\n  ")}
+       |${sourceDivergenceMomentsSql(topN, docsRel).replace("\n", "\n  ")}
        |), scored AS (
        |  SELECT source, n_s, p, q, (p + q) / 2 AS m FROM (
        |    SELECT source, n_s,
@@ -729,18 +730,19 @@ object Text {
 
   /** DuckDB oracle twin of [[sourceDivergenceMoments]] — the
     * driver-hashed integer-moments carrier. */
-  def sourceDivergenceMomentsSql(topN: Int = 500): String = {
+  def sourceDivergenceMomentsSql(topN: Int = 500,
+      docsRel: String = "documents"): String = {
     require(topN >= 1, s"topN $topN must be >= 1")
     s"""WITH words AS (
        |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-       |  FROM documents
+       |  FROM $docsRel
        |), vocab AS (
        |  SELECT word, count(*) AS n_w FROM words
        |  GROUP BY word ORDER BY n_w DESC, word ASC LIMIT $topN
        |), tot AS (
        |  SELECT CAST(sum(n_w) AS BIGINT) AS n_tot FROM vocab
        |), srcs AS (
-       |  SELECT DISTINCT source FROM documents
+       |  SELECT DISTINCT source FROM $docsRel
        |), cs AS (
        |  SELECT source, word, count(*) AS n_sw FROM words
        |  WHERE word IN (SELECT word FROM vocab) GROUP BY 1, 2

@@ -544,4 +544,81 @@ class RandomizedWindowsSpec extends AnyFunSuite {
     }
     assert(checked > 400, s"only $checked rows compared — generator too weak")
   }
+
+  test("randomized source-divergence scores match DuckDB with tolerance (>=12 combos)") {
+    // The driver-hashed carrier for this operator is the integer
+    // moments grid (log-sums can't be bit-stable across engines); this
+    // differential keeps the DERIVED kl/js scores users actually read
+    // under an executable cross-check — tolerance-based, like the
+    // sketch margins — over random (corpus, topN, alpha) combos.
+    val py = java.nio.file.Paths.get("tools/run_oracle_batch.py")
+    assume(java.nio.file.Files.exists(py), "tools/run_oracle_batch.py missing")
+    val rnd = new Random(20260816L)
+
+    case class DivCombo(name: String, docs: Seq[(String, String)],
+        topN: Int, alpha: Double) {
+      def docsRel: String =
+        "(VALUES " + docs.map { case (s, t) => s"('$s', '$t')" }
+          .mkString(", ") + ") AS documents(source, text)"
+      def sql: String =
+        graft.pipeline.Text.sourceDivergenceSql(topN, alpha, docsRel)
+    }
+    val combos = (0 until 14).map { iter =>
+      val nSources = 2 + rnd.nextInt(3)
+      val nDocs = 5 + rnd.nextInt(20)
+      // zipf-ish draw: low word ids dominate, so the top-N cut and its
+      // (count desc, word asc) tie-break are both exercised
+      val docs = (0 until nDocs).map { _ =>
+        val src = s"src${rnd.nextInt(nSources)}"
+        val len = 3 + rnd.nextInt(18)
+        val text = (0 until len)
+          .map(_ => s"w${rnd.nextInt(rnd.nextInt(14) + 1)}").mkString(" ")
+        (src, text)
+      }
+      DivCombo(f"div_$iter%03d", docs,
+        topN = 3 + rnd.nextInt(10),
+        alpha = Seq(0.1, 0.5, 1.0, 2.0)(rnd.nextInt(4)))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("rand_div_oracle")
+    val sqlJson = combos.map(c => s"${jq(c.name)}: ${jq(c.sql)}").mkString("{", ",", "}")
+    val in = dir.resolve("sqls.json"); val out = dir.resolve("rows.tsv")
+    java.nio.file.Files.writeString(in, sqlJson)
+    import scala.sys.process._
+    val log = new StringBuilder
+    val rc = Seq("python3", py.toAbsolutePath.toString, in.toString, out.toString)
+      .!(ProcessLogger(l => log.append(l).append('\n')))
+    assert(rc == 0, s"oracle batch runner failed (rc=$rc):\n$log")
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(out)).asScala.toSeq
+    val errs = lines.filter(_.split("\t", -1).lift(1).contains("__ERROR__"))
+    assert(errs.isEmpty, s"DuckDB rejected generated SQL:\n${errs.mkString("\n")}")
+    val expected: Map[String, Seq[Seq[String]]] = lines
+      .filterNot(_.split("\t", -1).lift(1).contains("__DONE__"))
+      .map(_.split("\t", -1).toSeq).groupBy(_.head)
+      .view.mapValues(_.map(_.drop(1)).sortBy(_.head).toSeq).toMap
+
+    var checked = 0
+    combos.foreach { c =>
+      val df = c.docs.toDF("source", "text")
+      val got = graft.pipeline.Text.sourceDivergence(df, c.topN, c.alpha)
+        .collect().map(r => Seq(r.getString(0), r.getLong(1).toString,
+          r.getDouble(2).toString, r.getDouble(3).toString))
+        .sortBy(_.head).toSeq
+      val exp = expected.getOrElse(c.name, Nil)
+      def ctx = s"${c.name} topN=${c.topN} alpha=${c.alpha}\n" +
+        s"got=$got\nexp=$exp\nsql=\n${c.sql}"
+      assert(got.size == exp.size, s"row count ${got.size} vs ${exp.size}: $ctx")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.head == e.head, s"source differs: $g vs $e\n$ctx")
+        assert(g(1) == e(1), s"n_tokens differs (exact long): $g vs $e\n$ctx")
+        Seq(2, 3).foreach { i =>
+          assert(closeEnough(Some(g(i).toDouble), Some(e(i).toDouble)),
+            s"col $i: ${g(i)} vs ${e(i)}\n$ctx")
+        }
+      }
+      checked += got.size
+    }
+    assert(checked >= 12 * 2, s"only $checked rows compared — generator too weak")
+  }
 }
