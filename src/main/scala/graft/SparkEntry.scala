@@ -2169,6 +2169,13 @@ object SparkEntry {
       // mergeability contract (== the one-shot sketch over the union,
       // exact integer equality) hashed by the driver; each merge scans
       // only its batch plus the model-sized prior state
+      // STREAMING sketch maintenance: the ingest stream's micro-batches
+      // fold into the versioned state as they arrive (foreachBatch ->
+      // mergeSketch); final live generation == the one-shot sketch
+      "ts_ddsketch_stream_state" -> ((s, dir) =>
+        graft.ts.SketchStore.streamingSketchOnce(s, monthSamples(s, dir),
+          java.nio.file.Files.createTempDirectory("graft_sketch_ss_q_").toString,
+          gamma = 1.02, fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
       "ts_ddsketch_incremental" -> ((s, dir) => {
         val stateDir = java.nio.file.Files
           .createTempDirectory("graft_sketch_store_q_").toString
@@ -3395,6 +3402,8 @@ object SparkEntry {
         windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       // the mergeability oracle: any batching == the one-shot sketch
       "ts_ddsketch_incremental" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
+        fromMs = Some(T0), toMs = Some(T31)),
+      "ts_ddsketch_stream_state" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_ddsketch_quantile" -> Histogram.ddsketchQuantileSql(gamma = 1.02,
         q = 0.95, fromMs = Some(T0), toMs = Some(T31)),

@@ -89,4 +89,55 @@ object SketchStore {
       spark: SparkSession, stateDir: String, gamma: Double,
       q: Double): DataFrame =
     Histogram.ddsketchQuantileFromBuckets(readSketch(spark, stateDir), gamma, q)
+
+  /**
+   * STREAMING sketch maintenance — the production deployment shape:
+   * the ingest stream's micro-batches fold into the versioned sketch
+   * state as they arrive (`foreachBatch` → [[mergeSketch]]), so
+   * "p-quantile of everything so far" is always one model-sized read
+   * away and a quantile reader racing the stream sees a complete
+   * generation (the manifest flip). Replays `samples` as `nChunks`
+   * time-ordered micro-batches (the TS family's staging discipline)
+   * and returns the final live sketch — which, by the merge contract,
+   * equals the one-shot sketch over everything replayed: batching by
+   * micro-batch is just another partition of the data.
+   */
+  def streamingSketchOnce(
+      spark: SparkSession, samples: DataFrame, stateDir: String,
+      gamma: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      nChunks: Int = 4): DataFrame = {
+    var s = samples.select(col("series"), col("ts"), col("value"))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val srcStage = java.nio.file.Files
+      .createTempDirectory("graft_sketch_src_").resolve("stage").toString
+    s.repartitionByRange(nChunks, col("ts"))
+      .write.mode("overwrite").parquet(srcStage)
+    locally {
+      val files = new java.io.File(srcStage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    }
+    val qy = spark.readStream
+      .schema(Compaction.sampleSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcStage)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // first batch bootstraps; later ones fold in — identical state
+        // evolution to a driver-side bootstrap + merge chain
+        if (graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir).isEmpty)
+          writeSketchVersioned(spark, batch.toDF(), stateDir, gamma)
+        else
+          mergeSketch(spark, batch.toDF(), stateDir, gamma)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination()
+    readSketch(spark, stateDir)
+  }
 }

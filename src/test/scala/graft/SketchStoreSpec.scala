@@ -79,6 +79,18 @@ class SketchStoreSpec extends AnyFunSuite {
       canon(Histogram.ddsketchHistogram(samples, gamma)))
   }
 
+  test("streaming maintenance: per-micro-batch merges == one-shot sketch") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream_").toString
+    val out = SketchStore.streamingSketchOnce(
+      spark, samples, stateDir, gamma, nChunks = 4)
+    assert(canon(out) == canon(Histogram.ddsketchHistogram(samples, gamma)),
+      "stream-maintained state must equal the one-shot sketch")
+    // 4 micro-batches: bootstrap = v1, three merges advance to v4
+    assert(graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir)
+      == Some(4L))
+  }
+
   test("one-generation retention: v-1 survives the flip, v-2 does not") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_sketch_gen_").toString
