@@ -542,8 +542,11 @@ object ScaleProbe {
     //    versioned (series, bucket, n) state over the N× samples
     //    (one-time, reported separately — it is the one corpus pass),
     //    then merge a FIXED-size batch: the fold touches only the
-    //    batch scan plus the model-sized state (series × log_γ
-    //    buckets), so merge wall must stay ~flat as the corpus grows.
+    //    batch scan plus the prior state (series × log_γ buckets —
+    //    model-sized when histories are deep; at THIS fixture's ~13
+    //    samples/series the state is nearly series-sized, so the
+    //    honest contract here is merge ≪ bootstrap with the gap
+    //    widening as N grows, state_rows/n_samples falling).
     val sketchDir = java.nio.file.Files
       .createTempDirectory("probe_sketch_").toString
     val sketchBatch = TSModel.samples(spark, base)
@@ -559,6 +562,26 @@ object ScaleProbe {
     }
     val nSketchState =
       graft.ts.SketchStore.readSketch(spark, sketchDir).count()
+    // DEEP-HISTORY sketch maintenance: the TIME-SHIFTED twa replicas
+    //    (same ~series set, N× history) show the distinction the
+    //    shifted-user replicas can't — state is bounded by series ×
+    //    occupied log-buckets REGARDLESS of history depth, so as
+    //    samples grow N× over a fixed series set, state_rows stays
+    //    ~flat, bootstrap grows with the corpus (its one scan), and
+    //    the fixed-batch merge stays ~FLAT (batch scan + flat state).
+    val deepDir = java.nio.file.Files
+      .createTempDirectory("probe_sketch_deep_").toString
+    val deepSamples = TSModel.samples(spark, twaSrc)
+    val (_, tSketchDeepBoot) = timed {
+      graft.ts.SketchStore.writeSketchVersioned(spark, deepSamples,
+        deepDir, gamma = 1.02)
+    }
+    val (_, tSketchDeepMerge) = timed {
+      graft.ts.SketchStore.mergeSketch(spark, sketchBatch, deepDir,
+        gamma = 1.02)
+    }
+    val nSketchDeepState =
+      graft.ts.SketchStore.readSketch(spark, deepDir).count()
     // Per-source divergence over the N× corpus: one tokenize pass
     //    feeding the top-N head + vocab-restricted counts; the
     //    probability grid stays sources×topN — tokenize-bound, ~linear.
@@ -737,6 +760,8 @@ object ScaleProbe {
       s""""ddsketch_quantile_sec":${s2(tDdq)},"ddsketch_quantile_rows":$nDdq,""" +
       s""""sketch_bootstrap_sec":${s2(tSketchBoot)},"sketch_merge_sec":${s2(tSketchMerge)},""" +
       s""""sketch_state_rows":$nSketchState,""" +
+      s""""sketch_deep_bootstrap_sec":${s2(tSketchDeepBoot)},"sketch_deep_merge_sec":${s2(tSketchDeepMerge)},""" +
+      s""""sketch_deep_state_rows":$nSketchDeepState,""" +
       s""""source_divergence_sec":${s2(tSdiv)},"source_divergence_rows":$nSdiv,""" +
       s""""mp_len4_joinpairs_sec":${s2(tJp4)},"mp_len4_joinpairs_rows":$nJp4,""" +
       s""""mp_len4_joinstomp_sec":${s2(tJp4S)},"mp_len4_joinstomp_rows":$nJp4S,""" +
