@@ -1757,6 +1757,12 @@ object SparkEntry {
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_ddsketch_quantile($T0, $T31, 1.05, 0.5)")
       }),
+      "ts_sql_tvf_ddsketch_windowed" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ddsketch_windowed($T0, $T31, 1.1, ${7 * DAY})")
+      }),
       "ts_sql_tvf_ewma" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -3451,6 +3457,8 @@ object SparkEntry {
       "ts_sql_tvf_histogram_quantile" -> Histogram.histogramQuantileSql(
         lo = 0.0, hi = 150.0, nbins = 15, q = 0.5,
         fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_ddsketch_windowed" -> Histogram.ddsketchWindowedSql(
+        gamma = 1.1, windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_ddsketch" -> Histogram.ddsketchQuantileSql(gamma = 1.05,
         q = 0.5, fromMs = Some(T0), toMs = Some(T31)),
       "ts_sql_tvf_ewma" -> Smoothing.ewmaSql(alpha = 0.25, span = 12,

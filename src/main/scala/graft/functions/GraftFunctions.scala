@@ -555,6 +555,20 @@ object GraftFunctions {
         Some(literalLong("ts_ddsketch_quantile", args(0), "from")),
         Some(literalLong("ts_ddsketch_quantile", args(1), "to"))))
     }),
+    // ts_ddsketch_windowed(from, to, gamma, window_ms) — one DDSketch
+    // per (series, tumbling window): the materialized per-interval
+    // quantile-sketch table
+    (FunctionIdentifier("ts_ddsketch_windowed"),
+        info("ts_ddsketch_windowed"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_windowed", Seq(4), args)
+      val spark = activeSession("ts_ddsketch_windowed")
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchWindowed(
+        spark.table(SamplesView),
+        literalDouble("ts_ddsketch_windowed", args(2), "gamma"),
+        literalLong("ts_ddsketch_windowed", args(3), "window_ms"),
+        Some(literalLong("ts_ddsketch_windowed", args(0), "from")),
+        Some(literalLong("ts_ddsketch_windowed", args(1), "to"))))
+    }),
     // ts_lttb(from, to, bucket_ms[, align_ms]) — parallel LTTB pick
     (FunctionIdentifier("ts_lttb"), info("ts_lttb"), { args: Seq[Expression] =>
       nargs("ts_lttb", Seq(3, 4), args)

@@ -385,4 +385,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(on >= off + 2,
       s"instrumented run must pay the count() jobs on top: off=$off on=$on")
   }
+
+  test("ddsketch windowed: single map-side-combined shuffle, bounds pushed to parquet") {
+    val df = SparkEntry.queries("ts_ddsketch_windowed")(spark, dir)
+    val sh = shuffles(df)
+    assert(sh.size == 1, s"expected exactly 1 shuffle, got ${sh.size}")
+    // the shuffle must carry (series, wstart, bucket) partial counts,
+    // not sample rows: a partial HashAggregate sits below the exchange
+    val partialBelow = sh.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(partialBelow.nonEmpty, "no partial aggregate below the exchange")
+    val pushed = physical(df).collect { case f: FileSourceScanExec => f }
+      .map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,") &&
+      pushed.contains("LessThanOrEqual(ts,"), pushed)
+  }
+
+  test("sketch-store merge plan: state fold is one bucket-keyed agg, no sample rescans") {
+    // the merge must read ONLY the prior state parquet + the new batch
+    // (the whole point: history is never rescanned) and fold with one
+    // aggregation — assert on the pre-write plan of the merged frame
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_sketch_").toString
+    val samples = graft.ts.TSModel.samples(spark, dir)
+    graft.ts.SketchStore.writeSketchVersioned(spark, samples, stateDir, 1.05)
+    val prior = spark.read.parquet(s"$stateDir/v=1/sketch")
+    val merged = prior
+      .unionByName(graft.ts.Histogram.ddsketchHistogram(samples.limit(50), 1.05))
+      .groupBy(org.apache.spark.sql.functions.col("series"),
+        org.apache.spark.sql.functions.col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n")).as("n"))
+    assert(shuffles(merged).size <= 2,
+      "merge fold must be batch-agg + union-agg shuffles only")
+    val aggs = physical(merged).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.exists(a => shuffles(merged).exists(_.collectFirst {
+      case x: org.apache.spark.sql.execution.aggregate.HashAggregateExec => x
+    }.nonEmpty)), "no map-side partial below the merge exchange")
+  }
 }

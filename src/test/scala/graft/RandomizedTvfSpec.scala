@@ -407,4 +407,30 @@ class RandomizedTvfSpec extends AnyFunSuite {
         s"combo $i: $sqlText")
     }
   }
+
+  test("round-16 DDSketch TVFs (quantile / windowed) == Column API across 16 random combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val rnd = new scala.util.Random(160816)
+    for (i <- 1 to 16) {
+      val from = T0 + rnd.nextInt(15) * DAY
+      val to = from + (6 + rnd.nextInt(14)) * DAY
+      val gamma = Seq(1.02, 1.05, 1.2, 2.0)(rnd.nextInt(4))
+      val (sqlText, api) =
+        if (i % 2 == 0) {
+          val q = Seq(0.5, 0.9, 0.95, 1.0)(rnd.nextInt(4))
+          (s"SELECT * FROM ts_ddsketch_quantile($from, $to, $gamma, $q)",
+            graft.ts.Histogram.ddsketchQuantile(samples, gamma, q,
+              fromMs = Some(from), toMs = Some(to)))
+        } else {
+          val win = Seq(DAY, 2 * DAY, 7 * DAY)(rnd.nextInt(3))
+          (s"SELECT * FROM ts_ddsketch_windowed($from, $to, $gamma, $win)",
+            graft.ts.Histogram.ddsketchWindowed(samples, gamma, win,
+              fromMs = Some(from), toMs = Some(to)))
+        }
+      assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
+        s"combo $i: $sqlText")
+    }
+  }
 }
