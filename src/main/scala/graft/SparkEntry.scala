@@ -40,6 +40,14 @@ object SparkEntry {
   private def monthSamples(s: SparkSession, dir: String): DataFrame =
     TSModel.samplesPruned(s, dir, fromMs = Some(T0), toMs = Some(T31))
 
+  /** [[TSModel.samplesCte]] with values CENTERED (− 50.0) so the
+    * signed-sketch carriers drive all three stores on an all-positive
+    * fixture; the Spark twin applies the identical projection. */
+  private val centeredSamplesCte: String =
+    TSModel.samplesCte.replace("WITH samples AS (", "WITH samples_raw AS (") +
+      ", samples AS (SELECT series, ts, value - CAST(50.0 AS DOUBLE)" +
+      " AS value FROM samples_raw)"
+
   /** The shared multi-monitor streaming pass the four series-keyed
     * monitor queries slice (cached per fixture dir — the first slice
     * pays the pass, the others read it; see StreamMonitors). */
@@ -2170,6 +2178,17 @@ object SparkEntry {
       "ts_ddsketch_windowed" -> ((s, dir) =>
         Histogram.ddsketchWindowed(monthSamples(s, dir), gamma = 1.05,
           windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31))),
+      // THREE-STORE DDSketch (the paper's full value-domain contract:
+      // negative/zero/positive stores) over CENTERED values so all
+      // three stores carry mass; one map-side-combined agg
+      "ts_ddsketch_signed" -> ((s, dir) =>
+        Histogram.ddsketchHistogramSigned(
+          monthSamples(s, dir).withColumn("value", col("value") - 50.0),
+          gamma = 1.05, fromMs = Some(T0), toMs = Some(T31))),
+      "ts_ddsketch_signed_quantile" -> ((s, dir) =>
+        Histogram.ddsketchQuantileSigned(
+          monthSamples(s, dir).withColumn("value", col("value") - 50.0),
+          gamma = 1.05, q = 0.5, fromMs = Some(T0), toMs = Some(T31))),
       // PERSISTED sketch state: bootstrap + two versioned merges over a
       // ts-partition of the month, then read the live generation — the
       // mergeability contract (== the one-shot sketch over the union,
@@ -3406,6 +3425,11 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31)),
       "ts_ddsketch_windowed" -> Histogram.ddsketchWindowedSql(gamma = 1.05,
         windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_ddsketch_signed" -> Histogram.ddsketchHistogramSignedSql(gamma = 1.05,
+        fromMs = Some(T0), toMs = Some(T31), cte = centeredSamplesCte),
+      "ts_ddsketch_signed_quantile" -> Histogram.ddsketchQuantileSignedSql(
+        gamma = 1.05, q = 0.5, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
       // the mergeability oracle: any batching == the one-shot sketch
       "ts_ddsketch_incremental" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
         fromMs = Some(T0), toMs = Some(T31)),

@@ -167,6 +167,132 @@ object Histogram {
   }
 
   /**
+   * THREE-STORE DDSketch — the paper's FULL value-domain contract
+   * (VLDB'19 §2.2: a positive store, a symmetric negative store, and
+   * a zero count), where [[ddsketchHistogram]] keeps only the
+   * positive store. Output `(series, store, bucket, n)` with
+   * store ∈ {-1, 0, 1}: store 1 buckets by `floor(round9(ln v/ln γ))`
+   * as before; store −1 buckets by the MAGNITUDE (`ln(−v)`), so a
+   * value in (−γ^(b+1), −γ^b] lands in negative bucket b and the
+   * relative-error guarantee holds on |v|; store 0 is one bucket-0
+   * row counting exact zeros. NaN only is dropped.
+   *
+   * Same bounded shape: ONE map-side-combined hash agg, shuffle
+   * bounded by series × (occupied buckets over both signs + 1), and
+   * mergeable by adding counts — the (store, bucket) key space is
+   * fixed by γ alone.
+   */
+  def ddsketchHistogramSigned(
+      samples: DataFrame, gamma: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    var s = samples.filter(!isnan(col("value")))
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val store = when(col("value") > 0.0, 1L)
+      .when(col("value") < 0.0, -1L).otherwise(0L)
+    val bucket = when(col("value") === 0.0, 0L).otherwise(
+      floor(round(log(abs(col("value"))) / math.log(gamma), 9)).cast("long"))
+    s.groupBy(col("series"), store.as("store"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[ddsketchHistogramSigned]]. */
+  def ddsketchHistogramSignedSql(
+      gamma: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val lnG = math.log(gamma)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series,
+       |  CAST(CASE WHEN value > 0.0 THEN 1 WHEN value < 0.0 THEN -1
+       |       ELSE 0 END AS BIGINT) AS store,
+       |  CASE WHEN value = 0.0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(round(ln(abs(value)) / ($lnG)::DOUBLE, 9)) AS BIGINT)
+       |  END AS bucket,
+       |  count(*) AS n
+       |FROM f GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /**
+   * Quantile from the THREE-STORE sketch: one cumulative walk in
+   * value order — negative buckets by DESCENDING bucket index (larger
+   * magnitude first), then zeros, then positive buckets ascending —
+   * expressed as `ORDER BY store, store·bucket`. Output `(series,
+   * store, bucket, cum, n, n_total, q_lo, q_hi)` where the bracket is
+   * `[γ^b, γ^(b+1))` for store 1, `(−γ^(b+1), −γ^b]` for store −1
+   * (emitted as the closed ends: q_lo = −γ^(b+1) rounds the open
+   * bound, the relative-width statement is on |v|), and `[0, 0]` for
+   * the zero store. Bounds round-9 (libm pow; PLANS.md rule 4);
+   * everything else integers.
+   */
+  def ddsketchQuantileSigned(
+      samples: DataFrame, gamma: Double, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+    val orderCols = Seq(col("store"), (col("store") * col("bucket")).as("ord"))
+    val wCum = w.partitionBy(col("series"))
+      .orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(col("series"))
+    ddsketchHistogramSigned(samples, gamma, fromMs, toMs)
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .filter(col("cum") >= lit(q) * col("n_total"))
+      .withColumn("pick", row_number().over(
+        w.partitionBy(col("series")).orderBy(orderCols.map(_.asc): _*)))
+      .filter(col("pick") === 1)
+      .select(col("series"), col("store"), col("bucket"), col("cum"),
+        col("n"), col("n_total"),
+        when(col("store") === 1L, round(pow(lit(gamma), col("bucket")), 9))
+          .when(col("store") === -1L,
+            -round(pow(lit(gamma), col("bucket") + 1), 9))
+          .otherwise(lit(0.0)).as("q_lo"),
+        when(col("store") === 1L,
+            round(pow(lit(gamma), col("bucket") + 1), 9))
+          .when(col("store") === -1L,
+            -round(pow(lit(gamma), col("bucket")), 9))
+          .otherwise(lit(0.0)).as("q_hi"))
+  }
+
+  /** DuckDB oracle twin of [[ddsketchQuantileSigned]]. */
+  def ddsketchQuantileSignedSql(
+      gamma: Double, q: Double,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
+    s"""WITH h AS (
+       |${ddsketchHistogramSignedSql(gamma, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |), walked AS (
+       |  SELECT series, store, bucket, n,
+       |    CAST(sum(n) OVER (PARTITION BY series
+       |      ORDER BY store, store * bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS n_total
+       |  FROM h
+       |)
+       |SELECT series, store, bucket, cum, n, n_total,
+       |  CASE WHEN store = 1 THEN round(power(($gamma)::DOUBLE, bucket), 9)
+       |       WHEN store = -1 THEN -round(power(($gamma)::DOUBLE, bucket + 1), 9)
+       |       ELSE 0.0::DOUBLE END AS q_lo,
+       |  CASE WHEN store = 1 THEN round(power(($gamma)::DOUBLE, bucket + 1), 9)
+       |       WHEN store = -1 THEN -round(power(($gamma)::DOUBLE, bucket), 9)
+       |       ELSE 0.0::DOUBLE END AS q_hi
+       |FROM walked
+       |WHERE cum >= ($q)::DOUBLE * n_total
+       |QUALIFY row_number() OVER (PARTITION BY series
+       |  ORDER BY store, store * bucket) = 1""".stripMargin
+  }
+
+  /**
    * Quantile from the DDSketch buckets: walk the cumulative counts to
    * the bucket containing rank `q·total`. Output `(series, bucket,
    * cum, n, n_total, q_lo, q_hi)` — the exact integer moments plus the

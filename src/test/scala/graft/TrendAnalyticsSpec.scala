@@ -166,6 +166,52 @@ class TrendAnalyticsSpec extends AnyFunSuite {
     assert(merged == whole, "split sketches must merge to the whole sketch")
   }
 
+  test("ddsketchQuantileSigned: three stores, value-ordered walk, signed brackets") {
+    // a mixed-sign corpus: 100 negatives spanning decades, 7 exact
+    // zeros, 200 positives — ranks land in each store at different q
+    val rnd = new scala.util.Random(7)
+    val negs = (0 until 100).map(_ => -math.exp(rnd.nextDouble() * 6 - 1))
+    val poss = (0 until 200).map(_ => math.exp(rnd.nextDouble() * 6 - 1))
+    val vals = negs ++ Seq.fill(7)(0.0) ++ poss
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val gamma = 1.05
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.33, 0.9)) {
+      val r = Histogram.ddsketchQuantileSigned(df, gamma, q).collect()(0)
+      val store = r.getAs[Long]("store")
+      val lo = r.getAs[Double]("q_lo"); val hi = r.getAs[Double]("q_hi")
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(store == math.signum(exact).toLong, s"q=$q store $store for $exact")
+      assert(lo <= exact * (if (exact < 0) 1 - 1e-9 else 1 + 1e-9) &&
+        exact * (if (exact < 0) 1 + 1e-9 else 1 - 1e-9) <= hi,
+        s"q=$q: exact $exact outside [$lo, $hi]")
+      if (store != 0L)
+        assert(math.abs(hi / lo) < gamma * 1.0001 &&
+          math.abs(hi / lo) > 1 / (gamma * 1.0001),
+          s"relative width on |v| must be gamma: $lo..$hi")
+    }
+    // q at the zero store: 100 negatives then 7 zeros — rank 104 is a zero
+    val qZero = 104.0 / vals.size
+    val rz = Histogram.ddsketchQuantileSigned(df, gamma, qZero).collect()(0)
+    assert(rz.getAs[Long]("store") == 0L &&
+      rz.getAs[Double]("q_lo") == 0.0 && rz.getAs[Double]("q_hi") == 0.0)
+    // the signed histogram keeps every non-NaN sample across the stores
+    val h = Histogram.ddsketchHistogramSigned(df, gamma)
+    assert(h.agg(sum(col("n"))).collect()(0).getLong(0) == vals.size.toLong)
+    assert(h.filter(col("store") === 0L).count() == 1)
+    // negative bucketing is symmetric: sketch of -v mirrors sketch of v
+    val pos = poss.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val neg = poss.zipWithIndex.map { case (v, i) => ("s", i.toLong, -v) }
+      .toDF("series", "ts", "value")
+    val hp = Histogram.ddsketchHistogramSigned(pos, gamma)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    val hn = Histogram.ddsketchHistogramSigned(neg, gamma)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    assert(hp == hn, "negative store must bucket by magnitude, symmetric to positive")
+  }
+
   // ---- per-source divergence ----
 
   test("sourceDivergence: identical sources sit at zero, an alien source spikes") {
