@@ -37,4 +37,34 @@ class BenchRetrySpec extends AnyFunSuite {
     // retry slower than the original (host got busy later): keep first
     assert(Bench.betterMedian(Seq(1.0, 1.1, 1.2), Seq(2.0, 2.1, 2.2)) == 1.1)
   }
+
+  test("retryPick caps the refine worklist at topK, worst spread first") {
+    val spreads = Seq("a" -> 4.0, "b" -> 112.0, "c" -> 3.5, "d" -> 9.0)
+    // worst-first ordering
+    assert(Bench.retryPick(spreads, topK = 4) == Seq("b", "d", "a", "c"))
+    // the cap drops the mildest spreads, never the worst (the r16
+    // timeout re-ran 19 flagged queries serially with no cap)
+    assert(Bench.retryPick(spreads, topK = 2) == Seq("b", "d"))
+    assert(Bench.retryPick(Nil) == Nil)
+  }
+
+  test("baseline guard: quiet host + in-band ratio only (VERDICT r16 #2)") {
+    // the r16 contamination shape: load 2.11 at sweep start
+    assert(!Bench.baselineGuardOk(2.11, Some(1.0)))
+    // clean host, ratio within host noise: refresh allowed
+    assert(Bench.baselineGuardOk(0.4, Some(1.05)))
+    assert(Bench.baselineGuardOk(1.49, Some(0.85)))
+    assert(Bench.baselineGuardOk(0.4, Some(1.15)))
+    // out-of-band ratio on a quiet host: a real shift — do not
+    // silently re-anchor (that is what SPARK_GRAFT_BASELINE_FORCE is
+    // for, after a human decided the shift is legitimate)
+    assert(!Bench.baselineGuardOk(0.4, Some(1.37)))
+    assert(!Bench.baselineGuardOk(0.4, Some(0.7)))
+    // bootstrap (no committed anchor at this sf): load is the only gate
+    assert(Bench.baselineGuardOk(0.4, None))
+    assert(!Bench.baselineGuardOk(3.0, None))
+    // platform hides loadavg (-1): load check passes, ratio still gates
+    assert(Bench.baselineGuardOk(-1.0, Some(1.0)))
+    assert(!Bench.baselineGuardOk(-1.0, Some(1.37)))
+  }
 }
