@@ -139,7 +139,7 @@ object ScaleProbe {
     val (nTwa, tTwa) = timed {
       Compaction.streamingDownsampleTwaOnce(spark, twaSrc,
         Compaction.Rule("twa", DAYMS),
-        java.nio.file.Files.createTempDirectory("probe_twa_").toString,
+        graft.Scratch.dir("probe_twa_").toString,
         nChunks = twaBatches).count()
     }
 
@@ -150,7 +150,7 @@ object ScaleProbe {
     //     grows with versions; compactLog folds the log back to dest
     //     cardinality, after which resolve cost must be flat in reps
     //     (the single-version shape) and the resolved rows identical.
-    val oooWork = java.nio.file.Files.createTempDirectory("probe_ooo_").toString
+    val oooWork = graft.Scratch.dir("probe_ooo_").toString
     val oooBatches = math.max(4, reps)
     val oooRule = Compaction.Rule("twa", DAYMS)
     val (_, tOooStream) = timed {
@@ -182,7 +182,7 @@ object ScaleProbe {
     }
     val (nIng, tIng) = timed {
       Ingest.streamingIngestOnce(spark, ingSrc,
-        java.nio.file.Files.createTempDirectory("probe_ing_").resolve("log").toString,
+        graft.Scratch.dir("probe_ing_").resolve("log").toString,
         "LAST", ignoreMaxTimeDiff = 12L * 3600000L, ignoreMaxValDiff = 50.0).count()
     }
 
@@ -547,8 +547,7 @@ object ScaleProbe {
     //    samples/series the state is nearly series-sized, so the
     //    honest contract here is merge ≪ bootstrap with the gap
     //    widening as N grows, state_rows/n_samples falling).
-    val sketchDir = java.nio.file.Files
-      .createTempDirectory("probe_sketch_").toString
+    val sketchDir = graft.Scratch.dir("probe_sketch_").toString
     val sketchBatch = TSModel.samples(spark, base)
       .filter(col("ts") >= T0 && col("ts") < T0 + 2 * DAY)
       .localCheckpoint()
@@ -569,8 +568,7 @@ object ScaleProbe {
     //    samples grow N× over a fixed series set, state_rows stays
     //    ~flat, bootstrap grows with the corpus (its one scan), and
     //    the fixed-batch merge stays ~FLAT (batch scan + flat state).
-    val deepDir = java.nio.file.Files
-      .createTempDirectory("probe_sketch_deep_").toString
+    val deepDir = graft.Scratch.dir("probe_sketch_deep_").toString
     val deepSamples = TSModel.samples(spark, twaSrc)
     val (_, tSketchDeepBoot) = timed {
       graft.ts.SketchStore.writeSketchVersioned(spark, deepSamples,

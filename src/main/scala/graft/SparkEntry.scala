@@ -316,7 +316,7 @@ object SparkEntry {
             Multi.parsePred("type!=")),
           groupByLabel = "type", agg = "avg", reducer = "sum",
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgb_")
+          sinkDir = graft.Scratch.dir("graft_sgb_")
             .resolve("log").toString)),
       // GROUPBY with a statistics-family reducer (std.p): reducer set =
       // the aggregator classes minus first/last/twa (reference:
@@ -334,7 +334,7 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           groupByLabel = "user", agg = "avg", reducer = "std.p",
           bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbs_")
+          sinkDir = graft.Scratch.dir("graft_sgbs_")
             .resolve("log").toString)),
       // GROUPBY with per-series TWA aggregation: legal per the
       // reference (twa is forbidden only as the cross-series REDUCER,
@@ -356,7 +356,7 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           groupByLabel = "type", reducer = "avg",
           bucketMs = DAY, fromMs = Some(T0), toMs = Some(T31),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbt_")
+          sinkDir = graft.Scratch.dir("graft_sgbt_")
             .resolve("log").toString)),
       // GROUPBY over EMPTY-filled per-series buckets: the reference
       // fills each series' gaps FIRST (per-series AGGREGATION pipeline
@@ -384,7 +384,7 @@ object SparkEntry {
           Seq(Multi.parsePred("type=(click,view,purchase)")),
           groupByLabel = "type", aggs = Seq("min", "max"), reducer = "sum",
           bucketMs = 2 * DAY, fromMs = Some(T0), toMs = Some(T31),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_sgbm_")
+          sinkDir = graft.Scratch.dir("graft_sgbm_")
             .resolve("log").toString)),
       // WITHLABELS/SELECTED_LABELS (reference: reply.c:219-272)
       "ts_mrange_withlabels" -> ((s, dir) => {
@@ -565,7 +565,7 @@ object SparkEntry {
       "ts_compaction_stream_update" -> ((s, dir) =>
         Compaction.streamingDownsampleUpdateOnce(s, dir,
           Compaction.Rule("sum", DAY),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_upd_")
+          sinkDir = graft.Scratch.dir("graft_upd_")
             .resolve("log").toString)),
       // streaming TWA rule: per-batch boundary-free partials into a
       // merge-on-read log (own buckets only, O(batch) per batch);
@@ -573,7 +573,7 @@ object SparkEntry {
       // the batch materialization and shares its oracle
       "ts_compaction_stream_twa" -> ((s, dir) =>
         Compaction.streamingDownsampleTwaOnce(s, dir, Compaction.Rule("twa", DAY),
-          workDir = java.nio.file.Files.createTempDirectory("graft_stwa_").toString,
+          workDir = graft.Scratch.dir("graft_stwa_").toString,
           nChunks = 2)), // cross-batch recompute exercised; 3-batch OOO in spec
       // MULTI-RULE streaming downsample: one stream, one stateful agg
       // for all rules (vs R queries × R state stores), update-mode
@@ -581,7 +581,7 @@ object SparkEntry {
       "ts_compaction_stream_multirule" -> ((s, dir) =>
         Compaction.streamingDownsampleAllUpdateOnce(s, dir,
           Seq(Compaction.Rule("sum", DAY), Compaction.Rule("max", 2 * DAY)),
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_updm_")
+          sinkDir = graft.Scratch.dir("graft_updm_")
             .resolve("log").toString)),
       // TS.ADD live ingest: the events fixture replayed through the
       // stateful streaming ingest (per-series O(1) tail state, IGNORE
@@ -589,7 +589,7 @@ object SparkEntry {
       // filter and its recursive-CTE oracle
       "ts_ingest_stream" -> ((s, dir) =>
         Ingest.eventsIngestOnce(s, dir,
-          sinkDir = java.nio.file.Files.createTempDirectory("graft_ing_")
+          sinkDir = graft.Scratch.dir("graft_ing_")
             .resolve("log").toString,
           maxTimeDiff = 12 * HOUR, maxValDiff = 50.0)),
       // TS.MRANGE without AGGREGATION: label-filtered raw samples
@@ -985,7 +985,7 @@ object SparkEntry {
       // nProbe < nCentroids (PipelineSpec)
       "ann_ivf_full_probe" -> ((s, dir) =>
         Similarity.ivfIndexTopK(Similarity.loadEmbeddings(s, dir), annQueryIds,
-          k = 5, indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+          k = 5, indexDir = graft.Scratch.dir("graft_ivf_")
             .resolve("index").toString,
           nCentroids = 16, nProbe = 16)._1),
       // product quantization (Jégou et al. 2011): the memory-side ANN
@@ -1107,7 +1107,7 @@ object SparkEntry {
       // oracle reads the ORIGINAL parquet, so the whole round trip
       // (write, declared-schema read, unit dispatch) hash-checks
       "ts_source_csv_range" -> ((s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_src_q_").toString
+        val tmp = graft.Scratch.dir("graft_src_q_").toString
         TSModel.samples(s, dir)
           .select(col("series").as("k"), col("ts").as("t"), col("value").as("v"))
           .write.option("header", "true").mode("overwrite").csv(tmp)
@@ -1225,8 +1225,7 @@ object SparkEntry {
       // replay over old ∪ new
       "dedup_incremental_admit" -> ((s, dir) => {
         val docs = graft.pipeline.Text.loadDocuments(s, dir)
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_admit_").toString
+        val stateDir = graft.Scratch.dir("graft_admit_").toString
         graft.pipeline.IncrementalAdmit.writeState(
           s, docs.filter(col("doc_id") < 400L), stateDir)
         graft.pipeline.IncrementalAdmit.admit(
@@ -1241,8 +1240,7 @@ object SparkEntry {
       // batching-independence contract, here held against DuckDB)
       "dedup_incremental_chain" -> ((s, dir) => {
         val docs = graft.pipeline.Text.loadDocuments(s, dir)
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_admit_chain_q_").toString
+        val stateDir = graft.Scratch.dir("graft_admit_chain_q_").toString
         graft.pipeline.IncrementalAdmit.writeStateVersioned(
           s, docs.filter(col("doc_id") < 300L), stateDir)
         val batches = Seq((300L, 370L), (370L, 440L), (440L, Long.MaxValue))
@@ -1685,8 +1683,7 @@ object SparkEntry {
       "pipeline_sql_tvf_admit" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val docs = Text.loadDocuments(s, dir)
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_admit_tvf_").toString
+        val stateDir = graft.Scratch.dir("graft_admit_tvf_").toString
         graft.pipeline.IncrementalAdmit.writeStateVersioned(
           s, docs.filter(col("doc_id") < 350L), stateDir)
         docs.filter(col("doc_id") >= 350L)
@@ -1770,6 +1767,29 @@ object SparkEntry {
         TSModel.samples(s, dir)
           .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
         s.sql(s"SELECT * FROM ts_ddsketch_windowed($T0, $T31, 1.1, ${7 * DAY})")
+      }),
+      // signed-sketch family TVFs (r16 VERDICT #3 — symmetry with the
+      // Column API): center 50.0 so the all-positive fixture drives
+      // all three stores
+      "ts_sql_tvf_ddsketch_signed" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ddsketch_signed($T0, $T31, 1.05, 50.0)")
+      }),
+      "ts_sql_tvf_ddsketch_signed_quantile" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(
+          s"SELECT * FROM ts_ddsketch_signed_quantile($T0, $T31, 1.05, 0.5, 50.0)")
+      }),
+      "ts_sql_tvf_ddsketch_signed_windowed" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ddsketch_signed_windowed(" +
+          s"$T0, $T31, 1.05, ${7 * DAY}, 50.0)")
       }),
       "ts_sql_tvf_ewma" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -2189,6 +2209,21 @@ object SparkEntry {
         Histogram.ddsketchQuantileSigned(
           monthSamples(s, dir).withColumn("value", col("value") - 50.0),
           gamma = 1.05, q = 0.5, fromMs = Some(T0), toMs = Some(T31))),
+      // one THREE-STORE sketch per (series, week): the signed windowed
+      // family twin — window key folded into the same single agg
+      "ts_ddsketch_signed_windowed" -> ((s, dir) =>
+        Histogram.ddsketchWindowedSigned(
+          monthSamples(s, dir).withColumn("value", col("value") - 50.0),
+          gamma = 1.05, windowMs = 7 * DAY,
+          fromMs = Some(T0), toMs = Some(T31))),
+      // bounded-size collapsing store (VLDB'19 §2.4): at most
+      // maxBuckets buckets per series, lower buckets deterministically
+      // folded into the floor bucket (collapse is explicit opt-in;
+      // the strict default raise_errors on budget overflow)
+      "ts_ddsketch_collapsed" -> ((s, dir) =>
+        Histogram.ddsketchHistogramCollapsed(monthSamples(s, dir),
+          gamma = 1.02, maxBuckets = 12, strict = false,
+          fromMs = Some(T0), toMs = Some(T31))),
       // PERSISTED sketch state: bootstrap + two versioned merges over a
       // ts-partition of the month, then read the live generation — the
       // mergeability contract (== the one-shot sketch over the union,
@@ -2199,11 +2234,10 @@ object SparkEntry {
       // mergeSketch); final live generation == the one-shot sketch
       "ts_ddsketch_stream_state" -> ((s, dir) =>
         graft.ts.SketchStore.streamingSketchOnce(s, monthSamples(s, dir),
-          java.nio.file.Files.createTempDirectory("graft_sketch_ss_q_").toString,
+          graft.Scratch.dir("graft_sketch_ss_q_").toString,
           gamma = 1.02, fromMs = Some(T0), toMs = Some(T31), nChunks = 4)),
       "ts_ddsketch_incremental" -> ((s, dir) => {
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_sketch_store_q_").toString
+        val stateDir = graft.Scratch.dir("graft_sketch_store_q_").toString
         val cut1 = T0 + 10 * DAY; val cut2 = T0 + 20 * DAY
         val samples = monthSamples(s, dir)
         graft.ts.SketchStore.writeSketchVersioned(
@@ -2214,6 +2248,36 @@ object SparkEntry {
         graft.ts.SketchStore.mergeSketch(
           s, samples.filter(col("ts") >= cut2), stateDir, gamma = 1.02)
         graft.ts.SketchStore.readSketch(s, stateDir)
+      }),
+      // persisted THREE-STORE signed state: bootstrap + merge with the
+      // store column folded into the merge key (inferred from the live
+      // schema) — same exact-integer mergeability contract, hashed
+      // against the one-shot signed sketch SQL
+      "ts_ddsketch_signed_incremental" -> ((s, dir) => {
+        val stateDir = graft.Scratch.dir("graft_sketch_sgn_q_").toString
+        val cut = T0 + 15 * DAY
+        val samples = monthSamples(s, dir)
+          .withColumn("value", col("value") - 50.0)
+        graft.ts.SketchStore.writeSketchVersioned(
+          s, samples.filter(col("ts") < cut), stateDir,
+          gamma = 1.05, signed = true)
+        graft.ts.SketchStore.mergeSketch(
+          s, samples.filter(col("ts") >= cut), stateDir, gamma = 1.05)
+        graft.ts.SketchStore.readSketch(s, stateDir)
+      }),
+      // the PRODUCTION quantile read: walked off the persisted state
+      // ALONE (no samples rescan — the read plan scans only the
+      // model-sized state table, pinned by PlanShapeSpec) — hashed
+      // against the one-shot quantile SQL via the merge contract
+      "ts_ddsketch_state_quantile" -> ((s, dir) => {
+        val stateDir = graft.Scratch.dir("graft_sketch_q_read_").toString
+        val cut = T0 + 15 * DAY
+        val samples = monthSamples(s, dir)
+        graft.ts.SketchStore.writeSketchVersioned(
+          s, samples.filter(col("ts") < cut), stateDir, gamma = 1.02)
+        graft.ts.SketchStore.mergeSketch(
+          s, samples.filter(col("ts") >= cut), stateDir, gamma = 1.02)
+        graft.ts.SketchStore.quantile(s, stateDir, gamma = 1.02, q = 0.9)
       }),
       // parallel LTTB downsample: one representative point per day via
       // centroid-anchored max-triangle-area selection
@@ -3429,6 +3493,27 @@ object SparkEntry {
         fromMs = Some(T0), toMs = Some(T31), cte = centeredSamplesCte),
       "ts_ddsketch_signed_quantile" -> Histogram.ddsketchQuantileSignedSql(
         gamma = 1.05, q = 0.5, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
+      "ts_ddsketch_signed_windowed" -> Histogram.ddsketchWindowedSignedSql(
+        gamma = 1.05, windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
+      "ts_ddsketch_collapsed" -> Histogram.ddsketchHistogramCollapsedSql(
+        gamma = 1.02, maxBuckets = 12, fromMs = Some(T0), toMs = Some(T31)),
+      // signed mergeability oracle: persisted state == one-shot signed
+      "ts_ddsketch_signed_incremental" -> Histogram.ddsketchHistogramSignedSql(
+        gamma = 1.05, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
+      // state-only quantile read == one-shot quantile (merge contract)
+      "ts_ddsketch_state_quantile" -> Histogram.ddsketchQuantileSql(
+        gamma = 1.02, q = 0.9, fromMs = Some(T0), toMs = Some(T31)),
+      "ts_sql_tvf_ddsketch_signed" -> Histogram.ddsketchHistogramSignedSql(
+        gamma = 1.05, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
+      "ts_sql_tvf_ddsketch_signed_quantile" -> Histogram.ddsketchQuantileSignedSql(
+        gamma = 1.05, q = 0.5, fromMs = Some(T0), toMs = Some(T31),
+        cte = centeredSamplesCte),
+      "ts_sql_tvf_ddsketch_signed_windowed" -> Histogram.ddsketchWindowedSignedSql(
+        gamma = 1.05, windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31),
         cte = centeredSamplesCte),
       // the mergeability oracle: any batching == the one-shot sketch
       "ts_ddsketch_incremental" -> Histogram.ddsketchHistogramSql(gamma = 1.02,

@@ -569,6 +569,57 @@ object GraftFunctions {
         Some(literalLong("ts_ddsketch_windowed", args(0), "from")),
         Some(literalLong("ts_ddsketch_windowed", args(1), "to"))))
     }),
+    // ts_ddsketch_signed(from, to, gamma[, center]) — the THREE-STORE
+    // signed DDSketch (VLDB'19 §2.2: negative/zero/positive stores).
+    // The optional `center` sketches (value − center): the natural
+    // form for telemetry distributed around a setpoint, and what lets
+    // an all-positive fixture drive all three stores.
+    (FunctionIdentifier("ts_ddsketch_signed"),
+        info("ts_ddsketch_signed"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_signed", Seq(3, 4), args)
+      val spark = activeSession("ts_ddsketch_signed")
+      val center = if (args.length > 3)
+        literalDouble("ts_ddsketch_signed", args(3), "center") else 0.0
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchHistogramSigned(
+        spark.table(SamplesView)
+          .withColumn("value", col("value") - center),
+        literalDouble("ts_ddsketch_signed", args(2), "gamma"),
+        Some(literalLong("ts_ddsketch_signed", args(0), "from")),
+        Some(literalLong("ts_ddsketch_signed", args(1), "to"))))
+    }),
+    // ts_ddsketch_signed_quantile(from, to, gamma, q[, center]) — the
+    // value-ordered three-store walk (negatives by descending
+    // magnitude, zeros, positives ascending)
+    (FunctionIdentifier("ts_ddsketch_signed_quantile"),
+        info("ts_ddsketch_signed_quantile"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_signed_quantile", Seq(4, 5), args)
+      val spark = activeSession("ts_ddsketch_signed_quantile")
+      val center = if (args.length > 4)
+        literalDouble("ts_ddsketch_signed_quantile", args(4), "center") else 0.0
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchQuantileSigned(
+        spark.table(SamplesView)
+          .withColumn("value", col("value") - center),
+        literalDouble("ts_ddsketch_signed_quantile", args(2), "gamma"),
+        literalDouble("ts_ddsketch_signed_quantile", args(3), "q"),
+        Some(literalLong("ts_ddsketch_signed_quantile", args(0), "from")),
+        Some(literalLong("ts_ddsketch_signed_quantile", args(1), "to"))))
+    }),
+    // ts_ddsketch_signed_windowed(from, to, gamma, window_ms[, center])
+    // — one three-store sketch per (series, tumbling window)
+    (FunctionIdentifier("ts_ddsketch_signed_windowed"),
+        info("ts_ddsketch_signed_windowed"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_signed_windowed", Seq(4, 5), args)
+      val spark = activeSession("ts_ddsketch_signed_windowed")
+      val center = if (args.length > 4)
+        literalDouble("ts_ddsketch_signed_windowed", args(4), "center") else 0.0
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchWindowedSigned(
+        spark.table(SamplesView)
+          .withColumn("value", col("value") - center),
+        literalDouble("ts_ddsketch_signed_windowed", args(2), "gamma"),
+        literalLong("ts_ddsketch_signed_windowed", args(3), "window_ms"),
+        Some(literalLong("ts_ddsketch_signed_windowed", args(0), "from")),
+        Some(literalLong("ts_ddsketch_signed_windowed", args(1), "to"))))
+    }),
     // ts_lttb(from, to, bucket_ms[, align_ms]) — parallel LTTB pick
     (FunctionIdentifier("ts_lttb"), info("ts_lttb"), { args: Seq[Expression] =>
       nargs("ts_lttb", Seq(3, 4), args)

@@ -69,8 +69,7 @@ object StreamDedup {
           }
       }
       .toDF("fp", "doc_id")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_sdedup_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_sdedup_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -102,8 +101,7 @@ object StreamDedup {
         if (useRocksDb) RocksDbProvider
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     val docs = Text.loadDocuments(spark, dir)
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sdedup_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sdedup_src_").resolve("stage").toString
     Text.fingerprint(docs)
       .repartitionByRange(nChunks, col("doc_id"))
       .write.mode("overwrite").parquet(srcStage)
@@ -219,8 +217,7 @@ object StreamDedup {
           }
       }
       .toDF("doc_id", "band", "clash")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_sgate_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_sgate_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -248,8 +245,7 @@ object StreamDedup {
         if (useRocksDb) RocksDbProvider
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     val docs = Text.loadDocuments(spark, dir)
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sgate_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sgate_src_").resolve("stage").toString
     bandBucketsMd5(docs, numHashes, bandRows)
       .repartitionByRange(nChunks, col("doc_id"))
       .write.mode("overwrite").parquet(srcStage)

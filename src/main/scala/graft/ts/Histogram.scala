@@ -151,13 +151,17 @@ object Histogram {
    * the log-ratio is round-9 PINNED before the floor (PLANS.md rule 3
    * — both engines then take the same bucket except within 5e-10 of a
    * bucket edge, measure ~1e-6 of generic values); all emitted
-   * columns are integers.
+   * columns are integers. +Infinity is filtered with NaN (r16 ADVICE:
+   * Spark's floor(+inf) cast saturates to Long.MaxValue where DuckDB
+   * raises — both engines must agree by construction, and an infinite
+   * sample has no log bucket).
    */
   def ddsketchHistogram(
       samples: DataFrame, gamma: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
     require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
-    var s = samples.filter(!isnan(col("value")) && col("value") > 0.0)
+    var s = samples.filter(!isnan(col("value")) && col("value") > 0.0 &&
+      col("value") < Double.PositiveInfinity)
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     s.groupBy(col("series"),
@@ -175,7 +179,9 @@ object Histogram {
    * as before; store −1 buckets by the MAGNITUDE (`ln(−v)`), so a
    * value in (−γ^(b+1), −γ^b] lands in negative bucket b and the
    * relative-error guarantee holds on |v|; store 0 is one bucket-0
-   * row counting exact zeros. NaN only is dropped.
+   * row counting exact zeros. NaN and ±Infinity are dropped (r16
+   * ADVICE: Spark's floor(±inf) cast saturates to Long.Max/MinValue
+   * where DuckDB raises — agree by construction).
    *
    * Same bounded shape: ONE map-side-combined hash agg, shuffle
    * bounded by series × (occupied buckets over both signs + 1), and
@@ -186,7 +192,9 @@ object Histogram {
       samples: DataFrame, gamma: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
     require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
-    var s = samples.filter(!isnan(col("value")))
+    var s = samples.filter(!isnan(col("value")) &&
+      col("value") > Double.NegativeInfinity &&
+      col("value") < Double.PositiveInfinity)
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val store = when(col("value") > 0.0, 1L)
@@ -205,7 +213,7 @@ object Histogram {
     require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
-    val where = (Seq("NOT isnan(value)") ++
+    val where = (Seq("NOT isnan(value)", "isfinite(value)") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
     val lnG = math.log(gamma)
     s"""$cte, f AS (
@@ -235,7 +243,18 @@ object Histogram {
    */
   def ddsketchQuantileSigned(
       samples: DataFrame, gamma: Double, q: Double,
-      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame =
+    ddsketchQuantileSignedFromBuckets(
+      ddsketchHistogramSigned(samples, gamma, fromMs, toMs), gamma, q)
+
+  /** The signed quantile walk of [[ddsketchQuantileSigned]] over an
+    * ALREADY-BUILT `(series, store, bucket, n)` sketch frame — the
+    * read path shared by the one-shot operator and [[SketchStore]]'s
+    * persisted signed state (same factoring as
+    * [[ddsketchQuantileFromBuckets]] for the positive-only store). */
+  def ddsketchQuantileSignedFromBuckets(
+      sketch: DataFrame, gamma: Double, q: Double): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
     require(q > 0 && q <= 1, s"q $q must be in (0, 1]")
     val w = org.apache.spark.sql.expressions.Window
     val orderCols = Seq(col("store"), (col("store") * col("bucket")).as("ord"))
@@ -243,7 +262,7 @@ object Histogram {
       .orderBy(orderCols.map(_.asc): _*)
       .rowsBetween(w.unboundedPreceding, w.currentRow)
     val wAll = w.partitionBy(col("series"))
-    ddsketchHistogramSigned(samples, gamma, fromMs, toMs)
+    sketch
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("n_total", sum(col("n")).over(wAll))
       .filter(col("cum") >= lit(q) * col("n_total"))
@@ -341,7 +360,7 @@ object Histogram {
     require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
-    val where = (Seq("NOT isnan(value)", "value > 0.0") ++
+    val where = (Seq("NOT isnan(value)", "value > 0.0", "isfinite(value)") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
     val lnG = math.log(gamma)
     s"""$cte, f AS (
@@ -416,7 +435,7 @@ object Histogram {
     require(windowMs > 0, s"windowMs $windowMs must be positive")
     val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
       .mkString(" AND ")
-    val where = (Seq("NOT isnan(value)", "value > 0.0") ++
+    val where = (Seq("NOT isnan(value)", "value > 0.0", "isfinite(value)") ++
       (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
     val lnG = math.log(gamma)
     s"""$cte, f AS (
@@ -433,6 +452,168 @@ object Histogram {
           s"JOIN (SELECT series, max(ts) AS mx FROM f GROUP BY 1) m ON sk.series = m.series\n" +
           s"WHERE wstart + $windowMs <= m.mx"
         else ""}""".stripMargin
+  }
+
+  /**
+   * WINDOWED THREE-STORE DDSketch — [[ddsketchWindowed]] with the
+   * full signed value-domain of [[ddsketchHistogramSigned]]: one
+   * sketch per (series, tumbling window) with negative/zero/positive
+   * stores. Output `(series, wstart, store, bucket, n)` — integers
+   * and strings only, bit-stable by construction. Same bounded shape:
+   * ONE map-side-combined hash agg, result is series × windows ×
+   * (occupied buckets over both signs + 1).
+   */
+  def ddsketchWindowedSigned(
+      samples: DataFrame, gamma: Double, windowMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    require(windowMs > 0, s"windowMs $windowMs must be positive")
+    var s = samples.filter(!isnan(col("value")) &&
+      col("value") > Double.NegativeInfinity &&
+      col("value") < Double.PositiveInfinity)
+    fromMs.foreach(f => s = s.filter(col("ts") >= f))
+    toMs.foreach(t => s = s.filter(col("ts") <= t))
+    val store = when(col("value") > 0.0, 1L)
+      .when(col("value") < 0.0, -1L).otherwise(0L)
+    val bucket = when(col("value") === 0.0, 0L).otherwise(
+      floor(round(log(abs(col("value"))) / math.log(gamma), 9)).cast("long"))
+    s.groupBy(col("series"),
+        TSModel.bucketStart(col("ts"), windowMs).as("wstart"),
+        store.as("store"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[ddsketchWindowedSigned]]. */
+  def ddsketchWindowedSignedSql(
+      gamma: Double, windowMs: Long,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(gamma > 1.0, s"gamma $gamma must be > 1 (relative accuracy γ−1)")
+    require(windowMs > 0, s"windowMs $windowMs must be positive")
+    val bounds = (fromMs.map(f => s"ts >= $f") ++ toMs.map(t => s"ts <= $t"))
+      .mkString(" AND ")
+    val where = (Seq("NOT isnan(value)", "isfinite(value)") ++
+      (if (bounds.nonEmpty) Seq(bounds) else Nil)).mkString("WHERE ", " AND ", "")
+    val lnG = math.log(gamma)
+    s"""$cte, f AS (
+       |  SELECT * FROM samples $where
+       |)
+       |SELECT series,
+       |  ${TSModel.bucketStartSql("ts", windowMs)} AS wstart,
+       |  CAST(CASE WHEN value > 0.0 THEN 1 WHEN value < 0.0 THEN -1
+       |       ELSE 0 END AS BIGINT) AS store,
+       |  CASE WHEN value = 0.0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(round(ln(abs(value)) / ($lnG)::DOUBLE, 9)) AS BIGINT)
+       |  END AS bucket,
+       |  count(*) AS n
+       |FROM f GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /**
+   * BOUNDED-SIZE collapsing store (DDSketch VLDB'19 §2.4) — the
+   * memory contract a production sketch advertises: at most
+   * `maxBuckets` buckets per series, enforced by DETERMINISTICALLY
+   * folding every bucket below the `maxBuckets`-th largest index into
+   * that floor bucket (the paper's repeated lowest-pair merge reaches
+   * exactly this fixed point, so one set-oriented pass replaces the
+   * loop — and determinism makes the collapse oracle-replayable in
+   * SQL). [[ddsketchHistogram]]'s bucket count is bounded only by
+   * log_γ(vmax/vmin): fine for telemetry, unbounded on adversarial
+   * value ranges.
+   *
+   * Error statement under collapse (the paper's): quantiles whose
+   * rank lands STRICTLY ABOVE the floor bucket are untouched — their
+   * buckets are identical to the uncollapsed sketch's, so the γ−1
+   * relative bound holds exactly; a quantile landing in the floor
+   * bucket is only upper-bounded (its q_hi) because the floor bucket
+   * absorbed smaller-valued mass. SketchStoreSpec pins both halves.
+   *
+   * `strict = true` (the loud-reject default, mirroring the
+   * matrix-profile window cap): exceeding the budget RAISES at
+   * execution via `raise_error` instead of silently collapsing —
+   * callers opt into lossy collapse explicitly with `strict = false`.
+   * Output when collapsing: `(series, bucket, n, collapsed)` where
+   * `collapsed` marks the floor bucket that absorbed lower mass.
+   *
+   * Shape: two window functions + one re-agg over the MODEL-SIZED
+   * bucket table (series × ≤maxBuckets rows) — the samples were
+   * already collapsed to buckets by the one map-side-combined agg.
+   */
+  def ddsketchCollapse(
+      sketch: DataFrame, maxBuckets: Int, strict: Boolean = true): DataFrame = {
+    require(maxBuckets >= 2,
+      s"maxBuckets $maxBuckets must be >= 2 (one floor + one live bucket)")
+    val w = org.apache.spark.sql.expressions.Window
+    val wDesc = w.partitionBy(col("series")).orderBy(col("bucket").desc)
+    val wSer = w.partitionBy(col("series"))
+    val rk = sketch
+      .withColumn("rk", row_number().over(wDesc))
+      .withColumn("floor_b",
+        max(when(col("rk") === maxBuckets, col("bucket"))).over(wSer))
+      .withColumn("nb", max(col("rk")).over(wSer))
+    if (strict)
+      // loud reject: the budget is a contract, not a hint — the error
+      // fires lazily at execution (action-free plan) on the first
+      // over-budget series
+      rk.select(col("series"), col("bucket"),
+        when(col("nb") > maxBuckets,
+          raise_error(concat(lit("ddsketch bucket budget exceeded: "),
+            col("nb").cast("string"), lit(s" > $maxBuckets buckets for series "),
+            col("series"), lit(" — pass strict=false to collapse")))
+            .cast("long"))
+          .otherwise(col("n")).as("n"))
+    else
+      rk.groupBy(col("series"),
+          when(col("floor_b").isNotNull && col("bucket") < col("floor_b"),
+            col("floor_b")).otherwise(col("bucket")).as("bucket"))
+        .agg(sum(col("n")).as("n"),
+          max(col("nb")).as("nb_max"), max(col("floor_b")).as("floor_b_max"))
+        .select(col("series"), col("bucket"), col("n"),
+          coalesce(col("nb_max") > maxBuckets &&
+            col("bucket") === col("floor_b_max"), lit(false)).as("collapsed"))
+  }
+
+  /** [[ddsketchHistogram]] under the [[ddsketchCollapse]] budget —
+    * the bounded-memory one-shot sketch. */
+  def ddsketchHistogramCollapsed(
+      samples: DataFrame, gamma: Double, maxBuckets: Int,
+      strict: Boolean = true,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None): DataFrame =
+    ddsketchCollapse(
+      ddsketchHistogram(samples, gamma, fromMs, toMs), maxBuckets, strict)
+
+  /** DuckDB oracle twin of [[ddsketchHistogramCollapsed]] with
+    * `strict = false` (the collapsing form — the strict form's only
+    * observable is an error). */
+  def ddsketchHistogramCollapsedSql(
+      gamma: Double, maxBuckets: Int,
+      fromMs: Option[Long] = None, toMs: Option[Long] = None,
+      cte: String = TSModel.samplesCte): String = {
+    require(maxBuckets >= 2,
+      s"maxBuckets $maxBuckets must be >= 2 (one floor + one live bucket)")
+    s"""WITH h AS (
+       |${ddsketchHistogramSql(gamma, fromMs, toMs, cte).replace("\n", "\n  ")}
+       |), rk AS (
+       |  SELECT series, bucket, n,
+       |    CAST(row_number() OVER (PARTITION BY series ORDER BY bucket DESC)
+       |      AS BIGINT) AS rk
+       |  FROM h
+       |), fl AS (
+       |  SELECT series,
+       |    max(CASE WHEN rk = $maxBuckets THEN bucket END) AS floor_b,
+       |    max(rk) AS nb
+       |  FROM rk GROUP BY 1
+       |), mapped AS (
+       |  SELECT rk.series,
+       |    CASE WHEN fl.floor_b IS NOT NULL AND rk.bucket < fl.floor_b
+       |         THEN fl.floor_b ELSE rk.bucket END AS bucket,
+       |    rk.n, fl.floor_b, fl.nb
+       |  FROM rk JOIN fl ON rk.series = fl.series
+       |)
+       |SELECT series, bucket, CAST(sum(n) AS BIGINT) AS n,
+       |  COALESCE(max(nb) > $maxBuckets AND bucket = max(floor_b), false)
+       |    AS collapsed
+       |FROM mapped GROUP BY 1, 2""".stripMargin
   }
 
   def valueHistogramSql(

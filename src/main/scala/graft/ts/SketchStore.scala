@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
  * sketch generation, and a crash mid-merge leaves the pointer — and
  * every reader — on the old version with only a dead `v=N+1` to sweep.
  *
+ * Writer model: SINGLE-WRITER, like IncrementalAdmit's (readers may
+ * race a merge freely; merges must be serialized by the caller — the
+ * production deployment is one ingest stream folding micro-batches in
+ * order). A lost race — two writers both resolving version v — is
+ * NOT silently absorbed: [[mergeSketch]] re-reads the manifest after
+ * staging its generation and before the pointer flip, and fails
+ * loudly if another writer advanced it (r16 ADVICE; the losing
+ * batch's counts must be re-merged, never dropped).
+ *
+ * State schema: `(series, bucket, n)` for the positive-store sketch,
+ * `(series, store, bucket, n)` for the THREE-STORE signed sketch
+ * ([[Histogram.ddsketchHistogramSigned]]) — [[mergeSketch]] infers
+ * the key from the live generation's columns, so one merge path
+ * serves both families.
+ *
  * Correctness contract (the mergeability statement, driver-hashed by
  * the ts_ddsketch_incremental carrier and spec-pinned bit-exact):
  * bootstrap + any sequence of merges over a partition of the samples
@@ -43,19 +58,26 @@ object SketchStore {
 
   /** Bootstrap the versioned sketch state from an initial batch:
     * tables under `v=1/`, then the manifest flip that makes them
-    * live. */
+    * live. `signed = true` bootstraps the THREE-STORE state
+    * (`(series, store, bucket, n)`); later merges infer the family
+    * from the live schema. */
   def writeSketchVersioned(
       spark: SparkSession, samples: DataFrame, stateDir: String,
-      gamma: Double): Unit = {
-    Histogram.ddsketchHistogram(samples, gamma)
-      .write.mode("overwrite").parquet(s"$stateDir/v=1/sketch")
+      gamma: Double, signed: Boolean = false): Unit = {
+    val sketch =
+      if (signed) Histogram.ddsketchHistogramSigned(samples, gamma)
+      else Histogram.ddsketchHistogram(samples, gamma)
+    sketch.write.mode("overwrite").parquet(s"$stateDir/v=1/sketch")
     graft.pipeline.IncrementalAdmit.commitManifest(spark, stateDir, 1L)
   }
 
-  /** Fold a new batch into the live sketch: sketch the batch, add
-    * bucket counts into the prior state, write the next generation
+  /** Fold a new batch into the live sketch: sketch the batch (same
+    * family as the live state — signed iff the state carries `store`),
+    * add bucket counts into the prior state, write the next generation
     * COMPLETELY, flip the manifest, sweep orphans. Returns the new
-    * live version. */
+    * live version. Single-writer (see object doc): a concurrent
+    * writer that advanced the manifest while this merge staged its
+    * generation is detected before the flip and fails loudly. */
   def mergeSketch(
       spark: SparkSession, newSamples: DataFrame, stateDir: String,
       gamma: Double): Long = {
@@ -65,11 +87,25 @@ object SketchStore {
     // a crashed predecessor's half-written v+1 must not mix with ours
     graft.pipeline.IncrementalAdmit.sweepOrphanVersions(spark, stateDir, v)
     val prior = spark.read.parquet(s"$stateDir/v=$v/sketch")
+    val keyCols = prior.columns.filterNot(_ == "n")
+    val batch =
+      if (keyCols.contains("store"))
+        Histogram.ddsketchHistogramSigned(newSamples, gamma)
+      else Histogram.ddsketchHistogram(newSamples, gamma)
     val merged = prior
-      .unionByName(Histogram.ddsketchHistogram(newSamples, gamma))
-      .groupBy(col("series"), col("bucket"))
+      .unionByName(batch)
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v=${v + 1}/sketch")
+    // lost-race detection (r16 ADVICE): if another writer flipped the
+    // manifest while we staged v+1, flipping now would silently drop
+    // its batch's counts — fail loudly instead; the caller re-merges.
+    val now = graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir)
+    if (!now.contains(v))
+      throw new IllegalStateException(
+        s"sketch merge lost a writer race at $stateDir: resolved v=$v but " +
+          s"manifest now points at v=${now.getOrElse(-1L)} — merges are " +
+          "single-writer; re-run this batch's merge against the new state")
     graft.pipeline.IncrementalAdmit.commitManifest(spark, stateDir, v + 1)
     // drops v-1 (past the one-generation reader grace)
     graft.pipeline.IncrementalAdmit.sweepOrphanVersions(spark, stateDir, v + 1)
@@ -90,6 +126,15 @@ object SketchStore {
       q: Double): DataFrame =
     Histogram.ddsketchQuantileFromBuckets(readSketch(spark, stateDir), gamma, q)
 
+  /** Quantile read off PERSISTED three-store signed state (the
+    * value-ordered store walk of
+    * [[Histogram.ddsketchQuantileSignedFromBuckets]]). */
+  def quantileSigned(
+      spark: SparkSession, stateDir: String, gamma: Double,
+      q: Double): DataFrame =
+    Histogram.ddsketchQuantileSignedFromBuckets(
+      readSketch(spark, stateDir), gamma, q)
+
   /**
    * STREAMING sketch maintenance — the production deployment shape:
    * the ingest stream's micro-batches fold into the versioned sketch
@@ -106,12 +151,11 @@ object SketchStore {
       spark: SparkSession, samples: DataFrame, stateDir: String,
       gamma: Double,
       fromMs: Option[Long] = None, toMs: Option[Long] = None,
-      nChunks: Int = 4): DataFrame = {
+      nChunks: Int = 4, signed: Boolean = false): DataFrame = {
     var s = samples.select(col("series"), col("ts"), col("value"))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sketch_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sketch_src_").resolve("stage").toString
     s.repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
     locally {
@@ -130,7 +174,7 @@ object SketchStore {
         // first batch bootstraps; later ones fold in — identical state
         // evolution to a driver-side bootstrap + merge chain
         if (graft.pipeline.IncrementalAdmit.currentVersion(spark, stateDir).isEmpty)
-          writeSketchVersioned(spark, batch.toDF(), stateDir, gamma)
+          writeSketchVersioned(spark, batch.toDF(), stateDir, gamma, signed)
         else
           mergeSketch(spark, batch.toDF(), stateDir, gamma)
         ()

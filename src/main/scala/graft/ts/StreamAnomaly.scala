@@ -100,8 +100,7 @@ object StreamAnomaly {
           flagged.iterator
       }
       .toDF("series", "ts", "value", "z_value")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_sanom_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_sanom_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -126,8 +125,7 @@ object StreamAnomaly {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sanom_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sanom_src_").resolve("stage").toString
     s.select(col("series"), col("ts"), col("value"))
       .repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
@@ -165,8 +163,7 @@ object StreamAnomaly {
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val keyed = Seasonal.withSeason(s, mode)
       .select(col("series"), col("ts"), col("value"), col("season"))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sseas_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sseas_src_").resolve("stage").toString
     keyed.repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
     locally {
@@ -218,8 +215,7 @@ object StreamAnomaly {
           flagged.iterator
       }
       .toDF("series", "ts", "value", "season", "s_value")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_sseas_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_sseas_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -280,8 +276,7 @@ object StreamAnomaly {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_srq_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_srq_src_").resolve("stage").toString
     s.select(col("series"), col("ts"), col("value"))
       .repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
@@ -328,8 +323,7 @@ object StreamAnomaly {
           outRows.iterator
       }
       .toDF("series", "ts", "value", "rq_value")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_srq_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_srq_").resolve("out").toString
     val qy = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -369,8 +363,7 @@ object StreamAnomaly {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_scusum_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_scusum_src_").resolve("stage").toString
     s.select(col("series"), col("ts"), col("value"))
       .repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
@@ -421,8 +414,7 @@ object StreamAnomaly {
           flagged.iterator
       }
       .toDF("series", "ts", "value", "cusum_score")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_scusum_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_scusum_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)

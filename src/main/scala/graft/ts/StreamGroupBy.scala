@@ -414,8 +414,7 @@ object StreamGroupBy {
       nChunks: Int = 4,
       chunkCol: org.apache.spark.sql.Column = col("ts")): DataFrame =
     Compaction.withStatePartitions(spark, 8) {
-      val srcStage = java.nio.file.Files
-        .createTempDirectory("graft_sgbtwa_src_").resolve("stage").toString
+      val srcStage = graft.Scratch.dir("graft_sgbtwa_src_").resolve("stage").toString
       samples.select(col("series"), col("ts"), col("value"))
         .repartitionByRange(nChunks, chunkCol)
         .write.mode("overwrite").parquet(srcStage)
@@ -432,8 +431,7 @@ object StreamGroupBy {
         .option("maxFilesPerTrigger", "1").parquet(srcStage)
       val streamed = mrangeGroupByTwaPartialsStream(
         stream, seriesToGroup, bucketMs, 0L, fromMs, toMs)
-      val sinkDir = java.nio.file.Files
-        .createTempDirectory("graft_sgbtwa_snk_").resolve("log").toString
+      val sinkDir = graft.Scratch.dir("graft_sgbtwa_snk_").resolve("log").toString
       val log = Compaction.runToLogSink(streamed, "update", sinkDir)
       mrangeGroupByTwaResolve(
         log, seriesToGroup, groupByLabel, reducer, bucketMs, fromMs, toMs)
@@ -464,8 +462,7 @@ object StreamGroupBy {
       nChunks: Int = 4,
       chunkCol: org.apache.spark.sql.Column = col("ts")): DataFrame =
     Compaction.withStatePartitions(spark, 8) {
-      val srcStage = java.nio.file.Files
-        .createTempDirectory("graft_sgb_src_").resolve("stage").toString
+      val srcStage = graft.Scratch.dir("graft_sgb_src_").resolve("stage").toString
       samples.select(col("series"), col("ts"), col("value"))
         .repartitionByRange(nChunks, chunkCol)
         .write.mode("overwrite").parquet(srcStage)
@@ -482,8 +479,7 @@ object StreamGroupBy {
         .option("maxFilesPerTrigger", "1").parquet(srcStage)
       val streamed = mrangeGroupByStreamMulti(stream, seriesToGroup,
         groupByLabel, aggs, reducer, bucketMs, 0L, fromMs, toMs)
-      val sinkDir = java.nio.file.Files
-        .createTempDirectory("graft_sgb_snk_").resolve("log").toString
+      val sinkDir = graft.Scratch.dir("graft_sgb_snk_").resolve("log").toString
       val log = Compaction.runToLogSink(streamed, "update", sinkDir)
       Compaction.lastWriterWins(log)
         .select(col("series") +: col("ts") +:

@@ -176,8 +176,7 @@ object StreamMonitors {
     var s = samples
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_smon_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_smon_src_").resolve("stage").toString
     Seasonal.withSeason(s.select(col("series"), col("ts"), col("value")),
         seasonalMode)
       .repartitionByRange(nChunks, col("ts"))
@@ -358,8 +357,7 @@ object StreamMonitors {
           outRows.iterator
       }
       .toDF("op", "series", "ts", "value", "score", "l1", "d1")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_smon_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_smon_").resolve("out").toString
     val qy = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)

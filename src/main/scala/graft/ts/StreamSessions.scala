@@ -64,8 +64,7 @@ object StreamSessions {
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val staged = s.select(col("series"), col("ts"), col("value"))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_ssess_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_ssess_src_").resolve("stage").toString
     staged.repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
     // the sentinel must outrun every real session's end + gap. Read
@@ -123,8 +122,7 @@ object StreamSessions {
         count(lit(1)).as("n_samples"),
         Aggs.expr(agg, col("value"), col("ts")))
       .drop("session_window")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_ssess_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_ssess_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)
@@ -166,8 +164,7 @@ object StreamSessions {
     var s = samples
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
-    val srcStage = java.nio.file.Files
-      .createTempDirectory("graft_sgaps_src_").resolve("stage").toString
+    val srcStage = graft.Scratch.dir("graft_sgaps_src_").resolve("stage").toString
     s.select(col("series"), col("ts"))
       .repartitionByRange(nChunks, col("ts"))
       .write.mode("overwrite").parquet(srcStage)
@@ -210,8 +207,7 @@ object StreamSessions {
           gaps.result().iterator
       }
       .toDF("series", "gap_start", "gap_end", "gap_ms")
-    val sinkDir = java.nio.file.Files
-      .createTempDirectory("graft_sgaps_").resolve("out").toString
+    val sinkDir = graft.Scratch.dir("graft_sgaps_").resolve("out").toString
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(sinkDir)

@@ -317,7 +317,7 @@ object Tsbs {
    * trigger — duplicates of one timestamp always share a chunk.
    */
   def ingestOnce(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_tsbs_ingest_")
+    val base = graft.Scratch.dir("graft_tsbs_ingest_")
     val srcDir = base.resolve("src").toString
     val sinkDir = base.resolve("sink").toString
     cpuSamples(spark, sfDir)

@@ -430,7 +430,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_boilerplate_clean", "corpus_keep", "corpus_classifier_score",
         "ts_changepoint", "ts_theilsen", "ts_histogram_quantile",
         "corpus_source_divergence", "ts_burn_rate", "emb_label_drift",
-        "ts_hampel", "ts_ddsketch_quantile", "ts_ddsketch_windowed"))
+        "ts_hampel", "ts_ddsketch_quantile", "ts_ddsketch_windowed",
+        "ts_ddsketch_signed", "ts_ddsketch_signed_quantile",
+        "ts_ddsketch_signed_windowed"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 

@@ -39,6 +39,9 @@ class OracleTypeLintSpec extends AnyFunSuite {
         case '\n' => "\\n"
         case '\t' => "\\t"
         case '\r' => "\\r"
+        // any other control char would otherwise emit invalid JSON and
+        // fail the whole lint with an opaque parse error (r16 ADVICE)
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
         case c    => c.toString
       }
       s""""${esc(k)}": "${esc(v)}""""

@@ -402,28 +402,75 @@ class PlanShapeSpec extends AnyFunSuite {
       pushed.contains("LessThanOrEqual(ts,"), pushed)
   }
 
+  /** Skip codegen/adapter wrappers to the first real operator below a
+    * node — plan-shape asserts care about operators, not fusion. */
+  private def firstReal(p: SparkPlan): SparkPlan = p match {
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => firstReal(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => firstReal(i.child)
+    case p: org.apache.spark.sql.execution.ProjectExec => firstReal(p.child)
+    case other => other
+  }
+
+  /** The union-fold guard (r16 VERDICT Wrong #1 — the old predicate
+    * was vacuous): locate the exchange(s) whose subtree contains the
+    * STATE parquet scan (that is the union-fold's shuffle; the batch
+    * sketch's own exchange sees only samples) and require a partial
+    * HashAggregate as the direct child — i.e. the fold shuffles
+    * (series, bucket) partial counts, never raw union rows. */
+  private def foldShufflesPartials(df: DataFrame, stateTag: String): Boolean = {
+    val folds = shuffles(df).filter(_.collect {
+      case f: FileSourceScanExec => f
+    }.exists(_.metadata.get("Location").exists(_.contains(stateTag))))
+    folds.nonEmpty && folds.forall(ex =>
+      firstReal(ex.child)
+        .isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+  }
+
   test("sketch-store merge plan: state fold is one bucket-keyed agg, no sample rescans") {
     // the merge must read ONLY the prior state parquet + the new batch
     // (the whole point: history is never rescanned) and fold with one
     // aggregation — assert on the pre-write plan of the merged frame
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_plan_sketch_").toString
+    val stateTag = new java.io.File(stateDir).getName
     val samples = graft.ts.TSModel.samples(spark, dir)
     graft.ts.SketchStore.writeSketchVersioned(spark, samples, stateDir, 1.05)
     val prior = spark.read.parquet(s"$stateDir/v=1/sketch")
-    val merged = prior
-      .unionByName(graft.ts.Histogram.ddsketchHistogram(samples.limit(50), 1.05))
+    def fold(union: DataFrame): DataFrame = union
       .groupBy(org.apache.spark.sql.functions.col("series"),
         org.apache.spark.sql.functions.col("bucket"))
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("n")).as("n"))
+    val union = prior
+      .unionByName(graft.ts.Histogram.ddsketchHistogram(samples.limit(50), 1.05))
+    val merged = fold(union)
     assert(shuffles(merged).size <= 2,
       "merge fold must be batch-agg + union-agg shuffles only")
-    val aggs = physical(merged).collect {
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-    }
-    assert(aggs.exists(a => shuffles(merged).exists(_.collectFirst {
-      case x: org.apache.spark.sql.execution.aggregate.HashAggregateExec => x
-    }.nonEmpty)), "no map-side partial below the merge exchange")
+    assert(foldShufflesPartials(merged, stateTag),
+      "no map-side partial directly below the union-fold exchange")
+    // negative control: a deliberately de-optimized merge (round-robin
+    // repartition between union and fold) shuffles RAW union rows —
+    // the guard must fail it, or it guards nothing
+    val deopt = fold(union.repartition(8))
+    assert(!foldShufflesPartials(deopt, stateTag),
+      "guard passed a fold whose state-carrying exchange has no partial below it")
+  }
+
+  test("sketch-store quantile read: walks the persisted state ALONE (no samples scan)") {
+    // the production read path (VERDICT r16 #7): quantiles come off
+    // the maintained model-sized bucket table — the plan must scan
+    // only the state parquet, never the raw samples fixture
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_sketch_read_").toString
+    val samples = graft.ts.TSModel.samples(spark, dir)
+    graft.ts.SketchStore.writeSketchVersioned(spark, samples, stateDir, 1.05)
+    val q = graft.ts.SketchStore.quantile(spark, stateDir, 1.05, 0.9)
+    val scans = physical(q).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "quantile read plan has no scan at all")
+    val stateTag = new java.io.File(stateDir).getName
+    assert(scans.forall(_.metadata.get("Location").exists(_.contains(stateTag))),
+      s"quantile read scans something besides the state table: " +
+        scans.map(_.metadata.getOrElse("Location", "?")).mkString("; "))
+    assert(q.collect().nonEmpty)
   }
 }

@@ -433,4 +433,39 @@ class RandomizedTvfSpec extends AnyFunSuite {
         s"combo $i: $sqlText")
     }
   }
+
+  test("round-17 SIGNED DDSketch TVFs (histogram / quantile / windowed) == Column API across 18 random combos") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = TSModel.samples(spark, sf)
+    samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+    val rnd = new scala.util.Random(170816)
+    for (i <- 1 to 18) {
+      val from = T0 + rnd.nextInt(15) * DAY
+      val to = from + (6 + rnd.nextInt(14)) * DAY
+      val gamma = Seq(1.02, 1.05, 1.2, 2.0)(rnd.nextInt(4))
+      // random center, including 0 (all mass positive) — the TVF's
+      // center arg must equal the Column API's (value − center) frame
+      val center = Seq(0.0, 30.0, 50.0, 80.0)(rnd.nextInt(4))
+      val centered = samples.withColumn(
+        "value", org.apache.spark.sql.functions.col("value") - center)
+      val (sqlText, api) = i % 3 match {
+        case 0 =>
+          (s"SELECT * FROM ts_ddsketch_signed($from, $to, $gamma, $center)",
+            graft.ts.Histogram.ddsketchHistogramSigned(centered, gamma,
+              fromMs = Some(from), toMs = Some(to)))
+        case 1 =>
+          val q = Seq(0.1, 0.5, 0.9, 1.0)(rnd.nextInt(4))
+          (s"SELECT * FROM ts_ddsketch_signed_quantile($from, $to, $gamma, $q, $center)",
+            graft.ts.Histogram.ddsketchQuantileSigned(centered, gamma, q,
+              fromMs = Some(from), toMs = Some(to)))
+        case _ =>
+          val win = Seq(DAY, 2 * DAY, 7 * DAY)(rnd.nextInt(3))
+          (s"SELECT * FROM ts_ddsketch_signed_windowed($from, $to, $gamma, $win, $center)",
+            graft.ts.Histogram.ddsketchWindowedSigned(centered, gamma, win,
+              fromMs = Some(from), toMs = Some(to)))
+      }
+      assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
+        s"combo $i: $sqlText")
+    }
+  }
 }

@@ -91,6 +91,119 @@ class SketchStoreSpec extends AnyFunSuite {
       == Some(4L))
   }
 
+  test("signed state: store column folds into the merge key, == one-shot signed") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_signed_").toString
+    // center so all three stores carry mass on the all-positive
+    // fixture; one injected exact-zero row gives the zero store mass
+    // (continuous doubles never land exactly on the center)
+    import spark.implicits._
+    val centered = samples.withColumn("value", col("value") - 50.0)
+      .unionByName(Seq(("zero_probe", 0L, 0.0)).toDF("series", "ts", "value"))
+    val ts = centered.select(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (ts.getLong(0), ts.getLong(1))
+    val cut = lo + (hi - lo) / 2
+    SketchStore.writeSketchVersioned(
+      spark, centered.filter(col("ts") < cut), stateDir, gamma, signed = true)
+    SketchStore.mergeSketch(
+      spark, centered.filter(col("ts") >= cut), stateDir, gamma)
+    val state = SketchStore.readSketch(spark, stateDir)
+    assert(state.columns.toSeq == Seq("series", "store", "bucket", "n"))
+    // all three stores present (the fixture straddles the center)
+    assert(state.select(col("store")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(-1L, 0L, 1L))
+    assert(canon(state) == canon(Histogram.ddsketchHistogramSigned(centered, gamma)),
+      "merged signed state must equal the one-shot three-store sketch")
+    // signed quantile off maintained state == the one-shot signed walk
+    assert(canon(SketchStore.quantileSigned(spark, stateDir, gamma, q = 0.5)) ==
+      canon(Histogram.ddsketchQuantileSigned(centered, gamma, q = 0.5)),
+      "signed quantile off persisted buckets must equal the one-shot walk")
+  }
+
+  test("a lost writer race fails loudly instead of dropping a batch") {
+    // single-writer contract (r16 ADVICE): writer A resolves version
+    // v, stages v+1, and must detect — before the pointer flip — that
+    // writer B advanced the manifest meanwhile; flipping anyway would
+    // silently drop B's counts. Interleave deterministically: A's
+    // batch frame flips the manifest DURING its own evaluation (i.e.
+    // after A resolved v, before A's pre-flip re-read).
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_race_").toString
+    SketchStore.writeSketchVersioned(spark, samples.limit(100), stateDir, gamma)
+    import spark.implicits._
+    val flipOnEval = samples.limit(50).as[(String, Long, Double)]
+      .mapPartitions { it =>
+        // drop the sidecar checksum too — a raw-NIO rewrite would
+        // otherwise fail Hadoop's ChecksumFileSystem on re-read
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(stateDir, ".MANIFEST.crc"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stateDir, "MANIFEST"),
+          "5\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        it
+      }.toDF("series", "ts", "value")
+    val e = intercept[IllegalStateException] {
+      SketchStore.mergeSketch(spark, flipOnEval, stateDir, gamma)
+    }
+    assert(e.getMessage.contains("lost a writer race"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("collapsing store: budget enforced, mass preserved, high-q untouched (VLDB'19 §2.4)") {
+    val one = Histogram.ddsketchHistogram(samples, gamma)
+    val nb = one.groupBy(col("series")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(nb > 6, s"fixture too narrow to exercise collapse (max $nb buckets)")
+    val m = 6
+    val collapsed = Histogram.ddsketchCollapse(one, maxBuckets = m, strict = false)
+    // budget holds per series; total mass preserved
+    assert(collapsed.groupBy(col("series")).count()
+      .filter(col("count") > m).count() == 0, "bucket budget exceeded")
+    assert(collapsed.agg(sum(col("n"))).head().getLong(0) ==
+      one.agg(sum(col("n"))).head().getLong(0), "collapse lost mass")
+    // the floor bucket (and only it) is flagged, and it absorbed all
+    // lower-bucket mass for every over-budget series
+    val flagged = collapsed.filter(col("collapsed")).groupBy(col("series")).count()
+    assert(flagged.count() > 0, "collapse never triggered — vacuous spec")
+    assert(flagged.filter(col("count") =!= 1).count() == 0)
+    // error statement: a quantile whose rank lands STRICTLY ABOVE the
+    // floor bucket is bit-identical to the uncollapsed walk (those
+    // buckets are untouched, so the gamma-1 relative bound holds)
+    val q = 0.95
+    val exact = canon(Histogram.ddsketchQuantileFromBuckets(one, gamma, q))
+    val fromCollapsed =
+      canon(Histogram.ddsketchQuantileFromBuckets(
+        collapsed.select(col("series"), col("bucket"), col("n")), gamma, q))
+    assert(fromCollapsed == exact,
+      "p95 above the floor bucket must be untouched by collapse")
+    // a LOW quantile falls in the floor bucket: only the upper bound
+    // survives — the pick bucket must be >= the uncollapsed pick (mass
+    // moved UP into the floor), never below
+    val lowExact = Histogram.ddsketchQuantileFromBuckets(one, gamma, 0.01)
+      .select(col("series"), col("bucket")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Histogram.ddsketchQuantileFromBuckets(
+        collapsed.select(col("series"), col("bucket"), col("n")), gamma, 0.01)
+      .select(col("series"), col("bucket")).collect()
+      .foreach { r =>
+        assert(r.getLong(1) >= lowExact(r.getString(0)),
+          s"collapse moved a quantile pick DOWN for ${r.getString(0)}")
+      }
+  }
+
+  test("collapsing store: the strict default loud-rejects a budget overflow") {
+    val one = Histogram.ddsketchHistogram(samples, gamma)
+    val e = intercept[Exception] {
+      Histogram.ddsketchCollapse(one, maxBuckets = 3).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(e).contains("bucket budget exceeded"), rootMsg(e).take(400))
+    // within budget, strict passes the sketch through untouched
+    val wide = Histogram.ddsketchCollapse(one, maxBuckets = 10000)
+    assert(canon(wide) == canon(one))
+  }
+
   test("one-generation retention: v-1 survives the flip, v-2 does not") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_sketch_gen_").toString
