@@ -1791,6 +1791,12 @@ object SparkEntry {
         s.sql(s"SELECT * FROM ts_ddsketch_signed_windowed(" +
           s"$T0, $T31, 1.05, ${7 * DAY}, 50.0)")
       }),
+      "ts_sql_tvf_ddsketch_collapsed" -> ((s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        TSModel.samples(s, dir)
+          .createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
+        s.sql(s"SELECT * FROM ts_ddsketch_collapsed($T0, $T31, 1.02, 12)")
+      }),
       "ts_sql_tvf_ewma" -> ((s, dir) => {
         graft.functions.GraftFunctions.register(s)
         TSModel.samples(s, dir)
@@ -3515,6 +3521,8 @@ object SparkEntry {
       "ts_sql_tvf_ddsketch_signed_windowed" -> Histogram.ddsketchWindowedSignedSql(
         gamma = 1.05, windowMs = 7 * DAY, fromMs = Some(T0), toMs = Some(T31),
         cte = centeredSamplesCte),
+      "ts_sql_tvf_ddsketch_collapsed" -> Histogram.ddsketchHistogramCollapsedSql(
+        gamma = 1.02, maxBuckets = 12, fromMs = Some(T0), toMs = Some(T31)),
       // the mergeability oracle: any batching == the one-shot sketch
       "ts_ddsketch_incremental" -> Histogram.ddsketchHistogramSql(gamma = 1.02,
         fromMs = Some(T0), toMs = Some(T31)),

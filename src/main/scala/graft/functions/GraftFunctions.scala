@@ -604,6 +604,24 @@ object GraftFunctions {
         Some(literalLong("ts_ddsketch_signed_quantile", args(0), "from")),
         Some(literalLong("ts_ddsketch_signed_quantile", args(1), "to"))))
     }),
+    // ts_ddsketch_collapsed(from, to, gamma, max_buckets) — the
+    // bounded-size collapsing store (VLDB'19 §2.4): at most
+    // max_buckets buckets per series, lower buckets deterministically
+    // folded into the floor bucket (the TVF is the collapsing form;
+    // the strict loud-reject form is Column-API-only since its only
+    // observable is an error)
+    (FunctionIdentifier("ts_ddsketch_collapsed"),
+        info("ts_ddsketch_collapsed"), { args: Seq[Expression] =>
+      nargs("ts_ddsketch_collapsed", Seq(4), args)
+      val spark = activeSession("ts_ddsketch_collapsed")
+      GraftSessionBridge.logicalPlan(graft.ts.Histogram.ddsketchHistogramCollapsed(
+        spark.table(SamplesView),
+        literalDouble("ts_ddsketch_collapsed", args(2), "gamma"),
+        literalLong("ts_ddsketch_collapsed", args(3), "max_buckets").toInt,
+        strict = false,
+        Some(literalLong("ts_ddsketch_collapsed", args(0), "from")),
+        Some(literalLong("ts_ddsketch_collapsed", args(1), "to"))))
+    }),
     // ts_ddsketch_signed_windowed(from, to, gamma, window_ms[, center])
     // — one three-store sketch per (series, tumbling window)
     (FunctionIdentifier("ts_ddsketch_signed_windowed"),

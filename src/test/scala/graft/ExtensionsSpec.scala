@@ -432,7 +432,7 @@ class ExtensionsSpec extends AnyFunSuite {
         "corpus_source_divergence", "ts_burn_rate", "emb_label_drift",
         "ts_hampel", "ts_ddsketch_quantile", "ts_ddsketch_windowed",
         "ts_ddsketch_signed", "ts_ddsketch_signed_quantile",
-        "ts_ddsketch_signed_windowed"))
+        "ts_ddsketch_signed_windowed", "ts_ddsketch_collapsed"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 

@@ -434,7 +434,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
     }
   }
 
-  test("round-17 SIGNED DDSketch TVFs (histogram / quantile / windowed) == Column API across 18 random combos") {
+  test("round-17 DDSketch TVFs (signed histogram / quantile / windowed + collapsed) == Column API across 18 random combos") {
     graft.functions.GraftFunctions.register(spark)
     val samples = TSModel.samples(spark, sf)
     samples.createOrReplaceTempView(graft.functions.GraftFunctions.SamplesView)
@@ -448,7 +448,7 @@ class RandomizedTvfSpec extends AnyFunSuite {
       val center = Seq(0.0, 30.0, 50.0, 80.0)(rnd.nextInt(4))
       val centered = samples.withColumn(
         "value", org.apache.spark.sql.functions.col("value") - center)
-      val (sqlText, api) = i % 3 match {
+      val (sqlText, api) = i % 4 match {
         case 0 =>
           (s"SELECT * FROM ts_ddsketch_signed($from, $to, $gamma, $center)",
             graft.ts.Histogram.ddsketchHistogramSigned(centered, gamma,
@@ -458,11 +458,17 @@ class RandomizedTvfSpec extends AnyFunSuite {
           (s"SELECT * FROM ts_ddsketch_signed_quantile($from, $to, $gamma, $q, $center)",
             graft.ts.Histogram.ddsketchQuantileSigned(centered, gamma, q,
               fromMs = Some(from), toMs = Some(to)))
-        case _ =>
+        case 2 =>
           val win = Seq(DAY, 2 * DAY, 7 * DAY)(rnd.nextInt(3))
           (s"SELECT * FROM ts_ddsketch_signed_windowed($from, $to, $gamma, $win, $center)",
             graft.ts.Histogram.ddsketchWindowedSigned(centered, gamma, win,
               fromMs = Some(from), toMs = Some(to)))
+        case _ =>
+          // collapsing store rides the positive family (raw samples)
+          val mb = 3 + rnd.nextInt(12)
+          (s"SELECT * FROM ts_ddsketch_collapsed($from, $to, $gamma, $mb)",
+            graft.ts.Histogram.ddsketchHistogramCollapsed(samples, gamma, mb,
+              strict = false, fromMs = Some(from), toMs = Some(to)))
       }
       assert(rows(spark.sql(sqlText)).sorted == rows(api).sorted,
         s"combo $i: $sqlText")
