@@ -171,7 +171,7 @@ object CorpusPipeline {
    */
   def contamination(
       docs: DataFrame, bench: DataFrame, minShared: Long = 5L): DataFrame = {
-    val ds = Dedup.shingles(docs)
+    val ds = Dedup.shingles(graft.Fanout.ifStarved(docs, col("doc_id")))
     val bs = Dedup.shingles(bench)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     ds.join(broadcast(bs), Seq("shingle"))
@@ -211,7 +211,7 @@ object CorpusPipeline {
       val nBench = math.max(
         bs.select(col("shingle")).distinct().count(), 1L)
       val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
-      val pre = Dedup.shingles(docs)
+      val pre = Dedup.shingles(graft.Fanout.ifStarved(docs, col("doc_id")))
         .filter(graft.functions.BloomMightContain(col("shingle"), bloom))
       // deliberately NOT broadcast: the whole point is that phase 2
       // survives a bench side too big to broadcast (AQE may still
@@ -243,7 +243,7 @@ object CorpusPipeline {
    */
   def contaminationFraction(
       docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
-    val ds = Dedup.shingles(docs, n)
+    val ds = Dedup.shingles(graft.Fanout.ifStarved(docs, col("doc_id")), n)
     val bs = Dedup.shingles(bench, n).select(col("shingle")).distinct()
       .withColumn("hit", lit(1))
     ds.join(broadcast(bs), Seq("shingle"), "left")

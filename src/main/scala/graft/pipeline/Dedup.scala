@@ -88,6 +88,13 @@ object Dedup {
   }
 
   /** Word n-gram shingles, lowercased, distinct per doc. */
+  // fan-out note (r17): CORPUS-side callers wrap `docs` in
+  // [[graft.Fanout.ifStarved]] before shingling so the explode + hash
+  // chain parallelizes on starved scans (guide §2.2). The wrap lives at
+  // the call sites, NOT here: shingles also runs on tiny benchmark-item
+  // frames (decontamination), where a 32-way redistribution inflates
+  // the Bloom build (one near-empty bitset per partition to merge) —
+  // measured 1.6× on pipeline_decontaminate when this sat inside.
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -106,7 +113,7 @@ object Dedup {
    * narrow; the shuffle carries (span, doc_id) scalars only.
    */
   def duplicatedSpans(docs: DataFrame, n: Int = 15, minDocs: Int = 2): DataFrame =
-    shingles(docs, n)
+    shingles(graft.Fanout.ifStarved(docs, col("doc_id")), n)
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
@@ -149,7 +156,8 @@ object Dedup {
     * the quadratic ground truth used as the oracle for the LSH paths.
     * The by-shingle join computes only pairs sharing ≥1 shingle. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDocId: Long): DataFrame = {
-    val sh = shingles(docs.filter(col("doc_id") < maxDocId))
+    val sh = shingles(graft.Fanout.ifStarved(
+      docs.filter(col("doc_id") < maxDocId), col("doc_id")))
     jaccardOfPairs(
       sh.as("x").join(sh.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -205,7 +213,8 @@ object Dedup {
       maxBucket: Int = 64,
       maxBroadcastRows: Long = DefaultMaxBroadcastRows,
       lazyPlan: Boolean = false): DataFrame = {
-    val sh = shingles(docs.filter(col("doc_id") < maxDocId))
+    val sh = shingles(graft.Fanout.ifStarved(
+      docs.filter(col("doc_id") < maxDocId), col("doc_id")))
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     // the per-doc signature frame (one narrow row per doc) feeds both
     // sides of the banding self-join — materialize it once instead of
@@ -445,7 +454,8 @@ object Dedup {
     * xxhash64, codegen'd; [[md5Hash64]] for engine-independent runs). */
   def simhash(docs: DataFrame,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = docs
+    // compact-row fan-out before the token explode (r17, guide §2.2)
+    val toks = graft.Fanout.ifStarved(docs, col("doc_id"))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until 64).map { k =>
@@ -564,7 +574,10 @@ object Dedup {
     * clamps. Pure codegen expressions; the explode multiplies rows by
     * ~len/w, far below the n-gram shingle blowup. */
   private[pipeline] def segments(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    // corpus-only caller set (boilerplate family) — compact-row
+    // fan-out before the segment explode (r17, guide §2.2)
+    graft.Fanout.ifStarved(docs, col("doc_id"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(toks) - 1) DIV $w), i -> array_join(slice(toks, i * $w + 1, $w), ' '))")))
       .toDF("doc_id", "pos", "seg")

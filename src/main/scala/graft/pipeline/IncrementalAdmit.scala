@@ -60,16 +60,31 @@ object IncrementalAdmit {
     StreamDedup.bandBucketsMd5(docs, numHashes, bandRows)
       .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_id"))
 
+  /** Run two independent Spark write jobs CONCURRENTLY from a small
+    * driver-side pool (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially — the fp and bucket tables
+    * share no state, so the second job's tasks back-fill executors
+    * freed by the first job's tail instead of waiting for it). Each
+    * thunk is a complete, independent write; failures propagate. */
+  private[pipeline] def inParallel(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+  }
+
   /** One-time bootstrap: materialize the admission state for a prior
     * corpus under `stateDir` (`fp/` + `buckets/`, legacy flat layout —
-    * see [[writeStateVersioned]] for the concurrent-reader-safe one). */
+    * see [[writeStateVersioned]] for the concurrent-reader-safe one).
+    * The two tables are independent, so their writes overlap (r17,
+    * guide §2.6). */
   def writeState(
       spark: SparkSession, docs: DataFrame, stateDir: String,
-      numHashes: Int = 16, bandRows: Int = 4): Unit = {
-    buildFpState(docs).write.mode("overwrite").parquet(s"$stateDir/fp")
-    buildBucketState(docs, numHashes, bandRows)
-      .write.mode("overwrite").parquet(s"$stateDir/buckets")
-  }
+      numHashes: Int = 16, bandRows: Int = 4): Unit = inParallel(
+    () => buildFpState(docs).write.mode("overwrite").parquet(s"$stateDir/fp"),
+    () => buildBucketState(docs, numHashes, bandRows)
+      .write.mode("overwrite").parquet(s"$stateDir/buckets"))
 
   // ---- versioned-manifest layout ------------------------------------
   // stateDir/MANIFEST        — a one-line pointer file holding N
@@ -226,10 +241,13 @@ object IncrementalAdmit {
         sweepOrphanVersions(spark, stateDir, v)
         val cur = s"$stateDir/v=$v"
         val next = s"$stateDir/v=${v + 1}"
-        merged(cur, "fp", freshFp, Seq("fp"))
-          .write.mode("overwrite").parquet(s"$next/fp")
-        merged(cur, "buckets", freshBk, Seq("band", "bucket"))
-          .write.mode("overwrite").parquet(s"$next/buckets")
+        // both merged tables must exist before the flip; they are
+        // independent, so the folds overlap (r17, guide §2.6)
+        inParallel(
+          () => merged(cur, "fp", freshFp, Seq("fp"))
+            .write.mode("overwrite").parquet(s"$next/fp"),
+          () => merged(cur, "buckets", freshBk, Seq("band", "bucket"))
+            .write.mode("overwrite").parquet(s"$next/buckets"))
         commitManifest(spark, stateDir, v + 1)
         // post-flip sweep drops v=N−1 (one-generation grace retained)
         sweepOrphanVersions(spark, stateDir, v + 1)
@@ -250,8 +268,11 @@ object IncrementalAdmit {
           }
           fs.delete(bak, true)
         }
-        swap(s"$stateDir/fp", freshFp, Seq("fp"))
-        swap(s"$stateDir/buckets", freshBk, Seq("band", "bucket"))
+        // the two tables' staged-write+swap sequences touch disjoint
+        // paths — overlap them too (each swap stays internally ordered)
+        inParallel(
+          () => swap(s"$stateDir/fp", freshFp, Seq("fp")),
+          () => swap(s"$stateDir/buckets", freshBk, Seq("band", "bucket")))
     }
   }
 

@@ -41,44 +41,55 @@ object QualityClassifier {
   private def bucketCol(tok: Column, nBuckets: Int): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
 
-  /** `(doc_id, y, bucket, x)` — L1-normalized hashed counts + the bias
-    * row per document. ONE shuffle: token rows and the synthetic bias
-    * row (n=1, bucket=-1, so cnt/n lands at exactly 1.0) repartition
-    * by doc_id once, then the count-agg and every later per-doc
-    * operation (the GD window-sums, the score agg) reuse that
-    * clustering with no further exchange. */
+  /** `(doc_id, y, bucket, x)` — L1-normalized hashed token counts per
+    * document. ONE shuffle of COMPACT document rows: the r17 shape
+    * redistributes `docs` BEFORE the token explode (the previous
+    * `repartition` sat on the exploded token frame — every token row
+    * crossed the exchange, strictly more bytes than the raw text, and
+    * the tokenize+md5 map work ran at the scan's parallelism: ONE task
+    * on the single-row-group fixtures, guide §2.3/§2.2). The count-agg
+    * and every later per-doc operation (the packed-vector agg, the GD
+    * scans, the score agg) reuse the doc_id clustering with no further
+    * exchange.
+    *
+    * The bias feature (bucket −1, x = 1.0) is no longer a unioned
+    * synthetic row — [[docFeatures]] prepends it arithmetically when
+    * packing (a union would erase the doc_id partitioning and cost two
+    * extra exchanges). Consequence: a document yields rows iff it has
+    * ≥ 1 token row, i.e. text is non-NULL (an empty/whitespace text
+    * still tokenizes to one `""` token). The fixtures and both
+    * engines' oracle tables carry no NULL text — the oracle SQL keeps
+    * the explicit union and would emit a bias-only row for one. */
   private[pipeline] def features(docs: DataFrame, labelPred: Column,
-      nBuckets: Int): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"), labelPred.cast("double").as("y"),
-      size(split(trim(col("text")), "\\s+")).cast("double").as("n"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-    val pre = toks
+      nBuckets: Int): DataFrame =
+    graft.Fanout.ifStarved(docs, col("doc_id"))
+      .select(
+        col("doc_id"), labelPred.cast("double").as("y"),
+        size(split(trim(col("text")), "\\s+")).cast("double").as("n"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), col("y"), col("n"),
         bucketCol(col("tok"), nBuckets).as("bucket"))
-      .unionByName(docs.select(
-        col("doc_id"), labelPred.cast("double").as("y"),
-        lit(1.0).as("n"), lit(BIAS).as("bucket")))
-    pre
-      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("y"), col("n"), col("bucket"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("doc_id"), col("y"), col("bucket"),
         (col("cnt") / col("n")).as("x"))
-  }
 
   /** `(doc_id, y, feats)` — each document's sparse feature vector
-    * packed into ONE row as a bucket-sorted array<struct<bucket,x>>.
-    * Built on the [[features]] clustering (no extra shuffle for the
+    * packed into ONE row as a bucket-sorted array<struct<bucket,x>>
+    * with the bias element (bucket −1, x = 1.0) prepended. Built on
+    * the [[features]] clustering (no extra shuffle for the
     * collect_list) and persisted by the callers; sort_array pins the
-    * per-doc summation order, so the dot products below are
-    * bit-deterministic across runs and partitionings (buckets are
-    * unique within a doc). */
+    * per-doc summation order — the bias bucket −1 sorts first, so the
+    * prepend produces the exact array the old unioned-bias sort did —
+    * and the dot products below stay bit-deterministic across runs and
+    * partitionings (buckets are unique within a doc, all >= 0). */
   private def docFeatures(docs: DataFrame, labelPred: Column,
       nBuckets: Int): DataFrame =
     features(docs, labelPred, nBuckets)
       .groupBy(col("doc_id"), col("y"))
-      .agg(sort_array(collect_list(struct(col("bucket"), col("x"))))
+      .agg(concat(
+        array(struct(lit(BIAS).as("bucket"), lit(1.0).as("x"))),
+        sort_array(collect_list(struct(col("bucket"), col("x")))))
         .as("feats"))
 
   /** σ-input per doc: the sparse dot product w·x as a higher-order

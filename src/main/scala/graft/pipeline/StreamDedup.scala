@@ -143,8 +143,11 @@ object StreamDedup {
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
     // NOT Dedup.shingles: its per-doc distinct is a full shuffle of the
     // shingle stream, and min() is idempotent over duplicates — the
-    // signature agg is the gate's ONLY shuffle
-    val sh = docs
+    // signature agg is the gate's ONLY shuffle. Batch callers
+    // (IncrementalAdmit) fan the compact doc rows out first when the
+    // scan starves the session (r17, guide §2.2); streaming frames
+    // pass through untouched.
+    val sh = graft.Fanout.ifStarved(docs, col("doc_id"))
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3)," +

@@ -128,14 +128,29 @@ object Multi {
       s"$reducer is not a valid GROUPBY reducer") // reference: query_language.c:825-841
     // parse-time incompatibility (reference: query_language.c:1003-1007)
     require(!excludeEmpty, "TSDB: EXCLUDEEMPTY is not allowed with GROUPBY")
-    val perSeries = mrange(samples, labels, preds, args)
+    requireInclusive(preds)
+    // ONE label-index derivation serves both the pre-aggregation series
+    // filter and the post-aggregation group mapping (r17: the previous
+    // shape derived the O(#series) index twice — a preds-filtered set
+    // for the semi-join and an UNfiltered (series, lv) map for the
+    // reduce join — costing a second labels scan + distinct exchange +
+    // broadcast per query). The single frame carries (series, lv),
+    // filtered by the label preds AND lv presence: a series whose group
+    // label is absent can never contribute to any group, so dropping it
+    // BEFORE the per-series aggregation leaves every group's input —
+    // and therefore the result — unchanged while shuffling strictly
+    // fewer bytes. Both joins key on `series` over the same subtree, so
+    // the broadcast exchange is built once and reused.
+    val lbl = broadcast(
+      labels.filter(preds.map(predColumn).reduce(_ && _))
+        .select(col("series"), element_at(col("labels"), groupByLabel).as("lv"))
+        .filter(col("lv").isNotNull))
+    val perSeries = RangeQuery.range(
+      samples.join(lbl, Seq("series"), "left_semi"), args)
     val valueCols = if (args.aggs.isEmpty) Seq("value") else args.aggs.map(Aggs.colName)
-    val lbl = broadcast(labels.select(col("series"),
-      element_at(col("labels"), groupByLabel).as("lv")))
     val reduceExprs = valueCols.map(c =>
       Aggs.expr(reducer, col(c), col("ts")).as(s"__red_$c"))
     val reduced = perSeries.join(lbl, Seq("series"))
-      .filter(col("lv").isNotNull)
       .groupBy(col("lv"), col("ts"))
       .agg(reduceExprs.head, reduceExprs.tail: _*)
     val fill = if (Set("count", "countnan", "countall").contains(reducer)) lit(0.0)
