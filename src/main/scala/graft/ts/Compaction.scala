@@ -421,21 +421,38 @@ object Compaction {
     * merging buckets — moves the output range by six orders of
     * magnitude and trips this; legitimate results cannot (every output
     * bucket start is ≥ bucketStart(min source ts) and ≤ max source ts).
-    * Cost: two min/max aggs. Callers pass the RAW sink log where one
-    * exists (same ts universe as the resolved view — resolution only
-    * drops superseded versions) so the guard never re-executes the
-    * merge-on-read resolution. */
+    * Cost: one broadcast one-row source agg folded into the output
+    * plan (no driver actions — see the r17 note in the body). Callers
+    * pass the RAW sink log where one exists (same ts universe as the
+    * resolved view — resolution only drops superseded versions) so the
+    * guard never re-executes the merge-on-read resolution. */
   private[ts] def guardStreamedRange(
       out: DataFrame, src: DataFrame, maxBucketMs: Long): DataFrame = {
-    val s = src.agg(min(col("ts")), max(col("ts"))).head()
-    if (!s.isNullAt(0)) {
-      val (lo, hi) = (s.getLong(0) - maxBucketMs, s.getLong(1))
-      val o = out.agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
-      require(o.getLong(2) == 0L || (o.getLong(0) >= lo && o.getLong(1) <= hi),
-        s"streamed output ts range [${o.get(0)}, ${o.get(1)}] escapes the batch " +
-          s"source's [$lo, $hi] — streaming/batch ts-unit disagreement (r8 class)")
-    }
-    out
+    // LAZY since r17: the eager form ran TWO driver actions per call —
+    // a samples min/max agg plus a full materialization of `out` just
+    // to probe its min/max — and the caller (bench/verify) then
+    // materialized `out` AGAIN, doubling every guarded stream's read
+    // cost. Now the source bounds ride the plan as a broadcast
+    // one-row aggregate and the range check is a per-row assert_true:
+    // same failure surface (any escaping row throws with the same
+    // diagnostic, at materialization instead of construction — the
+    // only place these results are ever observed), zero extra
+    // actions, strictly stronger coverage (EVERY row is checked, not
+    // just the extremes). Empty source (null bounds) or empty output
+    // pass vacuously, as before.
+    val cols = out.columns.map(col)
+    val bounds = broadcast(src.agg(
+      (min(col("ts")) - maxBucketMs).as("__glo"), max(col("ts")).as("__ghi")))
+    out.crossJoin(bounds)
+      .filter(assert_true(
+        col("__glo").isNull ||
+          (col("ts") >= col("__glo") && col("ts") <= col("__ghi")),
+        concat(lit("streamed output ts "), col("ts").cast("string"),
+          lit(" escapes the batch source's ["), col("__glo").cast("string"),
+          lit(", "), col("__ghi").cast("string"),
+          lit("] — streaming/batch ts-unit disagreement (r8 class)")))
+        .isNull)
+      .select(cols: _*)
   }
 
   /** Merge-on-read for the update-mode downsample log: the newest

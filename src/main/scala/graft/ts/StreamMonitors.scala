@@ -148,6 +148,10 @@ object StreamMonitors {
       burnBudgetPerSec: Double, burnThreshold: Double,
       hampelSpan: Int, hampelK: Double,
       sketchGamma: Double, sketchWindowMs: Long): DataFrame =
+      // state partitions re-measured in r17 with the 8-monitor arm set:
+      // 8 ≈ 16 < 32 (2.6 / 2.7 / 3.9 s warm one-shot at sf0.1) — the
+      // state-store commit overhead still outweighs monitor-compute
+      // parallelism, so the r14 setting stands
       Compaction.withStatePartitions(spark, 8) {
       Compaction.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
         if (useRocksDb) graft.pipeline.StreamDedup.RocksDbProvider
