@@ -581,7 +581,8 @@ object CorpusPipeline {
    */
   def qualityPercentileKeep(docs: DataFrame, dropFrac: Double): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac out of range: $dropFrac")
-    val scored = Text.qualityMetrics(docs)
+    val scored = Text.qualityMetrics(  // compact-row fan-out (r17, §2.2)
+      graft.Fanout.ifStarved(docs, col("doc_id")))
       .select(col("doc_id"), floor(col("stop_ratio") * 10000).as("qscore"))
     val hist = scored.groupBy(col("qscore")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -612,7 +613,8 @@ object CorpusPipeline {
    */
   def qualityPercentileKeepLazy(docs: DataFrame, dropFrac: Double): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac out of range: $dropFrac")
-    val scored = Text.qualityMetrics(docs)
+    val scored = Text.qualityMetrics(  // compact-row fan-out (r17, §2.2)
+      graft.Fanout.ifStarved(docs, col("doc_id")))
       .select(col("doc_id"), floor(col("stop_ratio") * 10000).as("qscore"))
     val hist = scored.groupBy(col("qscore")).agg(count(lit(1)).as("c"))
     val total = hist.agg(coalesce(sum(col("c")), lit(0L)).as("total"))

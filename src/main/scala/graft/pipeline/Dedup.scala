@@ -156,8 +156,11 @@ object Dedup {
     * the quadratic ground truth used as the oracle for the LSH paths.
     * The by-shingle join computes only pairs sharing ≥1 shingle. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDocId: Long): DataFrame = {
-    val sh = shingles(graft.Fanout.ifStarved(
-      docs.filter(col("doc_id") < maxDocId), col("doc_id")))
+    // NO fan-out here (r17): this path only ever runs on the bounded
+    // maxDocId oracle subset, where redistribution is pure overhead
+    // (measured +0.5 s on pipeline_sql_tvf_keep whose lazy splice
+    // re-executes the pairs subtree in several broadcast subqueries)
+    val sh = shingles(docs.filter(col("doc_id") < maxDocId))
     jaccardOfPairs(
       sh.as("x").join(sh.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -213,8 +216,12 @@ object Dedup {
       maxBucket: Int = 64,
       maxBroadcastRows: Long = DefaultMaxBroadcastRows,
       lazyPlan: Boolean = false): DataFrame = {
-    val sh = shingles(graft.Fanout.ifStarved(
-      docs.filter(col("doc_id") < maxDocId), col("doc_id")))
+    // fan out only the UNBOUNDED (full-corpus) form: a maxDocId-bounded
+    // call is an oracle-subset run where redistribution is overhead —
+    // measured +0.4 s on the corpus_keep lazy splice (r17)
+    val base = docs.filter(col("doc_id") < maxDocId)
+    val sh = shingles(if (maxDocId == Long.MaxValue)
+      graft.Fanout.ifStarved(base, col("doc_id")) else base)
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     // the per-doc signature frame (one narrow row per doc) feeds both
     // sides of the banding self-join — materialize it once instead of

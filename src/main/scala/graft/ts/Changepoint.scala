@@ -64,13 +64,17 @@ object Changepoint {
    * Plan shape (action-free, TVF-spliceable): ONE scan → ONE grid agg
    * (bucket averages round-9 so both engines fold bit-identical
    * inputs) → per level: the cumulative/unordered window family over
-   * ONE exchange by (series, segment) + a rank-1 pick, and a
-   * broadcast-sized join (≤ series × 2^level rows) tagging each grid
-   * row `l`/`r` for the next round. Segments shorter than 2·minSize
-   * emit no candidate and their subtree drops out — exactly the
-   * recursion's stopping rule. Nothing here scales with raw sample
-   * count beyond the grid agg; the window family is grid-bounded
-   * (range/bucket rows per series — a query cost the caller sets).
+   * ONE exchange by (series, segment), with the winning split
+   * attached to every grid row by one more window over the SAME
+   * exchange (first candidate bucket in (gain DESC, bucket) order —
+   * r17: the previous broadcast-join of the rank-1 picks re-planned
+   * each level's window family as its own sequential broadcast-build
+   * job). Segments shorter than 2·minSize emit no candidate, get a
+   * NULL split, and their rows drop out — exactly the recursion's
+   * stopping rule. Nothing here scales with raw sample count beyond
+   * the grid agg; the window family is grid-bounded (range/bucket
+   * rows per series — a query cost the caller sets), and identical
+   * per-level exchanges dedupe at runtime (exchange reuse).
    *
    * Output: `(series, level, seg, cp_ts, gain, n_left, n_right)` —
    * one row per executed split; `seg` is the split segment's `l`/`r`
@@ -102,7 +106,18 @@ object Changepoint {
       val sseL = col("q_cum") - col("s_cum") * col("s_cum") / col("i")
       val sR = col("s_tot") - col("s_cum")
       val sseR = (col("q_tot") - col("q_cum")) - sR * sR / (col("n") - col("i"))
-      val picked = seg
+      // The winning split is attached to EVERY grid row of its segment
+      // by one more window over the SAME (series, seg) exchange —
+      // first non-null candidate bucket in (gain DESC, bucket) order,
+      // i.e. exactly the old rank-1 row (r17; the previous shape
+      // broadcast-joined the rank-1 picks back onto the grid, which
+      // re-planned each level's whole window family as a separate
+      // sequential broadcast-build job — measured 0.2-0.6 s apiece at
+      // sf0.1 with levels=3). Non-candidate rows (outside the minSize
+      // bounds) carry a NULL gain and sort last, so a segment with no
+      // legal split gets a NULL __split and its rows drop out below —
+      // the recursion's stopping rule, as before.
+      val scored = seg
         .withColumn("i", row_number().over(wOrd).cast("long"))
         .withColumn("next_bucket", lead(col("bucket"), 1).over(wOrd))
         .withColumn("s_cum", sum(col("v")).over(wCum))
@@ -110,27 +125,26 @@ object Changepoint {
         .withColumn("n", count(lit(1)).over(wAll))
         .withColumn("s_tot", sum(col("v")).over(wAll))
         .withColumn("q_tot", sum(col("v") * col("v")).over(wAll))
-        .filter(col("i") >= minSize && col("i") <= col("n") - minSize)
-        .withColumn("gain", round(sseTot - sseL - sseR, 9))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("series"), col("seg"))
-            .orderBy(col("gain").desc, col("bucket"))))
-        .filter(col("rk") === 1)
-      val lvlRows = picked.select(
+        .withColumn("gain",
+          when(col("i") >= minSize && col("i") <= col("n") - minSize,
+            round(sseTot - sseL - sseR, 9)))
+        .withColumn("__split",
+          first(when(col("gain").isNotNull, col("bucket")), ignoreNulls = true)
+            .over(wAll.orderBy(col("gain").desc, col("bucket"))))
+      val lvlRows = scored.filter(col("bucket") === col("__split")).select(
         col("series"), lit(lvl.toLong).as("level"), col("seg"),
         col("next_bucket").as("cp_ts"), col("gain"),
-        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
-        col("bucket").as("__split"))
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"))
       out = Some(out.fold(lvlRows)(_.unionByName(lvlRows)))
-      if (lvl < levels - 1) {
-        val sp = lvlRows.select(col("series"), col("seg"), col("__split"))
-        seg = seg.join(broadcast(sp), Seq("series", "seg"))
-          .withColumn("seg", concat(col("seg"),
-            when(col("bucket") <= col("__split"), lit("l")).otherwise(lit("r"))))
-          .drop("__split")
-      }
+      if (lvl < levels - 1)
+        seg = scored.filter(col("__split").isNotNull)
+          .select(col("series"),
+            concat(col("seg"),
+              when(col("bucket") <= col("__split"), lit("l")).otherwise(lit("r")))
+              .as("seg"),
+            col("bucket"), col("v"))
     }
-    out.get.drop("__split")
+    out.get
   }
 
   /** DuckDB oracle twin of [[binseg]]: the same per-level
