@@ -516,8 +516,10 @@ object Compaction {
     withStatePartitions(spark, 8) {
       val log = runToLogSink(
         streamingDownsampleAll(eventsStream(spark, dir), rules), "update", sinkDir)
-      guardStreamedRange(log, TSModel.samples(spark, dir), rules.map(_.bucketMs).max)
-      lastWriterWins(log)
+      // lazy guard wraps the RETURNED frame (same (series, ts) key set
+      // as the log — resolution only drops superseded versions)
+      guardStreamedRange(lastWriterWins(log),
+        TSModel.samples(spark, dir), rules.map(_.bucketMs).max)
     }
 
   /**
@@ -662,10 +664,11 @@ object Compaction {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // lazy guard wraps the RETURNED frame (resolved ts = bucket starts,
+    // the same ts universe the old log-projection probe read)
     guardStreamedRange(
-      spark.read.parquet(destLog).select(col("bucket").as("ts")),
+      resolveTwaPartials(spark.read.parquet(destLog), rule),
       samples, rule.bucketMs)
-    resolveTwaPartials(spark.read.parquet(destLog), rule)
     }
   }
 
@@ -843,7 +846,9 @@ object Compaction {
       val log = runToLogSink(
         streamingDownsample(eventsStream(spark, dir), rule), "update", sinkDir,
         compactEvery)
-      guardStreamedRange(log, TSModel.samples(spark, dir), rule.bucketMs)
-      lastWriterWins(log)
+      // lazy guard wraps the RETURNED frame (same (series, ts) key set
+      // as the log — resolution only drops superseded versions)
+      guardStreamedRange(lastWriterWins(log),
+        TSModel.samples(spark, dir), rule.bucketMs)
     }
 }

@@ -224,12 +224,10 @@ object Ingest {
       Compaction.withStatePartitions(spark, 8) {
     val out = runIngest(spark, Compaction.eventsStream(spark, dir), sinkDir, "LAST",
       maxTimeDiff, maxValDiff)
-    // range-check the RAW sink log, not the resolved view: resolution
-    // only drops superseded duplicate versions (same ts universe), and
-    // guarding the resolved frame would re-run its window a second
-    // time. Sink rows keep sample timestamps (no bucketing) -> 0 slack.
-    Compaction.guardStreamedRange(
-      spark.read.parquet(sinkDir), TSModel.samples(spark, dir), 0L)
-    out
+    // the guard is LAZY since r17 (rides the returned plan — see
+    // guardStreamedRange), so it wraps the resolved view directly: no
+    // second materialization, every output row checked. Sink rows keep
+    // sample timestamps (no bucketing) -> 0 slack.
+    Compaction.guardStreamedRange(out, TSModel.samples(spark, dir), 0L)
   }
 }

@@ -199,10 +199,13 @@ object StreamGroupBy {
         Compaction.eventsStream(spark, dir), s2g, groupByLabel,
         agg, reducer, bucketMs, 0L, fromMs, toMs)
       val log = Compaction.runToLogSink(streamed, "update", sinkDir)
-      Compaction.guardStreamedRange(log, TSModel.samples(spark, dir), bucketMs)
-      Compaction.lastWriterWins(log)
-        .select(col("series"), col("ts"),
-          col("value").cast("double").as(Aggs.colName(agg)))
+      // lazy guard wraps the RETURNED frame (same (series, ts) key set
+      // as the log — resolution only drops superseded versions)
+      Compaction.guardStreamedRange(
+        Compaction.lastWriterWins(log)
+          .select(col("series"), col("ts"),
+            col("value").cast("double").as(Aggs.colName(agg))),
+        TSModel.samples(spark, dir), bucketMs)
     }
 
   /** Multi-aggregator one-shot replay ([[mrangeGroupByStreamOnce]]'s
@@ -225,12 +228,15 @@ object StreamGroupBy {
         Compaction.eventsStream(spark, dir), s2g, groupByLabel,
         aggs, reducer, bucketMs, 0L, fromMs, toMs)
       val log = Compaction.runToLogSink(streamed, "update", sinkDir)
-      Compaction.guardStreamedRange(log, TSModel.samples(spark, dir), bucketMs)
-      Compaction.lastWriterWins(log)
-        .select(col("series") +: col("ts") +:
-          aggs.zipWithIndex.map { case (a, i) =>
-            element_at(col("value"), i + 1).cast("double").as(Aggs.colName(a))
-          }: _*)
+      // lazy guard wraps the RETURNED frame (same (series, ts) key set
+      // as the log — resolution only drops superseded versions)
+      Compaction.guardStreamedRange(
+        Compaction.lastWriterWins(log)
+          .select(col("series") +: col("ts") +:
+            aggs.zipWithIndex.map { case (a, i) =>
+              element_at(col("value"), i + 1).cast("double").as(Aggs.colName(a))
+            }: _*),
+        TSModel.samples(spark, dir), bucketMs)
     }
 
   // ------------------------------------------------------------------
