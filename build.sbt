@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `runMain graft.Bench`
+// as the one-line bench JSON. Without an output strategy sbt's logger
+// prefixes every forked-process line with "[info] ", which has made the
+// driver's parse fail (parsed:null) every round since r10. StdoutOutput
+// hands the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -310,11 +310,15 @@ object RangeQuery {
    *
    * Scale: series bounds are one partial-aggregated pass over the
    * (pruned) series scan; the spine is `sequence()` per series; the
-   * LOCF seed is an O(#series) aggregate joined by series key.
+   * LOCF seed fuses into the SAME grouped pass (r18: it used to be a
+   * second samples scan plus a broadcast join — guide §6, one fewer
+   * full read of the filtered samples for every EMPTY+last+from query).
    */
   private def gapFill(base: DataFrame, samplesNoTime: DataFrame, args: RangeArgs): DataFrame = {
+    val needSeed = args.aggs.contains("last") && args.from.isDefined
     val spine = TSModel.bucketSpine(
-      samplesNoTime, args.bucketMs, args.alignMs, args.from, args.to)
+      samplesNoTime, args.bucketMs, args.alignMs, args.from, args.to,
+      seedBefore = if (needSeed) args.from else None)
     var out = spine.join(base, Seq("series", "bucket"), "left")
     for (a <- args.aggs) {
       val c = Aggs.colName(a)
@@ -328,20 +332,12 @@ object RangeQuery {
           val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, 0)
           out = out.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-          args.from.foreach { f =>
-            val seed = samplesNoTime
-              .filter(col("ts") < f && !isnan(col("value")))
-              .groupBy(col("series"))
-              .agg(max(struct(col("ts").as("t"), col("value").as("v")))
-                .getField("v").as("__seed"))
-            out = out.join(broadcast(seed), Seq("series"), "left")
-              .withColumn(c, coalesce(col(c), col("__seed")))
-              .drop("__seed")
-          }
+          if (needSeed)
+            out = out.withColumn(c, coalesce(col(c), col("__seed")))
         case None => // twa interpolation handled in Twa pipeline
       }
     }
-    out
+    if (needSeed) out.drop("__seed") else out
   }
 
   // ---------------------------------------------------------------------

@@ -209,17 +209,32 @@ object TSModel {
     * valid samples only; NaN-only buckets are invisible to it). */
   private[ts] def bucketSpine(
       samples: DataFrame, bucketMs: Long, alignMs: Long,
-      from: Option[Long], to: Option[Long]): DataFrame = {
+      from: Option[Long], to: Option[Long],
+      seedBefore: Option[Long] = None): DataFrame = {
     val lo0 = bucketStart(min(col("ts")), bucketMs, alignMs)
     val hi0 = bucketStart(max(col("ts")), bucketMs, alignMs)
-    val bounds = samples.groupBy(col("series")).agg(
+    // `seedBefore` fuses the EMPTY+last LOCF seed — the newest valid
+    // sample strictly before the query range — into this same grouped
+    // pass, as a conditional max over the identical input rows. It used
+    // to be a SECOND scan of the sample-filtered frame plus a broadcast
+    // join per query; here it rides the spine rows as a `__seed` column
+    // instead (max/greatest ignore nulls, so a series with no pre-range
+    // valid sample carries a null seed exactly like the old left join).
+    val boundCols = Seq(
       from.map(f => greatest(lo0, lit(bucketStartLong(f, bucketMs, alignMs))))
         .getOrElse(lo0).as("lo"),
       to.map(t => least(hi0, lit(bucketStartLong(t, bucketMs, alignMs))))
         .getOrElse(hi0).as("hi"))
+    val seedCol = seedBefore.map(f =>
+      max(when(col("ts") < f && !isnan(col("value")),
+        struct(col("ts").as("t"), col("value").as("v"))))
+        .getField("v").as("__seed"))
+    val aggCols = boundCols ++ seedCol
+    val bounds = samples.groupBy(col("series")).agg(aggCols.head, aggCols.tail: _*)
     bounds.filter(col("lo") <= col("hi"))
-      .select(col("series"),
-        explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket"))
+      .select(col("series") +:
+        explode(sequence(col("lo"), col("hi"), lit(bucketMs))).as("bucket") +:
+        seedCol.map(_ => col("__seed")).toSeq: _*)
   }
 
   /** BUCKETTIMESTAMP adjustment (reference: src/query_language.c:283-320):
