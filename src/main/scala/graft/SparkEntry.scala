@@ -1246,12 +1246,13 @@ object SparkEntry {
         val batches = Seq((300L, 370L), (370L, 440L), (440L, Long.MaxValue))
         batches.zipWithIndex.map { case ((lo, hi), i) =>
           val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          // verdicts pinned BEFORE the state fold mutates the manifest
-          val v = graft.pipeline.IncrementalAdmit.admit(s, b, stateDir)
-            .localCheckpoint()
-          if (i < batches.size - 1) // last fold has no next reader
-            graft.pipeline.IncrementalAdmit.updateState(s, b, stateDir)
-          v
+          // one step = verdicts (pinned before the fold mutates the
+          // manifest) + state fold, sharing ONE evaluation of the
+          // batch's fingerprint/band-bucket frames (r18 — the separate
+          // admit + updateState calls re-ran both md5 chains per batch;
+          // the last fold has no next reader, so it is skipped)
+          graft.pipeline.IncrementalAdmit.admitAndFold(
+            s, b, stateDir, fold = i < batches.size - 1)
         }.reduce(_ unionByName _)
       }),
 

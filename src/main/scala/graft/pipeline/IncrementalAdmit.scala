@@ -65,13 +65,19 @@ object IncrementalAdmit {
     * the driver calls them sequentially — the fp and bucket tables
     * share no state, so the second job's tasks back-fill executors
     * freed by the first job's tail instead of waiting for it). Each
-    * thunk is a complete, independent write; failures propagate. */
+    * thunk is a complete, independent write; failures propagate — but
+    * only after EVERY job has finished (ADVICE r17: a fail-fast
+    * Future.sequence rethrows while the sibling write keeps running
+    * detached, so a caller that caught and retried could race the
+    * orphaned writer on the same state paths). */
   private[pipeline] def inParallel(jobs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+    val outcomes = Await.result(
+      Future.sequence(jobs.map(j => Future(Try(j())))), Duration.Inf)
+    outcomes.foreach(_.get) // all joined; now surface the first failure
   }
 
   /** One-time bootstrap: materialize the admission state for a prior
@@ -180,7 +186,18 @@ object IncrementalAdmit {
     * [[updateState]]). */
   def admit(
       spark: SparkSession, newDocs: DataFrame, stateDir: String,
-      numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+      numHashes: Int = 16, bandRows: Int = 4): DataFrame =
+    admitFrom(spark, Text.fingerprint(newDocs),
+      StreamDedup.bandBucketsMd5(newDocs, numHashes, bandRows), stateDir)
+
+  /** [[admit]] over PRE-COMPUTED per-batch key frames — `fpFrame` =
+    * [[Text.fingerprint]] rows, `bkFrame` = band-bucket rows — so a
+    * caller that also folds the batch into state ([[admitAndFold]])
+    * derives both surfaces from ONE evaluation of the md5/minhash
+    * chains instead of two. */
+  private def admitFrom(
+      spark: SparkSession, fpFrame: DataFrame, bkFrame: DataFrame,
+      stateDir: String): DataFrame = {
     val root = liveRoot(spark, stateDir)
     val priorFp = spark.read.parquet(s"$root/fp")
       .select(col("fp"), col("doc_id").as("prior_mn"))
@@ -191,11 +208,11 @@ object IncrementalAdmit {
     // append-only id growth
     def seenMin = least(coalesce(col("prior_mn"), lit(Long.MaxValue)),
       col("batch_mn"))
-    val exact = Text.fingerprint(newDocs)
+    val exact = fpFrame
       .withColumn("batch_mn", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .join(priorFp, Seq("fp"), "left")
       .select(col("doc_id"), (seenMin < col("doc_id")).as("exact_dup"))
-    val clash = StreamDedup.bandBucketsMd5(newDocs, numHashes, bandRows)
+    val clash = bkFrame
       .withColumn("batch_mn",
         min(col("doc_id")).over(Window.partitionBy(col("band"), col("bucket"))))
       .join(priorBk, Seq("band", "bucket"), "left")
@@ -207,6 +224,32 @@ object IncrementalAdmit {
       .select(col("doc_id"), col("exact_dup"),
         coalesce(col("n_clash"), lit(0L)).as("n_clash"),
         (coalesce(col("n_clash"), lit(0L)) === 0L && !col("exact_dup")).as("kept"))
+  }
+
+  /** One chain step: verdicts for the batch, then (optionally) the
+    * state fold — with the batch's fingerprint and band-bucket frames
+    * computed ONCE and shared by both (r18, guide §1.2 "don't compute
+    * things twice": the chain previously re-ran the md5/minhash chains
+    * in [[updateState]] right after [[admit]] had evaluated the
+    * identical frames). The verdicts are pinned via localCheckpoint
+    * BEFORE the fold mutates the manifest — that materialization also
+    * populates the persisted key frames the fold then reuses. The
+    * persists are intra-call: released before returning. */
+  def admitAndFold(
+      spark: SparkSession, newDocs: DataFrame, stateDir: String,
+      numHashes: Int = 16, bandRows: Int = 4,
+      fold: Boolean = true): DataFrame = {
+    val fpFrame = Text.fingerprint(newDocs).persist()
+    val bkFrame = StreamDedup.bandBucketsMd5(newDocs, numHashes, bandRows).persist()
+    try {
+      val verdicts =
+        admitFrom(spark, fpFrame, bkFrame, stateDir).localCheckpoint()
+      if (fold) updateStateFrom(spark,
+        fpFrame.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+        bkFrame.groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("doc_id")),
+        stateDir)
+      verdicts
+    } finally { fpFrame.unpersist(); bkFrame.unpersist() }
   }
 
   /** Fold the new batch's keys into the state (min per key).
@@ -228,12 +271,19 @@ object IncrementalAdmit {
     * readers — that is what the versioned layout is for. */
   def updateState(
       spark: SparkSession, newDocs: DataFrame, stateDir: String,
-      numHashes: Int = 16, bandRows: Int = 4): Unit = {
+      numHashes: Int = 16, bandRows: Int = 4): Unit =
+    updateStateFrom(spark, buildFpState(newDocs),
+      buildBucketState(newDocs, numHashes, bandRows), stateDir)
+
+  /** [[updateState]] over PRE-AGGREGATED state deltas (`freshFp` =
+    * min doc_id per fp, `freshBk` = min doc_id per (band, bucket)) —
+    * the shared-frame entry point [[admitAndFold]] uses. */
+  private def updateStateFrom(
+      spark: SparkSession, freshFp: DataFrame, freshBk: DataFrame,
+      stateDir: String): Unit = {
     def merged(cur: String, name: String, fresh: DataFrame, keys: Seq[String]): DataFrame =
       spark.read.parquet(s"$cur/$name").unionByName(fresh)
         .groupBy(keys.map(col): _*).agg(min(col("doc_id")).as("doc_id"))
-    val freshFp = buildFpState(newDocs)
-    val freshBk = buildBucketState(newDocs, numHashes, bandRows)
     currentVersion(spark, stateDir) match {
       case Some(v) =>
         // sweep crash orphans (an unreferenced v=N+1 from a fold that
