@@ -178,9 +178,21 @@ object Trend {
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+    // The pair stage below is quadratic in the grid, and every stage
+    // from the window on is keyed by series — but the grid is a few
+    // hundred KB, so AQE coalesces the series exchange to ONE partition
+    // and the whole pair/median chain runs as sequential single-task
+    // stages (measured r18: 6 jobs × 1 task each). A PINNED keyed
+    // repartition (REPARTITION_BY_NUM is exempt from AQE coalescing —
+    // the Fanout finding, guide §2.5) feeds the window, the self-join,
+    // and both median aggs from the same exchange, so the quadratic
+    // work spreads across the session at every scale while adding no
+    // exchange the window did not already require.
+    val slots = samples.sparkSession.sparkContext.defaultParallelism
     val gx = s.groupBy(col("series"),
         TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
       .agg(round(avg(col("value")), 9).as("v"))
+      .repartition(slots, col("series"))
       .withColumn("x",
         ((col("bucket") - min(col("bucket")).over(w)) / bucketMs).cast("double"))
     val a = gx.select(col("series"), col("x").as("xa"), col("v").as("va"))
