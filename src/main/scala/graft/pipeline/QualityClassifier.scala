@@ -42,24 +42,28 @@ object QualityClassifier {
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
 
   /** `(doc_id, y, bucket, x)` — L1-normalized hashed token counts per
-    * document. ONE shuffle of COMPACT document rows: the r17 shape
-    * redistributes `docs` BEFORE the token explode (the previous
-    * `repartition` sat on the exploded token frame — every token row
-    * crossed the exchange, strictly more bytes than the raw text, and
-    * the tokenize+md5 map work ran at the scan's parallelism: ONE task
-    * on the single-row-group fixtures, guide §2.3/§2.2). The count-agg
-    * and every later per-doc operation (the packed-vector agg, the GD
-    * scans, the score agg) reuse the doc_id clustering with no further
-    * exchange.
+    * document. The r17 shape redistributes `docs` BEFORE the token
+    * explode (the previous `repartition` sat on the exploded token
+    * frame — every token row crossed the exchange, strictly more bytes
+    * than the raw text, and the tokenize+md5 map work ran at the
+    * scan's parallelism: ONE task on the single-row-group fixtures,
+    * guide §2.3/§2.2). On the starved branch the fan-out exchange is
+    * keyed by doc_id, so the count-agg, the packed-vector agg, the GD
+    * scans and the score agg all reuse that one clustering; on the
+    * identity branch (production-scale scan, ADVICE r17) the count-agg
+    * keys by (doc_id, y, n, bucket) and [[docFeatures]]' per-doc
+    * groupBy adds its own doc_id exchange — two exchanges of compact
+    * count rows, still never the exploded token stream.
     *
     * The bias feature (bucket −1, x = 1.0) is no longer a unioned
     * synthetic row — [[docFeatures]] prepends it arithmetically when
     * packing (a union would erase the doc_id partitioning and cost two
     * extra exchanges). Consequence: a document yields rows iff it has
     * ≥ 1 token row, i.e. text is non-NULL (an empty/whitespace text
-    * still tokenizes to one `""` token). The fixtures and both
-    * engines' oracle tables carry no NULL text — the oracle SQL keeps
-    * the explicit union and would emit a bias-only row for one. */
+    * still tokenizes to one `""` token). The oracle SQL matches: its
+    * bias-row union and doc count are restricted to `text IS NOT NULL`
+    * (r18), so a NULL-text document vanishes from BOTH engines —
+    * pinned by NullTextDifferentialSpec. */
   private[pipeline] def features(docs: DataFrame, labelPred: Column,
       nBuckets: Int): DataFrame =
     graft.Fanout.ifStarved(docs, col("doc_id"))
@@ -248,8 +252,9 @@ object QualityClassifier {
     * (a prior [[train]]/[[trainSampled]] run, possibly on a sample).
     * One feature pass, zero driver actions — safe to splice from the
     * corpus_classifier_score TVF at analysis time. `(doc_id,
-    * clf_score)` for EVERY document (a doc sharing no bucket with the
-    * model scores 0.0 — never silently dropped). */
+    * clf_score)` for every document WITH TEXT (a doc sharing no bucket
+    * with the model scores 0.0 — never silently dropped; a NULL-text
+    * doc has no features and no score row, on both engines). */
   def scoreWithWeights(docs: DataFrame, weights: Map[Long, Double],
       nBuckets: Int): DataFrame = {
     require(weights.nonEmpty, "scoreWithWeights needs at least one weight")
@@ -269,6 +274,14 @@ object QualityClassifier {
 
   private def featsSql(labelWhere: String, nBuckets: Int,
       table: String = "documents"): String =
+    // `text IS NOT NULL` on the bias branch and the doc count keeps
+    // this aligned with the engine's no-union shape (r18, ADVICE r17):
+    // a NULL-text document explodes to no token rows in BOTH engines,
+    // so it must contribute no bias row and not inflate N either — the
+    // engine's N is the packed-row count, which only covers documents
+    // with at least one token row (any non-NULL text, even "",
+    // tokenizes to >= 1 row). NullTextDifferentialSpec pins the
+    // engine/oracle agreement on exactly this input class.
     s"""feats AS (
        |  SELECT doc_id, y, bucket, count(*) * 1.0 / any_value(n) AS x
        |  FROM (
@@ -280,8 +293,8 @@ object QualityClassifier {
        |  GROUP BY doc_id, y, bucket
        |  UNION ALL
        |  SELECT doc_id, CASE WHEN $labelWhere THEN 1.0 ELSE 0.0 END, -1, 1.0
-       |  FROM $table
-       |), nn AS (SELECT count(*) * 1.0 AS n FROM $table)""".stripMargin
+       |  FROM $table WHERE text IS NOT NULL
+       |), nn AS (SELECT count(*) * 1.0 AS n FROM $table WHERE text IS NOT NULL)""".stripMargin
 
   /** Unrolled-GD weight CTEs `w1..w$iters` over `feats`/`nn`. */
   private def gdSql(iters: Int, lr: Double): String = {
