@@ -17,7 +17,9 @@ import org.apache.spark.sql.{Column, DataFrame}
  * when) the frame's natural partitioning offers fewer slots than the
  * session (`defaultParallelism`), hash-redistribute the COMPACT rows —
  * documents before they are exploded into tokens/shingles, never the
- * exploded intermediate — across `spark.sql.shuffle.partitions`. The
+ * exploded intermediate — across a PINNED `defaultParallelism`
+ * partitions (the session's slot count, not
+ * `spark.sql.shuffle.partitions` — see the pinning note below). The
  * condition reads the actual scan layout, not a local-mode constant:
  * on a cluster-scale table (splits >= slots) this is the identity and
  * the plan is unchanged, so operators keep their no-corpus-shuffle

@@ -664,11 +664,12 @@ object Compaction {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // lazy guard wraps the RETURNED frame (resolved ts = bucket starts,
-    // the same ts universe the old log-projection probe read)
-    guardStreamedRange(
-      resolveTwaPartials(spark.read.parquet(destLog), rule),
-      samples, rule.bucketMs)
+    // lazy guard rides INSIDE the resolution, before the in-flight
+    // bucket filter — so every bucket's ts is range-checked, including
+    // each series' newest (ADVICE r17: the post-filter wrap silently
+    // exempted the freshest bucket)
+    resolveTwaPartials(spark.read.parquet(destLog), rule,
+      guardSrc = Some((samples, rule.bucketMs)))
     }
   }
 
@@ -706,7 +707,8 @@ object Compaction {
     * trapezoids + covered-interval rules of [[Twa.bucketTwa]] finalize
     * the value. Flushed read semantics like [[materialize]]: each
     * series' in-flight (newest) bucket is withheld. */
-  private[graft] def resolveTwaPartials(log: DataFrame, rule: Rule): DataFrame = {
+  private[graft] def resolveTwaPartials(log: DataFrame, rule: Rule,
+      guardSrc: Option[(DataFrame, Long)] = None): DataFrame = {
     val resolved = log.groupBy(col("series"), col("bucket"))
       .agg(max(struct(col("batch_id"), col("first_ts"), col("first_v"),
         col("last_ts"), col("last_v"), col("interior"))).as("s"))
@@ -739,7 +741,19 @@ object Compaction {
     val lastTs = when(hasNext, tb).otherwise(col("last_ts"))
     val value = when(lastTs === firstTs, col("last_v"))
       .otherwise((col("interior") + head + tail) / (lastTs - firstTs))
-    withNb
+    // The range tripwire applies BEFORE the in-flight filter (ADVICE
+    // r17): `bucket < __maxb` drops each series' newest bucket, so a
+    // guard wrapped around the RETURNED view would never range-check
+    // the freshest bucket's ts — exactly where a streaming ts-unit
+    // disagreement (the r8 class) lands first. Guarding here covers
+    // every resolved bucket, still as the same lazy per-row assert.
+    val checked = guardSrc match {
+      case Some((src, maxBucketMs)) =>
+        guardStreamedRange(withNb.withColumn("ts", col("bucket")),
+          src, maxBucketMs).drop("ts")
+      case None => withNb
+    }
+    checked
       .filter(col("bucket") < col("__maxb"))
       .select(concat(col("series"), lit(rule.destSuffix)).as("series"),
         col("bucket").as("ts"), value.cast("double").as("value"))
