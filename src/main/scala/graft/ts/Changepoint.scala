@@ -91,9 +91,20 @@ object Changepoint {
     var s = samples.filter(!isnan(col("value")))
     fromMs.foreach(f => s = s.filter(col("ts") >= f))
     toMs.foreach(t => s = s.filter(col("ts") <= t))
+    // The grid is a few hundred KB, so AQE coalesces the (series, seg)
+    // window exchange to ONE partition and every level's whole window
+    // family runs as sequential single-task stages (the theilSen
+    // finding, r18; guide §2.5). A PINNED keyed repartition by series
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing) satisfies
+    // every level's ClusteredDistribution(series, seg) — series is a
+    // prefix of each window key — so ONE exchange, spread across the
+    // session's slots at every scale, feeds all `levels` rounds; no
+    // level adds an exchange the windows did not already require.
+    val slots = samples.sparkSession.sparkContext.defaultParallelism
     val grid = s.groupBy(col("series"),
         TSModel.bucketStart(col("ts"), bucketMs, alignMs).as("bucket"))
       .agg(round(avg(col("value")), 9).as("v"))
+      .repartition(slots, col("series"))
 
     var seg = grid.withColumn("seg", lit(""))
     var out: Option[DataFrame] = None
