@@ -110,7 +110,18 @@ object QualityClassifier {
     * map-side-combined gradient agg; nBuckets+1 doubles come to the
     * driver per step. The r9 shape (groupBy doc_id + join back on
     * doc_id) paid two extra shuffles of the feature frame per
-    * iteration for the same numbers. */
+    * iteration for the same numbers.
+    *
+    * DELIBERATELY a per-iteration driver action (re-examined r18): the
+    * "one action per sweep" alternative — weights as a one-row map
+    * frame, each level consuming the previous level's broadcast, one
+    * head() at the end — was built and MEASURED 5× worse
+    * (pipeline_classifier_weights 1.57→8.44 s, and the sample-bounded
+    * variant 1.59→5.81 s, i.e. a ~4 s data-size-INDEPENDENT overhead:
+    * five chained crossJoin+agg+broadcast levels cost more in
+    * planning/codegen/AQE stage scheduling than the five ~0.1 s
+    * collect jobs they remove). At 100 TB the per-iteration sync is
+    * noise against the scan each step must do anyway. */
   private def gdLoop(docFeats: DataFrame, n: Double, iters: Int,
       lr: Double): Map[Long, Double] = {
     val spark = docFeats.sparkSession

@@ -43,14 +43,51 @@ object StreamDedup {
     * one-shot harness, not concurrent). */
   @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
 
+  /** Sub-files staged per micro-batch: each chunk is written as up to
+    * this many range files and the source consumes them together
+    * (`maxFilesPerTrigger = subFiles`), so a trigger's read/map stage
+    * has one task PER FILE instead of one task per batch — the serial
+    * per-trigger map was the scale bottleneck (a 100 TB chunk is one
+    * task when staged as one file). Derived from the session's slots,
+    * never a constant: at low core counts this degrades to the old
+    * one-file shape. Decisions are chunking-invariant (spec-pinned),
+    * so grouping k range files per trigger preserves the doc_id-ordered
+    * replay contract as long as every batch is a contiguous id range —
+    * which consecutive range files are by construction. */
+  private def subFilesPerChunk(spark: SparkSession, nChunks: Int): Int =
+    math.max(1, spark.sparkContext.defaultParallelism / math.max(1, nChunks))
+
+  /** Range-stages `df` (already keyed by ascending `doc_id`) as
+    * `nChunks` doc_id-contiguous chunk groups of `sub` files each and
+    * stamps ascending mtimes in range order, so `maxFilesPerTrigger =
+    * sub` replays exactly the chunk groups: batch i = files
+    * [i*sub, (i+1)*sub) = one contiguous doc_id range. Empty range
+    * partitions write no file; consecutive grouping stays contiguous
+    * regardless, so a short tail group only shifts batch boundaries,
+    * never id order. */
+  private def stageRangeChunks(df: DataFrame, srcStage: String,
+      nChunks: Int, sub: Int): Unit = {
+    df.repartitionByRange(nChunks * sub, col("doc_id"))
+      .write.mode("overwrite").parquet(srcStage)
+    val files = new java.io.File(srcStage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    require(files.nonEmpty && files.length <= nChunks * sub,
+      s"staging produced ${files.length} files for $nChunks chunks x $sub")
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000000L + i * 60000L)
+    }
+  }
+
   /** First-arrival winners per fingerprint over a staged file stream:
-    * `(fp, doc_id)`. `srcStage` files replay one per micro-batch in
-    * mtime order. State per fp = the min doc_id seen (a bare Long —
-    * primitive state encodes without bean/case-class codegen). */
-  private def runDedup(spark: SparkSession, srcStage: String): DataFrame = {
+    * `(fp, doc_id)`. `srcStage` files replay `subFiles` per
+    * micro-batch in mtime (= doc_id range) order. State per fp = the
+    * min doc_id seen (a bare Long — primitive state encodes without
+    * bean/case-class codegen). */
+  private def runDedup(spark: SparkSession, srcStage: String,
+      subFiles: Int): DataFrame = {
     import spark.implicits._
     val out = spark.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", subFiles.toString)
       .parquet(srcStage)
       .as[(Long, String)]
       .groupByKey(_._2)
@@ -102,19 +139,9 @@ object StreamDedup {
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     val docs = Text.loadDocuments(spark, dir)
     val srcStage = graft.Scratch.dir("graft_sdedup_src_").resolve("stage").toString
-    Text.fingerprint(docs)
-      .repartitionByRange(nChunks, col("doc_id"))
-      .write.mode("overwrite").parquet(srcStage)
-    locally {
-      val files = new java.io.File(srcStage).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      require(files.length == nChunks,
-        s"staging produced ${files.length} files for $nChunks chunks")
-      files.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1000000000000L + i * 60000L)
-      }
-    }
-    runDedup(spark, srcStage)
+    val sub = subFilesPerChunk(spark, nChunks)
+    stageRangeChunks(Text.fingerprint(docs), srcStage, nChunks, sub)
+    runDedup(spark, srcStage, sub)
   } }
 
   /** Oracle: ascending replay makes the streaming winner the global
@@ -199,10 +226,11 @@ object StreamDedup {
    * Emits `(doc_id, band, clash)` per band row into an append log;
    * the read side folds to `(doc_id, n_clash, kept)`.
    */
-  private def runGate(spark: SparkSession, srcStage: String): DataFrame = {
+  private def runGate(spark: SparkSession, srcStage: String,
+      subFiles: Int): DataFrame = {
     import spark.implicits._
     val out = spark.readStream.schema(gateSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", subFiles.toString)
       .parquet(srcStage)
       .as[(Long, Int, String)]
       .groupByKey(r => (r._2, r._3))
@@ -249,19 +277,10 @@ object StreamDedup {
         else spark.conf.get("spark.sql.streaming.stateStore.providerClass")) {
     val docs = Text.loadDocuments(spark, dir)
     val srcStage = graft.Scratch.dir("graft_sgate_src_").resolve("stage").toString
-    bandBucketsMd5(docs, numHashes, bandRows)
-      .repartitionByRange(nChunks, col("doc_id"))
-      .write.mode("overwrite").parquet(srcStage)
-    locally {
-      val files = new java.io.File(srcStage).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      require(files.length == nChunks,
-        s"staging produced ${files.length} files for $nChunks chunks")
-      files.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1000000000000L + i * 60000L)
-      }
-    }
-    runGate(spark, srcStage)
+    val sub = subFilesPerChunk(spark, nChunks)
+    stageRangeChunks(bandBucketsMd5(docs, numHashes, bandRows),
+      srcStage, nChunks, sub)
+    runGate(spark, srcStage, sub)
   } }
 
   /** The shared toks→shingles→signatures→band-buckets CTE chain over
