@@ -86,6 +86,32 @@ object ScaleProbe {
     val nDocs = spark.read.parquet(docsDir).count()
     val nEvents = spark.read.parquet(eventsDir).count()
 
+    // 0. Fan-out identity at production split counts (VERDICT r17 #8):
+    //    [[Fanout.ifStarved]] must be a NO-OP when the scan already
+    //    offers >= slots splits — the production shape, where a keyed
+    //    redistribution of the corpus would be a pure extra shuffle.
+    //    The replicated docs staged above are multiple part files but
+    //    still pack into few splits under the default 128 MB split
+    //    size, so the probe lowers the split size for THIS read only,
+    //    making the same table present >= slots splits — exactly what
+    //    a multi-row-group production table looks like to the scan.
+    //    Identity is checked by reference (ifStarved returns its input
+    //    unchanged on the non-starved branch).
+    val (fanoutParts, fanoutIdentity) =
+      Compaction.withConf(spark, "spark.sql.files.maxPartitionBytes", "16384") {
+        Compaction.withConf(spark, "spark.sql.files.openCostInBytes", "16384") {
+          val df = Text.loadDocuments(spark, work)
+          (df.rdd.getNumPartitions,
+            graft.Fanout.ifStarved(df, col("doc_id")) eq df)
+        }
+      }
+    // …and the starved branch on the SAME table at the default split
+    // size (few splits): there ifStarved must NOT be the identity
+    val (fanoutStarvedParts, fanoutStarvedIdentity) = {
+      val df = Text.loadDocuments(spark, work)
+      (df.rdd.getNumPartitions, graft.Fanout.ifStarved(df, col("doc_id")) eq df)
+    }
+
     // 1. MinHash+LSH over the full replicated corpus (the engine side
     //    of dedup_minhash_lsh_full). The eager localCheckpoint IS the
     //    timed execution; the materialized frame then feeds CC, so the
@@ -697,6 +723,8 @@ object ScaleProbe {
     def s2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     println(
       s"""{"probe":"scale","base":"$base","reps":$reps,"n_docs":$nDocs,"n_events":$nEvents,""" +
+      s""""fanout_parts":$fanoutParts,"fanout_identity":$fanoutIdentity,""" +
+      s""""fanout_starved_parts":$fanoutStarvedParts,"fanout_starved_identity":$fanoutStarvedIdentity,""" +
       s""""minhash_lsh_full_sec":${s2(tMinhash)},"minhash_pairs":$nPairs,""" +
       s""""cc_canonical_sec":${s2(tCc)},"cc_labels":$nLabels,""" +
       s""""span_ngrams_sec":${s2(tSpans)},"span_rows":$nSpans,""" +
